@@ -1,0 +1,184 @@
+"""Unit tests for the operator layer on tiny in-memory frames.
+
+Edge cases follow FIXTURES.md §6: NULLs, duplicate keys, late rows,
+non-numeric ids, all-NULL measure groups.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from metar_pipeline_spark.operators.aggregates import (
+    daily_rollup,
+    duplicate_keys,
+    scalar_max,
+)
+from metar_pipeline_spark.operators.incremental import (
+    append_only,
+    high_watermark_filter,
+    merge_upsert,
+)
+from metar_pipeline_spark.operators.joins import fk_violations
+from metar_pipeline_spark.operators.windows import (
+    latest_per_key_maxby,
+    latest_per_key_rn,
+    sessionize,
+    top_k_per_group,
+)
+from metar_pipeline_spark.quality import (
+    accepted_values,
+    not_null,
+    relationships,
+    run_assertions,
+    singular,
+    unique,
+)
+
+
+def ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def obs_df(spark):
+    rows = [
+        # (id, icao, observed, temp)
+        ("1", "UUEE", ts("2024-01-01T00:00:00"), 1.0),
+        ("2", "UUEE", ts("2024-01-01T12:00:00"), 3.0),
+        ("3", "UUDD", ts("2024-01-01T06:00:00"), None),  # NULL measure
+        ("4", "UUDD", ts("2024-01-02T06:00:00"), 5.0),
+        ("5", "UUEE", ts("2024-01-01T12:00:00"), 2.0),  # duplicate (key, ts)
+    ]
+    return spark.createDataFrame(rows, "id string, icao string, observed timestamp, temp double")
+
+
+def test_daily_rollup_null_measures(spark):
+    out = daily_rollup(
+        obs_df(spark),
+        key="icao",
+        ts="observed",
+        measures={
+            "avg_temp": F.avg("temp"),
+            "n": F.count(F.lit(1)),
+        },
+        surrogate_name="icao_date",
+    )
+    rows = {r["icao_date"]: r for r in out.collect()}
+    # COUNT(*) counts NULL-measure rows; AVG excludes them (SQL semantics)
+    assert rows["UUDD_20240101"]["n"] == 1
+    assert rows["UUDD_20240101"]["avg_temp"] is None
+    assert rows["UUEE_20240101"]["n"] == 3
+    assert abs(rows["UUEE_20240101"]["avg_temp"] - 2.0) < 1e-9
+
+
+def test_latest_per_key_forms_agree_with_tiebreak(spark):
+    df = obs_df(spark)
+    a = latest_per_key_maxby(df, ["icao"], "observed", tiebreak="id")
+    b = latest_per_key_rn(df, ["icao"], [F.desc("observed"), F.desc("id")])
+    sa = {(r["icao"], r["id"]) for r in a.collect()}
+    sb = {(r["icao"], r["id"]) for r in b.collect()}
+    assert sa == sb == {("UUEE", "5"), ("UUDD", "4")}
+
+
+def test_top_k_per_group(spark):
+    df = obs_df(spark)
+    out = top_k_per_group(df, ["icao"], [F.desc("observed"), F.desc("id")], 2)
+    assert out.filter(F.col("icao") == "UUEE").count() == 2
+
+
+def test_high_watermark_strict_vs_inclusive(spark):
+    df = obs_df(spark)
+    target = df.filter(F.col("observed") <= ts("2024-01-01T12:00:00"))
+    strict = high_watermark_filter(df, target, "observed", inclusive=False)
+    incl = high_watermark_filter(df, target, "observed", inclusive=True)
+    assert {r["id"] for r in strict.collect()} == {"4"}
+    # inclusive reprocesses the boundary instant (L2)
+    assert {r["id"] for r in incl.collect()} == {"2", "4", "5"}
+
+
+def test_high_watermark_empty_target_full_refresh(spark):
+    df = obs_df(spark)
+    empty = df.filter(F.lit(False))
+    assert high_watermark_filter(df, empty, "observed").count() == df.count()
+    assert high_watermark_filter(df, None, "observed").count() == df.count()
+
+
+def test_merge_upsert_last_writer_wins(spark):
+    existing = obs_df(spark)
+    updates = spark.createDataFrame(
+        [("1", "UUEE", ts("2024-01-03T00:00:00"), 9.0)],
+        "id string, icao string, observed timestamp, temp double",
+    )
+    merged = merge_upsert(existing, updates, ["id"], "observed")
+    rows = {r["id"]: r for r in merged.collect()}
+    assert len(rows) == 5
+    assert rows["1"]["temp"] == 9.0  # updated
+    assert rows["2"]["temp"] == 3.0  # untouched
+
+
+def test_append_only_schema_drift(spark):
+    existing = obs_df(spark)
+    updates = spark.createDataFrame(
+        [("9", "UUEE", ts("2024-01-05T00:00:00"), 1.0, "new")],
+        "id string, icao string, observed timestamp, temp double, extra string",
+    )
+    out = append_only(existing, updates)
+    assert "extra" in out.columns  # on_schema_change='append_new_columns'
+    assert out.count() == 6
+
+
+def test_scalar_max_default(spark):
+    empty = obs_df(spark).filter(F.lit(False))
+    assert scalar_max(empty, "observed", default="fallback") == "fallback"
+
+
+def test_duplicate_keys(spark):
+    df = obs_df(spark).withColumn(
+        "k", F.when(F.col("id").isin("1", "2"), "dup").otherwise(F.col("id"))
+    )
+    dups = duplicate_keys(df, "k").collect()
+    assert len(dups) == 1 and dups[0]["k"] == "dup"
+
+
+def test_fk_violations(spark):
+    child = obs_df(spark)
+    parent = spark.createDataFrame([("UUEE",)], "icao string")
+    v = fk_violations(child, parent, "icao", "icao")
+    assert {r["icao"] for r in v.collect()} == {"UUDD"}
+
+
+def test_sessionize_gap(spark):
+    rows = [
+        (1, "u", ts("2024-01-01T00:00:00")),
+        (2, "u", ts("2024-01-01T00:10:00")),
+        (3, "u", ts("2024-01-01T02:00:00")),  # > 30 min gap → new session
+        (4, "v", ts("2024-01-01T00:00:00")),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id string, ts timestamp")
+    out = sessionize(df, "user_id", "ts", 30, tiebreak="event_id")
+    got = {r["event_id"]: r["session_id"] for r in out.collect()}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 0}
+
+
+def test_assertions_suite(spark):
+    df = obs_df(spark)
+    parent = spark.createDataFrame([("UUEE",), ("UUDD",)], "icao string")
+    results = run_assertions(
+        [
+            not_null(df, "icao"),
+            not_null(df, "temp", severity="warn"),
+            unique(df, "id"),
+            accepted_values(df, "icao", ["UUEE", "UUDD"]),
+            relationships(df, parent, "icao", "icao"),
+            singular("non_negative_temp", df, F.col("temp") < -90),
+        ]
+    )
+    by_name = {r["name"]: r for r in results}
+    assert by_name["not_null_icao"]["passed"]
+    assert not by_name["not_null_temp"]["passed"]  # one NULL temp
+    assert by_name["not_null_temp"]["violations"] == 1
+    assert by_name["unique_id"]["passed"]
+    assert by_name["accepted_values_icao"]["passed"]
+    assert by_name["relationships_icao"]["passed"]
+    assert by_name["non_negative_temp"]["passed"]
