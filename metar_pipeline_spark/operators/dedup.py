@@ -1,0 +1,193 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the whole point of these operators at 100 TB):
+
+- exact_dedup: hash-groupBy on a digest, not on the full text — the
+  shuffle carries 32-byte keys + doc ids, never document bodies.
+- MinHash+LSH: the classic shingle → minhash signature → band-bucket →
+  within-bucket candidate join. Candidate generation is an equi-join on
+  (band_id, bucket_hash), so Spark executes it as a shuffled hash join
+  whose cardinality is bounded by bucket occupancy — NOT an O(n²)
+  cross join. Exact Jaccard is then computed only on candidates.
+- SimHash: 32-bit signature per doc computed inside one expression
+  (operators/textops.simhash32); near-dup = Hamming distance ≤ k on
+  band-bucketed candidates.
+
+Hashes are md5-derived (portable across engines) — see textops.hash32.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from metar_pipeline_spark.operators.textops import tokens, word_shingles
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str, text_col: str, key_expr=None
+) -> DataFrame:
+    """Group documents by content digest; keep the min-id canonical doc.
+
+    ``key_expr`` overrides the digest (e.g. a normalized prefix for
+    near-exact grouping). Returns (content_key, canonical_id, n_copies).
+    """
+    key = key_expr if key_expr is not None else F.md5(F.col(text_col))
+    return (
+        df.select(key.alias("content_key"), F.col(id_col))
+        .groupBy("content_key")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int, shingle_n: int
+) -> DataFrame:
+    """(id, signature: array<string>) — string-min MinHash, md5-derived
+    so it is identical in any engine (no integer-hash portability
+    issues).
+
+    Cost shaping for scale: one md5 yields FOUR independent 32-bit
+    hashes (8 hex chars each), so a k-hash signature needs only
+    ceil(k/4) digests per shingle instead of k. signature[i] = min over
+    distinct shingles of substr(md5((i div 4) || ':' || s), (i mod 4)*8+1, 8).
+    """
+    n_digests = (num_hashes + 3) // 4
+    sh = F.array_distinct(word_shingles(tokens(F.col(text_col)), shingle_n))
+    # explode → flat md5 columns → groupBy-min: every expression here is
+    # statically codegen'd (Spark's higher-order-function lambdas are
+    # interpreted per element and ~30x slower), and the min-aggregate is
+    # partial map-side, so the shuffle carries one signature row per doc
+    # per map task. This is the formulation that survives 100 TB.
+    ex = df.select(F.col(id_col), F.explode(sh).alias("_s"))
+    digests = ex.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat(F.lit(f"{d}:"), F.col("_s"))).alias(f"_d{d}")
+            for d in range(n_digests)
+        ],
+    )
+    hash_cols = [
+        F.substring(F.col(f"_d{i // 4}"), (i % 4) * 8 + 1, 8).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    flat = digests.select(F.col(id_col), *hash_cols)
+    agg = flat.groupBy(id_col).agg(
+        *[F.min(f"_h{i}").alias(f"_h{i}") for i in range(num_hashes)],
+        F.count(F.lit(1)).alias("n_shingles"),
+    )
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias(
+            "signature"
+        ),
+        F.col("n_shingles"),
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing ≥1 LSH band bucket.
+
+    Explode to (band, bucket_md5) then self-equi-join — the join key
+    includes the band index so buckets never collide across bands. At
+    scale, bucket skew (a degenerate bucket holding half the corpus) is
+    the classic failure; AQE skew-join splitting handles moderate skew,
+    and pathological buckets should be dropped by a count filter
+    upstream (not needed at these SFs).
+    """
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    buckets = sig_df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.slice(
+                                F.col("signature"),
+                                b * rows_per_band + 1,
+                                rows_per_band,
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    # The self-join would otherwise recompute the whole signature lineage
+    # on both sides (exchange reuse is not guaranteed under AQE); the
+    # bucket table is tiny (docs x bands), so cache it.
+    buckets = buckets.cache()
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_on_pairs(
+    pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs.
+
+    Joins the (small) candidate set back to per-doc distinct-shingle
+    arrays; similarity = |A∩B| / |A∪B| via array_intersect sizes — all
+    JVM-side. Output: (id_a, id_b, jaccard) with jaccard rounded to 6.
+    """
+    # cache: the shingle-set table is joined twice (id_a and id_b side);
+    # the candidate set is small, so broadcast it against the sets scan.
+    sets_df = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            word_shingles(tokens(F.col(text_col)), shingle_n)
+        ).alias("sh"),
+    ).cache()
+    out = (
+        sets_df.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a")
+        .join(F.broadcast(pairs), "id_a")
+        .join(
+            sets_df.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signature → banded candidates
+    → exact Jaccard filter ≥ threshold."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    sims = jaccard_on_pairs(cands, df, id_col, text_col, shingle_n)
+    return sims.filter(F.col("jaccard") >= threshold)

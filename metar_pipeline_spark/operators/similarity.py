@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, mirroring production ANN practice:
+
+- Brute-force cosine top-k: the correctness baseline. The dot product is
+  a single codegen'd ``aggregate(zip_with(...))`` fold — JVM-side, no
+  Python, no explode. Used broadcast-style: the (tiny) query vector set
+  is broadcast against the corpus scan, so the plan is one pass over the
+  corpus with no shuffle besides the final top-k.
+- Sign-LSH bucketed search: the scale path. Each vector gets a b-bit
+  bucket from the signs of its leading components (a deterministic
+  random-hyperplane sketch with axis-aligned planes); search probes only
+  the query's bucket. At 100 TB the corpus would be written
+  ``partitionBy(bucket)`` so a probe is a partition-pruned scan.
+
+Determinism: all float folds are sequential left-to-right in array
+order, identical across engines; cosine is rounded at the boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(x: Column) -> Column:
+    return x.cast("double")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: _as_double(x) * _as_double(y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm2(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + _as_double(x) * _as_double(x)
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm2(a) * norm2(b))
+
+
+def sign_bucket(vec: Column, bits: int) -> Column:
+    """b-bit bucket key from the signs of vec[0..b-1] (axis-aligned
+    hyperplane LSH). Bit i set ⇔ vec[i] >= 0."""
+    out = F.lit(0)
+    for i in range(bits):
+        out = out + F.when(
+            F.element_at(vec, i + 1) >= 0, F.lit(1 << i)
+        ).otherwise(0)
+    return out
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    k: int,
+) -> DataFrame:
+    """Top-k cosine neighbors for each query vector (broadcast queries).
+
+    Output: (query_id, id, cos_sim, rank) — rank has a total order
+    (cos desc, id asc)."""
+    from pyspark.sql import Window
+
+    q = query.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    scored = corpus.join(
+        F.broadcast(q), F.col("query_id") != F.col(id_col)
+    ).select(
+        "query_id",
+        F.col(id_col).alias("id"),
+        F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    k: int,
+    bits: int = 4,
+) -> DataFrame:
+    """Approximate top-k: probe only the query's sign-LSH bucket.
+
+    Same output shape as brute_force_topk; recall < 1 by design. The
+    bucket equi-join prunes the corpus scan to ~1/2^bits of the data
+    (partition pruning when the corpus is bucket-partitioned on disk).
+    """
+    from pyspark.sql import Window
+
+    cb = corpus.withColumn("bucket", sign_bucket(F.col(vec_col), bits))
+    q = query.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    scored = (
+        cb.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("id"),
+            F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    partition_col: str,
+    threshold: float,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold, candidate-limited to equal
+    ``partition_col`` (coarse IVF-style blocking — at scale this is the
+    inverted-list pruning; a full cross join is never materialized)."""
+    a = df.select(
+        F.col(partition_col).alias("part"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+    )
+    b = df.select(
+        F.col(partition_col).alias("part"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+    )
+    pairs = a.join(b, "part").filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold)

@@ -1,0 +1,176 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path logic is JVM-side Column expressions (split / transform /
+aggregate / md5) — no Python UDFs — so the operators stay inside
+whole-stage codegen and scale linearly with input splits. The md5-based
+hashing is deliberately chosen over xxhash64 because it is bit-identical
+across engines (Spark, DuckDB, Postgres), making results portable and
+oracle-checkable.
+
+Operators: tokenization, word shingles, token counting (whitespace +
+BPE-ish regex), quality scoring, language ID (stopword n-gram
+heuristic), document fingerprinting (min-k shingle hashes), SimHash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"\s+"
+# BPE-ish word/punct segmentation — portable subset (no \p classes):
+BPE_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column, lowercase: bool = True) -> Column:
+    """Whitespace tokens, empty strings removed."""
+    t = F.lower(text) if lowercase else text
+    arr = F.split(t, TOKEN_SPLIT_RE)
+    return F.filter(arr, lambda x: x != F.lit(""))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Count of BPE-style word/punctuation segments."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_RE), F.lit(0)))
+
+
+def word_shingles(toks: Column, n: int) -> Column:
+    """n-token shingles joined by a single space; [] when len < n.
+
+    transform(sequence(...)) keeps this a single codegen'd expression —
+    no explode, no shuffle.
+    """
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def hash32(s: Column, seed: int | None = None) -> Column:
+    """Portable 32-bit hash: first 8 hex chars of md5, as BIGINT.
+
+    ≡ DuckDB ('0x' || substr(md5(x),1,8))::BIGINT — engine-independent.
+    """
+    base = s if seed is None else F.concat(F.lit(f"{seed}:"), s)
+    return F.conv(F.substring(F.md5(base), 1, 8), 16, 10).cast("bigint")
+
+
+def fingerprint_minhash_k(shingles: Column, k: int) -> Column:
+    """Document fingerprint: the k lexicographically-smallest shingle
+    md5s (winnowing-style content signature, stable under reordering of
+    duplicated content)."""
+    return F.slice(F.array_sort(F.transform(shingles, F.md5)), 1, k)
+
+
+def simhash32(toks: Column) -> Column:
+    """32-bit SimHash over token hashes (frequency-weighted).
+
+    Per bit b: sign of Σ_tokens (bit_b(h32(tok)) ? +1 : -1); bit set when
+    the sum is positive. Entirely inside one expression tree — the
+    per-doc reduction is aggregate() over the token array, so no explode
+    and no extra shuffle at scale.
+    """
+    def bit_contrib(b: int) -> Column:
+        def step(acc: Column, t: Column) -> Column:
+            h = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+            return acc + F.when(
+                h.bitwiseAND(F.lit(1 << b)) != 0, F.lit(1)
+            ).otherwise(F.lit(-1))
+
+        return F.aggregate(toks, F.lit(0), step)
+
+    out = F.lit(0).cast("bigint")
+    for b in range(32):
+        out = out + F.when(bit_contrib(b) > 0, F.lit(1 << b)).otherwise(0)
+    return out
+
+
+# --- language ID: tiny stopword inventories (public, common words) -----
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "for", "with"],
+    "es": ["el", "la", "de", "y", "que", "en", "los", "un", "por", "con"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "du", "est", "pour"],
+    "zh": ["的", "了", "是", "我", "不", "在", "他", "有", "这", "中"],
+}
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    """Per-language stopword hit counts (the n-gram heuristic's core)."""
+    return {
+        lang: F.size(
+            F.filter(toks, lambda t: t.isin(*[F.lit(w) for w in words]))
+        )
+        for lang, words in LANG_STOPWORDS.items()
+    }
+
+
+def predict_lang(toks: Column, default: str = "und") -> Column:
+    """argmax over language scores; ties broken by language-code order;
+    'und' (undetermined) when no stopword hits at all."""
+    scores = lang_scores(toks)
+    best_score = F.greatest(*scores.values())
+    pred = F.lit(default)
+    # reverse order so earlier languages win ties via later overwrite
+    for lang in sorted(scores, reverse=True):
+        pred = F.when(
+            (best_score > 0) & (scores[lang] == best_score), F.lit(lang)
+        ).otherwise(pred)
+    return pred
+
+
+def quality_components(text: Column) -> dict[str, Column]:
+    """Deterministic quality signals: length, alpha ratio, punct ratio,
+    stopword ratio, mean token length."""
+    toks = tokens(text)
+    n_chars = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(text, r"[^\.,;:!\?]", ""))
+    n_tokens = F.size(toks)
+    en_hits = F.size(
+        F.filter(
+            toks, lambda t: t.isin(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+        )
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "alpha_ratio": F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6),
+        "punct_ratio": F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6),
+        "stopword_ratio": F.round(en_hits / F.greatest(n_tokens, F.lit(1)), 6),
+        "mean_token_len": F.round(
+            (n_chars - n_tokens + 1) / F.greatest(n_tokens, F.lit(1)), 6
+        ),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1]-ish score: rewards mid-length docs with words and
+    some stopwords, penalizes punctuation soup. Weights are arbitrary
+    but fixed; the operator shape (pure column math) is the point.
+
+    The weighted sum runs in DECIMAL: the 6dp-rounded components times
+    1dp weights are exact in decimal, so the final round can never hit a
+    float half-way tie (double arithmetic rounds those differently
+    across engines)."""
+    from decimal import Decimal
+
+    DEC = "decimal(18,6)"
+    c = quality_components(text)
+    length_term = F.least(c["n_tokens"] / F.lit(100.0), F.lit(1.0)).cast(DEC)
+    punct_pen = (
+        F.lit(1.0) - F.least(c["punct_ratio"] * 10, F.lit(1.0))
+    ).cast(DEC)
+    q = (
+        F.lit(Decimal("0.4")) * length_term
+        + F.lit(Decimal("0.3")) * c["alpha_ratio"].cast(DEC)
+        + F.lit(Decimal("0.2")) * c["stopword_ratio"].cast(DEC)
+        + F.lit(Decimal("0.1")) * punct_pen
+    )
+    return F.round(q, 6).cast("double")

@@ -1,5 +1,437 @@
-"""Training-data-pipeline operators: dedup / similarity / text analysis.
+"""Training-data-pipeline queries: text analysis, dedup, similarity.
 
-Populated incrementally — see operators/dedup.py, operators/similarity.py,
-operators/textops.py.
+These go beyond the reference's own surface (BASELINE.json north star):
+each is a first-class operator for a 100 TB LLM-data pipeline, expressed
+Spark-first (JVM column expressions, bounded candidate joins, no Python
+in the hot path) with a DuckDB oracle twin proving exact semantics.
+
+Portability invariants (why these hash-match across engines):
+- all content hashing is md5-derived (identical everywhere);
+- float folds are sequential in array order (aggregate/list_reduce);
+- outputs round floats at the boundary; counts cast to common types.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from metar_pipeline_spark.io import load_table
+from metar_pipeline_spark.operators import dedup as dd
+from metar_pipeline_spark.operators import similarity as sim
+from metar_pipeline_spark.operators import textops as tx
+from metar_pipeline_spark.queries import register
+
+# Shared DuckDB SQL fragments (oracle side)
+_DUCK_TOKS = (
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+)
+_DUCK_SHINGLE3 = (
+    "list_transform(generate_series(1, len(toks)-2), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
+)
+_DUCK_COS = """
+      list_reduce(list_transform(generate_series(1, len({a})),
+                                 i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE),
+                  (x, y) -> x + y)
+      / (sqrt(list_reduce(list_transform({a}, x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))
+       * sqrt(list_reduce(list_transform({b}, x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y)))
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+@register(
+    "text_token_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len({_DUCK_TOKS}) AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_tokens_bpe,
+           CAST(length(text) AS INTEGER) AS n_chars_actual
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokens + BPE-ish regex segments",
+)
+def text_token_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tx.tokens(F.col("text"))).alias("n_tokens"),
+        tx.bpe_ish_token_count(F.col("text")).alias("n_tokens_bpe"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+@register(
+    "text_quality_scores",
+    f"""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(length(text) AS INTEGER) AS n_chars,
+             CAST(len(toks) AS INTEGER) AS n_tokens,
+             round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                   / greatest(length(text), 1), 6) AS alpha_ratio,
+             round(length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g'))
+                   / greatest(length(text), 1), 6) AS punct_ratio,
+             round(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','that','for','with')))
+                   / greatest(len(toks), 1), 6) AS stopword_ratio
+      FROM (SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents)
+    )
+    SELECT doc_id, n_chars, n_tokens, alpha_ratio, punct_ratio, stopword_ratio,
+           round(0.4 * CAST(least(n_tokens / 100.0, 1.0) AS DECIMAL(18,6))
+                 + 0.3 * CAST(alpha_ratio AS DECIMAL(18,6))
+                 + 0.2 * CAST(stopword_ratio AS DECIMAL(18,6))
+                 + 0.1 * CAST(1 - least(punct_ratio * 10, 1.0) AS DECIMAL(18,6)),
+                 6)::DOUBLE AS quality
+    FROM c
+    """,
+    doc="Quality scoring: length/alpha/punct/stopword signals + composite score",
+)
+def text_quality_scores(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    c = tx.quality_components(F.col("text"))
+    return docs.select(
+        "doc_id",
+        c["n_chars"].alias("n_chars"),
+        c["n_tokens"].alias("n_tokens"),
+        c["alpha_ratio"].alias("alpha_ratio"),
+        c["punct_ratio"].alias("punct_ratio"),
+        c["stopword_ratio"].alias("stopword_ratio"),
+        tx.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+@register(
+    "text_lang_id",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang AS claimed_lang,
+        len(list_filter(toks, t -> t IN ('der','die','und','das','ist','nicht','mit','ein','zu','den'))) AS s_de,
+        len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','that','for','with'))) AS s_en,
+        len(list_filter(toks, t -> t IN ('el','la','de','y','que','en','los','un','por','con'))) AS s_es,
+        len(list_filter(toks, t -> t IN ('le','la','et','les','des','un','une','du','est','pour'))) AS s_fr,
+        len(list_filter(toks, t -> t IN ('的','了','是','我','不','在','他','有','这','中'))) AS s_zh
+      FROM (SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents)
+    )
+    SELECT doc_id, claimed_lang,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                ELSE 'zh' END AS predicted_lang
+    FROM s
+    """,
+    doc="Language ID via stopword-hit heuristic; deterministic alphabetical tiebreak",
+)
+def text_lang_id(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("claimed_lang"),
+        tx.predict_lang(toks).alias("predicted_lang"),
+    )
+
+
+@register(
+    "doc_fingerprints",
+    f"""
+    SELECT doc_id,
+           md5(text) AS content_md5,
+           (list_sort(list_transform(sh, s -> md5(s))))[1:5] AS minhash_fp,
+           list_sum(list_transform(generate_series(0, 31), b ->
+             CASE WHEN list_sum(list_transform(toks, t ->
+                    CASE WHEN ((('0x' || substr(md5(t), 1, 8))::BIGINT >> b) & 1) = 1
+                         THEN 1 ELSE -1 END)) > 0
+                  THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS simhash
+    FROM (
+      SELECT doc_id, text, toks, {_DUCK_SHINGLE3} AS sh
+      FROM (SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents)
+    )
+    """,
+    doc="Document fingerprints: content md5, min-5 shingle hashes, 32-bit SimHash",
+)
+def doc_fingerprints(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    sh = tx.word_shingles(toks, 3)
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        tx.fingerprint_minhash_k(sh, 5).alias("minhash_fp"),
+        tx.simhash32(toks).alias("simhash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact_groups",
+    """
+    SELECT md5(text) AS content_key,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="Exact dedup: md5-digest hash-groupBy (shuffle carries digests, not bodies)",
+)
+def dedup_exact_groups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.exact_dedup_groups(docs, "doc_id", "text")
+
+
+@register(
+    "dedup_prefix_groups",
+    f"""
+    SELECT md5(array_to_string(toks[1:5], ' ')) AS content_key,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+    GROUP BY 1
+    """,
+    doc="Near-exact dedup on normalized 5-token prefix digest",
+)
+def dedup_prefix_groups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat_ws(" ", F.slice(tx.tokens(F.col("text")), 1, 5)))
+    return dd.exact_dedup_groups(docs, "doc_id", "text", key_expr=key)
+
+
+@register(
+    "dedup_unigram_jaccard_pairs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, source, list_distinct({_DUCK_TOKS}) AS s
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s))
+                 / greatest(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 1), 6) AS jaccard
+    FROM t a JOIN t b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.s, b.s))
+                / greatest(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 1), 6) >= 0.8
+    """,
+    doc="n-gram (unigram) Jaccard near-dup pairs, blocked by (lang, source)",
+)
+def dedup_unigram_jaccard_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        "source",
+        F.col("doc_id"),
+        F.array_distinct(tx.tokens(F.col("text"))).alias("s"),
+    )
+    a = t.select(
+        "lang", "source",
+        F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"),
+    )
+    b = t.select(
+        "lang", "source",
+        F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"),
+    )
+    pairs = a.join(b, ["lang", "source"]).filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect(F.col("s_a"), F.col("s_b")))
+    union = F.size("s_a") + F.size("s_b") - inter
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    f"""
+    WITH toksrc AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    shs AS (SELECT doc_id, list_distinct({_DUCK_SHINGLE3}) AS sh FROM toksrc),
+    hs AS (
+      SELECT doc_id, sh,
+             list_transform(sh, s -> [md5('0:' || s), md5('1:' || s), md5('2:' || s)]) AS hs
+      FROM shs WHERE len(sh) > 0
+    ),
+    sig AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 11), i ->
+               list_min(list_transform(hs, h -> substr(h[(i // 4) + 1], (i % 4) * 8 + 1, 8)))) AS sig
+      FROM hs
+    ),
+    expanded AS (SELECT doc_id, sig, unnest(generate_series(0, 5)) AS band FROM sig),
+    buckets AS (
+      SELECT doc_id, band,
+             md5(array_to_string(list_slice(sig, band * 2 + 1, band * 2 + 2), '|')) AS bucket
+      FROM expanded
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    sets AS (SELECT doc_id, sh AS s FROM shs)
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(x.s, y.s))
+                 / greatest(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)), 1), 6) AS jaccard
+    FROM cands c
+    JOIN sets x ON x.doc_id = c.id_a
+    JOIN sets y ON y.doc_id = c.id_b
+    WHERE round(len(list_intersect(x.s, y.s))
+                / greatest(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)), 1), 6) >= 0.5
+    """,
+    doc="MinHash(12)+LSH(6 bands×2) candidates → exact shingle-3 Jaccard ≥ 0.5",
+)
+def dedup_minhash_lsh_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_dedup_pairs(
+        docs, "doc_id", "text",
+        num_hashes=12, bands=6, shingle_n=3, threshold=0.5,
+    )
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             list_sum(list_transform(generate_series(0, 31), b ->
+               CASE WHEN list_sum(list_transform(toks, t ->
+                      CASE WHEN ((('0x' || substr(md5(t), 1, 8))::BIGINT >> b) & 1) = 1
+                           THEN 1 ELSE -1 END)) > 0
+                    THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS simhash
+      FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+    ),
+    expanded AS (SELECT doc_id, simhash, unnest(generate_series(0, 3)) AS band FROM s),
+    bb AS (SELECT doc_id, band, (simhash >> (band * 8)) & 255 AS val FROM expanded),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bb a JOIN bb b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b, CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+    FROM cands c JOIN s x ON x.doc_id = c.id_a JOIN s y ON y.doc_id = c.id_b
+    WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+    """,
+    doc="SimHash near-dup: 4×8-bit band blocking → Hamming distance ≤ 3",
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id", tx.simhash32(tx.tokens(F.col("text"))).alias("simhash")
+    )
+    bands = s.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).select(
+        "doc_id",
+        "simhash",
+        "band",
+        F.expr("shiftright(simhash, band * 8) & 255").alias("val"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"),
+        "band", "val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"),
+        "band", "val",
+    )
+    cands = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+    return (
+        cands.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+_ANN_ORACLE_BRUTE = f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS id,
+             round({_DUCK_COS.format(a="e.embedding", b="q.qvec")}, 6) AS cos_sim
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, id, cos_sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, id) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+"""
+
+
+@register(
+    "ann_bruteforce_topk",
+    _ANN_ORACLE_BRUTE,
+    doc="Brute-force cosine top-10 for 5 query vectors (broadcast queries, one corpus pass)",
+)
+def ann_bruteforce_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return sim.brute_force_topk(emb, q, "vec_id", "embedding", "vec_id", 10)
+
+
+_DUCK_BUCKET4 = (
+    "(CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END"
+    " + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END"
+    " + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END"
+    " + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)"
+)
+
+
+@register(
+    "ann_lsh_topk",
+    f"""
+    WITH cb AS (
+      SELECT vec_id, embedding, {_DUCK_BUCKET4} AS bucket FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qvec, {_DUCK_BUCKET4} AS bucket
+      FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS id,
+             round({_DUCK_COS.format(a="c.embedding", b="q.qvec")}, 6) AS cos_sim
+      FROM cb c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+    )
+    SELECT query_id, id, cos_sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, id) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+    doc="Sign-LSH bucketed ANN top-10: probe only the query's 4-bit bucket (scale path)",
+)
+def ann_lsh_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return sim.lsh_bucketed_topk(
+        emb, q, "vec_id", "embedding", "vec_id", 10, bits=4
+    )
+
+
+@register(
+    "embedding_neardup_pairs",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_DUCK_COS.format(a="a.embedding", b="b.embedding")}, 6) AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round({_DUCK_COS.format(a="a.embedding", b="b.embedding")}, 6) >= 0.3
+    """,
+    doc="Embedding-cosine near-dup pairs, label-blocked (IVF-style candidate pruning)",
+)
+def embedding_neardup_pairs(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_neardup_pairs(emb, "vec_id", "embedding", "label", 0.3)
