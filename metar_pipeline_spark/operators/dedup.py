@@ -43,6 +43,102 @@ def exact_dedup_groups(
     )
 
 
+def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash) — 32-bit SimHash per document, explode formulation.
+
+    explode(tokens) → one md5 per token row → 32 ±1 contribution columns
+    → groupBy(id).sum: every expression is statically codegen'd and the
+    32 sums combine map-side, so the shuffle carries one 32-counter row
+    per doc per map task. This is the bulk/scale form of
+    textops.simhash32 (same bits, same oracle).
+
+    Documents with zero tokens keep a NULL token row (explode_outer) and
+    contribute 0 to every counter → simhash 0, matching the
+    aggregate-over-empty-array semantics of the column form.
+    """
+    ex = df.select(
+        F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("_t")
+    )
+    # Two-step select so md5 runs once per row; the 32 bit tests read the
+    # materialized hash column (CollapseProject keeps non-cheap exprs
+    # referenced many times un-inlined).
+    hashed = ex.select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5(F.col("_t")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("_h"),
+    )
+    contribs = hashed.select(
+        F.col(id_col),
+        *[
+            F.when(F.col("_h").isNull(), F.lit(0))
+            .when(F.col("_h").bitwiseAND(F.lit(1 << b)) != 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias(f"_b{b}")
+            for b in range(32)
+        ],
+    )
+    sums = contribs.groupBy(id_col).agg(
+        *[F.sum(f"_b{b}").alias(f"_s{b}") for b in range(32)]
+    )
+    simhash = F.lit(0).cast("bigint")
+    for b in range(32):
+        simhash = simhash + F.when(
+            F.col(f"_s{b}") > 0, F.lit(1 << b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return sums.select(F.col(id_col), simhash.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: band-bucket blocking → Hamming ≤ k.
+
+    Splits the 32-bit signature into ``n_bands`` byte bands; by pigeonhole
+    any pair within Hamming distance < n_bands shares at least one intact
+    band, so the candidate join on (band, band_value) is complete for
+    max_hamming < n_bands. Candidate cardinality is bounded by band-value
+    bucket occupancy — never O(n²).
+    """
+    width = 32 // n_bands
+    mask = (1 << width) - 1
+    s = simhash_table(df, id_col, text_col)
+    bands = s.select(
+        F.col(id_col).alias("id"),
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).select(
+        "id",
+        "simhash",
+        "band",
+        F.expr(f"shiftright(simhash, band * {width}) & {mask}").alias("val"),
+    )
+    a = bands.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"),
+        "band", "val",
+    )
+    b = bands.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"),
+        "band", "val",
+    )
+    cands = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+    return (
+        cands.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def minhash_signature(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int, shingle_n: int
 ) -> DataFrame:
@@ -56,13 +152,19 @@ def minhash_signature(
     distinct shingles of substr(md5((i div 4) || ':' || s), (i mod 4)*8+1, 8).
     """
     n_digests = (num_hashes + 3) // 4
-    sh = F.array_distinct(word_shingles(tokens(F.col(text_col)), shingle_n))
+    # Materialize the token array in its own projection first: the
+    # shingle lambda then reads a bound attribute instead of re-deriving
+    # split/filter per element (HOFs run interpreted, without CSE).
+    tokd = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    sh = F.array_distinct(word_shingles(F.col("_toks"), shingle_n))
     # explode → flat md5 columns → groupBy-min: every expression here is
     # statically codegen'd (Spark's higher-order-function lambdas are
     # interpreted per element and ~30x slower), and the min-aggregate is
     # partial map-side, so the shuffle carries one signature row per doc
     # per map task. This is the formulation that survives 100 TB.
-    ex = df.select(F.col(id_col), F.explode(sh).alias("_s"))
+    ex = tokd.select(F.col(id_col), F.explode(sh).alias("_s"))
     digests = ex.select(
         F.col(id_col),
         *[
@@ -151,12 +253,18 @@ def jaccard_on_pairs(
     """
     # cache: the shingle-set table is joined twice (id_a and id_b side);
     # the candidate set is small, so broadcast it against the sets scan.
-    sets_df = docs.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(
-            word_shingles(tokens(F.col(text_col)), shingle_n)
-        ).alias("sh"),
-    ).cache()
+    sets_df = (
+        docs.select(
+            F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")
+        )
+        .select(
+            "id",
+            F.array_distinct(
+                word_shingles(F.col("_toks"), shingle_n)
+            ).alias("sh"),
+        )
+        .cache()
+    )
     out = (
         sets_df.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a")
         .join(F.broadcast(pairs), "id_a")

@@ -69,19 +69,34 @@ def brute_force_topk(
 ) -> DataFrame:
     """Top-k cosine neighbors for each query vector (broadcast queries).
 
+    Norms are precomputed once per vector on each side (a projection
+    over n rows), so the n×q scoring loop does only the dot-product
+    fold — not three folds per pair.
+
     Output: (query_id, id, cos_sim, rank) — rank has a total order
     (cos desc, id asc)."""
     from pyspark.sql import Window
 
     q = query.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm2(F.col(vec_col)).alias("qnorm"),
     )
-    scored = corpus.join(
-        F.broadcast(q), F.col("query_id") != F.col(id_col)
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("cvec"),
+        norm2(F.col(vec_col)).alias("cnorm"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("id")
     ).select(
         "query_id",
-        F.col(id_col).alias("id"),
-        F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("cos_sim"),
+        "id",
+        F.round(
+            dot(F.col("cvec"), F.col("qvec"))
+            / (F.col("cnorm") * F.col("qnorm")),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("id"))
     return (
@@ -107,19 +122,29 @@ def lsh_bucketed_topk(
     """
     from pyspark.sql import Window
 
-    cb = corpus.withColumn("bucket", sign_bucket(F.col(vec_col), bits))
+    cb = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("cvec"),
+        norm2(F.col(vec_col)).alias("cnorm"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
     q = query.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
+        norm2(F.col(vec_col)).alias("qnorm"),
         sign_bucket(F.col(vec_col), bits).alias("bucket"),
     )
     scored = (
         cb.join(F.broadcast(q), "bucket")
-        .filter(F.col("query_id") != F.col(id_col))
+        .filter(F.col("query_id") != F.col("id"))
         .select(
             "query_id",
-            F.col(id_col).alias("id"),
-            F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("cos_sim"),
+            "id",
+            F.round(
+                dot(F.col("cvec"), F.col("qvec"))
+                / (F.col("cnorm") * F.col("qnorm")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("id"))
@@ -143,15 +168,21 @@ def cosine_neardup_pairs(
         F.col(partition_col).alias("part"),
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),
+        norm2(F.col(vec_col)).alias("norm_a"),
     )
     b = df.select(
         F.col(partition_col).alias("part"),
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vec_b"),
+        norm2(F.col(vec_col)).alias("norm_b"),
     )
     pairs = a.join(b, "part").filter(F.col("id_a") < F.col("id_b"))
     return pairs.select(
         "id_a",
         "id_b",
-        F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col("vec_a"), F.col("vec_b"))
+            / (F.col("norm_a") * F.col("norm_b")),
+            6,
+        ).alias("cos_sim"),
     ).filter(F.col("cos_sim") >= threshold)

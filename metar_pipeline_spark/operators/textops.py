@@ -37,19 +37,29 @@ def bpe_ish_token_count(text: Column) -> Column:
 def word_shingles(toks: Column, n: int) -> Column:
     """n-token shingles joined by a single space; [] when len < n.
 
-    transform(sequence(...)) keeps this a single codegen'd expression —
-    no explode, no shuffle.
+    zip_with chain: shingle_i = toks[i] ++ toks[i+1] ++ … ++ toks[i+n-1]
+    built by zipping the array against its own 1..n-1 shifted slices.
+    The shorter slice pads with NULL, which nulls out the trailing
+    partial shingles; the final filter drops them.
+
+    Why this shape: an index-based transform(sequence, i ->
+    element_at(toks, i+j)) re-embeds the whole ``toks`` expression in
+    every element_at, and higher-order functions evaluate interpreted
+    (no codegen, no subexpression elimination) — under explode that
+    recomputed the full tokenization per shingle, quadratic in document
+    length. The zip_with form references ``toks`` O(n) times per ROW.
     """
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    if n <= 1:
+        return toks
+    out = toks
+    for j in range(1, n):
+        shifted = F.slice(
+            toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0))
+        )
+        out = F.zip_with(
+            out, shifted, lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.filter(out, lambda x: x.isNotNull())
 
 
 def hash32(s: Column, seed: int | None = None) -> Column:
@@ -72,23 +82,46 @@ def simhash32(toks: Column) -> Column:
     """32-bit SimHash over token hashes (frequency-weighted).
 
     Per bit b: sign of Σ_tokens (bit_b(h32(tok)) ? +1 : -1); bit set when
-    the sum is positive. Entirely inside one expression tree — the
-    per-doc reduction is aggregate() over the token array, so no explode
-    and no extra shuffle at scale.
+    the sum is positive.
+
+    One md5 per token: tokens map to 32-bit hashes once, then a single
+    aggregate() folds per-token ±1 bit vectors into 32 counters
+    (zip_with). A naive per-bit formulation costs 32 md5 digests per
+    token — ~30× slower measured. For bulk tables prefer
+    dedup.simhash_table (explode form, map-side partial aggregation).
     """
-    def bit_contrib(b: int) -> Column:
-        def step(acc: Column, t: Column) -> Column:
-            h = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
-            return acc + F.when(
-                h.bitwiseAND(F.lit(1 << b)) != 0, F.lit(1)
-            ).otherwise(F.lit(-1))
-
-        return F.aggregate(toks, F.lit(0), step)
-
-    out = F.lit(0).cast("bigint")
-    for b in range(32):
-        out = out + F.when(bit_contrib(b) > 0, F.lit(1 << b)).otherwise(0)
-    return out
+    hs = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
+    )
+    counts = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0), 32),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(h.bitwiseAND(F.lit(1 << b)) != 0, F.lit(1)).otherwise(
+                        F.lit(-1)
+                    )
+                    for b in range(32)
+                ]
+            ),
+            lambda a, c: a + c,
+        ),
+    )
+    weights = F.array(
+        *[F.lit(1 << b).cast("bigint") for b in range(32)]
+    )
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            weights,
+            lambda c, w: F.when(c > 0, w).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
 
 
 # --- language ID: tiny stopword inventories (public, common words) -----

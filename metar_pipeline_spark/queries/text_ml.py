@@ -155,14 +155,15 @@ def text_lang_id(spark, sf_dir):
 )
 def doc_fingerprints(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    toks = tx.tokens(F.col("text"))
-    sh = tx.word_shingles(toks, 3)
-    return docs.select(
+    sh = tx.word_shingles(tx.tokens(F.col("text")), 3)
+    fps = docs.select(
         "doc_id",
         F.md5("text").alias("content_md5"),
         tx.fingerprint_minhash_k(sh, 5).alias("minhash_fp"),
-        tx.simhash32(toks).alias("simhash"),
     )
+    # simhash via the explode/partial-agg form (dedup.simhash_table) —
+    # same bits as textops.simhash32, ~10× faster in bulk.
+    return fps.join(dd.simhash_table(docs, "doc_id", "text"), "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -319,37 +320,8 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
 )
 def dedup_simhash_pairs(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    s = docs.select(
-        "doc_id", tx.simhash32(tx.tokens(F.col("text"))).alias("simhash")
-    )
-    bands = s.select(
-        "doc_id",
-        "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
-    ).select(
-        "doc_id",
-        "simhash",
-        "band",
-        F.expr("shiftright(simhash, band * 8) & 255").alias("val"),
-    )
-    a = bands.select(
-        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"),
-        "band", "val",
-    )
-    b = bands.select(
-        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"),
-        "band", "val",
-    )
-    cands = (
-        a.join(b, ["band", "val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
-    return (
-        cands.select("id_a", "id_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= 3)
+    return dd.simhash_neardup_pairs(
+        docs, "doc_id", "text", max_hamming=3, n_bands=4
     )
 
 
