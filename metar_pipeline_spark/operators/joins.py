@@ -29,6 +29,61 @@ def broadcast_dim_join(
     return fact.join(F.broadcast(dim), on, how)
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    tiebreak: str,
+) -> DataFrame:
+    """As-of join: for each left row, the right row with the greatest
+    ``right_ts`` <= ``left_ts`` in the same key group (ties on right_ts
+    broken by greatest ``tiebreak``). Left rows with no prior right row
+    are dropped (inner as-of).
+
+    Scale design: NOT a range join (which explodes to |L|x|R| per key
+    before filtering). Both sides are tagged and unioned, then a single
+    window per key ordered by (t, side, tiebreak) carries the last seen
+    right payload forward — one shuffle on the key, linear work, the
+    standard big-data as-of formulation. Right rows sort before left
+    rows at equal t (inclusive <=).
+    """
+    r = right.select(
+        F.col(right_key).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.col(tiebreak).alias("__tb"),
+        F.struct(*[F.col(c) for c in payload]).alias("__payload"),
+    )
+    lcols = left.columns
+    l = left.select(
+        F.col(left_key).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__tb"].dataType).alias("__tb"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        *[F.col(c) for c in lcols],
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.asc("__t"), F.asc("__side"), F.asc_nulls_first("__tb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l.unionByName(r.select(*l.columns[:5]), allowMissingColumns=True)
+    carried = carried.withColumn(
+        "__last", F.last("__payload", ignorenulls=True).over(w)
+    )
+    out = carried.filter(
+        (F.col("__side") == 1) & F.col("__last").isNotNull()
+    )
+    return out.select(*lcols, *[F.col(f"__last.{c}").alias(c) for c in payload])
+
+
 def fk_violations(child: DataFrame, parent: DataFrame, child_key, parent_key) -> DataFrame:
     """Rows of ``child`` whose key has no match in ``parent`` (J1).
 

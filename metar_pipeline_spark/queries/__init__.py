@@ -40,6 +40,11 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 
 def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect: populate REGISTRY.
-    from metar_pipeline_spark.queries import core, pipeline_q, text_ml  # noqa: F401
+    from metar_pipeline_spark.queries import (  # noqa: F401
+        core,
+        extended,
+        pipeline_q,
+        text_ml,
+    )
 
     return dict(REGISTRY)

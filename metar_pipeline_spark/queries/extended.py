@@ -1,0 +1,353 @@
+"""Extended relational surface: as-of join, rollup/cube, set ops,
+semi/outer joins, more TPC-H shapes, and the scalar function inventory.
+
+These go beyond the reference's own four models (SURVEY.md §2.3-§2.6
+note the full join/agg surface the harness exercises) — each query is a
+named, oracle-checked exhibit of one Spark operator class, built to be
+the plan you'd want at 100 TB (broadcast dims, single-shuffle window
+as-of, partial aggregation everywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from metar_pipeline_spark.io import load_table
+from metar_pipeline_spark.operators.joins import asof_join
+from metar_pipeline_spark.queries import register
+from metar_pipeline_spark.queries.core import DEC2, _dsum
+
+_MID = "2024-01-15"  # events.ts spans 2024-01-01 .. 2024-01-30
+
+
+# ---------------------------------------------------------------------------
+# As-of join — the canonical time-series operator Spark lacks natively
+# ---------------------------------------------------------------------------
+@register(
+    "asof_join_latest_order",
+    """
+    SELECT event_id, user_id, ts, o_orderkey, o_orderdate, o_totalprice
+    FROM (
+      SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e
+      JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    ) t WHERE rn = 1
+    """,
+    doc="As-of join (backward): latest order at/before each event; union+window, one shuffle, no range-join blowup",
+)
+def asof_join_latest_order(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return asof_join(
+        events,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload=["o_orderkey", "o_orderdate", "o_totalprice"],
+        tiebreak="o_orderkey",
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP / CUBE — multi-level aggregation (free via Catalyst Expand)
+# ---------------------------------------------------------------------------
+@register(
+    "rollup_event_type_daily",
+    """
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS DATE) AS d,
+           CAST(2 * GROUPING(event_type) + GROUPING(CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS gid,
+           COUNT(*) AS n,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+    FROM events
+    GROUP BY ROLLUP(event_type, CAST(date_trunc('day', ts) AS DATE))
+    """,
+    doc="ROLLUP hierarchy (type,day) -> (type) -> () with grouping_id; Expand+partial agg in Spark",
+)
+def rollup_event_type_daily(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "d", F.to_date(F.date_trunc("day", F.col("ts")))
+    )
+    return (
+        events.rollup("event_type", "d")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(_dsum(F.col("value"), DEC2), 2).alias("sum_value"),
+        )
+        .select("event_type", "d", "gid", "n", "sum_value")
+    )
+
+
+@register(
+    "cube_type_band_counts",
+    """
+    SELECT event_type, band,
+           CAST(2 * GROUPING(event_type) + GROUPING(band) AS BIGINT) AS gid,
+           COUNT(*) AS n
+    FROM (
+      SELECT event_type,
+             CASE WHEN value >= 10.0 THEN 'high' ELSE 'low' END AS band
+      FROM events
+    ) t
+    GROUP BY CUBE(event_type, band)
+    """,
+    doc="CUBE over (type, value-band): all 4 grouping sets in one Expand pass",
+)
+def cube_type_band_counts(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("value") >= 10.0, "high").otherwise("low").alias("band"),
+    )
+    return (
+        events.cube("event_type", "band")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("event_type", "band", "gid", "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations — UNION / INTERSECT / EXCEPT (distinct semantics)
+# ---------------------------------------------------------------------------
+@register(
+    "set_ops_active_users",
+    f"""
+    SELECT 'both_halves' AS op, user_id FROM (
+      SELECT user_id FROM events WHERE ts < TIMESTAMP '{_MID}'
+      INTERSECT
+      SELECT user_id FROM events WHERE ts >= TIMESTAMP '{_MID}'
+    )
+    UNION ALL
+    SELECT 'early_only', user_id FROM (
+      SELECT user_id FROM events WHERE ts < TIMESTAMP '{_MID}'
+      EXCEPT
+      SELECT user_id FROM events WHERE ts >= TIMESTAMP '{_MID}'
+    )
+    UNION ALL
+    SELECT 'any_half', user_id FROM (
+      SELECT user_id FROM events WHERE ts < TIMESTAMP '{_MID}'
+      UNION
+      SELECT user_id FROM events WHERE ts >= TIMESTAMP '{_MID}'
+    )
+    """,
+    doc="INTERSECT / EXCEPT / UNION (distinct) over month halves, tagged and stacked",
+)
+def set_ops_active_users(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    mid = F.lit(_MID).cast("timestamp")
+    early = events.filter(F.col("ts") < mid).select("user_id")
+    late = events.filter(F.col("ts") >= mid).select("user_id")
+    parts = [
+        early.intersect(late).select(F.lit("both_halves").alias("op"), "user_id"),
+        early.subtract(late).select(F.lit("early_only").alias("op"), "user_id"),
+        early.union(late)
+        .distinct()
+        .select(F.lit("any_half").alias("op"), "user_id"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Semi join (EXISTS) and full outer join
+# ---------------------------------------------------------------------------
+@register(
+    "semi_join_heavy_orders",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+    """,
+    doc="LEFT SEMI join (EXISTS): orders containing a near-max-quantity line",
+)
+def semi_join_heavy_orders(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    heavy = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= 49
+    )
+    return orders.join(
+        heavy, orders.o_orderkey == heavy.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "full_outer_daily_type_matrix",
+    """
+    WITH c AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d, COUNT(*) AS n
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ), v AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d, COUNT(*) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT COALESCE(c.d, v.d) AS d,
+           COALESCE(c.n, 0) AS clicks,
+           COALESCE(v.n, 0) AS purchases
+    FROM c FULL OUTER JOIN v ON c.d = v.d
+    """,
+    doc="FULL OUTER join of two daily aggregates with COALESCE key merge",
+)
+def full_outer_daily_type_matrix(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "d", F.to_date(F.date_trunc("day", F.col("ts")))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy(F.col("d").alias("cd"))
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    v = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("d").alias("vd"))
+        .agg(F.count(F.lit(1)).alias("vn"))
+    )
+    j = c.join(v, F.col("cd") == F.col("vd"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("cd"), F.col("vd")).alias("d"),
+        F.coalesce(F.col("cn"), F.lit(0)).alias("clicks"),
+        F.coalesce(F.col("vn"), F.lit(0)).alias("purchases"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# More TPC-H shapes
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q6_revenue_forecast",
+    """
+    SELECT round(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    doc="TPC-H Q6: tight scan-side filters (all pushed to parquet) -> ungrouped agg",
+)
+def tpch_q6_revenue_forecast(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                _dsum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "tpch_q18_large_volume_customers",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           round(CAST(big.sum_qty AS DOUBLE), 2) AS sum_qty
+    FROM (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 212
+    ) big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    doc="TPC-H Q18: HAVING-filtered agg (tiny) joined back broadcast to orders+customer",
+)
+def tpch_q18_large_volume_customers(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC2)).alias("sum_qty_dec"))
+        .filter(F.col("sum_qty_dec") > 212)
+    )
+    # `big` is tiny after HAVING — broadcast it against the fact tables.
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round(F.col("sum_qty_dec").cast("double"), 2).alias("sum_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function inventory (SURVEY.md §2.8) — cross-engine-exact subset
+# ---------------------------------------------------------------------------
+@register(
+    "scalar_function_surface",
+    """
+    SELECT event_id,
+           upper(event_type) AS et_upper,
+           substr(event_type, 1, 3) AS et_pre,
+           CAST(length(event_type) AS INTEGER) AS et_len,
+           replace(event_type, 'e', 'E') AS et_repl,
+           lpad(event_type, 10, '.') AS et_pad,
+           reverse(event_type) AS et_rev,
+           regexp_extract(event_type, '([aeiou]+)', 1) AS first_vowels,
+           CAST(year(ts) AS INTEGER) AS y,
+           CAST(month(ts) AS INTEGER) AS m,
+           CAST(day(ts) AS INTEGER) AS dom,
+           CAST(hour(ts) AS INTEGER) AS h,
+           CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INTEGER) AS days_in,
+           CAST(ts AS DATE) + 7 AS plus_week,
+           CAST(abs(event_id - 5000) AS BIGINT) AS abs_dist,
+           CAST(floor(value) AS BIGINT) AS val_floor,
+           CAST(ceil(value) AS BIGINT) AS val_ceil,
+           CAST(event_id % 7 AS BIGINT) AS mod7,
+           sqrt(CAST(event_id AS DOUBLE)) AS root,
+           CAST(greatest(value, 10.0) AS DOUBLE) AS val_hi,
+           CAST(least(value, 10.0) AS DOUBLE) AS val_lo
+    FROM events
+    """,
+    doc="String/date/math scalar inventory (§2.8): only cross-engine bit-exact functions",
+)
+def scalar_function_surface(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.upper("event_type").alias("et_upper"),
+        F.substring("event_type", 1, 3).alias("et_pre"),
+        F.length("event_type").alias("et_len"),
+        F.replace(F.col("event_type"), F.lit("e"), F.lit("E")).alias("et_repl"),
+        F.lpad("event_type", 10, ".").alias("et_pad"),
+        F.reverse("event_type").alias("et_rev"),
+        F.regexp_extract("event_type", r"([aeiou]+)", 1).alias("first_vowels"),
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("dom"),
+        F.hour("ts").alias("h"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+            "days_in"
+        ),
+        F.date_add(F.to_date("ts"), 7).alias("plus_week"),
+        F.abs(F.col("event_id") - 5000).alias("abs_dist"),
+        F.floor("value").alias("val_floor"),
+        F.ceil("value").alias("val_ceil"),
+        (F.col("event_id") % 7).alias("mod7"),
+        F.sqrt(F.col("event_id").cast("double")).alias("root"),
+        F.greatest(F.col("value"), F.lit(10.0)).alias("val_hi"),
+        F.least(F.col("value"), F.lit(10.0)).alias("val_lo"),
+    )
