@@ -1,0 +1,90 @@
+"""Upsert (MERGE) sink on plain parquet — S5/L4 without Delta.
+
+The reference upserts with ``INSERT ... ON CONFLICT (id) DO UPDATE SET
+payload = EXCLUDED.payload, inserted_at = now()``
+(/root/reference/src/etl/mongo_to_postgres.py:89-112) — last-writer-wins
+by key — and dbt's ``incremental_strategy='merge'``
+(/root/reference/dbt/models/stg/stg_metar_observations.sql:5-6).
+
+Spark-idiomatic mapping: on a lakehouse table format this is one
+``MERGE INTO target USING source ON ... WHEN MATCHED UPDATE WHEN NOT
+MATCHED INSERT``. This module is the pure-parquet fallback: read target,
+``unionByName`` the new batch, keep the per-key winner with a
+max_by-style aggregate, rewrite via staging-dir + atomic rename (a
+parquet path cannot be read and overwritten in the same job).
+
+Scale note: the fallback rewrites the whole table and is only correct
+single-writer; at 100 TB you partition the target (e.g. by day) and
+rewrite only the partitions present in the batch — `upsert_parquet`
+takes ``partition_cols`` for exactly that — or use a format with ACID
+MERGE. The join/dedup shape is identical in all three.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def merge_last_writer_wins(
+    current: DataFrame | None,
+    batch: DataFrame,
+    keys: list[str],
+    order_col: str,
+) -> DataFrame:
+    """Last-writer-wins merge of ``batch`` into ``current``.
+
+    Winner per key = row with greatest (order_col); batch rows beat
+    current rows at equal order (mirrors the reference's unconditional
+    DO UPDATE). Implemented as max_by over a (order, generation) struct
+    — a partial-aggregatable groupBy, no window sort.
+    """
+    b = batch.withColumn("__gen", F.lit(1))
+    if current is not None:
+        u = current.withColumn("__gen", F.lit(0)).unionByName(b)
+    else:
+        u = b
+    payload = [c for c in u.columns if c not in keys]
+    winner = u.groupBy(*keys).agg(
+        F.max_by(
+            F.struct(*payload), F.struct(F.col(order_col), F.col("__gen"))
+        ).alias("__w")
+    )
+    out_cols = keys + [f"__w.{c}" for c in payload]
+    return winner.select(*out_cols).drop("__gen")
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    batch: DataFrame,
+    target_path: str,
+    keys: list[str],
+    order_col: str,
+    partition_cols: list[str] | None = None,
+) -> None:
+    """MERGE ``batch`` into the parquet table at ``target_path``.
+
+    Write-to-staging + atomic rename (Hadoop FileSystem API, so the same
+    code works on local FS and HDFS-compatible stores).
+    """
+    fs, tpath, jvm = _hadoop_fs(spark, target_path)
+    current = spark.read.parquet(target_path) if fs.exists(tpath) else None
+    merged = merge_last_writer_wins(current, batch, keys, order_col)
+
+    staging = target_path.rstrip("/") + ".__staging__"
+    writer = merged.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(staging)
+
+    _, spath, _ = _hadoop_fs(spark, staging)
+    if fs.exists(tpath):
+        fs.delete(tpath, True)
+    fs.rename(spath, tpath)

@@ -1,0 +1,162 @@
+"""Streaming medallion pipeline — the reference's incremental semantics
+re-expressed as Structured Streaming (SURVEY.md §2.7).
+
+Reference behavior being reproduced:
+- L1/L2 high-watermark filters (`observed > (SELECT max(observed) FROM
+  {{this}})`, /root/reference/dbt/models/stg/stg_metar_observations.sql:14-19)
+  → event-time watermark on the stream; the file source's exactly-once
+  offset tracking subsumes the "only new rows" contract.
+- L4 merge materialization (`incremental_strategy='merge'`,
+  stg:5-6 / int:4-5) → ``foreachBatch`` + last-writer-wins MERGE
+  (sources/merge.py; Delta ``MERGE INTO`` on a lakehouse deployment).
+- L6 30-minute cadence (/root/reference/infra/airflow/dags/
+  metar_pipeline_dag.py:18) → ``trigger(processingTime="30 minutes")``;
+  tests and backfills use ``trigger(availableNow=True)`` (L3 first-run
+  full refresh ≡ a catch-up run over all existing files).
+- L7 late data: rows older than the watermark are dropped by Spark
+  exactly like rows below dbt's high-watermark are silently skipped.
+
+Scale: the file source lists incrementally; state for the windowed
+aggregate is bounded by (keys x open windows), and the watermark bounds
+open windows. The foreachBatch merge inherits upsert_parquet's
+partition-limited rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from metar_pipeline_spark.sources.merge import upsert_parquet
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, source_dir: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """File-source stream over a directory of parquet drops (S2/S3: the
+    bronze append log). Exactly-once per file via checkpoint offsets."""
+    return (
+        spark.readStream.schema(schema or EVENTS_STREAM_SCHEMA)
+        .parquet(source_dir)
+    )
+
+
+def run_latest_per_key_merge(
+    spark: SparkSession,
+    source_dir: str,
+    target_path: str,
+    checkpoint_dir: str,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+) -> None:
+    """Streaming int-layer: keep the latest row per key (W1 streaming
+    analogue, /root/reference/dbt/models/int/int_metar_latest.sql:9-17)
+    maintained incrementally via foreachBatch MERGE.
+
+    Each micro-batch is first reduced to its own per-key winner (max_by,
+    partial-aggregatable) so the MERGE input is ≤ |keys| rows, then
+    merged last-writer-wins into the target. Restarting from the same
+    checkpoint processes only new files (L1 incremental contract).
+    """
+    stream = read_event_stream(spark, source_dir)
+    payload = [c for c in stream.columns if c != key]
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        winner = (
+            batch.groupBy(key)
+            .agg(
+                F.max_by(
+                    F.struct(*payload),
+                    F.struct(F.col(ts_col), F.col(tiebreak)),
+                ).alias("__w")
+            )
+            .select(key, *[f"__w.{c}" for c in payload])
+        )
+        upsert_parquet(
+            spark, winner, target_path, keys=[key], order_col=ts_col
+        )
+
+    (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def daily_rollup_stream(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Windowed daily aggregate with watermark (the dwh mart's streaming
+    form, /root/reference/dbt/models/dwh/dw_daily_airport_metrics.sql:7-19).
+
+    watermark="0 seconds" reproduces the reference's late-data behavior
+    exactly: anything at or before the max seen event time is late and
+    dropped (L7); a window emits (append mode) once the watermark passes
+    its end.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), "1 day").alias("win"),
+            F.col(key),
+        )
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("sum_dec"),
+            F.max(value_col).alias("max_value"),
+            F.min(value_col).alias("min_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("win.start").cast("date").alias("observed_date"),
+            F.col(key),
+            F.round(F.col("sum_dec").cast("double") / F.col("n_events"), 6).alias(
+                "avg_value"
+            ),
+            "max_value",
+            "min_value",
+            "n_events",
+        )
+    )
+
+
+def run_daily_rollup_append(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "0 seconds",
+) -> None:
+    """Append-mode daily rollup: emits each (day, key) aggregate once its
+    window is sealed by the watermark; output is date-partitioned parquet
+    (the partition-pruned gold layout, SURVEY.md §4)."""
+    events = read_event_stream(spark, source_dir)
+    rolled = daily_rollup_stream(events, watermark=watermark)
+    (
+        rolled.writeStream.format("parquet")
+        .option("path", target_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("observed_date")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

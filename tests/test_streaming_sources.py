@@ -1,0 +1,195 @@
+"""Streaming medallion + sources/sinks tests (SURVEY.md §2.1, §2.7).
+
+Covers: S1 collector normalization, S5 parquet MERGE sink, L1-L4
+incremental latest-per-key stream, L7 watermark late-data drop.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from metar_pipeline_spark.io import load_table
+from metar_pipeline_spark.operators.windows import latest_per_key_maxby
+from metar_pipeline_spark.sources.collector import collect_once, fake_fetcher
+from metar_pipeline_spark.sources.merge import upsert_parquet
+from metar_pipeline_spark.streaming.pipeline import (
+    run_daily_rollup_append,
+    run_latest_per_key_merge,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+SPLIT = datetime.datetime(2024, 1, 15)
+
+
+@pytest.fixture()
+def events_halves(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    return (
+        ev.filter(F.col("ts") < F.lit(SPLIT)),
+        ev.filter(F.col("ts") >= F.lit(SPLIT)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S5: parquet MERGE sink
+# ---------------------------------------------------------------------------
+def test_upsert_parquet_last_writer_wins(spark, tmp_path):
+    target = str(tmp_path / "t")
+    b1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10)], "id int, v string, ver int"
+    )
+    upsert_parquet(spark, b1, target, keys=["id"], order_col="ver")
+    b2 = spark.createDataFrame(
+        [(2, "b2", 11), (3, "c", 11)], "id int, v string, ver int"
+    )
+    upsert_parquet(spark, b2, target, keys=["id"], order_col="ver")
+    got = {
+        (r.id, r.v, r.ver) for r in spark.read.parquet(target).collect()
+    }
+    assert got == {(1, "a", 10), (2, "b2", 11), (3, "c", 11)}
+
+    # equal order_col: the new batch wins (reference's unconditional
+    # DO UPDATE, mongo_to_postgres.py:103-105)
+    b3 = spark.createDataFrame([(3, "c3", 11)], "id int, v string, ver int")
+    upsert_parquet(spark, b3, target, keys=["id"], order_col="ver")
+    got = dict(
+        (r.id, r.v) for r in spark.read.parquet(target).collect()
+    )
+    assert got[3] == "c3"
+
+
+# ---------------------------------------------------------------------------
+# L1-L4: incremental latest-per-key stream == batch answer
+# ---------------------------------------------------------------------------
+def test_stream_latest_per_key_incremental(spark, tmp_path, events_halves):
+    half1, half2 = events_halves
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "latest")
+    ckpt = str(tmp_path / "ckpt")
+
+    half1.write.mode("append").parquet(src)
+    run_latest_per_key_merge(spark, src, target, ckpt)
+    got1 = spark.read.parquet(target)
+    want1 = latest_per_key_maxby(
+        half1.select(*got1.columns), ["user_id"], "ts", tiebreak="event_id"
+    )
+    assert got1.count() == want1.count()
+    assert got1.exceptAll(want1.select(*got1.columns)).count() == 0
+
+    # second drop: only the new files are processed; merge must land on
+    # the same answer as a batch over the full data
+    half2.write.mode("append").parquet(src)
+    run_latest_per_key_merge(spark, src, target, ckpt)
+    got2 = spark.read.parquet(target)
+    full = load_table(spark, SF_DIR, "events")
+    want2 = latest_per_key_maxby(
+        full.select(*got2.columns), ["user_id"], "ts", tiebreak="event_id"
+    )
+    assert got2.count() == want2.count()
+    assert got2.exceptAll(want2.select(*got2.columns)).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# L7: windowed rollup emits sealed windows, drops late rows
+# ---------------------------------------------------------------------------
+def test_stream_daily_rollup_watermark(spark, tmp_path, events_halves):
+    half1, half2 = events_halves
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "gold")
+    ckpt = str(tmp_path / "ckpt")
+
+    half1.write.mode("append").parquet(src)
+    run_daily_rollup_append(spark, src, out, ckpt)
+    half2.write.mode("append").parquet(src)
+    run_daily_rollup_append(spark, src, out, ckpt)
+
+    got = spark.read.parquet(out)
+    # with watermark 0s, every day strictly before the max event day is
+    # sealed and must have been emitted exactly once
+    full = load_table(spark, SF_DIR, "events")
+    max_day = full.agg(
+        F.to_date(F.date_trunc("day", F.max("ts")))
+    ).first()[0]
+    want = (
+        full.filter(F.to_date(F.date_trunc("day", F.col("ts"))) < F.lit(max_day))
+        .groupBy(
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("observed_date"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    sealed = got.filter(F.col("observed_date") < F.lit(max_day))
+    assert sealed.count() == want.count()
+    joined = sealed.join(want, ["observed_date", "user_id"], "inner")
+    assert joined.filter(
+        sealed["n_events"] != want["n_events"]
+    ).count() == 0
+
+    # a late row (event-time far below the watermark) must be dropped:
+    # appending it and re-running changes nothing (L7 ≡ dbt watermark skip)
+    late = spark.createDataFrame(
+        [(999999, datetime.datetime(2024, 1, 2, 0, 0, 1), 1, "click", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    late.write.mode("append").parquet(src)
+    run_daily_rollup_append(spark, src, out, ckpt)
+    got2 = spark.read.parquet(out)
+    before = got.filter(F.col("observed_date") == "2024-01-02").agg(
+        F.sum("n_events")
+    ).first()[0]
+    after = got2.filter(F.col("observed_date") == "2024-01-02").agg(
+        F.sum("n_events")
+    ).first()[0]
+    assert before == after
+
+
+# ---------------------------------------------------------------------------
+# S1: collector fetch→normalize parity with the reference's semantics
+# ---------------------------------------------------------------------------
+def test_collector_normalization(spark):
+    docs = [
+        {
+            "icao": "UUEE",
+            "observed": "2024-01-10T12:30:00",
+            "raw_text": "UUEE 101230Z 24005MPS",
+            "flight_category": "VFR",
+            "temperature": {"celsius": -5.0, "fahrenheit": 23.0},
+            "dewpoint": {"celsius": -7.0},
+            "wind": {"degrees": 240.0, "speed_kts": 10.0, "gust_kts": 15.0},
+            "visibility": {"meters_float": 9999.0},
+            "barometer": {"hpa": 1013.2},
+            "humidity": {"percent": 85.0},
+            "station": {
+                "name": "Sheremetyevo",
+                "location": "Moscow",
+                "geometry": {"type": "Point", "coordinates": [37.41, 55.97]},
+            },
+        },
+        # degenerate doc: missing groups, raw fallback, short coordinates
+        {
+            "icao": "ULLI",
+            "observed": "2024-01-10T12:35:00",
+            "raw": "ULLI 101235Z",
+            "station": {"geometry": {"type": "Point", "coordinates": [30.26]}},
+        },
+    ]
+    flat = collect_once(spark, fake_fetcher(docs)).orderBy("icao")
+    rows = {r.icao: r for r in flat.collect()}
+
+    r1 = rows["UUEE"]
+    assert r1.temperature_c == -5.0
+    assert r1.wind_gust_kt == 15.0
+    assert r1.station_lon == 37.41 and r1.station_lat == 55.97
+    assert r1.raw_text == "UUEE 101230Z 24005MPS"
+    assert r1.source == "checkwx"
+    assert r1.observed == datetime.datetime(2024, 1, 10, 12, 30)
+
+    r2 = rows["ULLI"]
+    # missing keys → NULL (->> semantics); raw fallback via coalesce;
+    # 1-element coordinates fails the size guard → NULL lon/lat
+    assert r2.temperature_c is None and r2.barometer_hpa is None
+    assert r2.raw_text == "ULLI 101235Z"
+    assert r2.station_lon is None and r2.station_lat is None
