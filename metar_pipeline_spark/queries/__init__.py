@@ -43,6 +43,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from metar_pipeline_spark.queries import (  # noqa: F401
         core,
         extended,
+        multimodal_q,
         pipeline_q,
         text_ml,
     )

@@ -1,0 +1,176 @@
+"""Multimodal + Arrow-Python queries.
+
+The testdata has no real media files, so media bytes are synthesized
+deterministically from the documents table (text → UTF-8 bytes, with
+magic-byte prefixes cycled by doc_id) — both engines build the same
+bytes, so even the mapInPandas decode stubs are hash-verified against a
+pure-SQL oracle. What is being proven: binary columns survive the
+Spark↔Arrow↔pandas round trip losslessly, the kernels' schemas hold,
+and the generator fan-out (frame sampling) is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from metar_pipeline_spark.functions.pandas_fns import (
+    longest_daily_streaks,
+    ws_token_count,
+)
+from metar_pipeline_spark.io import load_table
+from metar_pipeline_spark.operators import multimodal as mm
+from metar_pipeline_spark.queries import register
+
+# content bytes: cycle a magic prefix by doc_id so sniffing has all
+# three outcomes. DuckDB blob concat reproduces it byte-for-byte.
+_JPEG = "FFD8FF"
+_PNG = "89504E47"
+
+
+def _content_col():
+    text_bytes = F.encode(F.col("text"), "UTF-8")
+    return (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.to_binary(F.lit(_JPEG), F.lit("hex")), text_bytes),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.to_binary(F.lit(_PNG), F.lit("hex")), text_bytes),
+        )
+        .otherwise(text_bytes)
+    )
+
+
+_DUCK_CONTENT = f"""
+    CASE WHEN doc_id % 3 = 0 THEN from_hex('{_JPEG}') || encode(text)
+         WHEN doc_id % 3 = 1 THEN from_hex('{_PNG}') || encode(text)
+         ELSE encode(text) END
+"""
+
+
+@register(
+    "media_metadata_profile",
+    f"""
+    SELECT doc_id,
+           CAST(octet_length(content) AS INTEGER) AS n_bytes,
+           md5(upper(hex(content))) AS content_md5,
+           CASE WHEN upper(substr(hex(content), 1, 6)) = '{_JPEG}' THEN 'jpeg'
+                WHEN upper(substr(hex(content), 1, 8)) = '{_PNG}' THEN 'png'
+                ELSE 'unknown' END AS format
+    FROM (SELECT doc_id, {_DUCK_CONTENT} AS content FROM documents)
+    """,
+    doc="Binary media columns: byte length, content digest, magic-byte sniff — all JVM-side",
+)
+def media_metadata_profile(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _content_col().alias("content")
+    )
+    out = mm.attach_media_metadata(docs, "content")
+    return out.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.content_md5").alias("content_md5"),
+        F.col("media_meta.format").alias("format"),
+    )
+
+
+@register(
+    "image_decode_stub",
+    f"""
+    SELECT doc_id,
+           CAST(16 + ('0x' || substr(h, 1, 2))::INT % 240 AS INTEGER) AS width,
+           CAST(16 + ('0x' || substr(h, 3, 2))::INT % 240 AS INTEGER) AS height,
+           CAST(1 + ('0x' || substr(h, 5, 2))::INT % 3 AS INTEGER) AS n_channels,
+           round(('0x' || substr(h, 7, 2))::INT / 255.0, 6) AS brightness
+    FROM (SELECT doc_id, md5(upper(hex({_DUCK_CONTENT}))) AS h FROM documents)
+    """,
+    doc="mapInPandas image-decode plumbing (stub kernel, digest-derived header) — Arrow round trip hash-verified",
+)
+def image_decode_stub(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _content_col().alias("content")
+    )
+    return mm.decode_images(docs, "doc_id", "content")
+
+
+@register(
+    "video_frame_sample",
+    """
+    WITH hx AS (
+      SELECT doc_id, upper(hex(encode(text))) AS h FROM documents
+    )
+    SELECT doc_id,
+           CAST(k AS INTEGER) AS frame_idx,
+           md5(substr(h, k * 64 + 1, 64)) AS frame_md5,
+           CAST(length(substr(h, k * 64 + 1, 64)) AS INTEGER) AS frame_bytes
+    FROM hx, LATERAL (
+      SELECT unnest(generate_series(0, CAST(ceil(length(h) / 64.0) AS INTEGER) - 1, 2)) AS k
+    ) ks
+    """,
+    doc="Frame sampling: 1 row -> N frames via mapInPandas generator (stride-2, 64-byte chunks)",
+)
+def video_frame_sample(spark, sf_dir):
+    # ascii hex payload: python byte-chunking == SQL char-chunking, so
+    # the generator fan-out is exactly oracle-checkable.
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode(
+            F.upper(F.hex(F.encode(F.col("text"), "UTF-8"))), "UTF-8"
+        ).alias("content"),
+    )
+    return mm.sample_frames(docs, "doc_id", "content", frame_size=64, stride=2)
+
+
+@register(
+    "audio_features_stub",
+    None,  # numpy byte-level kernel — rows-only check by design
+    doc="Audio feature extraction stub: numpy per-batch RMS/silence over binary (rows-only)",
+)
+def audio_features_stub(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _content_col().alias("content")
+    )
+    return mm.extract_audio_features(docs, "doc_id", "content")
+
+
+@register(
+    "pandas_token_count",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                x -> x <> '')) AS INTEGER) AS n_tokens
+    FROM documents
+    """,
+    doc="Scalar pandas_udf (Arrow-vectorized) token count, parity-checked against the JVM form",
+)
+def pandas_token_count(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", ws_token_count(F.col("text")).alias("n_tokens")
+    )
+
+
+@register(
+    "longest_daily_streak",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ), grp AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER) AS island
+      FROM days
+    ), streaks AS (
+      SELECT user_id, island, COUNT(*) AS len FROM grp GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS INTEGER) AS n_active_days,
+           CAST(MAX(len) AS INTEGER) AS longest_streak
+    FROM streaks GROUP BY user_id
+    """,
+    doc="Grouped applyInPandas: per-user longest consecutive-day streak, oracle = gaps-and-islands SQL",
+)
+def longest_daily_streak(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    return longest_daily_streaks(events)
