@@ -1,0 +1,164 @@
+"""The METAR medallion pipeline as persisted, composable batch stages.
+
+Reproduces the reference's four dbt models with their exact incremental
+contracts (SURVEY.md §2.7):
+
+| layer | reference model | watermark | materialization |
+|-------|-----------------|-----------|-----------------|
+| stg   | stg_metar_observations (stg/stg_metar_observations.sql) | strict ``>`` (L1) | merge by id (L4) |
+| ods   | ods_metar_latest (ods/ods_metar_latest.sql)             | inclusive ``>=`` (L2) | append (L5) |
+| int   | int_metar_latest (int/int_metar_latest.sql)             | strict ``>`` (L1) | merge by icao (L4) |
+| dwh   | dw_daily_airport_metrics (dwh/dw_daily_airport_metrics.sql) | inclusive ``>=`` on date (L2) | merge by icao_date |
+
+Dependency order stg → {ods, int} → dwh mirrors the dbt ref() DAG
+(SURVEY.md §3.3); unlike dbt+Postgres each stage is one distributed
+plan, and the whole chain shares a session.
+
+Layout for scale: every layer is parquet under ``base_dir/<layer>``;
+dwh is partitioned by ``observed_date`` so downstream reads partition-
+prune, and the merge rewrite is bounded to touched partitions via
+upsert_parquet's partition_cols.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metar_pipeline_spark.operators.aggregates import daily_rollup
+from metar_pipeline_spark.operators.incremental import high_watermark_filter
+from metar_pipeline_spark.operators.windows import latest_per_key_maxby
+from metar_pipeline_spark.sources.merge import upsert_parquet
+
+
+def _read_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return spark.read.parquet(path) if fs.exists(hpath) else None
+
+
+def stg_stage(
+    spark: SparkSession, normalized: DataFrame, base_dir: str
+) -> None:
+    """stg: typed observations, strict watermark, merge by id."""
+    path = os.path.join(base_dir, "stg")
+    existing = _read_if_exists(spark, path)
+    fresh = high_watermark_filter(
+        normalized, existing, "observed", inclusive=False
+    )
+    upsert_parquet(spark, fresh, path, keys=["id"], order_col="inserted_at")
+
+
+def ods_stage(spark: SparkSession, base_dir: str) -> None:
+    """ods: digits-only id sanitization (ods_metar_latest.sql:13-23),
+    star-except-id projection, inclusive watermark, append."""
+    stg = spark.read.parquet(os.path.join(base_dir, "stg"))
+    path = os.path.join(base_dir, "ods")
+    existing = _read_if_exists(spark, path)
+    is_num = F.col("id").rlike("^[0-9]+$")
+    sanitized = (
+        stg.filter(is_num)
+        .withColumn("id_int", F.col("id").cast("int"))
+        .drop("id")
+    )
+    fresh = high_watermark_filter(
+        sanitized, existing, "observed", inclusive=True
+    )
+    out = (
+        existing.unionByName(fresh, allowMissingColumns=True)
+        if existing is not None
+        else fresh
+    )
+    staging_write(spark, out, path)
+
+
+def staging_write(spark: SparkSession, df: DataFrame, path: str, partition_cols=None) -> None:
+    """Atomic full rewrite via staging + rename (append-safe because the
+    union already contains the existing rows)."""
+    staging = path.rstrip("/") + ".__staging__"
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(staging)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    spath = jvm.org.apache.hadoop.fs.Path(staging)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+    fs.rename(spath, hpath)
+
+
+def int_stage(spark: SparkSession, base_dir: str) -> None:
+    """int: latest observation per icao (int_metar_latest.sql:9-17),
+    strict watermark, merge by icao."""
+    stg = spark.read.parquet(os.path.join(base_dir, "stg"))
+    path = os.path.join(base_dir, "int")
+    existing = _read_if_exists(spark, path)
+    fresh = high_watermark_filter(stg, existing, "observed", inclusive=False)
+    latest = latest_per_key_maxby(fresh, ["icao"], "observed", tiebreak="id")
+    upsert_parquet(spark, latest, path, keys=["icao"], order_col="observed")
+
+
+def dwh_stage(spark: SparkSession, base_dir: str) -> None:
+    """dwh: daily per-airport mart with surrogate key
+    (dw_daily_airport_metrics.sql:7-29), inclusive date watermark, merge
+    by icao_date; output partitioned by observed_date."""
+    ods = spark.read.parquet(os.path.join(base_dir, "ods"))
+    path = os.path.join(base_dir, "dwh")
+    existing = _read_if_exists(spark, path)
+    with_date = ods.withColumn(
+        "observed_date", F.to_date(F.date_trunc("day", F.col("observed")))
+    )
+    if existing is not None:
+        wm = existing.agg(F.max("observed_date")).first()[0]
+        if wm is not None:
+            with_date = with_date.filter(F.col("observed_date") >= F.lit(wm))
+    mart = (
+        with_date.groupBy("icao", "observed_date")
+        .agg(
+            F.round(
+                F.sum(F.col("temperature_c").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_temperature_c"),
+            F.max("wind_speed_kt").alias("max_wind_speed_kt"),
+            F.min("visibility_m").alias("min_visibility_m"),
+            F.count(F.lit(1)).alias("n_observations"),
+        )
+        .withColumn(
+            "icao_date",
+            F.concat_ws(
+                "_", F.col("icao"), F.date_format("observed_date", "yyyyMMdd")
+            ),
+        )
+    )
+    upsert_parquet(
+        spark,
+        mart,
+        path,
+        keys=["icao_date"],
+        order_col="n_observations",
+        partition_cols=["observed_date"],
+    )
+
+
+def run_medallion(
+    spark: SparkSession, normalized: DataFrame, base_dir: str
+) -> dict[str, DataFrame]:
+    """One pipeline run (≡ one dbt build): stg → {ods, int} → dwh.
+    Call repeatedly with new batches for incremental behavior; first
+    call is the L3 full refresh."""
+    stg_stage(spark, normalized, base_dir)
+    ods_stage(spark, base_dir)
+    int_stage(spark, base_dir)
+    dwh_stage(spark, base_dir)
+    return {
+        layer: spark.read.parquet(os.path.join(base_dir, layer))
+        for layer in ("stg", "ods", "int", "dwh")
+    }

@@ -1,0 +1,92 @@
+"""Physical-plan audits: the scale properties that make these queries
+viable at 100 TB, asserted from .explain output so regressions in plan
+shape fail CI — not just correctness (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from metar_pipeline_spark.queries import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    em = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+    return df._jdf.queryExecution().explainString(em.fromString(mode))
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    specs = all_queries()
+
+    def get(name):
+        return plan_str(specs[name].spark_fn(spark, SF_DIR))
+
+    return get
+
+
+def test_q1_filter_pushdown_and_column_pruning(plans):
+    p = plans("tpch_q1_pricing_summary")
+    # shipdate predicate must reach the parquet scan
+    assert "PushedFilters:" in p and "l_shipdate" in p.split("PushedFilters:")[1].split("\n")[0]
+    # projection pruning: untouched columns never leave the scan
+    read_schema = p.split("ReadSchema:")[1].split("\n")[0]
+    for col in ("l_partkey", "l_suppkey", "l_linenumber"):
+        assert col not in read_schema
+
+
+def test_broadcast_joins_on_dims(plans):
+    for q in (
+        "tpch_q3_shipping_priority",
+        "tpch_q5_local_supplier_volume",
+        "tpch_q18_large_volume_customers",
+    ):
+        p = plans(q)
+        assert "BroadcastHashJoin" in p, q
+        assert "CartesianProduct" not in p, q
+
+
+def test_partial_aggregation(plans):
+    # HashAggregate appears twice per agg: map-side partial + final
+    p = plans("dwh_daily_metrics")
+    assert p.count("HashAggregate") >= 2
+
+
+def test_asof_join_is_not_a_range_join(plans):
+    p = plans("asof_join_latest_order")
+    assert "Window" in p
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in p
+
+
+def test_no_accidental_nested_loops(plans):
+    # every equi-joinable query must plan an equi join; the brute-force
+    # ANN scorer is the single intentional non-equi (broadcast) join
+    equi_queries = (
+        "dedup_minhash_lsh_pairs",
+        "dedup_simhash_pairs",
+        "embedding_neardup_pairs",
+        "semi_join_heavy_orders",
+        "fk_violations_events_supplier",
+    )
+    for q in equi_queries:
+        p = plans(q)
+        assert "CartesianProduct" not in p, q
+
+
+def test_whole_stage_codegen_on_hot_paths(spark):
+    # the scan→filter→project→agg pipeline of Q1 must be codegen'd
+    # (codegen explain mode — AQE's formatted plan hides codegen spans
+    # until the final plan materializes)
+    specs = all_queries()
+    df = specs["tpch_q1_pricing_summary"].spark_fn(spark, SF_DIR)
+    df.collect()  # materialize so AQE finalizes the executed plan
+    p = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark WholeStageCodegen spans in the plan string;
+    # scan-side stage 1 (filter+project+partial agg) must be one span
+    import re
+
+    assert re.search(r"\*\(\d+\) HashAggregate", p)
+    assert re.search(r"\*\(\d+\) Filter", p)
