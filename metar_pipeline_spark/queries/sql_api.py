@@ -1,0 +1,76 @@
+"""SQL-API queries: the engine's second front door.
+
+The reference's whole relational layer is SQL text shipped to Postgres
+(SURVEY.md §3.3) — so beyond the DataFrame API, this engine exposes the
+same capability through ``spark.sql`` over registered views. Each query
+here is ONE ANSI SQL string executed verbatim by BOTH Spark and the
+DuckDB oracle: the strongest possible parity statement (no dialect
+translation at all), and proof that Catalyst's SQL front end covers the
+reference's query class.
+"""
+
+from __future__ import annotations
+
+from metar_pipeline_spark.io import register_views
+from metar_pipeline_spark.queries import register
+
+
+def _sql_query(name: str, sql: str, doc: str):
+    @register(name, sql, doc=doc)
+    def run(spark, sf_dir, _sql=sql):
+        register_views(spark, sf_dir)
+        return spark.sql(_sql)
+
+    run.__name__ = name
+    return run
+
+
+_sql_query(
+    "tpch_q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name,
+           round(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c, orders o, lineitem l, nation n
+    WHERE c.c_custkey = o.o_custkey
+      AND l.l_orderkey = o.o_orderkey
+      AND o.o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND l.l_returnflag = 'R'
+      AND c.c_nationkey = n.n_nationkey
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 via spark.sql — identical ANSI text on both engines",
+)
+
+
+_sql_query(
+    "tpch_q4_order_priority",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4 shape via spark.sql: correlated EXISTS planned as semi join",
+)
+
+
+_sql_query(
+    "grouping_sets_type_cohort",
+    """
+    SELECT event_type,
+           user_id % 10 AS cohort,
+           CAST(2 * GROUPING(event_type) + GROUPING(user_id % 10) AS BIGINT) AS gid,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+    """,
+    doc="Explicit GROUPING SETS via spark.sql (beyond rollup/cube shorthands)",
+)

@@ -182,3 +182,40 @@ def test_assertions_suite(spark):
     assert by_name["accepted_values_icao"]["passed"]
     assert by_name["relationships_icao"]["passed"]
     assert by_name["non_negative_temp"]["passed"]
+
+
+# ---------------------------------------------------------------------------
+# P13 to_json round trip + cross join surface
+# ---------------------------------------------------------------------------
+def test_to_json_roundtrip(spark):
+    from pyspark.sql import types as T
+
+    from metar_pipeline_spark.functions.json_fns import (
+        from_json_typed,
+        to_json_row,
+    )
+
+    src = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, None)], "id int, s string, v double"
+    )
+    as_json = to_json_row(src)  # json.dumps(doc) equivalent (P13)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    back = from_json_typed(
+        as_json.select("payload"), "payload", schema, keep=[]
+    )
+    assert {tuple(r) for r in back.collect()} == {
+        (1, "a", 1.5),
+        (2, None, None),
+    }
+
+
+def test_cross_join(spark):
+    a = spark.createDataFrame([(1,), (2,)], "x int")
+    b = spark.createDataFrame([(10,), (20,), (30,)], "y int")
+    assert a.crossJoin(b).count() == 6
