@@ -47,6 +47,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline_q,
         sql_api,
         text_ml,
+        tpch_more,
     )
 
     return dict(REGISTRY)
