@@ -48,6 +48,46 @@ def test_broadcast_joins_on_dims(plans):
         assert "CartesianProduct" not in p, q
 
 
+def test_broadcast_joins_on_dims_extended(plans):
+    # the adapted TPC-H batch: every dim join must broadcast, fact-fact
+    # joins shuffle — no plan may degrade to a nested loop / cartesian
+    for q in (
+        "tpch_q7_volume_shipping",
+        "tpch_q8_market_share",
+        "tpch_q9_product_profit",
+        "tpch_q14_promo_revenue",
+        "tpch_q16_supplier_part_cnt",
+        "tpch_q17_small_qty_revenue",
+        "tpch_q19_discounted_revenue",
+        "tpch_q20_promo_suppliers",
+    ):
+        p = plans(q)
+        assert "BroadcastHashJoin" in p, q
+        assert "CartesianProduct" not in p, q
+
+
+def test_q15_scalar_max_is_broadcast_not_window(plans):
+    # the global-max scalar subquery must be a broadcast 1-row join, not
+    # a single-partition window (which would serialize at scale)
+    p = plans("tpch_q15_top_supplier")
+    assert "BroadcastHashJoin" in p
+    assert "Window" not in p
+
+
+def test_q22_anti_join_shape(plans):
+    p = plans("tpch_q22_idle_customers")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q12_date_filter_pushdown(plans):
+    p = plans("tpch_q12_priority_shipping")
+    pushed = [
+        seg.split("\n")[0] for seg in p.split("PushedFilters:")[1:]
+    ]
+    assert any("l_shipdate" in seg for seg in pushed), pushed
+
+
 def test_partial_aggregation(plans):
     # HashAggregate appears twice per agg: map-side partial + final
     p = plans("dwh_daily_metrics")
