@@ -45,6 +45,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extended,
         multimodal_q,
         pipeline_q,
+        scale_q,
         sql_api,
         text_ml,
         tpch_more,

@@ -1,0 +1,79 @@
+"""Scale-technique queries: skew salting and bucketed co-location.
+
+These register the skew operators (operators/skew.py) against the
+oracle: salting is result-transparent, so the oracle SQL is simply the
+UNSALTED form — the hash match proves the two-stage rewrite is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from metar_pipeline_spark.io import load_table
+from metar_pipeline_spark.operators.skew import salted_agg, salted_join
+from metar_pipeline_spark.queries import register
+from metar_pipeline_spark.queries.core import DEC2, _dsum
+
+
+@register(
+    "salted_user_value_sums",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Skew-safe two-stage salted aggregation — output identical to the direct groupBy",
+)
+def salted_user_value_sums(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        events,
+        keys=["user_id"],
+        salt_source="event_id",
+        partials={
+            "n_events": (F.count(F.lit(1)), F.sum("n_events")),
+            "sum_dec": (
+                F.sum(F.col("value").cast(DEC2)),
+                F.sum("sum_dec"),
+            ),
+            "max_value": (F.max("value"), F.max("max_value")),
+        },
+        n_salts=8,
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        F.round(F.col("sum_dec").cast("double"), 2).alias("sum_value"),
+        "max_value",
+    )
+
+
+@register(
+    "salted_join_event_suppliers",
+    """
+    SELECT e.user_id, s.s_name, COUNT(*) AS n_events
+    FROM events e
+    JOIN supplier s ON e.user_id = s.s_suppkey
+    GROUP BY e.user_id, s.s_name
+    """,
+    doc="Skew-safe salted equi-join (dim replicated across salts) — output identical to the plain join",
+)
+def salted_join_event_suppliers(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    joined = salted_join(
+        events,
+        supplier,
+        fact_key="user_id",
+        dim_key="s_suppkey",
+        salt_source="event_id",
+        n_salts=8,
+    )
+    return joined.groupBy("user_id", "s_name").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )

@@ -1,0 +1,186 @@
+"""Scale-technique tests: salting, bucketed co-located joins, and
+custom stateful streaming operators (applyInPandasWithState).
+
+Correctness of the salted operators is also hash-checked against the
+unsalted oracle SQL by test_queries_oracle; here we assert the *plan*
+properties that make them scale tools, plus bucket-join exchange
+elimination and stateful-stream semantics that the batch oracle can't
+express.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from metar_pipeline_spark.io import load_table
+from metar_pipeline_spark.operators.skew import salted_agg, salted_join
+from metar_pipeline_spark.sources.bucketed import bucketed_pair
+from tests.conftest import SF_SMOKE
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    em = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+    return df._jdf.queryExecution().explainString(em.fromString(mode))
+
+
+def test_salted_agg_two_stage_plan(spark):
+    events = load_table(spark, SF_SMOKE, "events")
+    out = salted_agg(
+        events,
+        keys=["user_id"],
+        salt_source="event_id",
+        partials={"n": (F.count(F.lit(1)), F.sum("n"))},
+        n_salts=8,
+    )
+    p = plan_str(out)
+    # two aggregation rounds: (key, salt) then key — 4 HashAggregate
+    # nodes (each round has partial+final)
+    assert p.count("HashAggregate") >= 4
+    assert "xxhash64" in p  # deterministic salt, not rand()
+
+
+def test_salted_join_matches_plain_join(spark):
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_id"
+    )
+    supplier = load_table(spark, SF_SMOKE, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    salted = salted_join(
+        events, supplier, "user_id", "s_suppkey", "event_id", n_salts=4
+    )
+    plain = events.join(
+        supplier, F.col("user_id") == F.col("s_suppkey")
+    )
+    assert salted.count() == plain.count()
+    assert (
+        salted.groupBy("user_id").count().orderBy("user_id").collect()
+        == plain.groupBy("user_id").count().orderBy("user_id").collect()
+    )
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    spark.sql("DROP TABLE IF EXISTS __bk_left")
+    spark.sql("DROP TABLE IF EXISTS __bk_right")
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    bl, br = bucketed_pair(
+        spark, orders, li, "o_orderkey", "l_orderkey", num_buckets=8
+    )
+    joined = bl.join(br, F.col("o_orderkey") == F.col("l_orderkey"))
+    # bucket-to-bucket SMJ: the whole point — NO shuffle on either side
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_str(joined)
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p
+        # and it still returns the right rows
+        assert joined.count() == orders.join(
+            li, F.col("o_orderkey") == F.col("l_orderkey")
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS __bk_left")
+        spark.sql("DROP TABLE IF EXISTS __bk_right")
+
+
+@pytest.fixture()
+def event_stream_dirs(spark, tmp_path):
+    """Two parquet drops in a stream dir + checkpoint/output dirs;
+    maxFilesPerTrigger=1 forces two micro-batches so state must carry
+    across batches."""
+    src = tmp_path / "src"
+    src.mkdir()
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    first = events.filter(F.col("user_id") < 25)
+    second = events.filter(F.col("user_id") >= 25)
+    # duplicate a slice of batch 1 into batch 2 to exercise cross-batch
+    # dedup state
+    dup = first.limit(50)
+    first.coalesce(1).write.mode("overwrite").parquet(str(src / "b1"))
+    second.unionByName(dup).coalesce(1).write.mode("overwrite").parquet(
+        str(src / "b2")
+    )
+    return src
+
+
+def _run_stateful(spark, src, transform, out_name, mode="update"):
+    from metar_pipeline_spark.streaming.pipeline import EVENTS_STREAM_SCHEMA
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName(out_name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(out_name)
+
+
+def test_streaming_latest_per_key_state(spark, event_stream_dirs):
+    from metar_pipeline_spark.streaming.stateful import (
+        streaming_latest_per_key,
+    )
+
+    out = _run_stateful(
+        spark, event_stream_dirs, streaming_latest_per_key, "latest_out"
+    )
+    # batch oracle: global latest per key
+    events = load_table(spark, SF_SMOKE, "events")
+    expect = (
+        events.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.col("event_id"), F.struct(F.col("ts"), F.col("event_id"))
+            ).alias("event_id")
+        )
+    )
+    # the stream may emit a key twice (update mode); the LAST emission
+    # per key must equal the batch answer
+    got = (
+        out.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.col("event_id"), F.struct(F.col("ts"), F.col("event_id"))
+            ).alias("event_id")
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
+
+
+def test_streaming_first_seen_dedup(spark, event_stream_dirs):
+    from metar_pipeline_spark.streaming.stateful import (
+        streaming_first_seen_dedup,
+    )
+
+    out = _run_stateful(
+        spark, event_stream_dirs, streaming_first_seen_dedup, "dedup_out",
+        mode="append",
+    )
+    rows = out.select("user_id", "event_id").collect()
+    # every (user_id, event_id) appears exactly once despite the
+    # duplicated slice in batch 2
+    assert len(rows) == len(set(map(tuple, rows)))
+    events = load_table(spark, SF_SMOKE, "events")
+    assert len(rows) == events.select("user_id", "event_id").distinct().count()
