@@ -32,10 +32,13 @@ def main() -> None:
     spark = get_spark("bench")
     specs = all_queries()
 
-    # Warm the JVM + parquet footers once so timings reflect execution,
-    # not first-touch class loading.
-    warm = specs["dwh_daily_metrics"].spark_fn(spark, sf_dir)
-    warm.write.format("noop").mode("overwrite").save()
+    # Warm the JVM + parquet footers + Python/Arrow workers once so
+    # timings reflect execution, not first-touch class loading or
+    # daemon startup.
+    for warm_q in ("dwh_daily_metrics", "pandas_token_count"):
+        specs[warm_q].spark_fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     timings: dict[str, float] = {}
     for name, spec in specs.items():
