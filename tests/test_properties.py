@@ -1,0 +1,204 @@
+"""Property-based tests (hypothesis) for the algebraic operator
+rewrites — the invariants the engine's scale forms rely on:
+
+- salted_agg(keys) ≡ groupBy(keys).agg for ANY data and salt count
+  (the skew rewrite must be result-transparent);
+- latest_per_key max_by form ≡ ROW_NUMBER form incl. timestamp ties
+  (the two W1 physical strategies are interchangeable);
+- as-of join ≡ a per-row Python reference (the union+window linear
+  formulation equals the quadratic definition);
+- exact dedup partitions the corpus (group sizes sum to row count,
+  canonical id is the group min);
+- strict vs inclusive high-watermark differ exactly by the boundary
+  rows (the L1/L2 `>` vs `>=` contract);
+- approx_count_distinct is within its rsd bound of the exact count.
+
+Examples are deliberately small (Spark job per example); sizes chosen
+to still hit ties, duplicates, empty groups, and boundary collisions.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from metar_pipeline_spark.operators.incremental import high_watermark_filter
+from metar_pipeline_spark.operators.joins import asof_join
+from metar_pipeline_spark.operators.skew import salted_agg
+from metar_pipeline_spark.operators.windows import (
+    latest_per_key_maxby,
+    latest_per_key_rn,
+)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+
+# Tiny domains on purpose: collisions (shared keys, tied timestamps,
+# duplicate ids) are where these laws can break.
+keys = st.integers(min_value=0, max_value=4)
+ids = st.integers(min_value=0, max_value=30)
+vals = st.integers(min_value=-100, max_value=100)
+ts_offsets = st.integers(min_value=0, max_value=5)
+
+rows = st.lists(st.tuples(keys, ids, vals, ts_offsets), min_size=0, max_size=40)
+
+T0 = datetime(2020, 1, 1)
+
+
+def _df(spark, data):
+    return spark.createDataFrame(
+        [
+            (k, i, float(v), T0 + timedelta(hours=t))
+            for (k, i, v, t) in data
+        ],
+        "key long, id long, value double, ts timestamp",
+    )
+
+
+@given(data=rows, n_salts=st.integers(min_value=1, max_value=5))
+@SETTINGS
+def test_salted_agg_transparent(spark, data, n_salts):
+    df = _df(spark, data)
+    plain = {
+        (r["key"],): (r["n"], r["s"], r["mx"])
+        for r in df.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        (r["key"],): (r["n"], r["s"], r["mx"])
+        for r in salted_agg(
+            df,
+            keys=["key"],
+            salt_source="id",
+            partials={
+                "n": (F.count(F.lit(1)), F.sum("n")),
+                "s": (F.sum(F.col("value").cast("decimal(18,2)")), F.sum("s")),
+                "mx": (F.max("value"), F.max("mx")),
+            },
+            n_salts=n_salts,
+        ).collect()
+    }
+    assert plain == salted
+
+
+@given(data=rows)
+@SETTINGS
+def test_latest_per_key_forms_agree(spark, data):
+    # make (key, ts, id) a total order: dedupe (key, id) pairs
+    seen, uniq = set(), []
+    for k, i, v, t in data:
+        if (k, i) not in seen:
+            seen.add((k, i))
+            uniq.append((k, i, v, t))
+    df = _df(spark, uniq)
+    a = latest_per_key_maxby(df, ["key"], "ts", tiebreak="id")
+    b = latest_per_key_rn(df, ["key"], [F.desc("ts"), F.desc("id")])
+    assert sorted(map(tuple, a.select("key", "id").collect())) == sorted(
+        map(tuple, b.select("key", "id").collect())
+    )
+
+
+@given(data=rows, right_data=rows)
+@SETTINGS
+def test_asof_join_matches_reference(spark, data, right_data):
+    left = _df(spark, data).select("key", "id", "ts")
+    # dedupe right on (key, ts, id) so the as-of winner is unique
+    seen, uniq = set(), []
+    for k, i, v, t in right_data:
+        if (k, t, i) not in seen:
+            seen.add((k, t, i))
+            uniq.append((k, i, v, t))
+    right = _df(spark, uniq).select(
+        "key", F.col("id").alias("rid"), "value", "ts"
+    )
+    out = asof_join(
+        left,
+        right,
+        left_key="key",
+        right_key="key",
+        left_ts="ts",
+        right_ts="ts",
+        payload=["rid", "value"],
+        tiebreak="rid",
+    )
+    got = {
+        (r["key"], r["id"], r["ts"]): (r["rid"], r["value"])
+        for r in out.collect()
+    }
+    # quadratic reference: greatest (ts, rid) with right.ts <= left.ts
+    rrows = right.collect()
+    for lr in left.collect():
+        cands = [
+            r
+            for r in rrows
+            if r["key"] == lr["key"] and r["ts"] <= lr["ts"]
+        ]
+        lk = (lr["key"], lr["id"], lr["ts"])
+        if not cands:
+            assert lk not in got
+        else:
+            best = max(cands, key=lambda r: (r["ts"], r["rid"]))
+            assert got[lk] == (best["rid"], best["value"])
+
+
+@given(data=rows)
+@SETTINGS
+def test_watermark_strict_vs_inclusive_boundary(spark, data):
+    df = _df(spark, data)
+    target = df.limit(max(1, len(data) // 2))
+    if not data:
+        return
+    wm = target.agg(F.max("ts")).first()[0]
+    strict = high_watermark_filter(df, target, "ts", inclusive=False)
+    incl = high_watermark_filter(df, target, "ts", inclusive=True)
+    s_ids = {tuple(r) for r in strict.select("key", "id", "ts").collect()}
+    i_ids = {tuple(r) for r in incl.select("key", "id", "ts").collect()}
+    assert s_ids.issubset(i_ids)
+    # the difference is exactly the boundary-instant rows
+    assert i_ids - s_ids == {
+        tuple(r)
+        for r in df.filter(F.col("ts") == F.lit(wm))
+        .select("key", "id", "ts")
+        .collect()
+    }
+
+
+@given(data=rows)
+@SETTINGS
+def test_exact_dedup_partitions_corpus(spark, data):
+    from metar_pipeline_spark.operators.dedup import exact_dedup_groups
+
+    df = _df(spark, data).select(
+        "id", F.concat_ws(":", "key", "value").alias("text")
+    )
+    groups = exact_dedup_groups(df, "id", "text").collect()
+    assert sum(r["n_copies"] for r in groups) == df.count()
+    # canonical id is the min id of its content group
+    by_text = {}
+    for r in df.collect():
+        by_text.setdefault(r["text"], []).append(r["id"])
+    canon = sorted(min(v) for v in by_text.values())
+    assert sorted(r["canonical_id"] for r in groups) == canon
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    from metar_pipeline_spark.io import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    exact = events.select("user_id").distinct().count()
+    approx = events.agg(
+        F.approx_count_distinct("user_id", rsd=0.05).alias("a")
+    ).first()["a"]
+    assert abs(approx - exact) <= max(3.0, 4 * 0.05 * exact)
