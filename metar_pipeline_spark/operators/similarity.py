@@ -154,6 +154,114 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    k: int,
+    n_centroids: int,
+    nprobe: int,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize the corpus
+    into ``n_centroids`` cells, probe the ``nprobe`` nearest cells per
+    query.
+
+    Centroids are the corpus vectors with id < n_centroids — a
+    deterministic coarse quantizer (k-means init without iterations), so
+    the oracle can reproduce the exact same cells. Structure:
+
+    1. assignment: corpus × broadcast(centroids) → per-vector argmax
+       cosine (max_by aggregate; the ``n_centroids``-fold row
+       amplification happens map-side, never shuffled);
+    2. the inverted lists are the assignment keyed by cell — at 100 TB
+       the corpus is written ``partitionBy(cell)`` so a probe is a
+       partition-pruned scan (same layout contract as sign-LSH);
+    3. probe: each query ranks cells by centroid cosine, takes
+       ``nprobe``; candidates = inverted lists of probed cells only;
+    4. exact scoring + per-query top-k on the candidates.
+
+    Output: (query_id, id, cos_sim, rank) — same shape as
+    brute_force_topk; recall < 1 by design (quantization misses).
+    """
+    from pyspark.sql import Window
+
+    cents = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("centvec"),
+        norm2(F.col(vec_col)).alias("centnorm"),
+    )
+    # rounded cosine so argmax ties resolve identically across engines
+    def _cell_score(vec, nrm):
+        return F.round(
+            dot(vec, F.col("centvec")) / (nrm * F.col("centnorm")), 6
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("cvec"),
+        norm2(F.col(vec_col)).alias("cnorm"),
+    )
+    assigned = (
+        c.join(F.broadcast(cents))
+        .select(
+            "id",
+            "cvec",
+            "cnorm",
+            "cid",
+            _cell_score(F.col("cvec"), F.col("cnorm")).alias("cscore"),
+        )
+        .groupBy("id")
+        .agg(
+            F.max_by(
+                F.struct("cid", "cvec", "cnorm"),
+                F.struct(F.col("cscore"), -F.col("cid")),
+            ).alias("_a")
+        )
+        .select("id", "_a.cid", "_a.cvec", "_a.cnorm")
+    )
+    q = query.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm2(F.col(vec_col)).alias("qnorm"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("qscore"), F.asc("cid")
+    )
+    probes = (
+        q.join(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qvec",
+            "qnorm",
+            "cid",
+            _cell_score(F.col("qvec"), F.col("qnorm")).alias("qscore"),
+        )
+        .withColumn("prank", F.row_number().over(wq))
+        .filter(F.col("prank") <= nprobe)
+        .select("query_id", "qvec", "qnorm", "cid")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cid")
+        .filter(F.col("query_id") != F.col("id"))
+        .select(
+            "query_id",
+            "id",
+            F.round(
+                dot(F.col("cvec"), F.col("qvec"))
+                / (F.col("cnorm") * F.col("qnorm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     id_col: str,

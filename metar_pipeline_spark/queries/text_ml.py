@@ -407,3 +407,53 @@ def ann_lsh_topk(spark, sf_dir):
 def embedding_neardup_pairs(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.cosine_neardup_pairs(emb, "vec_id", "embedding", "label", 0.3)
+
+
+_DUCK_IVF = f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS centvec FROM embeddings WHERE vec_id < 8
+    ),
+    assigned AS (
+      SELECT id, cid, cvec FROM (
+        SELECT e.vec_id AS id, c.cid, e.embedding AS cvec,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round({_DUCK_COS.format(a="e.embedding", b="c.centvec")}, 6) DESC, c.cid
+               ) AS arn
+        FROM embeddings e, cents c
+      ) WHERE arn = 1
+    ),
+    probes AS (
+      SELECT query_id, qvec, cid FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round({_DUCK_COS.format(a="q.embedding", b="c.centvec")}, 6) DESC, c.cid
+               ) AS prn
+        FROM embeddings q, cents c WHERE q.vec_id < 5
+      ) WHERE prn <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, a.id,
+             round({_DUCK_COS.format(a="a.cvec", b="p.qvec")}, 6) AS cos_sim
+      FROM assigned a JOIN probes p ON a.cid = p.cid
+      WHERE a.id <> p.query_id
+    )
+    SELECT query_id, id, cos_sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, id) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+"""
+
+
+@register(
+    "ann_ivf_topk",
+    _DUCK_IVF,
+    doc="IVF ANN top-10: 8-cell coarse quantizer, nprobe=2 inverted-list probe (partition-pruned scan at scale)",
+)
+def ann_ivf_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return sim.ivf_topk(
+        emb, q, "vec_id", "embedding", "vec_id", k=10, n_centroids=8, nprobe=2
+    )

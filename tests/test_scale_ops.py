@@ -184,3 +184,29 @@ def test_streaming_first_seen_dedup(spark, event_stream_dirs):
     assert len(rows) == len(set(map(tuple, rows)))
     events = load_table(spark, SF_SMOKE, "events")
     assert len(rows) == events.select("user_id", "event_id").distinct().count()
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF with nprobe=2/8 cells must find a meaningful fraction of the
+    true top-10 (approximate by design, not broken)."""
+    from metar_pipeline_spark.io import load_table
+    from metar_pipeline_spark.operators import similarity as sim
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    truth = {
+        (r["query_id"], r["id"])
+        for r in sim.brute_force_topk(
+            emb, q, "vec_id", "embedding", "vec_id", 10
+        ).collect()
+    }
+    got = {
+        (r["query_id"], r["id"])
+        for r in sim.ivf_topk(
+            emb, q, "vec_id", "embedding", "vec_id",
+            k=10, n_centroids=8, nprobe=2,
+        ).collect()
+    }
+    assert len(got & truth) / len(truth) >= 0.2
+    # every IVF result is a real vector pair with a sane score
+    assert all(qid != i for qid, i in got)
