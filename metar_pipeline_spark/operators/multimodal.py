@@ -230,3 +230,74 @@ def extract_audio_features(
             )
 
     return df.select(id_col, bin_col).mapInPandas(kernel, AUDIO_FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("target_w", T.IntegerType()),
+        T.StructField("target_h", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("resized_md5", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "doc_id",
+    bin_col: str = "content",
+) -> DataFrame:
+    """Image resize → (id, target dims, resized bytes, digest, size).
+
+    Real-decoder seam as in decode_images: with PIL present the kernel
+    would decode → resample → re-encode; here the stand-in emits a
+    deterministic ``target_w*target_h``-byte buffer derived by cycling
+    md5(buf || dims) — a pure function of the input, so schema, batch
+    shape, output cardinality (1:1), and byte-budget behavior are all
+    exercised for real. Binary out-columns stay opaque to Spark exactly
+    like production re-encoded JPEGs would.
+    """
+    try:  # pragma: no cover - library not present in this environment
+        import PIL.Image  # noqa: F401
+
+        have_pil = True
+    except Exception:
+        have_pil = False
+
+    n_out = target_w * target_h
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if have_pil:  # pragma: no cover
+                raise NotImplementedError(
+                    "real PIL resize intentionally not wired in this build"
+                )
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[bin_col]):
+                # hex-string hashing (not raw-byte) so a SQL oracle with
+                # a VARCHAR-only md5 reproduces every byte (same
+                # convention as _fake_image_header)
+                tagged = bytes(b) + f"|{target_w}x{target_h}".encode()
+                seed = bytes.fromhex(
+                    hashlib.md5(tagged.hex().upper().encode()).hexdigest()
+                )
+                buf = (seed * (n_out // len(seed) + 1))[:n_out]
+                rows.append(
+                    (
+                        i,
+                        target_w,
+                        target_h,
+                        buf,
+                        hashlib.md5(buf.hex().upper().encode()).hexdigest(),
+                        len(buf),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[c.name for c in RESIZE_SCHEMA]
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(kernel, RESIZE_SCHEMA)

@@ -174,3 +174,32 @@ def pandas_token_count(spark, sf_dir):
 def longest_daily_streak(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     return longest_daily_streaks(events)
+
+
+@register(
+    "image_resize_stub",
+    f"""
+    WITH seed AS (
+      SELECT doc_id,
+             unhex(md5(upper(hex(({_DUCK_CONTENT}) || encode('|8x8'))))) AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(8 AS INTEGER) AS target_w,
+           CAST(8 AS INTEGER) AS target_h,
+           md5(upper(hex(s || s || s || s))) AS resized_md5,
+           CAST(64 AS INTEGER) AS n_bytes
+    FROM seed
+    """,
+    doc="mapInPandas image-resize plumbing (stub kernel, 8x8 target ⇒ seed cycled 4x) — digest-verified",
+)
+def image_resize_stub(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _content_col().alias("content")
+    )
+    out = mm.resize_images(docs, 8, 8, "doc_id", "content")
+    # raw bytes stay engine-side (BLOB hashing isn't portable to the
+    # VARCHAR-md5 oracle); the digest + length pin them exactly.
+    return out.select(
+        "doc_id", "target_w", "target_h", "resized_md5", "n_bytes"
+    )
