@@ -351,3 +351,37 @@ def scalar_function_surface(spark, sf_dir):
         F.greatest(F.col("value"), F.lit(10.0)).alias("val_hi"),
         F.least(F.col("value"), F.lit(10.0)).alias("val_lo"),
     )
+
+
+@register(
+    "profile_stats_events",
+    """
+    SELECT CAST(COUNT(user_id) AS BIGINT) AS user_id__count,
+           AVG(CASE WHEN user_id IS NULL THEN 1.0 ELSE 0.0 END) AS user_id__null_rate,
+           CAST(MIN(user_id) AS VARCHAR) AS user_id__min,
+           CAST(MAX(user_id) AS VARCHAR) AS user_id__max,
+           CAST(COUNT(event_type) AS BIGINT) AS event_type__count,
+           AVG(CASE WHEN event_type IS NULL THEN 1.0 ELSE 0.0 END) AS event_type__null_rate,
+           CAST(MIN(event_type) AS VARCHAR) AS event_type__min,
+           CAST(MAX(event_type) AS VARCHAR) AS event_type__max,
+           MIN(value) AS value__min,
+           MAX(value) AS value__max,
+           MIN(ts) AS ts__min,
+           MAX(ts) AS ts__max
+    FROM events
+    """,
+    doc="Per-batch column profile (Q6 elementary.column_anomalies approximation): count/null-rate/min/max appended per run to a metrics table",
+)
+def profile_stats_events(spark, sf_dir):
+    from metar_pipeline_spark.quality.assertions import profile
+
+    ev = load_table(spark, sf_dir, "events")
+    prof = profile(ev, ["user_id", "event_type"])
+    typed = ev.agg(
+        F.min("value").alias("value__min"),
+        F.max("value").alias("value__max"),
+        F.min("ts").alias("ts__min"),
+        F.max("ts").alias("ts__max"),
+    )
+    # two 1-row aggregates — the cross join is a broadcast of scalars
+    return prof.join(F.broadcast(typed))
