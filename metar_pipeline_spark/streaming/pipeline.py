@@ -160,3 +160,57 @@ def run_daily_rollup_append(
         .start()
         .awaitTermination()
     )
+
+
+def attribution_join_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    max_gap: str = "1 hour",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each purchase matched to the
+    clicks of the same key in the preceding ``max_gap`` window.
+
+    Beyond the reference (its joins are batch-only dbt tests); included
+    because a streaming engine must bound join state: the watermark +
+    the time-range condition let Spark evict buffered rows once they can
+    no longer match (state ∝ keys x max_gap of data, not the whole
+    stream). Both inputs need a watermark for state cleanup on each
+    side — the standard stream-stream interval-join shape from the
+    public Structured Streaming guide.
+    """
+    c = (
+        clicks.withWatermark(ts_col, watermark)
+        .select(
+            F.col(key).alias("c_key"),
+            F.col(ts_col).alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    p = (
+        purchases.withWatermark(ts_col, watermark)
+        .select(
+            F.col(key).alias("p_key"),
+            F.col(ts_col).alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return p.join(
+        c,
+        (F.col("p_key") == F.col("c_key"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_gap}")
+        ),
+    ).select(
+        F.col("p_key").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+    )

@@ -210,3 +210,71 @@ def test_ivf_recall_vs_brute_force(spark):
     assert len(got & truth) / len(truth) >= 0.2
     # every IVF result is a real vector pair with a sane score
     assert all(qid != i for qid, i in got)
+
+
+def test_stream_stream_attribution_join(spark, tmp_path):
+    """Watermarked stream-stream join equals the batch interval join."""
+    from metar_pipeline_spark.streaming.pipeline import (
+        EVENTS_STREAM_SCHEMA,
+        attribution_join_stream,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    clicks_dir = tmp_path / "clicks"
+    purch_dir = tmp_path / "purchases"
+    events.filter(F.col("event_type") == "click").write.parquet(
+        str(clicks_dir)
+    )
+    events.filter(F.col("event_type") == "purchase").write.parquet(
+        str(purch_dir)
+    )
+
+    c_stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(
+        str(clicks_dir)
+    )
+    p_stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(
+        str(purch_dir)
+    )
+    q = (
+        attribution_join_stream(c_stream, p_stream, max_gap="1 hour")
+        .writeStream.format("memory")
+        .queryName("attr_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        tuple(r)
+        for r in spark.table("attr_out")
+        .select("purchase_id", "click_id")
+        .collect()
+    }
+
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_key"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_key"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    expect = {
+        tuple(r)
+        for r in p.join(
+            c,
+            (F.col("p_key") == F.col("c_key"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (
+                F.col("click_ts")
+                >= F.col("purchase_ts") - F.expr("INTERVAL 1 hour")
+            ),
+        )
+        .select("purchase_id", "click_id")
+        .collect()
+    }
+    assert got == expect and len(got) > 0
