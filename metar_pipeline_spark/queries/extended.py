@@ -385,3 +385,91 @@ def profile_stats_events(spark, sf_dir):
     )
     # two 1-row aggregates — the cross join is a broadcast of scalars
     return prof.join(F.broadcast(typed))
+
+
+@register(
+    "event_value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Ordered-set aggregates: exact interpolated percentiles per group (sort-based, deterministic)",
+)
+def event_value_percentiles(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+@register(
+    "pivot_daily_event_type_counts",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+    FROM events
+    GROUP BY 1
+    """,
+    doc="PIVOT: day x event_type count matrix (explicit value list keeps the plan a single pass)",
+)
+def pivot_daily_event_type_counts(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    # explicit pivot values: no extra distinct-collection job, stable
+    # column order, and the plan stays one partial-agg pass at any scale
+    out = (
+        ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("d"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+    )
+    # pivot leaves NULL where a (day, type) cell had no rows; the
+    # conditional-SUM oracle yields 0 — normalize to 0
+    return out.select(
+        "d",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).alias(c)
+            for c in ("click", "error", "purchase", "signup", "view")
+        ],
+    )
+
+
+@register(
+    "doc_word_frequencies",
+    """
+    SELECT w AS word, COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS w
+      FROM documents
+    ) t
+    GROUP BY w
+    HAVING COUNT(*) >= 10
+    """,
+    doc="Generator surface: explode(tokens) -> word frequencies (the canonical flatMap/LATERAL VIEW shape)",
+)
+def doc_word_frequencies(spark, sf_dir):
+    from metar_pipeline_spark.operators.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+    )
+    return (
+        words.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= 10)
+    )
