@@ -473,3 +473,62 @@ def doc_word_frequencies(spark, sf_dir):
         )
         .filter(F.col("n_occurrences") >= 10)
     )
+
+
+@register(
+    "unpivot_daily_metrics_long",
+    """
+    WITH wide AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value,
+             CAST(COUNT(*) AS DOUBLE) AS n_events,
+             CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_users
+      FROM events
+      GROUP BY 1
+    )
+    SELECT d, metric, metric_value FROM wide
+    UNPIVOT (metric_value FOR metric IN (sum_value, n_events, n_users))
+    """,
+    doc="UNPIVOT: wide daily metrics melted to (day, metric, value) long form",
+)
+def unpivot_daily_metrics_long(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    wide = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(
+        F.round(_dsum(F.col("value"), DEC2), 2).alias("sum_value"),
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.count_distinct("user_id").cast("double").alias("n_users"),
+    )
+    return wide.unpivot(
+        ids=["d"],
+        values=["sum_value", "n_events", "n_users"],
+        variableColumnName="metric",
+        valueColumnName="metric_value",
+    )
+
+
+@register(
+    "events_last_hour_range_frame",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_last_hour
+    FROM events
+    """,
+    doc="RANGE window frame: per-event count of same-user events in the trailing hour (value-range, not row-count, frame)",
+)
+def events_last_hour_range_frame(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.withColumn("n_last_hour", F.count(F.lit(1)).over(w))
