@@ -56,6 +56,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # the registry grows round over round; mean-per-query is
+                # the count-stable comparison number
+                "n_queries": len(timings),
+                "mean_sec": round(total / max(len(timings), 1), 3),
             }
         )
     )
