@@ -74,3 +74,28 @@ _sql_query(
     """,
     doc="Explicit GROUPING SETS via spark.sql (beyond rollup/cube shorthands)",
 )
+
+
+_sql_query(
+    "recursive_date_spine_gapfill",
+    """
+    WITH RECURSIVE bounds AS (
+      SELECT CAST(MIN(date_trunc('day', ts)) AS DATE) AS dmin,
+             CAST(MAX(date_trunc('day', ts)) AS DATE) AS dmax
+      FROM events
+    ),
+    spine(d) AS (
+      SELECT dmin AS d FROM bounds
+      UNION ALL
+      SELECT CAST(d + INTERVAL 1 DAY AS DATE) AS d FROM spine
+      WHERE d < (SELECT dmax FROM bounds)
+    ),
+    daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d, COUNT(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT s.d, CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_events
+    FROM spine s LEFT JOIN daily ON s.d = daily.d
+    """,
+    doc="Recursive CTE date spine + gap-filling left join (Spark 4 recursion), identical ANSI text on both engines",
+)
