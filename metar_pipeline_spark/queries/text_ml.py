@@ -457,3 +457,73 @@ def ann_ivf_topk(spark, sf_dir):
     return sim.ivf_topk(
         emb, q, "vec_id", "embedding", "vec_id", k=10, n_centroids=8, nprobe=2
     )
+
+
+@register(
+    "doc_tfidf_top_terms",
+    f"""
+    WITH words AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS n_td
+      FROM words GROUP BY doc_id, term
+    ),
+    doclen AS (
+      SELECT doc_id, COUNT(*) AS len_d FROM words GROUP BY doc_id
+    ),
+    dfreq AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df_t FROM words GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round((tf.n_td / CAST(doclen.len_d AS DOUBLE))
+                   * ln(n.n_docs / CAST(dfreq.df_t AS DOUBLE)), 6) AS tfidf
+      FROM tf
+      JOIN doclen ON tf.doc_id = doclen.doc_id
+      JOIN dfreq ON tf.term = dfreq.term
+      CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY doc_id ORDER BY tfidf DESC, term
+           ) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 3
+    """,
+    doc="TF-IDF top-3 terms per document: tf/df via two partial-agg passes, N and df broadcast back (no driver collect)",
+)
+def doc_tfidf_top_terms(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(tx.tokens(F.col("text"))).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("n_td"))
+    doclen = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len_d"))
+    dfreq = words.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df_t")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(doclen, "doc_id")
+        # term-dictionary side is corpus-vocabulary-sized: broadcast it
+        # against the (doc, term) fact rather than shuffling the fact
+        .join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("n_td") / F.col("len_d").cast("double"))
+                * F.log(F.col("n_docs") / F.col("df_t").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
