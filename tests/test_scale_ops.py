@@ -278,3 +278,50 @@ def test_stream_stream_attribution_join(spark, tmp_path):
         .collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_jsonl_file_ingest_roundtrip(spark, tmp_path):
+    """S7: JSON-lines file ingest with explicit schema — the file-based
+    twin of the collector's from_json path. Schema is supplied (never
+    inferred: inference scans the data twice and types drift at scale);
+    missing keys land as NULL exactly like `payload ->> 'k'`."""
+    from metar_pipeline_spark.streaming.pipeline import EVENTS_STREAM_SCHEMA
+
+    events = load_table(spark, SF_SMOKE, "events").limit(200)
+    jdir = tmp_path / "events_jsonl"
+    events.write.json(str(jdir))
+
+    back = spark.read.schema(EVENTS_STREAM_SCHEMA).json(str(jdir))
+    assert back.count() == 200
+    a = sorted(
+        map(tuple, events.select("event_id", "user_id", "value").collect())
+    )
+    b = sorted(
+        map(tuple, back.select("event_id", "user_id", "value").collect())
+    )
+    assert a == b
+    # a file with a missing key -> NULL, not an error (PERMISSIVE)
+    extra = tmp_path / "extra.json"
+    extra.write_text('{"event_id": 999999, "user_id": 1}\n')
+    one = spark.read.schema(EVENTS_STREAM_SCHEMA).json(str(extra))
+    row = one.first()
+    assert row["event_id"] == 999999 and row["value"] is None
+
+
+def test_approx_aggregates_bounds(spark):
+    """Approximate aggregates (SURVEY §2.4 note): HLL distinct count and
+    quantile sketch stay within their documented error bounds vs exact —
+    the constant-memory path for 100 TB cardinality/quantile work."""
+    events = load_table(spark, SF_SMOKE, "events")
+    exact_users = events.select("user_id").distinct().count()
+    got = events.agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("hll"),
+        F.percentile_approx("value", 0.5, 10000).alias("p50_sketch"),
+        F.expr("percentile(value, 0.5)").alias("p50_exact"),
+    ).first()
+    assert abs(got["hll"] - exact_users) <= max(3.0, 4 * 0.02 * exact_users)
+    # percentile_approx returns a real data value within tight rank error
+    lo, hi = events.agg(
+        F.expr("percentile(value, 0.45)"), F.expr("percentile(value, 0.55)")
+    ).first()
+    assert lo <= got["p50_sketch"] <= hi
