@@ -1,0 +1,72 @@
+"""Small-file compaction for parquet tables.
+
+The reference never meets this (≤960 rows/day into Postgres), but every
+streaming parquet sink in this engine produces one file per micro-batch
+per partition — after a month of 30-minute triggers (L6 cadence,
+/root/reference/infra/airflow/dags/metar_pipeline_dag.py:18) a table
+holds thousands of KB-sized files, and at 100 TB the scan's task-setup
+overhead and the NameNode/object-store listing dominate. Compaction is
+the standard maintenance op (Delta OPTIMIZE / Iceberg rewrite_data_files
+are the lakehouse-format twins; this is the plain-parquet form).
+
+Sizing: target ≈ the scan split size (`spark.sql.files.maxPartitionBytes`,
+128 MB in session.py) so one file ≈ one task. Rewrite is
+staging + atomic rename, same single-writer contract as
+sources/merge.upsert_parquet.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import SparkSession
+
+from metar_pipeline_spark.sources.merge import _hadoop_fs
+
+DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) for a parquet dir (recursive)."""
+    fs, hpath, jvm = _hadoop_fs(spark, path)
+    n, total = 0, 0
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith(("_", ".")):
+            n += 1
+            total += st.getLen()
+    return n, total
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = DEFAULT_TARGET_BYTES,
+    min_files_to_compact: int = 2,
+) -> int:
+    """Rewrite ``path`` into ``ceil(total_bytes / target_file_bytes)``
+    files. Returns the new file count (or the old one if no-op).
+
+    Uses repartition (full shuffle) rather than coalesce: coalesce(n)
+    caps the READ parallelism of the rewrite itself at n tasks and can
+    produce skewed outputs when input files are uneven; one extra
+    shuffle of data that is being fully rewritten anyway is the right
+    trade at scale.
+    """
+    n_files, total = dir_stats(spark, path)
+    n_target = max(1, math.ceil(total / target_file_bytes))
+    if n_files < min_files_to_compact or n_target >= n_files:
+        return n_files
+
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + ".__compact__"
+    df.repartition(n_target).write.mode("overwrite").parquet(staging)
+
+    fs, tpath, _ = _hadoop_fs(spark, path)
+    _, spath, _ = _hadoop_fs(spark, staging)
+    fs.delete(tpath, True)
+    fs.rename(spath, tpath)
+    new_n, _ = dir_stats(spark, path)
+    return new_n

@@ -325,3 +325,27 @@ def test_approx_aggregates_bounds(spark):
         F.expr("percentile(value, 0.45)"), F.expr("percentile(value, 0.55)")
     ).first()
     assert lo <= got["p50_sketch"] <= hi
+
+
+def test_compact_parquet_dir(spark, tmp_path):
+    """Compaction rewrites a fragmented table to ~target-sized files and
+    preserves every row."""
+    from metar_pipeline_spark.sources.compaction import (
+        compact_parquet_dir,
+        dir_stats,
+    )
+
+    path = str(tmp_path / "fragmented")
+    events = load_table(spark, SF_SMOKE, "events")
+    # simulate 40 micro-batch drops
+    events.repartition(40).write.mode("overwrite").parquet(path)
+    before_files, total = dir_stats(spark, path)
+    assert before_files >= 40
+    before_rows = spark.read.parquet(path).count()
+
+    new_n = compact_parquet_dir(spark, path, target_file_bytes=total)
+    assert new_n < before_files and new_n >= 1
+    assert spark.read.parquet(path).count() == before_rows
+
+    # idempotent: a second pass is a no-op
+    assert compact_parquet_dir(spark, path, target_file_bytes=total) == new_n
