@@ -532,3 +532,68 @@ def events_last_hour_range_frame(spark, sf_dir):
         .rangeBetween(-3600, Window.currentRow)
     )
     return ev.withColumn("n_last_hour", F.count(F.lit(1)).over(w))
+
+
+@register(
+    "analytic_rank_functions",
+    """
+    SELECT event_id, user_id, value,
+           NTILE(4) OVER w AS quartile,
+           round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           round(CUME_DIST() OVER w, 6) AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+    doc="Analytic window functions: ntile / percent_rank / cume_dist over a total per-key order",
+)
+def analytic_rank_functions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "dedup_levenshtein_pairs",
+    """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS edit_distance
+    FROM documents a
+    JOIN documents b
+      ON substr(a.text, 1, 8) = substr(b.text, 1, 8) AND a.doc_id < b.doc_id
+    WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 10
+    """,
+    doc="Edit-distance near-dup pairs: prefix-blocked candidates (equi-join, never O(n²)) → levenshtein ≤ 10 on 40-char heads",
+)
+def dedup_levenshtein_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select(
+        F.col("doc_id").alias("id_a"),
+        F.substring("text", 1, 8).alias("blk"),
+        F.substring("text", 1, 40).alias("head_a"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id_b"),
+        F.substring("text", 1, 8).alias("blk"),
+        F.substring("text", 1, 40).alias("head_b"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("head_a", "head_b").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= 10)
+    )

@@ -532,3 +532,105 @@ def tpch_q22_idle_customers(spark, sf_dir):
         F.count(F.lit(1)).alias("numcust"),
         F.round(_dsum(F.col("c_acctbal"), DEC2), 2).alias("totacctbal"),
     )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS unit_cost
+      FROM lineitem GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT l_partkey, l_suppkey, unit_cost FROM (
+        SELECT ps.*, ROW_NUMBER() OVER (
+          PARTITION BY l_partkey ORDER BY unit_cost, l_suppkey
+        ) AS rn FROM ps
+      ) t WHERE rn = 1
+    )
+    SELECT p.p_partkey, p.p_name, s.s_name, n.n_name, b.unit_cost
+    FROM best b
+    JOIN part p ON p.p_partkey = b.l_partkey AND p.p_size <= 5
+    JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    """,
+    doc="TPC-H Q2 (adapted, lineitem economics for partsupp): cheapest supplier per small part — two-level agg + argmin",
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(
+            _dsum(F.col("l_extendedprice"), DEC2)
+            / _dsum(F.col("l_quantity"), DEC2),
+            6,
+        ).alias("unit_cost")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
+    best = (
+        ps.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size") <= 5
+    ).select("p_partkey", "p_name")
+    supp_nat = broadcast_dim_join(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", "n_name")
+    return (
+        broadcast_dim_join(best, part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_name", "s_name", "n_name", "unit_cost")
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    """
+    WITH pv AS (
+      SELECT l.l_partkey,
+             round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS part_value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_1'
+      GROUP BY l.l_partkey
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(part_value AS DECIMAL(18,2))) AS DOUBLE) AS t FROM pv
+    )
+    SELECT pv.l_partkey AS partkey, pv.part_value
+    FROM pv, tot
+    WHERE pv.part_value > 0.001 * tot.t
+    """,
+    doc="TPC-H Q11 (adapted): parts above a fraction of one nation's total volume — HAVING vs broadcast global scalar",
+)
+def tpch_q11_important_stock(spark, sf_dir):
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_1"
+    )
+    supp = broadcast_dim_join(
+        load_table(spark, sf_dir, "supplier"),
+        nat.select("n_nationkey"),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    pv = (
+        broadcast_dim_join(
+            load_table(spark, sf_dir, "lineitem"),
+            supp,
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.round(_dsum(F.col("l_extendedprice"), DEC2), 2).alias("part_value"))
+    )
+    tot = pv.agg(_dsum(F.col("part_value"), DEC2).alias("t"))
+    return (
+        pv.join(F.broadcast(tot))
+        .filter(F.col("part_value") > F.lit(0.001) * F.col("t"))
+        .select(F.col("l_partkey").alias("partkey"), "part_value")
+    )
