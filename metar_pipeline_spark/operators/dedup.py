@@ -299,3 +299,65 @@ def minhash_lsh_dedup_pairs(
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
     sims = jaccard_on_pairs(cands, df, id_col, text_col, shingle_n)
     return sims.filter(F.col("jaccard") >= threshold)
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list: every node gets
+    ``component_id`` = the minimum node id reachable from it.
+
+    This is the step that turns near-dup PAIRS (LSH/Jaccard output) into
+    dedup GROUPS — at training-data scale a doc can pair with thousands
+    of near-copies and transitive chains must collapse to one canonical
+    id per cluster.
+
+    Algorithm: hash-min label propagation. Each round every node takes
+    the min of its own label and its neighbors' labels (one shuffled
+    equi-join on node id + one groupBy-min), converging in
+    O(component diameter) rounds — near-dup clusters are shallow (stars /
+    short chains), so typically 2-4 rounds. Per round the iterate is
+    ``localCheckpoint``-ed: lineage stays O(1) so Catalyst never replans
+    a 25-join tree, and the convergence check is a scalar count, not a
+    driver collect of the labels. For adversarial high-diameter graphs
+    the large-star/small-star variant (Kiveris et al., "Connected
+    Components in MapReduce") halves diameter per round; near-dup graphs
+    don't need it.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+    ).union(
+        edges.select(F.col(dst_col).alias("__s"), F.col(src_col).alias("__d"))
+    )
+    labels = nodes.select(
+        F.col(node_col).alias("__n"), F.col(node_col).alias("__lbl")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor = (
+            sym.join(labels, sym["__d"] == labels["__n"])
+            .select(F.col("__s").alias("__n"), "__lbl")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("__n")
+            .agg(F.min("__lbl").alias("__lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("a")
+            .join(labels.alias("b"), F.col("a.__n") == F.col("b.__n"))
+            .filter(F.col("a.__lbl") != F.col("b.__lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("__n").alias(node_col), F.col("__lbl").alias("component_id")
+    )

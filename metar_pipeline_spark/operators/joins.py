@@ -84,6 +84,53 @@ def asof_join(
     return out.select(*lcols, *[F.col(f"__last.{c}").alias(c) for c in payload])
 
 
+def bucketed_range_join(
+    left: DataFrame,
+    left_ts: str,
+    intervals: DataFrame,
+    start: str,
+    end: str,
+    granularity: str = "1 hour",
+) -> DataFrame:
+    """Interval join: left rows whose ``left_ts`` falls in ``[start, end)``
+    of an intervals row, without the |L|x|I| theta-join cross product.
+
+    Each interval is exploded into the coarse time buckets it covers
+    (``F.sequence`` — JVM-side, rows = interval_len/granularity), the fact
+    side gets its bucket via ``date_trunc``, and the join is a plain hash
+    equi-join on the bucket followed by the exact containment refilter.
+    At 100 TB this is the difference between a BroadcastNestedLoopJoin
+    (quadratic, non-shuffleable) and a shuffled/broadcast hash join that
+    AQE can size. Granularity should be >= the typical interval length's
+    order of magnitude divided by ~100 to bound the explode factor.
+    """
+    amount, unit = granularity.split()
+    if amount != "1":
+        raise ValueError(
+            "granularity must be a single date_trunc unit (e.g. '1 hour') "
+            "so fact-side truncation aligns with the interval bucket grid"
+        )
+    gran = F.expr(f"INTERVAL {amount} {unit.rstrip('s').upper()}S")
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc(unit.rstrip("s"), F.col(start)),
+                F.date_trunc(unit.rstrip("s"), F.col(end) - F.expr("INTERVAL 1 SECOND")),
+                gran,
+            )
+        ),
+    )
+    fact = left.withColumn(
+        "__bucket", F.date_trunc(unit.rstrip("s"), F.col(left_ts))
+    )
+    return (
+        fact.join(iv, "__bucket")
+        .filter((F.col(left_ts) >= F.col(start)) & (F.col(left_ts) < F.col(end)))
+        .drop("__bucket")
+    )
+
+
 def fk_violations(child: DataFrame, parent: DataFrame, child_key, parent_key) -> DataFrame:
     """Rows of ``child`` whose key has no match in ``parent`` (J1).
 

@@ -48,6 +48,7 @@ def all_queries() -> dict[str, QuerySpec]:
         scale_q,
         sql_api,
         text_ml,
+        timeseries_q,
         tpch_more,
     )
 

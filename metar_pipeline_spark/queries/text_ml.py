@@ -527,3 +527,57 @@ def doc_tfidf_top_terms(spark, sf_dir):
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
     )
+
+
+@register(
+    "dedup_connected_components",
+    f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, lang, source, list_distinct({_DUCK_TOKS}) AS s
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM t a JOIN t b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE round(len(list_intersect(a.s, b.s))
+                  / greatest(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 1), 6) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    comp AS (SELECT node AS doc_id, MIN(r) AS component_id FROM reach GROUP BY node)
+    SELECT c.doc_id, c.component_id, z.component_size
+    FROM comp c
+    JOIN (SELECT component_id, COUNT(*) AS component_size
+          FROM comp GROUP BY 1) z USING (component_id)
+    """,
+    doc=(
+        "Near-dup clustering: unigram-Jaccard >= 0.8 pairs -> connected "
+        "components (hash-min label propagation; O(diameter) shuffled "
+        "rounds, O(1) lineage via localCheckpoint) -> per-doc canonical "
+        "component_id + component size. The pairs->groups step every "
+        "at-scale dedup pipeline needs; oracle = recursive-CTE "
+        "transitive closure."
+    ),
+)
+def dedup_connected_components(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_unigram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    comp = dd.connected_components(
+        docs.select("doc_id"), pairs,
+        node_col="doc_id", src_col="id_a", dst_col="id_b",
+    )
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("component_size")
+    )
+    return comp.join(sizes, "component_id").select(
+        "doc_id", "component_id", "component_size"
+    )

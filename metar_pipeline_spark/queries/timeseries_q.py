@@ -1,0 +1,329 @@
+"""Time-windowed / sampling / moment-statistics queries.
+
+The reference's only time bucketing is ``date_trunc('day', observed)``
+(/root/reference/dbt/models/dwh/dw_daily_airport_metrics.sql:11) and its
+only cadence a 30-minute micro-batch
+(/root/reference/infra/airflow/dags/metar_pipeline_dag.py:18). A complete
+engine needs the full event-time windowing surface a stream table gets in
+production — tumbling/sliding windows (`F.window`), session windows
+(`F.session_window`), interval/range joins, deterministic sampling, and
+exact distributed moments. Each query here is the batch form (oracle-
+checkable); the streaming forms reuse the identical expressions under
+``withWatermark`` (see streaming/pipeline.py).
+
+Scale notes:
+- `F.window` / `F.session_window` are native Catalyst operators: the
+  sliding-window expansion happens JVM-side inside codegen (no UDF, no
+  explode of the raw fact), and the downstream agg is a plain partial+
+  final hash aggregate on (window, key) — linear, shuffle-once.
+- The range join avoids the |events| x |intervals| cross product by
+  equi-joining on an hour bucket first (bucket count = interval length /
+  granularity), which at 100 TB turns a nested-loop into a hash join.
+- Sampling uses a multiplicative integer hash of the key — identical
+  arithmetic on any engine, no RNG, so the sample is reproducible
+  across runs, engines, and partitionings (the property training-data
+  pipelines need for held-out splits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from metar_pipeline_spark.io import load_table
+from metar_pipeline_spark.queries import register
+from metar_pipeline_spark.queries.core import DEC2, _dsum
+
+# ---------------------------------------------------------------------------
+# Sliding window aggregation — F.window(ts, window, slide)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sliding_window_event_stats",
+    """
+    WITH assigned AS (
+      SELECT TIMESTAMP '1970-01-01'
+               + (CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800
+                  - k * 1800) * INTERVAL 1 SECOND AS window_start,
+             event_type, value
+      FROM events CROSS JOIN (VALUES (0), (1)) t(k)
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+    FROM assigned
+    GROUP BY 1, 2, 3
+    """,
+    doc=(
+        "1-hour windows sliding every 30 min per event_type via native "
+        "F.window (each row lands in exactly window/slide = 2 buckets; "
+        "expansion is JVM-side, agg is one shuffle on (window, type))"
+    ),
+)
+def sliding_window_event_stats(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour", "30 minutes")
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(_dsum(F.col("value"), DEC2), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session windows — F.session_window(ts, gap)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "session_window_stats",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTES
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTES AS session_end,
+           COUNT(*) AS n_events,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    doc=(
+        "Per-user session windows (30-min inactivity gap) via native "
+        "F.session_window — Spark merges overlapping [ts, ts+gap) spans "
+        "in a single stateful operator; oracle is the classic lag-based "
+        "gaps-and-islands formulation. Session end = last event + gap "
+        "(half-open), so an event exactly at expiry opens a new session "
+        "on both engines."
+    ),
+)
+def session_window_stats(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(_dsum(F.col("value"), DEC2), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed range (interval) join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "range_join_event_windows",
+    """
+    WITH busy AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d, COUNT(*) AS n
+      FROM events GROUP BY 1
+      ORDER BY n DESC, d LIMIT 5
+    ),
+    iv AS (
+      SELECT CAST(d AS TIMESTAMP) + INTERVAL 6 HOUR AS ws,
+             CAST(d AS TIMESTAMP) + INTERVAL 18 HOUR AS we
+      FROM busy
+    )
+    SELECT iv.ws AS window_start, iv.we AS window_end,
+           COUNT(*) AS n_events,
+           round(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+    FROM iv JOIN events e ON e.ts >= iv.ws AND e.ts < iv.we
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Interval join: events vs the busiest-5-days' 06:00-18:00 windows. "
+        "Implemented as a bucketed range join (intervals exploded to hour "
+        "buckets, equi-join on the bucket, exact containment refilter) — "
+        "the pattern that keeps interval joins hash-based at 100 TB "
+        "instead of a nested-loop theta join."
+    ),
+)
+def range_join_event_windows(spark, sf_dir):
+    from metar_pipeline_spark.operators.joins import bucketed_range_join
+
+    events = load_table(spark, sf_dir, "events")
+    busy = (
+        events.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("d"))
+        .limit(5)
+    )
+    intervals = busy.select(
+        (F.col("d").cast("timestamp") + F.expr("INTERVAL 6 HOURS")).alias("ws"),
+        (F.col("d").cast("timestamp") + F.expr("INTERVAL 18 HOURS")).alias("we"),
+    )
+    joined = bucketed_range_join(
+        events, "ts", intervals, "ws", "we", granularity="1 hour"
+    )
+    return (
+        joined.groupBy("ws", "we")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(_dsum(F.col("value"), DEC2), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("ws").alias("window_start"),
+            F.col("we").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed moments (variance / stddev / correlation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_moments_exact",
+    """
+    WITH s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(CAST(length(props) AS DOUBLE) AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(value * value AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(CAST(length(props) AS DOUBLE) * CAST(length(props) AS DOUBLE) AS DECIMAL(38,10))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(value * CAST(length(props) AS DOUBLE) AS DECIMAL(38,10))) AS DOUBLE) AS sxy
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round(sx / n, 6) AS mean_value,
+           round((sxx - sx * sx / n) / (n - 1), 6) AS var_value,
+           round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_value,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_value_proplen
+    FROM s
+    """,
+    doc=(
+        "Per-type mean/variance/stddev and corr(value, length(props)) from "
+        "exact DECIMAL power sums — the distributed-moments pattern: one "
+        "partial+final agg pass, deterministic under any partition order "
+        "(unlike naive float corr/var whose accumulation order drifts)"
+    ),
+)
+def stats_moments_exact(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    y = F.length("props").cast("double")
+    dec = "decimal(38,10)"
+
+    def dsum(col):
+        return F.sum(col.cast(dec)).cast("double")
+
+    s = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("value")).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(F.col("value") * F.col("value")).alias("sxx"),
+        dsum(y * y).alias("syy"),
+        dsum(F.col("value") * y).alias("sxy"),
+    )
+    n, sx, sy, sxx, syy, sxy = (
+        F.col("n"),
+        F.col("sx"),
+        F.col("sy"),
+        F.col("sxx"),
+        F.col("syy"),
+        F.col("sxy"),
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.round(sx / n, 6).alias("mean_value"),
+        F.round((sxx - sx * sx / n) / (n - 1), 6).alias("var_value"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6).alias("stddev_value"),
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("corr_value_proplen"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic (stratified) sampling
+# ---------------------------------------------------------------------------
+
+# Knuth's multiplicative hash: engine-agnostic integer arithmetic, so the
+# same rows are sampled on Spark, DuckDB, or any SQL engine — unlike
+# rand(seed)/TABLESAMPLE whose streams are engine-private.
+_SAMPLE_HASH_SQL = "(event_id * 2654435761) % 4294967296"
+
+
+@register(
+    "deterministic_stratified_sample",
+    f"""
+    WITH sampled AS (
+      SELECT event_type, value
+      FROM events
+      WHERE ({_SAMPLE_HASH_SQL}) % 100 <
+            CASE event_type WHEN 'purchase' THEN 50
+                            WHEN 'click' THEN 5
+                            ELSE 10 END
+    )
+    SELECT event_type,
+           COUNT(*) AS n_sampled,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+    FROM sampled
+    GROUP BY event_type
+    """,
+    doc=(
+        "Stratified deterministic sample (50% purchases, 5% clicks, 10% "
+        "rest) via a multiplicative key hash — reproducible across "
+        "engines/partitionings/runs; the predicate is a pure scan-side "
+        "filter (no shuffle, no RNG state), so at 100 TB sampling cost "
+        "is one pushed-down scan"
+    ),
+)
+def deterministic_stratified_sample(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    bucket = (F.col("event_id") * F.lit(2654435761)) % F.lit(4294967296) % 100
+    frac = (
+        F.when(F.col("event_type") == "purchase", 50)
+        .when(F.col("event_type") == "click", 5)
+        .otherwise(10)
+    )
+    return (
+        events.filter(bucket < frac)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(_dsum(F.col("value"), DEC2), 2).alias("sum_value"),
+        )
+    )

@@ -634,3 +634,73 @@ def tpch_q11_important_stock(spark, sf_dir):
         .filter(F.col("part_value") > F.lit(0.001) * F.col("t"))
         .select(F.col("l_partkey").alias("partkey"), "part_value")
     )
+
+
+@register(
+    "tpch_q21_suppliers_kept_waiting",
+    """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_1'
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY s.s_name
+    """,
+    doc=(
+        "TPC-H Q21 (adapted: late := shipped >30 days after order date, no "
+        "receipt/commit dates in testdata): sole-late supplier on multi-"
+        "supplier 'F' orders. EXISTS/NOT EXISTS decorrelated to one "
+        "per-order aggregate (n distinct suppliers / n distinct late "
+        "suppliers) — one extra shuffle instead of two correlated "
+        "re-scans of lineitem; the scale-correct plan for a 100 TB fact."
+    ),
+)
+def tpch_q21_suppliers_kept_waiting(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders_f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    # Fact-fact equi-join on orderkey (shuffle), then ONE per-order agg
+    # replaces both correlated subqueries.
+    l = li.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+    )
+    per_order = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    sole_late_orders = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+    ).select("l_orderkey")
+    waiting_lines = l.filter(F.col("late")).join(
+        sole_late_orders, "l_orderkey"
+    )
+    supp = broadcast_dim_join(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_1")
+        .select("n_nationkey"),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+    return (
+        waiting_lines.join(
+            F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

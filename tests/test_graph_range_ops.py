@@ -1,0 +1,72 @@
+"""Unit semantics for connected_components and bucketed_range_join."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from metar_pipeline_spark.operators.dedup import connected_components
+from metar_pipeline_spark.operators.joins import bucketed_range_join
+
+
+def test_connected_components_chain_and_singleton(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], ["node"])
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation round), pair 5-6,
+    # isolated 7
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (6, 5)], ["src", "dst"]
+    )
+    got = {
+        r["node"]: r["component_id"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_connected_components_merging_stars(spark):
+    # two stars bridged by one edge -> single component labeled min id
+    star1 = [(10, x) for x in (11, 12, 13)]
+    star2 = [(20, x) for x in (21, 22, 23)]
+    bridge = [(13, 21)]
+    nodes = spark.createDataFrame(
+        [(n,) for n in (10, 11, 12, 13, 20, 21, 22, 23)], ["node"]
+    )
+    edges = spark.createDataFrame(star1 + star2 + bridge, ["src", "dst"])
+    got = connected_components(nodes, edges)
+    assert {r["component_id"] for r in got.collect()} == {10}
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_bucketed_range_join_half_open_boundaries(spark):
+    events = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 05:59:59")),  # before start
+            (2, _ts("2024-01-01 06:00:00")),  # == start -> in
+            (3, _ts("2024-01-01 11:30:00")),  # mid -> in
+            (4, _ts("2024-01-01 18:00:00")),  # == end -> out (half-open)
+            (5, _ts("2024-01-02 07:00:00")),  # other interval -> in
+        ],
+        ["id", "ts"],
+    )
+    iv = spark.createDataFrame(
+        [
+            (_ts("2024-01-01 06:00:00"), _ts("2024-01-01 18:00:00")),
+            (_ts("2024-01-02 06:00:00"), _ts("2024-01-02 18:00:00")),
+        ],
+        ["ws", "we"],
+    )
+    out = bucketed_range_join(events, "ts", iv, "ws", "we", "1 hour")
+    assert sorted(r["id"] for r in out.collect()) == [2, 3, 5]
+
+
+def test_bucketed_range_join_rejects_multi_unit_granularity(spark):
+    df = spark.createDataFrame([(1, _ts("2024-01-01 00:00:00"))], ["id", "ts"])
+    with pytest.raises(ValueError):
+        bucketed_range_join(df, "ts", df.select(
+            F.col("ts").alias("ws"), F.col("ts").alias("we")
+        ), "ws", "we", "6 hours")
