@@ -329,35 +329,47 @@ def connected_components(
     Components in MapReduce") halves diameter per round; near-dup graphs
     don't need it.
     """
-    sym = edges.select(
-        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
-    ).union(
-        edges.select(F.col(dst_col).alias("__s"), F.col(src_col).alias("__d"))
+    # Materialize the (possibly expensive — LSH/Jaccard) edge derivation
+    # ONCE; every propagation round re-reads checkpointed blocks, never
+    # re-runs the pair-generation join.
+    sym = (
+        edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
+        .union(
+            edges.select(
+                F.col(dst_col).alias("__s"), F.col(src_col).alias("__d")
+            )
+        )
+        .localCheckpoint()
     )
     labels = nodes.select(
         F.col(node_col).alias("__n"), F.col(node_col).alias("__lbl")
     ).localCheckpoint()
+
+    def _label_sum(lbls) -> object:
+        # Labels only ever decrease (min-propagation), so the exact total
+        # is a strictly decreasing fixpoint witness: one scalar agg per
+        # round instead of an old-vs-new join. decimal(38) cannot
+        # overflow at any realistic id x row scale.
+        return lbls.agg(
+            F.sum(F.col("__lbl").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         neighbor = (
             sym.join(labels, sym["__d"] == labels["__n"])
             .select(F.col("__s").alias("__n"), "__lbl")
         )
-        new_labels = (
+        labels = (
             labels.unionByName(neighbor)
             .groupBy("__n")
             .agg(F.min("__lbl").alias("__lbl"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("a")
-            .join(labels.alias("b"), F.col("a.__n") == F.col("b.__n"))
-            .filter(F.col("a.__lbl") != F.col("b.__lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = _label_sum(labels)
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(
         F.col("__n").alias(node_col), F.col("__lbl").alias("component_id")
     )

@@ -142,14 +142,20 @@ def int_latest_per_key_rn(spark, sf_dir):
 )
 def ods_sanitized_ids(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
-    k_str = F.get_json_object(F.col("props"), "$.k")
-    is_num = k_str.rlike("^[0-9]+$")
+    # Parse the JSON payload ONCE into a named column; referencing the
+    # raw get_json_object expression in both the CASE and the filter
+    # would re-parse every row twice (JSON parse dominates this query).
+    parsed = events.withColumn(
+        "__k_str", F.get_json_object(F.col("props"), "$.k")
+    )
+    is_num = F.col("__k_str").rlike("^[0-9]+$")
     return (
-        events.withColumn(
-            "k", F.when(is_num, k_str.cast("int")).otherwise(F.lit(None))
+        parsed.withColumn(
+            "k",
+            F.when(is_num, F.col("__k_str").cast("int")).otherwise(F.lit(None)),
         )
         .filter(is_num)
-        .drop("props")  # star-except projection (P9)
+        .drop("props", "__k_str")  # star-except projection (P9)
     )
 
 

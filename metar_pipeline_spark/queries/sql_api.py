@@ -84,11 +84,14 @@ _sql_query(
              CAST(MAX(date_trunc('day', ts)) AS DATE) AS dmax
       FROM events
     ),
-    spine(d) AS (
-      SELECT dmin AS d FROM bounds
+    spine(d, dmax) AS (
+      -- dmax rides along in the recursion state so the per-step WHERE is
+      -- a column comparison; a correlated (SELECT dmax FROM bounds) would
+      -- re-scan events on every one of the ~O(days) iterations.
+      SELECT dmin AS d, dmax FROM bounds
       UNION ALL
-      SELECT CAST(d + INTERVAL 1 DAY AS DATE) AS d FROM spine
-      WHERE d < (SELECT dmax FROM bounds)
+      SELECT CAST(d + INTERVAL 1 DAY AS DATE) AS d, dmax FROM spine
+      WHERE d < dmax
     ),
     daily AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS d, COUNT(*) AS n

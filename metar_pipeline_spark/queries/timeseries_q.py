@@ -327,3 +327,47 @@ def deterministic_stratified_sample(spark, sf_dir):
             F.round(_dsum(F.col("value"), DEC2), 2).alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "value_histogram",
+    """
+    SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
+           round(CAST(floor(value / 25.0) AS BIGINT) * 25.0, 2) AS bin_start,
+           COUNT(*) AS n,
+           round(MIN(value), 2) AS bin_min,
+           round(MAX(value), 2) AS bin_max
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Fixed-width (25.0) histogram of event values: one partial+final "
+        "hash agg on a computed bin key — the O(n) single-pass shape; bin "
+        "arithmetic (floor of a double division) is IEEE-identical across "
+        "engines, unlike width_bucket variants with engine-private edge "
+        "rules"
+    ),
+)
+def value_histogram(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    bin_col = F.floor(F.col("value") / 25.0).cast("bigint")
+    return (
+        events.groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("bin_min"),
+            F.round(F.max("value"), 2).alias("bin_max"),
+        )
+        .select(
+            "bin",
+            F.round(F.col("bin") * 25.0, 2).alias("bin_start"),
+            "n",
+            "bin_min",
+            "bin_max",
+        )
+    )

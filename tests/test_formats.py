@@ -1,0 +1,70 @@
+"""File-format surface (SURVEY.md §2.1 S7): CSV ingest with explicit
+schema, PERMISSIVE corrupt-record capture, and write/read roundtrip.
+
+JSONL ingest is covered in test_scale_ops.py; parquet is every query's
+scan path. CSV is the remaining common ingest format a reference user
+would bring — the contract that matters is schema-on-read with typed
+casts and malformed rows captured (not dropped, not failing the batch),
+mirroring how the stg layer tolerates bad payloads
+(/root/reference/dbt/models/stg/stg_metar_observations.sql:22-40 yields
+NULLs for missing keys rather than erroring).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("_corrupt_record", T.StringType()),
+    ]
+)
+
+
+def test_csv_ingest_permissive_corrupt_capture(spark, tmp_path):
+    raw = tmp_path / "in.csv"
+    raw.write_text(
+        "event_id,ts,value\n"
+        "1,2024-01-01 00:00:00,10.5\n"
+        "2,2024-01-01 01:00:00,20.25\n"
+        "not-a-number,garbage,NaN-ish\n"  # malformed row
+        "4,2024-01-01 02:00:00,40.0\n"
+    )
+    df = (
+        spark.read.schema(CSV_SCHEMA)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(raw))
+    )
+    # Spark refuses corrupt-record-only predicates on a raw CSV plan
+    # (internal-only column); cache materializes the parsed rows first.
+    df = df.cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 3
+    assert bad.count() == 1
+    assert bad.first()["_corrupt_record"].startswith("not-a-number")
+    assert [r["event_id"] for r in good.orderBy("event_id").collect()] == [1, 2, 4]
+
+
+def test_csv_roundtrip_preserves_types(spark, tmp_path):
+    src = spark.createDataFrame(
+        [(1, "a,b", 1.5), (2, 'quo"te', None)], ["id", "s", "v"]
+    )
+    out = os.path.join(str(tmp_path), "out_csv")
+    src.write.option("header", "true").mode("overwrite").csv(out)
+    back = (
+        spark.read.option("header", "true")
+        .schema("id BIGINT, s STRING, v DOUBLE")
+        .csv(out)
+    )
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in src.collect()
+    )
