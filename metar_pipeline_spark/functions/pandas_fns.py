@@ -18,6 +18,7 @@ no float folds).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -53,26 +54,39 @@ def longest_daily_streaks(
     algorithms (sessionization variants, trajectory features, per-user
     curricula) that would otherwise need several window passes.
 
-    Shuffles once on the key; each group is a small pandas frame.
+    The heavy reduction happens JVM-side first: ONE shuffle with
+    map-side partial ``collect_set`` folds the raw events down to one
+    (key, sorted day-ordinal array) row per key, so the Arrow boundary
+    moves |keys| tiny rows, not |events| raw rows — the shape that
+    survives a 100 TB input. The Python kernel then runs pure numpy on
+    each pre-aggregated group.
     """
-    days = events.select(
-        F.col(key), F.to_date(F.date_trunc("day", F.col(ts_col))).alias("d")
-    ).distinct()
+    per_key = events.groupBy(F.col(key)).agg(
+        F.sort_array(
+            F.collect_set(
+                F.datediff(
+                    F.to_date(F.col(ts_col)), F.lit("1970-01-01").cast("date")
+                )
+            )
+        ).alias("ds")
+    )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        ds = pd.to_datetime(pd.Series(sorted(pdf["d"].unique())))
-        if ds.empty:
+        arr = np.asarray(pdf["ds"].iloc[0], dtype=np.int64)
+        if arr.size == 0:
             return pd.DataFrame(
                 columns=["user_id", "n_active_days", "longest_streak"]
             )
-        gaps = ds.diff().dt.days.fillna(1).ne(1).cumsum()
-        longest = int(gaps.value_counts().max())
+        breaks = np.flatnonzero(np.diff(arr) != 1)
+        seg_lengths = np.diff(
+            np.concatenate(([-1], breaks, [arr.size - 1]))
+        )
         return pd.DataFrame(
             {
                 "user_id": [pdf[key].iloc[0]],
-                "n_active_days": [int(len(ds))],
-                "longest_streak": [longest],
+                "n_active_days": [int(arr.size)],
+                "longest_streak": [int(seg_lengths.max())],
             }
         )
 
-    return days.groupBy(key).applyInPandas(kernel, STREAK_SCHEMA)
+    return per_key.groupBy(key).applyInPandas(kernel, STREAK_SCHEMA)
