@@ -183,6 +183,66 @@ def quality_components(text: Column) -> dict[str, Column]:
     }
 
 
+def _dup_frac(arr: Column) -> Column:
+    """Fraction of array elements that are repeats of an earlier value:
+    (n - n_distinct) / n, rounded to 6dp (0 for empty arrays)."""
+    n = F.size(arr)
+    return F.round(
+        (n - F.size(F.array_distinct(arr))) / F.greatest(n, F.lit(1)), 6
+    )
+
+
+def repetition_signals(toks: Column) -> dict[str, Column]:
+    """Gopher-style repetition signals (Rae et al. 2021, public):
+    duplicate token / bigram / trigram fractions.
+
+    Pure per-row column math over the token array — no shuffle, no
+    Python: at 100 TB this is embarrassingly parallel with the scan and
+    stays inside whole-stage codegen.
+    """
+    return {
+        "n_tokens": F.size(toks),
+        "dup_token_frac": _dup_frac(toks),
+        "dup_bigram_frac": _dup_frac(word_shingles(toks, 2)),
+        "dup_trigram_frac": _dup_frac(word_shingles(toks, 3)),
+    }
+
+
+def gopher_signals(text: Column) -> dict[str, Column]:
+    """Gopher-rules quality signals: token count, mean word length,
+    alphabetic-word fraction, symbol-token ratio, duplicate-token
+    fraction. All JVM-side higher-order-function math."""
+    toks = tokens(text)
+    n_tokens = F.size(toks)
+    denom = F.greatest(n_tokens, F.lit(1))
+    sum_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return {
+        "n_tokens": n_tokens,
+        "mean_word_len": F.round(sum_len / denom, 6),
+        "alpha_word_frac": F.round(
+            F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / denom, 6
+        ),
+        "symbol_ratio": F.round(
+            F.size(F.filter(toks, lambda t: t.isin("#", "...", "…"))) / denom,
+            6,
+        ),
+        "dup_token_frac": _dup_frac(toks),
+    }
+
+
+def gopher_passes(sig: dict[str, Column]) -> Column:
+    """Composite pass/fail verdict over the gopher signals. Thresholds
+    are fixed publicly-documented style bounds (token-count window,
+    mean word length 2-10, >=80% alphabetic words, <10% symbol
+    tokens)."""
+    return (
+        sig["n_tokens"].between(20, 100000)
+        & sig["mean_word_len"].between(2, 10)
+        & (sig["alpha_word_frac"] >= 0.8)
+        & (sig["symbol_ratio"] < 0.1)
+    )
+
+
 def quality_score(text: Column) -> Column:
     """Composite [0,1]-ish score: rewards mid-length docs with words and
     some stopwords, penalizes punctuation soup. Weights are arbitrary

@@ -581,3 +581,133 @@ def dedup_connected_components(spark, sf_dir):
     return comp.join(sizes, "component_id").select(
         "doc_id", "component_id", "component_size"
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality / repetition filters (Rae et al. 2021 — public)
+# ---------------------------------------------------------------------------
+_DUCK_BI = (
+    "list_transform(generate_series(1, len(toks)-1), "
+    "i -> toks[i] || ' ' || toks[i+1])"
+)
+_DUCK_TRI = _DUCK_SHINGLE3
+
+
+@register(
+    "text_repetition_signals",
+    f"""
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           round((len(toks) - len(list_distinct(toks)))
+                 / greatest(len(toks), 1), 6) AS dup_token_frac,
+           round((len(bi) - len(list_distinct(bi)))
+                 / greatest(len(bi), 1), 6) AS dup_bigram_frac,
+           round((len(tri) - len(list_distinct(tri)))
+                 / greatest(len(tri), 1), 6) AS dup_trigram_frac
+    FROM (SELECT doc_id, toks, {_DUCK_BI} AS bi, {_DUCK_TRI} AS tri
+          FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents))
+    """,
+    doc=(
+        "Gopher-style repetition signals: duplicate token/bigram/trigram "
+        "fractions. Pure per-row higher-order-function math — no shuffle, "
+        "embarrassingly parallel with the scan at 100 TB."
+    ),
+)
+def text_repetition_signals(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sig = tx.repetition_signals(tx.tokens(F.col("text")))
+    return docs.select(
+        "doc_id", *[v.alias(k) for k, v in sig.items()]
+    )
+
+
+@register(
+    "gopher_quality_filter",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(toks) AS INTEGER) AS n_tokens,
+             round(CASE WHEN len(toks) = 0 THEN 0
+                   ELSE list_reduce(list_transform(toks, t -> length(t)),
+                                    (x, y) -> x + y) END
+                   / greatest(len(toks), 1), 6) AS mean_word_len,
+             round(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+                   / greatest(len(toks), 1), 6) AS alpha_word_frac,
+             round(len(list_filter(toks, t -> t IN ('#', '...', '…')))
+                   / greatest(len(toks), 1), 6) AS symbol_ratio,
+             round((len(toks) - len(list_distinct(toks)))
+                   / greatest(len(toks), 1), 6) AS dup_token_frac
+      FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+    )
+    SELECT *,
+           (n_tokens BETWEEN 20 AND 100000
+            AND mean_word_len BETWEEN 2 AND 10
+            AND alpha_word_frac >= 0.8
+            AND symbol_ratio < 0.1) AS passes
+    FROM s
+    """,
+    doc=(
+        "Gopher-rules document filter: per-doc quality signals plus a "
+        "boolean pass verdict at fixed public thresholds. The standard "
+        "pre-training corpus gate, as one codegen'd projection."
+    ),
+)
+def gopher_quality_filter(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sig = tx.gopher_signals(F.col("text"))
+    return docs.select(
+        "doc_id", *[v.alias(k) for k, v in sig.items()]
+    ).withColumn(
+        "passes",
+        tx.gopher_passes({k: F.col(k) for k in sig}),
+    )
+
+
+@register(
+    "doc_top_bigram_share",
+    f"""
+    WITH b AS (
+      SELECT doc_id, unnest({_DUCK_BI}) AS bigram
+      FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+    ), c AS (
+      SELECT doc_id, bigram, count(*) AS cnt FROM b GROUP BY 1, 2
+    ), r AS (
+      SELECT doc_id, bigram, cnt,
+             sum(cnt) OVER (PARTITION BY doc_id) AS total,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY cnt DESC, bigram DESC) AS rn
+      FROM c
+    )
+    SELECT doc_id, bigram AS top_bigram,
+           CAST(cnt AS BIGINT) AS top_bigram_count,
+           round(cnt / total, 6) AS top_bigram_share
+    FROM r WHERE rn = 1
+    """,
+    doc=(
+        "Most-frequent-bigram share per document (Gopher top-2-gram "
+        "signal). Explode -> two-level hash agg with map-side combine; "
+        "the per-doc argmax is a single max(struct) — no window, no "
+        "second shuffle beyond the doc_id agg."
+    ),
+)
+def doc_top_bigram_share(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    bi = docs.select(
+        "doc_id",
+        F.explode(tx.word_shingles(tx.tokens(F.col("text")), 2)).alias(
+            "bigram"
+        ),
+    )
+    counts = bi.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    agg = counts.groupBy("doc_id").agg(
+        F.max(F.struct(F.col("cnt"), F.col("bigram"))).alias("top"),
+        F.sum("cnt").alias("total"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("top.bigram").alias("top_bigram"),
+        F.col("top.cnt").alias("top_bigram_count"),
+        F.round(F.col("top.cnt") / F.col("total"), 6).alias(
+            "top_bigram_share"
+        ),
+    )
