@@ -68,3 +68,38 @@ def test_csv_roundtrip_preserves_types(spark, tmp_path):
     assert sorted(tuple(r) for r in back.collect()) == sorted(
         tuple(r) for r in src.collect()
     )
+
+
+def test_orc_roundtrip_preserves_types(spark, tmp_path):
+    """ORC write/read roundtrip: typed columns (incl. timestamp and
+    array) survive with identical values — the other columnar format a
+    reference user might bring besides parquet."""
+    src = spark.createDataFrame(
+        [
+            (1, "a", 1.5, ["x", "y"]),
+            (2, "b", -2.25, []),
+            (3, None, None, None),
+        ],
+        "id BIGINT, name STRING, score DOUBLE, tags ARRAY<STRING>",
+    ).withColumn("ts", F.to_timestamp(F.lit("2024-03-01 12:00:00")))
+    out = os.path.join(str(tmp_path), "orc")
+    src.write.format("orc").mode("overwrite").save(out)
+    back = spark.read.format("orc").load(out)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, src.collect())
+    )
+
+
+def test_orc_predicate_pushdown_visible(spark, tmp_path):
+    """ORC scans get pushed filters like parquet (PushedFilters in the
+    formatted scan node), so format choice does not cost pruning."""
+    out = os.path.join(str(tmp_path), "orc_pd")
+    spark.range(1000).withColumn("k", F.col("id") % 7).write.format(
+        "orc"
+    ).mode("overwrite").save(out)
+    df = spark.read.format("orc").load(out).filter(F.col("id") > 900)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan and "GreaterThan(id,900)" in plan

@@ -349,3 +349,45 @@ def test_compact_parquet_dir(spark, tmp_path):
 
     # idempotent: a second pass is a no-op
     assert compact_parquet_dir(spark, path, target_file_bytes=total) == new_n
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """A selective dim-side filter injects a runtime bloom filter
+    (might_contain) into the fact-side scan when the join cannot be
+    broadcast — at 100 TB this prunes shuffle input by the dim
+    selectivity before the exchange. Thresholds are forced here because
+    sf0.01 sides are tiny; the assertion is about plan shape."""
+    from metar_pipeline_spark.io import load_table
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        sf = "/root/testdata/sf0.01"
+        li = load_table(spark, sf, "lineitem")
+        orders = load_table(spark, sf, "orders").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan  # runtime filter reached the scan
+        assert "bloom_filter_agg" in plan
+        # and the result is still correct
+        urgent = j.collect()
+        assert len(urgent) == 1 and urgent[0]["count"] > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
