@@ -1,0 +1,105 @@
+"""Data-layout writers (sources/layout.py): verify the files on disk
+actually have the pruning-friendly statistics the writers promise, by
+reading parquet footers with pyarrow — not just that Spark round-trips
+the rows.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from metar_pipeline_spark.sources.layout import (
+    morton_interleave,
+    write_range_layout,
+    write_zorder_layout,
+)
+
+
+def _file_ranges(path: str, col: str) -> list[tuple]:
+    """(min, max) of ``col`` per parquet file under ``path``."""
+    out = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        lo = min(
+            md.row_group(g).column(idx).statistics.min
+            for g in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(g).column(idx).statistics.max
+            for g in range(md.num_row_groups)
+        )
+        out.append((lo, hi))
+    return out
+
+
+def test_range_layout_disjoint_file_ranges(spark, tmp_path):
+    out = str(tmp_path / "range")
+    df = spark.range(0, 100_000).withColumn(
+        "v", (F.col("id") * 7919) % 1000
+    )
+    write_range_layout(df, out, ["id"], num_files=8)
+
+    ranges = sorted(_file_ranges(out, "id"))
+    assert len(ranges) >= 4  # AQE may coalesce, but several buckets stay
+    # Non-overlapping key ranges: a filter id BETWEEN x AND y can skip
+    # every file whose [min,max] misses the interval.
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev < lo_next
+    # Rows intact.
+    back = spark.read.parquet(out)
+    assert back.count() == 100_000
+    assert back.agg(F.sum("id")).first()[0] == 100_000 * 99_999 // 2
+
+
+def test_morton_interleave_known_values(spark):
+    rows = (
+        spark.range(1)
+        .select(
+            morton_interleave(F.lit(0), F.lit(0)).alias("z00"),
+            morton_interleave(F.lit(1), F.lit(0)).alias("z10"),
+            morton_interleave(F.lit(0), F.lit(1)).alias("z01"),
+            morton_interleave(F.lit(3), F.lit(5)).alias("z35"),
+            morton_interleave(F.lit(65535), F.lit(65535)).alias("zmax"),
+        )
+        .first()
+    )
+    assert rows["z00"] == 0
+    assert rows["z10"] == 1  # a-bits land on even positions
+    assert rows["z01"] == 2  # b-bits land on odd positions
+    # 3=0b011, 5=0b101 -> interleave(a=011, b=101) = 0b100111 = 39
+    assert rows["z35"] == 0b100111
+    assert rows["zmax"] == (1 << 32) - 1
+
+
+def test_zorder_layout_shared_locality(spark, tmp_path):
+    """Each Z-ordered file should cover only a small patch of the (x, y)
+    domain, so box filters on either key prune most files. Compare the
+    mean per-file area against the full domain."""
+    out = str(tmp_path / "z")
+    n = 64
+    grid = (
+        spark.range(n * n)
+        .select(
+            (F.col("id") % n).alias("x"),
+            (F.col("id") / n).cast("bigint").alias("y"),
+        )
+    )
+    write_zorder_layout(grid, out, "x", "y", num_files=16, bits=8)
+
+    xr = _file_ranges(out, "x")
+    yr = _file_ranges(out, "y")
+    areas = [
+        (xhi - xlo + 1) * (yhi - ylo + 1)
+        for (xlo, xhi), (ylo, yhi) in zip(xr, yr)
+    ]
+    domain = n * n
+    mean_area = sum(areas) / len(areas)
+    # 16 perfect Z-tiles of a 64x64 grid cover 1/16 of the domain each;
+    # allow generous slack for bucket-boundary straddling.
+    assert mean_area <= domain / 3
+    assert spark.read.parquet(out).count() == n * n
