@@ -68,23 +68,25 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .cast("bigint")
         .alias("_h"),
     )
-    contribs = hashed.select(
-        F.col(id_col),
+    # Counter math without branches: per bit b, ones_b = Σ (h>>b)&1 and
+    # sign(Σ ±1) > 0  ⟺  2*ones_b > n_tokens. Pure shift/and keeps the
+    # generated code ~6x smaller than a nested-CASE formulation (cold
+    # codegen time matters when thousands of plans compile per day);
+    # NULL hash rows (empty docs) drop out of both sums, giving
+    # simhash 0, same as the aggregate-over-empty-array column form.
+    sums = hashed.groupBy(id_col).agg(
         *[
-            F.when(F.col("_h").isNull(), F.lit(0))
-            .when(F.col("_h").bitwiseAND(F.lit(1 << b)) != 0, F.lit(1))
-            .otherwise(F.lit(-1))
-            .alias(f"_b{b}")
+            F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1))).alias(
+                f"_s{b}"
+            )
             for b in range(32)
         ],
-    )
-    sums = contribs.groupBy(id_col).agg(
-        *[F.sum(f"_b{b}").alias(f"_s{b}") for b in range(32)]
+        F.count(F.col("_h")).alias("_n"),
     )
     simhash = F.lit(0).cast("bigint")
     for b in range(32):
         simhash = simhash + F.when(
-            F.col(f"_s{b}") > 0, F.lit(1 << b).cast("bigint")
+            F.col(f"_s{b}") * 2 > F.col("_n"), F.lit(1 << b).cast("bigint")
         ).otherwise(F.lit(0).cast("bigint"))
     return sums.select(F.col(id_col), simhash.alias("simhash"))
 
@@ -107,7 +109,11 @@ def simhash_neardup_pairs(
     """
     width = 32 // n_bands
     mask = (1 << width) - 1
-    s = simhash_table(df, id_col, text_col)
+    # Materialize signatures once: the band self-join would otherwise
+    # recompute the whole explode→md5→32-sum lineage on BOTH sides
+    # (exchange reuse is not guaranteed under AQE). One row per doc, so
+    # the checkpoint is tiny relative to the corpus at any scale.
+    s = simhash_table(df, id_col, text_col).localCheckpoint(eager=True)
     bands = s.select(
         F.col(id_col).alias("id"),
         "simhash",
