@@ -43,13 +43,62 @@ def _read_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
 def stg_stage(
     spark: SparkSession, normalized: DataFrame, base_dir: str
 ) -> None:
-    """stg: typed observations, strict watermark, merge by id."""
+    """stg: typed observations, strict watermark, merge by id.
+
+    Batch profile metrics (row count, null rates, observed bounds) ride
+    the merge's own scan via ``DataFrame.observe`` — zero extra passes,
+    which is what makes per-batch monitoring affordable at 100 TB —
+    and append to ``base_dir/_metrics``. This approximates the
+    reference's elementary column_anomalies/schema_changes monitors
+    (/root/reference/dbt/models/stg/schema.yml:9,17) as engine-native
+    observability (SURVEY.md Q6).
+    """
+    from pyspark.sql import Observation
+
     path = os.path.join(base_dir, "stg")
     existing = _read_if_exists(spark, path)
     fresh = high_watermark_filter(
         normalized, existing, "observed", inclusive=False
     )
+    obs = Observation("stg_batch")
+    fresh = fresh.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("observed").isNull().cast("int")).alias("null_observed"),
+        F.sum(F.col("icao").isNull().cast("int")).alias("null_icao"),
+        F.min("observed").alias("min_observed"),
+        F.max("observed").alias("max_observed"),
+    )
     upsert_parquet(spark, fresh, path, keys=["id"], order_col="inserted_at")
+    _append_batch_metrics(spark, base_dir, "stg", obs.get)
+
+
+def _append_batch_metrics(
+    spark: SparkSession, base_dir: str, layer: str, metrics: dict
+) -> None:
+    """Append one profile row per (layer, batch) to the metrics table."""
+    row = {
+        "layer": layer,
+        "batch_ts": None,  # filled by current_timestamp below
+        **{k: metrics.get(k) for k in sorted(metrics)},
+    }
+    df = (
+        spark.createDataFrame(
+            [tuple(v for k, v in row.items() if k != "batch_ts")],
+            schema=", ".join(
+                [
+                    "layer string",
+                    "max_observed timestamp",
+                    "min_observed timestamp",
+                    "n_rows long",
+                    "null_icao long",
+                    "null_observed long",
+                ]
+            ),
+        )
+        .withColumn("batch_ts", F.current_timestamp())
+    )
+    df.write.mode("append").parquet(os.path.join(base_dir, "_metrics"))
 
 
 def ods_stage(spark: SparkSession, base_dir: str) -> None:

@@ -597,3 +597,81 @@ def dedup_levenshtein_pairs(spark, sf_dir):
         )
         .filter(F.col("edit_distance") <= 10)
     )
+
+
+@register(
+    "event_type_mode_daily",
+    """
+    WITH c AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             event_type, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day, event_type AS mode_event_type,
+           CAST(cnt AS BIGINT) AS mode_count
+    FROM (SELECT day, event_type, cnt,
+                 row_number() OVER (PARTITION BY day
+                                    ORDER BY cnt DESC, event_type DESC) rn
+          FROM c)
+    WHERE rn = 1
+    """,
+    doc=(
+        "Exact per-day mode of event_type: two-level hash agg + "
+        "max(struct) argmax — both stages combine map-side; no window, "
+        "no second wide shuffle. The scalable form of MODE()."
+    ),
+)
+def event_type_mode_daily(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.select(F.to_date("ts").alias("day"), "event_type")
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = counts.groupBy("day").agg(
+        F.max(F.struct("cnt", "event_type")).alias("m")
+    )
+    return top.select(
+        "day",
+        F.col("m.event_type").alias("mode_event_type"),
+        F.col("m.cnt").alias("mode_count"),
+    )
+
+
+@register(
+    "map_event_type_counts",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           array_agg(event_type ORDER BY event_type) AS types,
+           array_agg(CAST(cnt AS BIGINT) ORDER BY event_type) AS counts,
+           CAST(len(array_agg(event_type)) AS INTEGER) AS n_types
+    FROM c GROUP BY user_id
+    """,
+    doc=(
+        "MapType surface: per-user event_type->count assembled as a map "
+        "(map_from_entries), consumed via map_keys/map_values after "
+        "sorting entries — emitted as parallel sorted arrays so the "
+        "oracle comparison stays engine-neutral (DuckDB MAP isn't "
+        "hash-comparable to Spark's)."
+    ),
+)
+def map_event_type_counts(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    mapped = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("m")
+    )
+    return mapped.select(
+        "user_id",
+        F.map_keys("m").alias("types"),
+        F.map_values("m").alias("counts"),
+        F.size("m").alias("n_types"),
+    )

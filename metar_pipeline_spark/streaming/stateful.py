@@ -154,3 +154,108 @@ def streaming_first_seen_dedup(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSIONIZE_STATE_SCHEMA = (
+    "start_ms long, end_ms long, n_events long, sum_value double"
+)
+SESSIONIZE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+
+def streaming_sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Gap-based sessionization with event-time state TTL — the custom
+    stateful operator ``F.session_window`` is the batch twin of.
+
+    Per user: merge events into the open session while the event-time
+    gap stays ≤ ``gap_seconds``; a wider gap closes the session
+    immediately (append emission). The open session closes via
+    ``GroupStateTimeout.EventTimeTimeout`` when the watermark passes
+    session_end + gap — so state size stays bounded by the number of
+    concurrently-open sessions, never by stream history. This is the
+    TTL pattern the latest/dedup operators above reference.
+
+    Late rows behind the watermark are dropped (watermark delay 0 ≡ the
+    reference's high-watermark skip, SURVEY.md L7).
+    """
+    gap_ms = gap_seconds * 1000
+
+    def update(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+
+        def emit(s) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(s[0], unit="ms")],
+                    "session_end": [pd.Timestamp(s[1], unit="ms")],
+                    "n_events": [int(s[2])],
+                    "sum_value": [float(s[3])],
+                }
+            )
+
+        if state.hasTimedOut:
+            closed = state.get
+            state.remove()
+            yield emit(closed)
+            return
+
+        cur = list(state.get) if state.exists else None
+        batches = []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            batches.append(
+                pd.DataFrame(
+                    {
+                        "t": pdf["ts"].astype("int64") // 1_000_000,
+                        "v": pdf["value"].astype("float64"),
+                    }
+                )
+            )
+        closed_out = []
+        if batches:
+            allr = pd.concat(batches).sort_values("t")
+            for t, v in zip(allr["t"], allr["v"]):
+                t, v = int(t), float(v)
+                if cur is None:
+                    cur = [t, t, 1, v]
+                elif t - cur[1] <= gap_ms:
+                    cur[1] = max(cur[1], t)
+                    cur[2] += 1
+                    cur[3] += v
+                else:
+                    closed_out.append(emit(tuple(cur)))
+                    cur = [t, t, 1, v]
+        if cur is not None:
+            state.update(tuple(cur))
+            # Timeout must sit strictly beyond the current watermark or
+            # Spark rejects it; the max() keeps an already-expired open
+            # session alive one more cycle, closing on the next batch.
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(cur[1] + gap_ms, wm + 1))
+        for o in closed_out:
+            yield o
+
+    return (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSIONIZE_OUTPUT_SCHEMA,
+            stateStructType=SESSIONIZE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -84,3 +84,23 @@ def test_medallion_two_runs(spark, tmp_path):
     )
     assert run3["stg"].count() == 5
     assert run3["int"].count() == 3
+
+
+def test_medallion_batch_metrics_observe(spark, tmp_path):
+    """stg writes one profile row per run to base/_metrics via
+    DataFrame.observe — metrics ride the merge scan, no extra pass."""
+    import os
+
+    base = str(tmp_path / "lake_m")
+    icaos = ["UUEE", "ULLI"]
+    run_medallion(spark, _normalized(spark, _docs(icaos, 1, -5.0)), base)
+    run_medallion(spark, _normalized(spark, _docs(icaos, 2, 3.0)), base)
+
+    m = spark.read.parquet(os.path.join(base, "_metrics")).orderBy("batch_ts")
+    rows = m.collect()
+    assert len(rows) == 2
+    assert all(r["layer"] == "stg" for r in rows)
+    assert [r["n_rows"] for r in rows] == [2, 2]
+    assert all(r["null_observed"] == 0 and r["null_icao"] == 0 for r in rows)
+    assert rows[0]["min_observed"].day == 1
+    assert rows[1]["max_observed"].day == 2

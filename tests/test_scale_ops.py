@@ -391,3 +391,73 @@ def test_runtime_bloom_filter_join_pruning(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_streaming_sessionize_event_time_timeout(spark, tmp_path):
+    """Sessions close two ways: a wider-than-gap event inside a batch
+    (immediate append) and watermark passing session_end + gap
+    (EventTimeTimeout). Three file-drops = three micro-batches:
+
+      b1: u7 @ 0s,60s (one session) · u10 @ 0s,4000s (gap split: [0,0]
+          emitted inside b1, [4000,4000] left open) · u8 @ 5000s
+          (pushes watermark to 5000)
+      b2: u9 @ 50000s only — u7 (timeout 1860 < wm 5000) and u10
+          (timeout 5800 < wm 5000 after guard) close via hasTimedOut
+      b3: u11 @ 200000s — closes u8; the trailing no-data batch
+          availableNow runs then closes u9 against the final watermark
+          (200000 > 51800); u11 (timeout 201800) alone stays open
+    """
+    import datetime as dt
+
+    from metar_pipeline_spark.streaming.stateful import streaming_sessionize
+
+    base = dt.datetime(2024, 1, 1)
+
+    def rows(*specs):
+        return [
+            (uid, base + dt.timedelta(seconds=s), float(v)) for uid, s, v in specs
+        ]
+
+    schema = "user_id long, ts timestamp, value double"
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    spark.createDataFrame(
+        rows((7, 0, 1.0), (7, 60, 2.0), (10, 0, 5.0), (10, 4000, 6.0), (8, 5000, 7.0)),
+        schema,
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(rows((9, 50000, 8.0)), schema).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    spark.createDataFrame(rows((11, 200000, 9.0)), schema).coalesce(1).write.parquet(
+        str(src / "b3")
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = (
+        streaming_sessionize(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["sum_value"])
+        for r in spark.table("sessions_out").collect()
+    }
+    sec = lambda s: base + dt.timedelta(seconds=s)
+    expected = {
+        (7, sec(0), sec(60), 2, 3.0),
+        (10, sec(0), sec(0), 1, 5.0),
+        (10, sec(4000), sec(4000), 1, 6.0),
+        (8, sec(5000), sec(5000), 1, 7.0),
+        (9, sec(50000), sec(50000), 1, 8.0),
+    }
+    assert got == expected
