@@ -14,6 +14,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from metar_pipeline_spark.io import load_table
+from metar_pipeline_spark.operators import textops as tx
 from metar_pipeline_spark.operators.joins import asof_join
 from metar_pipeline_spark.queries import register
 from metar_pipeline_spark.queries.core import DEC2, _dsum
@@ -674,4 +675,61 @@ def map_event_type_counts(spark, sf_dir):
         F.map_keys("m").alias("types"),
         F.map_values("m").alias("counts"),
         F.size("m").alias("n_types"),
+    )
+
+
+@register(
+    "array_function_surface",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN len(toks) = 0 THEN 0
+                ELSE list_reduce(list_transform(toks, t -> length(t)),
+                                 (x, y) -> x + y) END AS BIGINT) AS tok_lens_sum,
+           list_sort(list_filter(toks, t -> length(t) > 4)) AS long_toks,
+           len(list_filter(toks, t -> t = 'the')) > 0 AS has_the,
+           len(list_filter(toks, t -> length(t) = 0)) = 0 AS all_nonempty,
+           list_sort(list_distinct(toks))[1:5] AS distinct_head,
+           CAST(coalesce(list_position(toks, 'a'), 0) AS BIGINT) AS idx_of_a,
+           toks[3] AS third_token,
+           generate_series(1, greatest(least(len(toks), 3), 1)) AS seq_head
+    FROM t
+    """,
+    doc=(
+        "Higher-order array function surface: transform/filter/exists/"
+        "forall/aggregate/array_sort/array_distinct/slice/array_position/"
+        "element_at/sequence, each mapped to its DuckDB list twin. "
+        "Per-row math — rides the scan, no shuffle."
+    ),
+)
+def array_function_surface(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        .cast("bigint")
+        .alias("tok_lens_sum"),
+        F.array_sort(F.filter(toks, lambda t: F.length(t) > 4)).alias(
+            "long_toks"
+        ),
+        F.exists(toks, lambda t: t == F.lit("the")).alias("has_the"),
+        F.forall(toks, lambda t: F.length(t) > 0).alias("all_nonempty"),
+        F.slice(F.array_sort(F.array_distinct(toks)), 1, 5).alias(
+            "distinct_head"
+        ),
+        F.array_position(toks, "a").alias("idx_of_a"),
+        F.element_at(toks, 3).alias("third_token"),
+        F.sequence(
+            F.lit(1), F.greatest(F.least(F.size(toks), F.lit(3)), F.lit(1))
+        ).alias("seq_head"),
     )
