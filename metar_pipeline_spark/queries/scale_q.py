@@ -77,3 +77,75 @@ def salted_join_event_suppliers(spark, sf_dir):
     return joined.groupBy("user_id", "s_name").agg(
         F.count(F.lit(1)).alias("n_events")
     )
+
+
+_STREAM_SEQ = [0]
+
+
+@register(
+    "stream_daily_rollup_complete",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 2)
+               AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Structured Streaming, oracle-checked: the daily rollup run as a "
+        "file-source stream (complete-mode agg, availableNow trigger) "
+        "must hash-match the plain batch SQL. Proves the streaming "
+        "micro-batch path computes the same algebra as the batch "
+        "engine — the L6 cadence with a correctness gate instead of a "
+        "rows-only check."
+    ),
+)
+def stream_daily_rollup_complete(spark, sf_dir):
+    import os
+
+    from pyspark.sql import types as T
+
+    # Same nanos workaround as io.load_table, stream-side: declare ts as
+    # LongType under nanosAsLong and convert after the scan.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    # File streams take a directory; pick the events file by glob.
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    agg = (
+        stream.select(
+            F.to_date(ts).alias("day"), "event_type", "value"
+        )
+        .groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(_dsum(F.col("value")), 2).alias("sum_value"),
+        )
+    )
+    _STREAM_SEQ[0] += 1
+    name = f"__stream_rollup_{_STREAM_SEQ[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
