@@ -130,3 +130,25 @@ def test_whole_stage_codegen_on_hot_paths(spark):
 
     assert re.search(r"\*\(\d+\) HashAggregate", p)
     assert re.search(r"\*\(\d+\) Filter", p)
+
+
+def test_scan_riding_queries_have_no_exchange(plans):
+    """Per-row filter/signal queries must ride the scan: zero shuffles —
+    at 100 TB an accidental Exchange here would move the whole corpus."""
+    for q in (
+        "text_repetition_signals",
+        "gopher_quality_filter",
+        "array_function_surface",
+        "stg_typed_projection",
+        "text_token_stats",
+    ):
+        p = plans(q)
+        assert "Exchange" not in p, q
+
+
+def test_mode_query_is_two_level_agg_no_window(plans):
+    """Exact mode = two hash-agg levels with map-side combine; a window
+    formulation would sort every group — assert it never regresses."""
+    p = plans("event_type_mode_daily")
+    assert "Window" not in p
+    assert p.count("HashAggregate") >= 4  # two rounds x partial+final
