@@ -371,3 +371,82 @@ def value_histogram(spark, sf_dir):
             "bin_max",
         )
     )
+
+
+@register(
+    "similar_value_series_topk",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ), q AS (
+      SELECT day, v AS qv FROM daily WHERE user_id = 7
+    ), j AS (
+      SELECT d.user_id, d.v, q.qv
+      FROM daily d JOIN q USING (day) WHERE d.user_id <> 7
+    ), s AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(v AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(qv AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(v * v AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(qv * qv AS DECIMAL(38,10))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(v * qv AS DECIMAL(38,10))) AS DOUBLE) AS sxy
+      FROM j GROUP BY 1
+    )
+    SELECT user_id, n,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                 6) AS corr_with_query
+    FROM s
+    WHERE n >= 5 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+    ORDER BY corr_with_query DESC, user_id LIMIT 10
+    """,
+    doc=(
+        "Time-series similarity search: top-10 users whose daily value "
+        "series Pearson-correlates with user 7's. The query series "
+        "broadcasts to every executor; per-user moments are one "
+        "partial+final decimal agg — a full-corpus similarity scan with "
+        "one shuffle, the streaming-similarity pattern from the EDBT'19 "
+        "line of work expressed relationally."
+    ),
+)
+def similar_value_series_topk(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    dec = "decimal(38,10)"
+
+    def dsum(col):
+        return F.sum(col.cast(dec)).cast("double")
+
+    daily = events.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(dsum(F.col("value")).alias("v"))
+    q = daily.filter(F.col("user_id") == 7).select(
+        "day", F.col("v").alias("qv")
+    )
+    j = daily.filter(F.col("user_id") != 7).join(F.broadcast(q), "day")
+    s = j.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("v")).alias("sx"),
+        dsum(F.col("qv")).alias("sy"),
+        dsum(F.col("v") * F.col("v")).alias("sxx"),
+        dsum(F.col("qv") * F.col("qv")).alias("syy"),
+        dsum(F.col("v") * F.col("qv")).alias("sxy"),
+    )
+    n, sx, sy, sxx, syy, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "syy", "sxy"))
+    return (
+        s.filter(
+            (n >= 5) & (n * sxx - sx * sx > 0) & (n * syy - sy * sy > 0)
+        )
+        .select(
+            "user_id",
+            "n",
+            F.round(
+                (n * sxy - sx * sy)
+                / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                6,
+            ).alias("corr_with_query"),
+        )
+        .orderBy(F.desc("corr_with_query"), "user_id")
+        .limit(10)
+    )
