@@ -140,12 +140,23 @@ def stream_daily_rollup_complete(spark, sf_dir):
     )
     _STREAM_SEQ[0] += 1
     name = f"__stream_rollup_{_STREAM_SEQ[0]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # Stateful-stream partitioning is pinned at query start and sized by
+    # OUTPUT group cardinality (~150 day×type groups ⇒ a handful of
+    # state stores), not input size — 32 state-store instances for 150
+    # groups is pure per-batch overhead (measured 3.5x slower). At real
+    # scale raise it toward the session default before first start; it
+    # is sticky in the checkpoint thereafter.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)

@@ -103,3 +103,23 @@ def test_orc_predicate_pushdown_visible(spark, tmp_path):
         df._jdf.queryExecution(), "formatted"
     )
     assert "PushedFilters" in plan and "GreaterThan(id,900)" in plan
+
+
+def test_parquet_merge_schema_evolution(spark, tmp_path):
+    """Reading partitions written under evolving schemas with
+    mergeSchema=true unions columns (missing -> NULL) — the read-side
+    half of the ods layer's append_new_columns contract (SURVEY.md L5,
+    /root/reference/dbt/models/ods/ods_metar_latest.sql:6)."""
+    out = str(tmp_path / "evolve")
+    spark.createDataFrame([(1, "a")], "id bigint, name string").write.parquet(
+        out + "/p1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, name string, score double"
+    ).write.parquet(out + "/p2")
+    df = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "true"
+    ).parquet(out)
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5

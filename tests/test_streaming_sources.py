@@ -193,3 +193,46 @@ def test_collector_normalization(spark):
     assert r2.temperature_c is None and r2.barometer_hpa is None
     assert r2.raw_text == "ULLI 101235Z"
     assert r2.station_lon is None and r2.station_lat is None
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """Built-in bounded-state dedup: duplicates arriving within the
+    watermark horizon are dropped; state is evicted beyond it (the
+    built-in twin of streaming_first_seen_dedup for bounded lateness)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    src = tmp_path / "ddw_src"
+    src.mkdir()
+    schema = "event_id long, ts timestamp, user_id long"
+    rows1 = [(1, base, 10), (2, base + dt.timedelta(minutes=5), 10)]
+    rows2 = [
+        (1, base, 10),  # duplicate within horizon -> dropped
+        (3, base + dt.timedelta(hours=2), 11),
+    ]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    out = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .writeStream.format("memory")
+        .queryName("ddw_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination()
+    got = sorted(
+        r["event_id"] for r in spark.table("ddw_out").collect()
+    )
+    assert got == [1, 2, 3]
