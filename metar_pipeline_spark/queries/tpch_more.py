@@ -559,25 +559,37 @@ def tpch_q22_idle_customers(spark, sf_dir):
     doc="TPC-H Q2 (adapted, lineitem economics for partsupp): cheapest supplier per small part — two-level agg + argmin",
 )
 def tpch_q2_min_cost_supplier(spark, sf_dir):
-    from pyspark.sql import Window
-
     li = load_table(spark, sf_dir, "lineitem")
-    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size") <= 5
+    ).select("p_partkey", "p_name")
+    # The p_size filter joins BEFORE the big aggregation (broadcast
+    # semi): at 100 TB this cuts the agg's shuffle to the qualifying
+    # parts' share of lineitem instead of aggregating everything and
+    # discarding most of it. Same result — the oracle keeps the
+    # aggregate-then-filter text.
+    li_small = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li["l_partkey"] == F.col("p_partkey"),
+        "left_semi",
+    )
+    ps = li_small.groupBy("l_partkey", "l_suppkey").agg(
         F.round(
             _dsum(F.col("l_extendedprice"), DEC2)
             / _dsum(F.col("l_quantity"), DEC2),
             6,
         ).alias("unit_cost")
     )
-    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
-    best = (
-        ps.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    # argmin via min(struct): one more partial+final agg round instead
+    # of a per-part sort — (unit_cost, l_suppkey) struct order matches
+    # the oracle's ORDER BY unit_cost, l_suppkey tiebreak.
+    best = ps.groupBy("l_partkey").agg(
+        F.min(F.struct("unit_cost", "l_suppkey")).alias("b")
+    ).select(
+        "l_partkey",
+        F.col("b.l_suppkey").alias("l_suppkey"),
+        F.col("b.unit_cost").alias("unit_cost"),
     )
-    part = load_table(spark, sf_dir, "part").filter(
-        F.col("p_size") <= 5
-    ).select("p_partkey", "p_name")
     supp_nat = broadcast_dim_join(
         load_table(spark, sf_dir, "supplier"),
         load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"),
