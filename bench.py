@@ -41,28 +41,34 @@ def main() -> None:
         ).save()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, spec in specs.items():
         t0 = time.time()
-        df = spec.spark_fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        # One broken query must not zero the whole bench: record the
+        # failure and keep going (r2 lesson — a single AnalysisException
+        # cost every timing that round).
+        try:
+            df = spec.spark_fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                # the registry grows round over round; mean-per-query is
-                # the count-stable comparison number
-                "n_queries": len(timings),
-                "mean_sec": round(total / max(len(timings), 1), 3),
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        # the registry grows round over round; mean-per-query is
+        # the count-stable comparison number
+        "n_queries": len(timings),
+        "mean_sec": round(total / max(len(timings), 1), 3),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -39,18 +39,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # naive parquet timestamps must render identically to the DuckDB
     # oracle regardless of host timezone. Runtime-settable conf.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Naive parquet stamps (isAdjustedToUTC=false) must become session-tz
+    # TIMESTAMP, not TIMESTAMP_NTZ — epoch casts / unix_timestamp reject
+    # NTZ and the oracle reads the same wall-clock values. Runtime conf.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read nanos as long (runtime-settable legacy
-        # conf) and convert to microsecond TimestampType. Integer `div`
-        # truncates exactly like DuckDB's ns→us cast, so oracle parity
-        # holds.
+        # Some generator versions write events.ts as parquet
+        # TIMESTAMP(NANOS), which Spark's vectorized reader rejects; read
+        # nanos as long (runtime-settable legacy conf) and convert to
+        # microsecond TimestampType. Integer `div` truncates exactly like
+        # DuckDB's ns→us cast, so oracle parity holds.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _tz_normalize(df)
+    return _tz_normalize(spark.read.parquet(path))
+
+
+def _tz_normalize(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to session-tz TIMESTAMP (UTC session
+    → value-preserving). Belt-and-braces for sessions where the read conf
+    above was set after a footer/schema cache was already populated."""
+    from pyspark.sql import functions as F
+
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if not ntz:
         return df
-    return spark.read.parquet(path)
+    return df.select(
+        *[
+            F.col(c).cast("timestamp").alias(c) if c in ntz else F.col(c)
+            for c in df.columns
+        ]
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -108,13 +108,11 @@ def sessionize(
     w = Window.partitionBy(key).orderBy(*order)
     wsum = w.rowsBetween(Window.unboundedPreceding, 0)
     gap_s = gap_minutes * 60
-    new_sess = (
-        F.when(
-            F.col(ts).cast("long") - F.lag(F.col(ts)).over(w).cast("long")
-            > gap_s,
-            1,
-        )
-        .otherwise(0)
-    )
+    # cast("timestamp") first: NTZ → session-tz timestamp is a legal,
+    # value-preserving cast (UTC session), and LTZ → LTZ is a no-op, so
+    # the epoch math works for either input flavor.
+    ts_s = F.col(ts).cast("timestamp").cast("long")
+    prev_s = F.lag(F.col(ts)).over(w).cast("timestamp").cast("long")
+    new_sess = F.when(ts_s - prev_s > gap_s, 1).otherwise(0)
     # lag is NULL on the first row per key → otherwise(0) starts session 0
     return df.withColumn(session_col, F.sum(new_sess).over(wsum))

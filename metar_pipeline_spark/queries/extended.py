@@ -415,11 +415,11 @@ def event_value_percentiles(spark, sf_dir):
     "pivot_daily_event_type_counts",
     """
     SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
-           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
     FROM events
     GROUP BY 1
     """,
@@ -647,17 +647,17 @@ def event_type_mode_daily(spark, sf_dir):
       FROM events GROUP BY 1, 2
     )
     SELECT user_id,
-           array_agg(event_type ORDER BY event_type) AS types,
-           array_agg(CAST(cnt AS BIGINT) ORDER BY event_type) AS counts,
-           CAST(len(array_agg(event_type)) AS INTEGER) AS n_types
+           string_agg(event_type, ',' ORDER BY event_type) AS types,
+           string_agg(CAST(cnt AS VARCHAR), ',' ORDER BY event_type) AS counts,
+           CAST(count(*) AS INTEGER) AS n_types
     FROM c GROUP BY user_id
     """,
     doc=(
         "MapType surface: per-user event_type->count assembled as a map "
         "(map_from_entries), consumed via map_keys/map_values after "
-        "sorting entries — emitted as parallel sorted arrays so the "
-        "oracle comparison stays engine-neutral (DuckDB MAP isn't "
-        "hash-comparable to Spark's)."
+        "sorting entries — serialized to CSV strings so both engines "
+        "hand the driver's pandas canonicalizer hashable scalars "
+        "(list-typed cells break its sort_values)."
     ),
 )
 def map_event_type_counts(spark, sf_dir):
@@ -672,8 +672,11 @@ def map_event_type_counts(spark, sf_dir):
     )
     return mapped.select(
         "user_id",
-        F.map_keys("m").alias("types"),
-        F.map_values("m").alias("counts"),
+        F.concat_ws(",", F.map_keys("m")).alias("types"),
+        F.concat_ws(
+            ",",
+            F.transform(F.map_values("m"), lambda v: v.cast("string")),
+        ).alias("counts"),
         F.size("m").alias("n_types"),
     )
 
@@ -691,13 +694,13 @@ def map_event_type_counts(spark, sf_dir):
            CAST(CASE WHEN len(toks) = 0 THEN 0
                 ELSE list_reduce(list_transform(toks, t -> length(t)),
                                  (x, y) -> x + y) END AS BIGINT) AS tok_lens_sum,
-           list_sort(list_filter(toks, t -> length(t) > 4)) AS long_toks,
+           array_to_string(list_sort(list_filter(toks, t -> length(t) > 4)), ' ') AS long_toks,
            len(list_filter(toks, t -> t = 'the')) > 0 AS has_the,
            len(list_filter(toks, t -> length(t) = 0)) = 0 AS all_nonempty,
-           list_sort(list_distinct(toks))[1:5] AS distinct_head,
+           array_to_string(list_sort(list_distinct(toks))[1:5], ' ') AS distinct_head,
            CAST(coalesce(list_position(toks, 'a'), 0) AS BIGINT) AS idx_of_a,
            toks[3] AS third_token,
-           generate_series(1, greatest(least(len(toks), 3), 1)) AS seq_head
+           array_to_string(list_transform(generate_series(1, greatest(least(len(toks), 3), 1)), x -> CAST(x AS VARCHAR)), ',') AS seq_head
     FROM t
     """,
     doc=(
@@ -719,17 +722,24 @@ def array_function_surface(spark, sf_dir):
         )
         .cast("bigint")
         .alias("tok_lens_sum"),
-        F.array_sort(F.filter(toks, lambda t: F.length(t) > 4)).alias(
-            "long_toks"
-        ),
+        F.concat_ws(
+            " ", F.array_sort(F.filter(toks, lambda t: F.length(t) > 4))
+        ).alias("long_toks"),
         F.exists(toks, lambda t: t == F.lit("the")).alias("has_the"),
         F.forall(toks, lambda t: F.length(t) > 0).alias("all_nonempty"),
-        F.slice(F.array_sort(F.array_distinct(toks)), 1, 5).alias(
-            "distinct_head"
-        ),
+        F.concat_ws(
+            " ", F.slice(F.array_sort(F.array_distinct(toks)), 1, 5)
+        ).alias("distinct_head"),
         F.array_position(toks, "a").alias("idx_of_a"),
         F.element_at(toks, 3).alias("third_token"),
-        F.sequence(
-            F.lit(1), F.greatest(F.least(F.size(toks), F.lit(3)), F.lit(1))
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.least(F.size(toks), F.lit(3)), F.lit(1)),
+                ),
+                lambda x: x.cast("string"),
+            ),
         ).alias("seq_head"),
     )

@@ -107,27 +107,24 @@ def stream_daily_rollup_complete(spark, sf_dir):
 
     from pyspark.sql import types as T
 
-    # Same nanos workaround as io.load_table, stream-side: declare ts as
-    # LongType under nanosAsLong and convert after the scan.
+    # File streams need an explicit schema; derive it from a batch read
+    # of the same file so the stream matches whatever flavor the
+    # generator wrote (TIMESTAMP(NANOS) → LongType under nanosAsLong;
+    # micros NTZ/LTZ → TimestampType via load_table's normalization).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(raw.dtypes).get("ts") == "bigint":
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        ts = F.col("ts").cast("timestamp")
     # File streams take a directory; pick the events file by glob.
     stream = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(raw.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ts = F.timestamp_micros(F.expr("ts div 1000"))
     agg = (
         stream.select(
             F.to_date(ts).alias("day"), "event_type", "value"

@@ -52,6 +52,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # testdata parquet stamps are naive (isAdjustedToUTC=false); read
+        # them as session-tz TIMESTAMP (UTC) — same wall-clock values the
+        # DuckDB oracle sees — instead of TIMESTAMP_NTZ, which many
+        # engine ops (epoch casts, unix_timestamp) reject.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # parquet scans: vectorized reader + pushdown are on by default;
         # keep files splittable at ~128MB so a 100 TB table yields ~800k
