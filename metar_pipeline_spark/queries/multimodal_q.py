@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from metar_pipeline_spark.functions.pandas_fns import (
-    longest_daily_streaks,
+    longest_daily_streaks_jvm,
     ws_token_count,
 )
 from metar_pipeline_spark.io import load_table
@@ -124,8 +124,32 @@ def video_frame_sample(spark, sf_dir):
 
 @register(
     "audio_features_stub",
-    None,  # numpy byte-level kernel — rows-only check by design
-    doc="Audio feature extraction stub: numpy per-batch RMS/silence over binary (rows-only)",
+    f"""
+    WITH c AS (
+      SELECT doc_id, upper(hex({_DUCK_CONTENT})) AS h FROM documents
+    ), b AS (
+      SELECT doc_id, ('0x' || substr(h, k * 2 + 1, 2))::INT AS byte
+      FROM c, LATERAL (
+        SELECT unnest(generate_series(0, length(h) // 2 - 1)) AS k
+      ) ks
+    ), s AS (
+      SELECT doc_id,
+             count(*) AS n,
+             sum(byte * byte)::DOUBLE AS ssq,
+             avg(CASE WHEN byte = 0 THEN 1.0 ELSE 0.0 END) AS zr
+      FROM b GROUP BY 1
+    )
+    SELECT c.doc_id,
+           CAST(coalesce(s.n, 0) AS INTEGER) AS n_samples,
+           round(coalesce(sqrt(s.ssq / s.n), 0.0), 6) AS rms_like,
+           round(coalesce(s.zr, 0.0), 6) AS zero_byte_ratio
+    FROM c LEFT JOIN s USING (doc_id)
+    """,
+    doc=(
+        "Audio feature extraction stub: numpy per-batch RMS/silence over "
+        "binary. Byte squares are exact in float64, so the numpy kernel "
+        "and the SQL per-byte expansion agree bit-for-bit."
+    ),
 )
 def audio_features_stub(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select(
@@ -169,11 +193,17 @@ def pandas_token_count(spark, sf_dir):
            CAST(MAX(len) AS INTEGER) AS longest_streak
     FROM streaks GROUP BY user_id
     """,
-    doc="Grouped applyInPandas: per-user longest consecutive-day streak, oracle = gaps-and-islands SQL",
+    doc=(
+        "Per-user longest consecutive-day streak as one JVM aggregate "
+        "fold over the sorted day array (no Arrow boundary); oracle = "
+        "gaps-and-islands SQL. The applyInPandas form "
+        "(pandas_fns.longest_daily_streaks) stays as the documented "
+        "grouped-map exhibit, parity-tested against this one."
+    ),
 )
 def longest_daily_streak(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
-    return longest_daily_streaks(events)
+    return longest_daily_streaks_jvm(events)
 
 
 @register(

@@ -157,3 +157,84 @@ def stream_daily_rollup_complete(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
+
+
+@register(
+    "stream_daily_rollup_append",
+    """
+    WITH mx AS (SELECT max(ts) AS mts FROM events)
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 2)
+               AS sum_value
+    FROM events, mx
+    WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= mx.mts
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "The PRODUCTION streaming rollup: watermarked event-time window "
+        "in APPEND mode — each (day, type) aggregate is emitted exactly "
+        "once when the watermark seals its window, and its state is "
+        "evicted, so state is bounded by open windows, not stream "
+        "history (complete mode above is the oracle-parity demo only). "
+        "The oracle is the batch SQL restricted to sealed windows: every "
+        "day whose end <= max event time — the still-open last day is "
+        "correctly withheld by both sides."
+    ),
+)
+def stream_daily_rollup_append(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(raw.dtypes).get("ts") == "bigint":
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        ts = F.col("ts").cast("timestamp")
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = (
+        stream.select(ts.alias("ets"), "event_type", "value")
+        .withWatermark("ets", "0 seconds")
+        .groupBy(F.window("ets", "1 day").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(_dsum(F.col("value")), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").cast("date").alias("day"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    out_dir = tempfile.mkdtemp(prefix="stream_rollup_append_")
+    ckpt = os.path.join(out_dir, "_ckpt")
+    data = os.path.join(out_dir, "data")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", data)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # materialize the result before the temp dir is removed
+        rows = spark.read.schema(agg.schema).parquet(data)
+        result = spark.createDataFrame(rows.collect(), agg.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return result

@@ -140,7 +140,7 @@ def text_lang_id(spark, sf_dir):
     f"""
     SELECT doc_id,
            md5(text) AS content_md5,
-           (list_sort(list_transform(sh, s -> md5(s))))[1:5] AS minhash_fp,
+           array_to_string((list_sort(list_transform(sh, s -> md5(s))))[1:5], ',') AS minhash_fp,
            list_sum(list_transform(generate_series(0, 31), b ->
              CASE WHEN list_sum(list_transform(toks, t ->
                     CASE WHEN ((('0x' || substr(md5(t), 1, 8))::BIGINT >> b) & 1) = 1
@@ -154,16 +154,22 @@ def text_lang_id(spark, sf_dir):
     doc="Document fingerprints: content md5, min-5 shingle hashes, 32-bit SimHash",
 )
 def doc_fingerprints(spark, sf_dir):
+    # Single pass: all three fingerprints are per-row-independent column
+    # math, so one projection rides one scan — no second lineage, no
+    # join, no shuffle (r1 computed simhash as a separate explode/agg
+    # lineage and equi-joined it back: two scans + an exchange for
+    # nothing). minhash_fp serialized to CSV for the driver comparator.
     docs = load_table(spark, sf_dir, "documents")
-    sh = tx.word_shingles(tx.tokens(F.col("text")), 3)
-    fps = docs.select(
+    toks = tx.tokens(F.col("text"))
+    sh = tx.word_shingles(toks, 3)
+    return docs.select(
         "doc_id",
         F.md5("text").alias("content_md5"),
-        tx.fingerprint_minhash_k(sh, 5).alias("minhash_fp"),
+        F.concat_ws(",", tx.fingerprint_minhash_k(sh, 5)).alias(
+            "minhash_fp"
+        ),
+        tx.simhash32(toks).alias("simhash"),
     )
-    # simhash via the explode/partial-agg form (dedup.simhash_table) —
-    # same bits as textops.simhash32, ~10× faster in bulk.
-    return fps.join(dd.simhash_table(docs, "doc_id", "text"), "doc_id")
 
 
 # ---------------------------------------------------------------------------
