@@ -35,7 +35,9 @@ def main() -> None:
     # Warm the JVM + parquet footers + Python/Arrow workers once so
     # timings reflect execution, not first-touch class loading or
     # daemon startup.
-    for warm_q in ("dwh_daily_metrics", "pandas_token_count"):
+    # include the first registry entry: after a registry reorder the
+    # lead query otherwise pays the whole-stage-codegen cold start
+    for warm_q in (next(iter(specs)), "dwh_daily_metrics", "pandas_token_count"):
         specs[warm_q].spark_fn(spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
@@ -55,20 +57,47 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(timings.values()), 3)
-    out = {
+    # The harness that invokes us keeps only the LAST ~2000 chars of
+    # output and parses the JSON line from there — a full 92-entry
+    # per-query dict (~4 KB) therefore never parses (r1/r2 lesson:
+    # "parsed": null both rounds). Emit a compact line that always fits:
+    # summary stats + the slowest 15 queries; the complete per-query
+    # timing map goes to bench_details.json beside this script.
+    detail = {
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        # the registry grows round over round; mean-per-query is
-        # the count-stable comparison number
         "n_queries": len(timings),
         "mean_sec": round(total / max(len(timings), 1), 3),
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        detail["errors"] = errors
+    detail_path = Path(__file__).resolve().parent / "bench_details.json"
+    detail_path.write_text(json.dumps(detail, indent=1))
+
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:15]
+    )
+    out = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        # the registry grows round over round; mean-per-query is
+        # the count-stable comparison number
+        "n_queries": len(timings),
+        "mean_sec": round(total / max(len(timings), 1), 3),
+        "n_errors": len(errors),
+        "queries": slowest,
+        "detail": "bench_details.json",
+    }
+    line = json.dumps(out)
+    if len(line) > 1900:  # belt-and-braces: drop per-query detail
+        out["queries"] = {}
+        line = json.dumps(out)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -94,12 +94,13 @@ _STREAM_SEQ = [0]
     GROUP BY 1, 2
     """,
     doc=(
-        "Structured Streaming, oracle-checked: the daily rollup run as a "
-        "file-source stream (complete-mode agg, availableNow trigger) "
-        "must hash-match the plain batch SQL. Proves the streaming "
-        "micro-batch path computes the same algebra as the batch "
-        "engine — the L6 cadence with a correctness gate instead of a "
-        "rows-only check."
+        "Structured Streaming oracle-parity DEMO: the daily rollup as a "
+        "file-source stream in complete mode must hash-match the plain "
+        "batch SQL — proves the micro-batch path computes the same "
+        "algebra as the batch engine. Demo only: complete mode re-emits "
+        "the whole aggregate each batch and never evicts state, so the "
+        "scale path is stream_daily_rollup_append (watermarked append, "
+        "bounded state), not this."
     ),
 )
 def stream_daily_rollup_complete(spark, sf_dir):
