@@ -1,0 +1,160 @@
+"""Training-data curation operators — the corpus-preparation steps a
+large-scale LLM data pipeline runs after dedup/quality filtering
+(beyond the reference, which stops at relational marts; see SURVEY.md
+"Beyond-reference training-data operators").
+
+All four are pure DataFrame compositions — no UDFs, no collect — so
+they inherit Catalyst pushdown/pruning and scale by partitioning:
+
+- pack_sequences: GPT-style concat-then-chunk packing. Documents are
+  concatenated in a deterministic order within a packing domain and
+  chunked into fixed token windows; each doc is tagged with the window
+  its first token lands in. One shuffle (by domain), one window pass.
+- mixture_sample: per-domain quota sampling (data-mixture curation).
+  Hash-ranked row_number so the sample is reproducible under any
+  partitioning, then quota filter. At 100 TB the rank shuffle is
+  per-domain; degenerate domains split via AQE skew handling.
+- ngram_overlap: benchmark decontamination. Distinct n-gram digests of
+  the (small) eval set are inner-joined against corpus n-grams;
+  overlap counts per doc flag contaminated documents. The eval side of
+  the join is broadcast — the corpus is never reshuffled.
+- redact_pii: regex scrub (emails/phones) with per-doc match counts and
+  a digest of the redacted text. Rides the scan; patterns are
+  RE2-compatible so any engine applies the same replacements.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from metar_pipeline_spark.operators.textops import tokens, word_shingles
+
+EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+def pack_sequences(
+    docs: DataFrame,
+    window_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "source",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing.
+
+    Within each packing domain documents are laid out in ``id_col``
+    order; ``pack_id`` is the window containing the document's first
+    token and ``offset_in_pack`` its start offset there. Exactly the
+    layout a renderer that concatenates docs into fixed-length training
+    sequences would produce — computed with one cumulative-sum window,
+    no Python. At 100 TB, pick a finer domain (e.g. source × day) so no
+    single domain serializes the cumsum.
+    """
+    n_tok = F.size(tokens(F.col(text_col)))
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        docs.select(F.col(id_col), F.col(domain_col), n_tok.alias("n_tokens"))
+        .withColumn("pack_id", F.floor(cum_before / window_tokens))
+        .withColumn(
+            "offset_in_pack", (cum_before % window_tokens).cast("int")
+        )
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    quota: Column,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+) -> DataFrame:
+    """Per-domain quota sampling for data-mixture curation.
+
+    ``quota`` is a per-row Column giving the domain's target count.
+    Rows are ranked inside each domain by a salted md5 of the id —
+    a total, engine-portable, partitioning-independent order — and the
+    first ``quota`` survive. Deterministic: re-running on re-partitioned
+    data returns the identical sample.
+    """
+    rank_key = F.md5(F.concat(F.lit("mix:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(domain_col).orderBy(rank_key, F.col(id_col))
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= quota)
+    )
+
+
+def ngram_overlap(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: per corpus doc, how many of its
+    distinct word n-grams appear anywhere in the eval set.
+
+    Shuffle shape: n-grams travel as md5 digests (32 bytes, never the
+    text); the eval digest set is distinct-reduced and broadcast, so
+    the corpus side joins in place with no exchange.
+    """
+
+    def grams(df: DataFrame) -> DataFrame:
+        sh = F.array_distinct(word_shingles(tokens(F.col(text_col)), n))
+        return df.select(
+            F.col(id_col), F.explode(sh).alias("_g")
+        ).select(id_col, F.md5(F.col("_g")).alias("g"))
+
+    eval_grams = eval_set.select(
+        F.explode(
+            F.array_distinct(word_shingles(tokens(F.col(text_col)), n))
+        ).alias("_g")
+    ).select(F.md5(F.col("_g")).alias("g")).distinct()
+
+    corpus_grams = grams(corpus)
+    totals = corpus_grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    overlaps = (
+        corpus_grams.join(F.broadcast(eval_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        totals.join(overlaps, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_grams",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            F.round(
+                F.coalesce(F.col("n_overlap"), F.lit(0))
+                / F.greatest(F.col("n_grams"), F.lit(1)),
+                6,
+            ).alias("overlap_ratio"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def redact_pii(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Scrub emails/phones; report per-doc counts and redacted digest."""
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>"),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(F.col(text_col), F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col(text_col), F.lit(PHONE_RE)).alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )

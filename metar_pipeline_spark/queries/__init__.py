@@ -105,6 +105,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect: populate REGISTRY.
     from metar_pipeline_spark.queries import (  # noqa: F401
         core,
+        curation_q,
         extended,
         multimodal_q,
         pipeline_q,

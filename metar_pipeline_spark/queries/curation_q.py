@@ -1,0 +1,194 @@
+"""Training-data curation queries: sequence packing, mixture sampling,
+decontamination, PII scrubbing (operators/curation.py).
+
+These are the post-filtering corpus-preparation steps of an LLM data
+pipeline; each is registered with an exact ANSI-SQL oracle so the
+Spark composition is hash-verified end to end. PII-bearing text is
+synthesized deterministically from doc_id on BOTH engines (same
+convention as the multimodal byte synthesis) because the corpus itself
+contains none.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from metar_pipeline_spark.io import load_table
+from metar_pipeline_spark.operators import curation as cu
+from metar_pipeline_spark.queries import register
+
+_DUCK_TOKS = (
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+)
+_PACK_WINDOW = 512
+_EVAL_MOD = 23  # doc_id % 23 == 0 → eval set (~4% of the corpus)
+
+
+@register(
+    "pack_training_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len({_DUCK_TOKS}) AS INTEGER) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(coalesce(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS cum_before
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(cum_before // {_PACK_WINDOW} AS BIGINT) AS pack_id,
+           CAST(cum_before % {_PACK_WINDOW} AS INTEGER) AS offset_in_pack
+    FROM c
+    """,
+    doc=(
+        "Sequence packing (concat-then-chunk): each doc tagged with the "
+        f"{_PACK_WINDOW}-token training window containing its first "
+        "token — one cumsum window per packing domain, no Python"
+    ),
+)
+def pack_training_sequences(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = cu.pack_sequences(docs, window_tokens=_PACK_WINDOW)
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "pack_id",
+        "offset_in_pack",
+    )
+
+
+@register(
+    "mixture_quota_sample",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS sample_rank
+      FROM documents
+    )
+    SELECT doc_id, source, lang, CAST(sample_rank AS INTEGER) AS sample_rank
+    FROM ranked
+    WHERE sample_rank <= CASE WHEN source IN ('src0','src1','src2')
+                              THEN 15 ELSE 8 END
+    """,
+    doc=(
+        "Data-mixture curation: per-domain quota sampling by salted "
+        "hash rank — reproducible under any partitioning; upweighted "
+        "domains get a larger quota"
+    ),
+)
+def mixture_quota_sample(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    quota = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), F.lit(15))
+        .otherwise(F.lit(8))
+    )
+    out = cu.mixture_sample(docs, quota)
+    return out.select(
+        "doc_id", "source", "lang",
+        F.col("sample_rank").cast("int").alias("sample_rank"),
+    )
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             md5(g) AS g
+      FROM (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 generate_series(1, len(tk) - 4),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                      || tk[i+3] || ' ' || tk[i+4]))) AS g
+        FROM toks
+      )
+    ), eval_grams AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % {_EVAL_MOD} = 0
+    ), corpus AS (
+      SELECT * FROM grams WHERE doc_id % {_EVAL_MOD} <> 0
+    ), totals AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+      FROM corpus GROUP BY doc_id
+    ), hits AS (
+      SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+      FROM corpus c JOIN eval_grams e USING (g)
+      GROUP BY c.doc_id
+    )
+    SELECT t.doc_id, t.n_grams,
+           CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           round(coalesce(h.n_overlap, 0) / greatest(t.n_grams, 1), 6)
+               AS overlap_ratio,
+           coalesce(h.n_overlap, 0) > 0 AS contaminated
+    FROM totals t LEFT JOIN hits h USING (doc_id)
+    """,
+    doc=(
+        "Benchmark decontamination: distinct 5-gram digests of the eval "
+        "slice (doc_id % 23 = 0) broadcast-joined against corpus "
+        "5-grams; per-doc overlap count/ratio + contamination flag"
+    ),
+)
+def decontaminate_ngram_overlap(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % _EVAL_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    return cu.ngram_overlap(corpus, eval_set, n=5)
+
+
+@register(
+    "pii_redaction_stats",
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 2 THEN text
+                  ELSE text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or +1-555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{cu.EMAIL_RE}')) AS INTEGER)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text, '{cu.PHONE_RE.replace(chr(92), chr(92))}')) AS INTEGER)
+               AS n_phones,
+           md5(regexp_replace(regexp_replace(text, '{cu.EMAIL_RE}',
+               '<EMAIL>', 'g'), '{cu.PHONE_RE}', '<PHONE>', 'g'))
+               AS redacted_md5
+    FROM aug
+    """,
+    doc=(
+        "PII scrub: email/phone regex counts + digest of the redacted "
+        "text; PII synthesized from doc_id on both engines (1/3 of "
+        "docs kept clean as control)"
+    ),
+)
+def pii_redaction_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 2, F.col("text"))
+        .otherwise(
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            )
+        )
+        .alias("text"),
+    )
+    return cu.redact_pii(aug)
