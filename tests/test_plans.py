@@ -152,3 +152,38 @@ def test_mode_query_is_two_level_agg_no_window(plans):
     p = plans("event_type_mode_daily")
     assert "Window" not in p
     assert p.count("HashAggregate") >= 4  # two rounds x partial+final
+
+
+def test_curation_queries_stay_jvm_side(plans):
+    """All four curation ops are pure column math / window / join —
+    no Python evaluation stage may appear in any of their plans."""
+    for q in (
+        "pack_training_sequences",
+        "mixture_quota_sample",
+        "decontaminate_ngram_overlap",
+        "pii_redaction_stats",
+    ):
+        p = plans(q)
+        assert "Python" not in p and "Pandas" not in p, q
+
+
+def test_decontamination_broadcasts_eval_side(plans):
+    """The eval-set digest table is the small side; the corpus n-gram
+    stream must join against it broadcast, never via a shuffled join."""
+    p = plans("decontaminate_ngram_overlap")
+    assert "BroadcastHashJoin" in p
+
+
+def test_pack_sequences_single_exchange(plans):
+    """Packing is one cumsum window per domain: exactly one Exchange
+    (hashpartitioning by source) feeds the window sort."""
+    import re
+
+    p = plans("pack_training_sequences")
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
+
+
+def test_pii_redaction_rides_the_scan(plans):
+    """Regex scrub is per-row projection — no Exchange at all."""
+    p = plans("pii_redaction_stats")
+    assert "Exchange" not in p
