@@ -34,6 +34,15 @@ def duck():
 def test_query_matches_oracle(spark, duck, name):
     spec = SPECS[name]
     sdf = spec.spark_fn(spark, SF_DIR)
+    # Driver-compat guard: its pandas canonicalizer cannot sort
+    # array/map/struct cells (unhashable) — every registered query must
+    # emit only atomic columns (serialize collections to strings).
+    from pyspark.sql import types as T
+
+    for f in sdf.schema.fields:
+        assert not isinstance(
+            f.dataType, (T.ArrayType, T.MapType, T.StructType)
+        ), f"{name}.{f.name} is {f.dataType.simpleString()}"
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
     if spec.oracle is None:
