@@ -158,3 +158,34 @@ def redact_pii(
         F.regexp_count(F.col(text_col), F.lit(PHONE_RE)).alias("n_phones"),
         F.md5(redacted).alias("redacted_md5"),
     )
+
+
+def quality_quantile_filter(
+    docs: DataFrame,
+    quality: Column,
+    q: float,
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """Keep documents at or above their stratum's q-th quality quantile
+    (per-language thresholding, so no language is wiped out by a global
+    cutoff — the standard corpus-filtering practice).
+
+    Thresholds are ONE tiny per-stratum aggregate broadcast back
+    against the scan — the corpus is never shuffled. Exact interpolated
+    percentile on both engines; the comparison happens on the
+    unrounded threshold.
+    """
+    scored = docs.withColumn("_q", quality)
+    thr = scored.groupBy(stratum_col).agg(
+        F.expr(f"percentile(_q, {q})").alias("_thr")
+    )
+    return (
+        scored.join(F.broadcast(thr), stratum_col)
+        .filter(F.col("_q") >= F.col("_thr"))
+        .select(
+            F.col(id_col),
+            F.col(stratum_col),
+            F.round(F.col("_q"), 6).alias("quality"),
+        )
+    )

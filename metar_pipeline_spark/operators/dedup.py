@@ -379,3 +379,103 @@ def connected_components(
     return labels.select(
         F.col("__n").alias(node_col), F.col("__lbl").alias("component_id")
     )
+
+
+def incremental_dedup_verdicts(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 12,
+    bands: int = 6,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Dedup a NEW batch against an existing corpus without re-pairing
+    the corpus with itself — the shape a continuously-ingesting pipeline
+    runs every cycle.
+
+    Candidates are (new, prior) only: prior = any corpus doc, or an
+    earlier-id doc of the same batch. The corpus×corpus quadrant — by
+    far the largest at 100 TB — is never generated. In production the
+    corpus signatures live in a signature store written bucketed by
+    (band, bucket) (sources/bucketed.py), so a new batch touches only
+    its own buckets and the corpus TEXT is fetched by id only for the
+    candidate pairs; here both signature tables are derived inline from
+    the same md5 formulation the oracle replays.
+
+    Returns one verdict row per new doc: (id, matched_id, jaccard,
+    is_duplicate) with the best match chosen by (rounded jaccard desc,
+    id asc) — deterministic on both engines.
+    """
+    rows_per_band = num_hashes // bands
+
+    def buckets_of(docs: DataFrame, tag: int) -> DataFrame:
+        sigs = minhash_signature(docs, id_col, text_col, num_hashes, shingle_n)
+        band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+        return sigs.select(
+            F.col(id_col).alias("id"),
+            F.lit(tag).alias("is_corpus"),
+            F.explode(
+                F.transform(
+                    band_idx,
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                F.slice(
+                                    F.col("signature"),
+                                    b * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                            )
+                        ).alias("bucket"),
+                    ),
+                )
+            ).alias("bb"),
+        ).select("id", "is_corpus", "bb.band", "bb.bucket")
+
+    new_b = buckets_of(new_docs, 0).cache()
+    prior_b = buckets_of(corpus_docs, 1).unionByName(new_b)
+    cands = (
+        new_b.alias("a")
+        .join(
+            prior_b.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (
+                (F.col("b.is_corpus") == 1)
+                | (F.col("b.id") < F.col("a.id"))
+            ),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    all_docs = new_docs.unionByName(corpus_docs)
+    sims = jaccard_on_pairs(cands, all_docs, id_col, text_col, shingle_n)
+    best = (
+        sims.filter(F.col("jaccard") >= threshold)
+        .groupBy("id_a")
+        .agg(
+            F.max(
+                F.struct(F.col("jaccard"), (-F.col("id_b")).alias("_nb"))
+            ).alias("_m")
+        )
+        .select(
+            F.col("id_a"),
+            (-F.col("_m._nb")).alias("matched_id"),
+            F.col("_m.jaccard").alias("jaccard"),
+        )
+    )
+    return (
+        new_docs.select(F.col(id_col))
+        .join(best.withColumnRenamed("id_a", id_col), id_col, "left")
+        .select(
+            id_col,
+            "matched_id",
+            "jaccard",
+            F.col("matched_id").isNotNull().alias("is_duplicate"),
+        )
+    )

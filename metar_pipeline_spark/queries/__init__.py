@@ -96,8 +96,9 @@ VERIFY_FIRST = [
     "array_function_surface",
     "audio_features_stub",
     "longest_daily_streak",
-    # flagship pipeline — keep continuously verified
-    "medallion_end_to_end",
+    # new this round — first driver row (medallion_end_to_end rotated
+    # out: driver-green in both r1 and r2, unchanged since)
+    "decontaminate_ngram_overlap",
 ]
 
 

@@ -192,3 +192,49 @@ def pii_redaction_stats(spark, sf_dir):
         .alias("text"),
     )
     return cu.redact_pii(aug)
+
+
+@register(
+    "quality_quantile_filter",
+    f"""
+    WITH c AS (
+      SELECT doc_id, lang,
+             CAST(len(toks) AS INTEGER) AS n_tokens,
+             round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                   / greatest(length(text), 1), 6) AS alpha_ratio,
+             round(length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g'))
+                   / greatest(length(text), 1), 6) AS punct_ratio,
+             round(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','that','for','with')))
+                   / greatest(len(toks), 1), 6) AS stopword_ratio
+      FROM (SELECT doc_id, lang, text, {_DUCK_TOKS} AS toks FROM documents)
+    ), q AS (
+      SELECT doc_id, lang,
+             round(0.4 * CAST(least(n_tokens / 100.0, 1.0) AS DECIMAL(18,6))
+                   + 0.3 * CAST(alpha_ratio AS DECIMAL(18,6))
+                   + 0.2 * CAST(stopword_ratio AS DECIMAL(18,6))
+                   + 0.1 * CAST(1 - least(punct_ratio * 10, 1.0) AS DECIMAL(18,6)),
+                   6)::DOUBLE AS quality
+      FROM c
+    ), thr AS (
+      SELECT lang, quantile_cont(quality, 0.6) AS t FROM q GROUP BY lang
+    )
+    SELECT q.doc_id, q.lang, round(q.quality, 6) AS quality
+    FROM q JOIN thr USING (lang)
+    WHERE q.quality >= thr.t
+    """,
+    doc=(
+        "Corpus filtering: keep docs at/above the per-language 60th "
+        "quality percentile — per-stratum thresholds broadcast back "
+        "against the scan, so no language is wiped out by a global "
+        "cutoff and the corpus is never shuffled"
+    ),
+)
+def quality_quantile_filter(spark, sf_dir):
+    from metar_pipeline_spark.operators import textops as tx
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    return cu.quality_quantile_filter(
+        docs, tx.quality_score(F.col("text")), 0.6
+    )

@@ -717,3 +717,66 @@ def doc_top_bigram_share(spark, sf_dir):
             "top_bigram_share"
         ),
     )
+
+
+@register(
+    "dedup_incremental_batch",
+    f"""
+    WITH toksrc AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    shs AS (SELECT doc_id, list_distinct({_DUCK_SHINGLE3}) AS sh FROM toksrc),
+    hs AS (
+      SELECT doc_id, sh,
+             list_transform(sh, s -> [md5('0:' || s), md5('1:' || s), md5('2:' || s)]) AS hs
+      FROM shs WHERE len(sh) > 0
+    ),
+    sig AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 11), i ->
+               list_min(list_transform(hs, h -> substr(h[(i // 4) + 1], (i % 4) * 8 + 1, 8)))) AS sig
+      FROM hs
+    ),
+    expanded AS (SELECT doc_id, sig, unnest(generate_series(0, 5)) AS band FROM sig),
+    buckets AS (
+      SELECT doc_id, band,
+             md5(array_to_string(list_slice(sig, band * 2 + 1, band * 2 + 2), '|')) AS bucket
+      FROM expanded
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket
+       AND a.doc_id % 10 = 0 AND a.doc_id <> b.doc_id
+       AND (b.doc_id % 10 <> 0 OR b.doc_id < a.doc_id)
+    ),
+    sets AS (SELECT doc_id, sh AS s FROM shs),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             round(len(list_intersect(x.s, y.s))
+                   / greatest(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)), 1), 6) AS jaccard
+      FROM cands c JOIN sets x ON x.doc_id = c.id_a JOIN sets y ON y.doc_id = c.id_b
+    ),
+    best AS (
+      SELECT id_a, id_b, jaccard,
+             ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY jaccard DESC, id_b) AS rn
+      FROM scored WHERE jaccard >= 0.5
+    )
+    SELECT n.doc_id, b.id_b AS matched_id, b.jaccard,
+           b.id_b IS NOT NULL AS is_duplicate
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) n
+    LEFT JOIN best b ON b.id_a = n.doc_id AND b.rn = 1
+    """,
+    doc=(
+        "Incremental dedup: the 10% 'new batch' (doc_id % 10 = 0) "
+        "LSH-checked against the existing corpus + earlier batch docs "
+        "only — the corpus x corpus quadrant is never generated; one "
+        "verdict row per new doc (best match by jaccard desc, id asc)"
+    ),
+)
+def dedup_incremental_batch(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    new_docs = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return dd.incremental_dedup_verdicts(
+        new_docs, corpus, "doc_id", "text",
+        num_hashes=12, bands=6, shingle_n=3, threshold=0.5,
+    )
