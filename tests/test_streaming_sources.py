@@ -236,3 +236,31 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
         r["event_id"] for r in spark.table("ddw_out").collect()
     )
     assert got == [1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# S1 at scale: Spark 4 Python DataSource collector (executor-side fetch)
+# ---------------------------------------------------------------------------
+def test_datasource_collector_matches_driver_side(spark):
+    """The registered metar_collector DataSource (fetch distributed
+    across input partitions) must normalize to exactly the rows the
+    driver-side collect_once produces from the same documents."""
+    import json
+
+    from metar_pipeline_spark.sources.datasource import (
+        collect_distributed,
+        offline_fetcher,
+    )
+
+    stations = ["UUEE", "ULLI", "UUDD", "URSS", "UNNT", "USSS", "UHWW"]
+    docs = [json.loads(p) for p in offline_fetcher(stations)]
+    want = collect_once(spark, fake_fetcher(docs), stations)
+    got = collect_distributed(spark, stations, stations_per_partition=3)
+
+    assert got.columns == want.columns
+    # 7 stations / 3 per partition → 3 fetch partitions
+    assert got.rdd.getNumPartitions() == 3
+    drop = ("inserted_at", "id")  # timestamps / payload-key-order digests
+    assert sorted(
+        tuple(r) for r in got.drop(*drop).collect()
+    ) == sorted(tuple(r) for r in want.drop(*drop).collect())
