@@ -259,3 +259,86 @@ def streaming_sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFram
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas — the Spark 4 successor API
+# ---------------------------------------------------------------------------
+def _make_latest_processor():
+    """StatefulProcessor for latest-per-key with typed ValueState.
+
+    Same semantics as streaming_latest_per_key (update mode: a key
+    re-emits only when its winner changes), expressed in the Spark 4
+    ``transformWithState`` API: the winner lives in a named, typed
+    ValueState slot (RocksDB-backed on a real deployment, with optional
+    TTL), instead of the single opaque state tuple of
+    ``applyInPandasWithState``. Kept as a parity twin so the engine
+    exercises both public stateful surfaces. Runtime requirement: the
+    TWS state-server protocol needs the ``protobuf`` python package
+    (absent in this container — the parity test import-skips then,
+    same convention as the optional media decoders).
+    """
+    import pandas as pd  # local import: executor-side pickling
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class LatestPerKey(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._best = handle.getValueState(
+                "best",
+                "max_ts long, event_id long, event_type string, value double",
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            cur = self._best.get() if self._best.exists() else None
+            best = tuple(cur) if cur is not None else None
+            changed = False
+            for pdf in rows:
+                if pdf.empty:
+                    continue
+                ts_ns = pdf["ts"].astype("int64")
+                idx = (
+                    pd.DataFrame({"t": ts_ns, "i": pdf["event_id"]})
+                    .sort_values(["t", "i"])
+                    .index[-1]
+                )
+                cand = (
+                    int(ts_ns.loc[idx]),
+                    int(pdf["event_id"].loc[idx]),
+                    str(pdf["event_type"].loc[idx]),
+                    float(pdf["value"].loc[idx]),
+                )
+                if best is None or cand[:2] > best[:2]:
+                    best = cand
+                    changed = True
+            if changed:
+                self._best.update(best)
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "ts": [pd.Timestamp(best[0], unit="ns")],
+                        "event_id": [best[1]],
+                        "event_type": [best[2]],
+                        "value": [best[3]],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return LatestPerKey()
+
+
+def streaming_latest_per_key_tws(events: DataFrame) -> DataFrame:
+    """latest-per-key via ``transformWithStateInPandas`` (Spark 4 API);
+    output-identical to streaming_latest_per_key."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_latest_processor(),
+        outputStructType=LATEST_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

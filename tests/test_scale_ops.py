@@ -461,3 +461,36 @@ def test_streaming_sessionize_event_time_timeout(spark, tmp_path):
         (9, sec(50000), sec(50000), 1, 8.0),
     }
     assert got == expected
+
+
+def test_transform_with_state_latest_per_key(spark, event_stream_dirs):
+    """The Spark 4 transformWithStateInPandas form must converge to the
+    same per-key winners as the applyInPandasWithState form (same
+    cross-micro-batch state semantics, typed ValueState instead of an
+    opaque tuple).
+
+    The TWS state-server protocol needs the protobuf python package at
+    runtime (not shipped in this container) — skip when absent, same
+    convention as the optional media decoders."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from metar_pipeline_spark.streaming.stateful import (
+        streaming_latest_per_key_tws,
+    )
+
+    out = _run_stateful(
+        spark, event_stream_dirs, streaming_latest_per_key_tws, "tws_out"
+    )
+    events = load_table(spark, SF_SMOKE, "events")
+    expect = events.groupBy("user_id").agg(
+        F.max_by(
+            F.col("event_id"), F.struct(F.col("ts"), F.col("event_id"))
+        ).alias("event_id")
+    )
+    got = out.groupBy("user_id").agg(
+        F.max_by(
+            F.col("event_id"), F.struct(F.col("ts"), F.col("event_id"))
+        ).alias("event_id")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
