@@ -70,3 +70,33 @@ def compact_parquet_dir(
     fs.rename(spath, tpath)
     new_n, _ = dir_stats(spark, path)
     return new_n
+
+
+def expire_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    keep_from: str,
+) -> list[str]:
+    """Retention for a date-partitioned table: drop every
+    ``{partition_col}=<value>`` directory with value < ``keep_from``.
+
+    This is partition-level metadata surgery — directory deletes, no
+    data read or rewritten — which is what makes retention viable on a
+    100 TB table (a filter-and-rewrite would scan everything). Values
+    compare lexicographically, correct for ISO dates (the layout
+    plans/medallion and the streaming sinks write). Lakehouse twins:
+    Delta `DELETE WHERE` + VACUUM, Iceberg expire_snapshots +
+    drop-partition. Returns the dropped partition values.
+    """
+    fs, hpath, jvm = _hadoop_fs(spark, path)
+    prefix = f"{partition_col}="
+    dropped: list[str] = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(prefix):
+            value = name[len(prefix):]
+            if value < keep_from:
+                fs.delete(st.getPath(), True)
+                dropped.append(value)
+    return sorted(dropped)

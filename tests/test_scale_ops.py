@@ -494,3 +494,41 @@ def test_transform_with_state_latest_per_key(spark, event_stream_dirs):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, expect.collect())
     )
+
+
+def test_expire_partitions_retention(spark, tmp_path):
+    """Partition retention drops only directories older than the
+    horizon — no surviving data is rewritten (file paths unchanged)."""
+    from metar_pipeline_spark.sources.compaction import expire_partitions
+
+    target = str(tmp_path / "gold")
+    ev = load_table(spark, SF_SMOKE, "events")
+    daily = ev.select(
+        F.to_date("ts").alias("observed_date"), "user_id", "value"
+    )
+    daily.write.partitionBy("observed_date").mode("overwrite").parquet(
+        target
+    )
+    before = {
+        r.observed_date for r in
+        spark.read.parquet(target).select("observed_date").distinct().collect()
+    }
+    horizon = sorted(before)[3].isoformat()  # keep all but the 3 oldest
+    survivor_files = set(
+        spark.read.parquet(target)
+        .filter(F.col("observed_date") >= horizon)
+        .select(F.input_file_name().alias("f")).distinct().collect()
+    )
+
+    dropped = expire_partitions(
+        spark, target, "observed_date", keep_from=horizon
+    )
+    assert dropped == sorted(d.isoformat() for d in before)[:3]
+    after = spark.read.parquet(target)
+    assert {
+        r.observed_date for r in after.select("observed_date").distinct().collect()
+    } == {d for d in before if d.isoformat() >= horizon}
+    # survivors untouched: same physical files
+    assert set(
+        after.select(F.input_file_name().alias("f")).distinct().collect()
+    ) == survivor_files
