@@ -264,3 +264,64 @@ def test_datasource_collector_matches_driver_side(spark):
     assert sorted(
         tuple(r) for r in got.drop(*drop).collect()
     ) == sorted(tuple(r) for r in want.drop(*drop).collect())
+
+
+# ---------------------------------------------------------------------------
+# Q6 streaming side: per-micro-batch progress metrics listener
+# ---------------------------------------------------------------------------
+def test_progress_metrics_listener(spark, tmp_path):
+    """Every micro-batch of a watermarked stateful stream lands one
+    metrics row: input rows sum to the source size, durations are
+    positive, and the stateful operator reports state rows."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.streaming.monitor import (
+        ProgressMetricsListener,
+    )
+    from metar_pipeline_spark.streaming.pipeline import (
+        EVENTS_STREAM_SCHEMA,
+        daily_rollup_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    events = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    events.coalesce(1).write.mode("overwrite").parquet(str(src / "b1"))
+
+    listener = ProgressMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        stream = (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        q = (
+            daily_rollup_stream(stream)
+            .writeStream.format("memory")
+            .queryName("mon_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # listener events are delivered asynchronously
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if sum(r[4] for r in listener.rows) >= events.count():
+                break
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+
+    m = listener.to_df(spark)
+    rows = m.collect()
+    assert sum(r.num_input_rows for r in rows) == events.count()
+    assert all(r.batch_duration_ms >= 0 for r in rows)
+    # the windowed aggregate is stateful: some batch must report state
+    assert any(r.state_rows_total > 0 for r in rows)
