@@ -138,3 +138,22 @@ def longest_daily_streaks_jvm(
             "longest_streak"
         ),
     )
+
+
+@pandas_udf(T.DoubleType())
+def iqr_agg(v: pd.Series) -> float:
+    """GROUPED_AGG pandas_udf (the Arrow UDAF shape): exact
+    interquartile range. numpy's default linear interpolation is the
+    same quantile definition as Spark `percentile` / DuckDB
+    `quantile_cont`, so the Arrow aggregate is oracle-checkable like
+    any JVM aggregate.
+
+    Scale note: GROUPED_AGG ships each group's full column to Python —
+    right only when the kernel genuinely needs the whole group in
+    memory; additive statistics belong in JVM partial aggs. This is the
+    API exhibit for the former case."""
+    arr = v.dropna().to_numpy()
+    if arr.size == 0:
+        return float("nan")
+    hi, lo = np.percentile(arr, [75.0, 25.0])
+    return float(round(hi - lo, 6))

@@ -233,3 +233,65 @@ def image_resize_stub(spark, sf_dir):
     return out.select(
         "doc_id", "target_w", "target_h", "resized_md5", "n_bytes"
     )
+
+
+@register(
+    "pandas_iqr_by_type",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 6)
+               AS iqr
+    FROM events GROUP BY 1
+    """,
+    doc=(
+        "GROUPED_AGG pandas_udf (Arrow UDAF shape): per-type exact "
+        "interquartile range — numpy linear-interpolated percentiles "
+        "hash-match quantile_cont"
+    ),
+)
+def pandas_iqr_by_type(spark, sf_dir):
+    from metar_pipeline_spark.functions.pandas_fns import iqr_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        iqr_agg(F.col("value")).alias("iqr")
+    )
+
+
+@register(
+    "udtf_token_chunks",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id, CAST(k AS INTEGER) AS chunk_idx,
+           array_to_string(toks[k * 10 + 1 : k * 10 + 10], ' ') AS chunk,
+           CAST(least(len(toks) - k * 10, 10) AS INTEGER) AS n_tokens
+    FROM t, LATERAL (
+      SELECT unnest(generate_series(0,
+        CAST(ceil(len(toks) / 10.0) AS INTEGER) - 1)) AS k
+    ) ks
+    """,
+    doc=(
+        "Python UDTF surface: LATERAL token-chunk table function (one "
+        "doc row -> N ordered 10-token chunks, the context-window "
+        "splitter) — hash-verified against the pure-SQL unnest twin"
+    ),
+)
+def udtf_token_chunks(spark, sf_dir):
+    from metar_pipeline_spark.functions.udtf_fns import TokenChunks
+
+    spark.udtf.register("token_chunks", TokenChunks)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "__docs_for_udtf"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk, c.n_tokens
+        FROM __docs_for_udtf d,
+             LATERAL token_chunks(d.text, 10) c
+        """
+    )
