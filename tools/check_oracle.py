@@ -82,12 +82,24 @@ def main():
         try:
             cur = con.execute(spec.oracle)
             ocols = [d[0] for d in cur.description]
+            otypes = [str(d[1]) for d in cur.description]
             orows = cur.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
             continue
         problems = []
+        # Dtype lint: the external gate compares pandas frames, where
+        # DuckDB HUGEINT (e.g. an uncast SUM(CASE…)) converts to float —
+        # hash-mismatching Spark's BIGINT even when every value is equal
+        # (the r2 pivot failure). fetchall() can't see it; the
+        # description can. Oracles must CAST such sums to BIGINT.
+        for c, t in zip(ocols, otypes):
+            if "HUGEINT" in t.upper() or "INT128" in t.upper():
+                problems.append(
+                    f"oracle column {c} is {t} (pandas-converts to "
+                    f"float; CAST it to BIGINT)"
+                )
         if sorted(scols) != sorted(ocols):
             problems.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
         if len(srows) != len(orows):
