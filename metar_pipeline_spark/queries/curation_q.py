@@ -162,7 +162,7 @@ def decontaminate_ngram_overlap(spark, sf_dir):
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '{cu.EMAIL_RE}')) AS INTEGER)
                AS n_emails,
-           CAST(len(regexp_extract_all(text, '{cu.PHONE_RE.replace(chr(92), chr(92))}')) AS INTEGER)
+           CAST(len(regexp_extract_all(text, '{cu.PHONE_RE}')) AS INTEGER)
                AS n_phones,
            md5(regexp_replace(regexp_replace(text, '{cu.EMAIL_RE}',
                '<EMAIL>', 'g'), '{cu.PHONE_RE}', '<PHONE>', 'g'))
