@@ -189,3 +189,69 @@ def quality_quantile_filter(
             F.round(F.col("_q"), 6).alias("quality"),
         )
     )
+
+
+def render_packed_windows(
+    docs: DataFrame,
+    window_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "source",
+) -> DataFrame:
+    """Materialize the packed training sequences themselves: the
+    domain's token stream (docs concatenated in ``id_col`` order) cut
+    into exact ``window_tokens``-length windows — documents SPLIT across
+    window boundaries, unlike pack_sequences which only tags each doc's
+    start window.
+
+    Shape: one cumsum window per domain (token offsets), one explode
+    (token rows carry (domain, global_pos, token) — 8-byte positions,
+    not documents), one groupBy(domain, window) re-assembling each
+    window's ordered token span. Everything combines map-side; the
+    shuffle carries one building window per map task, never the corpus.
+    """
+    toks = tokens(F.col(text_col))
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    laid = docs.select(
+        F.col(id_col), F.col(domain_col), toks.alias("_toks")
+    ).select(
+        F.col(id_col),
+        F.col(domain_col),
+        F.col("_toks"),
+        F.coalesce(
+            F.sum(F.size("_toks")).over(w), F.lit(0).cast("bigint")
+        ).alias("_cum"),
+    )
+    positioned = laid.select(
+        domain_col,
+        F.posexplode("_toks").alias("_k", "tok"),
+        F.col("_cum"),
+    ).select(
+        domain_col,
+        (F.col("_cum") + F.col("_k")).alias("gpos"),
+        "tok",
+    )
+    return (
+        positioned.groupBy(
+            F.col(domain_col),
+            F.floor(F.col("gpos") / window_tokens).alias("window_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("gpos", "tok"))
+                        ),
+                        lambda s: s["tok"],
+                    ),
+                )
+            ).alias("window_md5"),
+        )
+    )

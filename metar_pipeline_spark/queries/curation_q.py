@@ -238,3 +238,38 @@ def quality_quantile_filter(spark, sf_dir):
     return cu.quality_quantile_filter(
         docs, tx.quality_score(F.col("text")), 0.6
     )
+
+
+@register(
+    "render_packed_windows",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents
+    ), c AS (
+      SELECT doc_id, source, toks,
+             coalesce(SUM(len(toks)) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum_before
+      FROM t
+    ), e AS (
+      SELECT source, cum_before + k - 1 AS gpos, toks[k] AS tok
+      FROM c, LATERAL (
+        SELECT unnest(generate_series(1, len(toks))) AS k
+      ) ks
+    )
+    SELECT source,
+           CAST(gpos // {_PACK_WINDOW} AS BIGINT) AS window_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           md5(string_agg(tok, ' ' ORDER BY gpos)) AS window_md5
+    FROM e GROUP BY 1, 2
+    """,
+    doc=(
+        "Packed-sequence rendering: each domain's token stream cut into "
+        f"exact {_PACK_WINDOW}-token training windows (docs split across "
+        "boundaries); windows re-assembled order-exactly, digest-verified"
+    ),
+)
+def render_packed_windows(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return cu.render_packed_windows(docs, window_tokens=_PACK_WINDOW)
