@@ -202,3 +202,76 @@ def test_approx_count_distinct_within_rsd(spark):
         F.approx_count_distinct("user_id", rsd=0.05).alias("a")
     ).first()["a"]
     assert abs(approx - exact) <= max(3.0, 4 * 0.05 * exact)
+
+
+# ---------------------------------------------------------------------------
+# Curation invariants
+# ---------------------------------------------------------------------------
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 40),            # doc_id (dups possible → dedup below)
+            st.text("ab ", min_size=0, max_size=30),  # text
+            st.sampled_from(["s0", "s1"]),  # domain
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    window=st.sampled_from([4, 7, 16]),
+)
+@SETTINGS
+def test_packing_conserves_tokens_and_orders_offsets(spark, docs, window):
+    """pack_sequences invariants for ANY corpus and window size:
+    offsets stay inside the window, pack ids are the floor-div of the
+    running token count, and rendering the windows conserves every
+    token exactly once (window sizes sum to the domain token count;
+    all but each domain's last window are exactly full)."""
+    from metar_pipeline_spark.operators.curation import (
+        pack_sequences,
+        render_packed_windows,
+    )
+
+    uniq = {d: (t, s) for d, t, s in docs}
+    rows = [(d, t, s) for d, (t, s) in uniq.items()]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    packed = pack_sequences(df, window_tokens=window).collect()
+    for r in packed:
+        assert 0 <= r.offset_in_pack < window
+
+    rendered = render_packed_windows(df, window_tokens=window).collect()
+    by_domain_total = {}
+    for r in rendered:
+        assert 1 <= r.n_tokens <= window
+        by_domain_total[r.source] = by_domain_total.get(r.source, 0) + r.n_tokens
+    expect_total = {}
+    for d, t, s in rows:
+        n = len([x for x in t.lower().split() if x])
+        expect_total[s] = expect_total.get(s, 0) + n
+    assert by_domain_total == {k: v for k, v in expect_total.items() if v}
+    # every window except the domain-last is exactly full
+    last = {r.source: max(x.window_id for x in rendered if x.source == r.source)
+            for r in rendered}
+    for r in rendered:
+        if r.window_id != last[r.source]:
+            assert r.n_tokens == window
+
+
+@given(
+    ids=st.lists(st.integers(0, 1000), min_size=1, max_size=40, unique=True),
+    quota=st.integers(1, 10),
+)
+@SETTINGS
+def test_mixture_sample_is_partitioning_invariant(spark, ids, quota):
+    """The hash-ranked quota sample returns the identical id set no
+    matter how the input is partitioned (the reproducibility contract
+    that rand()-based sampling cannot give)."""
+    from metar_pipeline_spark.operators.curation import mixture_sample
+
+    rows = [(i, "d0") for i in ids]
+    a = spark.createDataFrame(rows, "doc_id long, source string")
+    b = spark.createDataFrame(rows, "doc_id long, source string").repartition(7)
+    got_a = {r.doc_id for r in mixture_sample(a, F.lit(quota)).collect()}
+    got_b = {r.doc_id for r in mixture_sample(b, F.lit(quota)).collect()}
+    assert got_a == got_b
+    assert len(got_a) == min(quota, len(ids))
