@@ -743,3 +743,31 @@ def array_function_surface(spark, sf_dir):
             ),
         ).alias("seq_head"),
     )
+
+
+@register(
+    "variant_props_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+           CAST(CAST(json_extract(props, '$.k') AS INTEGER) // 10 AS INTEGER)
+               AS k_bucket,
+           CAST(json_extract(props, '$.k') AS INTEGER) % 2 = 0 AS k_even
+    FROM events
+    """,
+    doc=(
+        "Spark 4 VARIANT surface: parse_json(props) -> open semi-"
+        "structured value, fields pulled with variant_get path "
+        "extraction — the schema-on-read JSON path without a declared "
+        "StructType; oracle = DuckDB json_extract"
+    ),
+)
+def variant_props_extract(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        F.floor(k / 10).cast("int").alias("k_bucket"),
+        (k % 2 == 0).alias("k_even"),
+    )
