@@ -36,11 +36,16 @@ def main() -> None:
     # timings reflect execution, not first-touch class loading or
     # daemon startup.
     # include the first registry entry: after a registry reorder the
-    # lead query otherwise pays the whole-stage-codegen cold start
+    # lead query otherwise pays the whole-stage-codegen cold start.
+    # Guarded like the main loop — a broken warm-up query must not
+    # zero the whole bench either.
     for warm_q in (next(iter(specs)), "dwh_daily_metrics", "pandas_token_count"):
-        specs[warm_q].spark_fn(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        try:
+            specs[warm_q].spark_fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:  # noqa: BLE001 — the timed loop will report it
+            pass
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

@@ -196,20 +196,18 @@ def minhash_signature(
     )
 
 
-def lsh_candidate_pairs(
+def band_buckets(
     sig_df: DataFrame, id_col: str, bands: int, rows_per_band: int
 ) -> DataFrame:
-    """Distinct (id_a < id_b) pairs sharing ≥1 LSH band bucket.
+    """(id, band, bucket): one LSH band-bucket row per signature band.
 
-    Explode to (band, bucket_md5) then self-equi-join — the join key
-    includes the band index so buckets never collide across bands. At
-    scale, bucket skew (a degenerate bucket holding half the corpus) is
-    the classic failure; AQE skew-join splitting handles moderate skew,
-    and pathological buckets should be dropped by a count filter
-    upstream (not needed at these SFs).
-    """
+    bucket = md5 of the band's signature slice joined by '|'; the band
+    index rides along so buckets never collide across bands. This is
+    THE banding formulation — the oracle SQL replays it verbatim, and
+    both the batch self-join and the incremental batch-vs-corpus dedup
+    derive their candidates from it (single source of truth)."""
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    buckets = sig_df.select(
+    return sig_df.select(
         F.col(id_col).alias("id"),
         F.explode(
             F.transform(
@@ -230,6 +228,20 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing ≥1 LSH band bucket.
+
+    Band-bucket rows (band_buckets) self-equi-joined. At scale, bucket
+    skew (a degenerate bucket holding half the corpus) is the classic
+    failure; AQE skew-join splitting handles moderate skew, and
+    pathological buckets should be dropped by a count filter upstream
+    (not needed at these SFs).
+    """
+    buckets = band_buckets(sig_df, id_col, bands, rows_per_band)
     # The self-join would otherwise recompute the whole signature lineage
     # on both sides (exchange reuse is not guaranteed under AQE); the
     # bucket table is tiny (docs x bands), so cache it.
@@ -413,29 +425,9 @@ def incremental_dedup_verdicts(
 
     def buckets_of(docs: DataFrame, tag: int) -> DataFrame:
         sigs = minhash_signature(docs, id_col, text_col, num_hashes, shingle_n)
-        band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-        return sigs.select(
-            F.col(id_col).alias("id"),
-            F.lit(tag).alias("is_corpus"),
-            F.explode(
-                F.transform(
-                    band_idx,
-                    lambda b: F.struct(
-                        b.alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                F.slice(
-                                    F.col("signature"),
-                                    b * rows_per_band + 1,
-                                    rows_per_band,
-                                ),
-                            )
-                        ).alias("bucket"),
-                    ),
-                )
-            ).alias("bb"),
-        ).select("id", "is_corpus", "bb.band", "bb.bucket")
+        return band_buckets(sigs, id_col, bands, rows_per_band).withColumn(
+            "is_corpus", F.lit(tag)
+        )
 
     new_b = buckets_of(new_docs, 0).cache()
     prior_b = buckets_of(corpus_docs, 1).unionByName(new_b)

@@ -87,8 +87,16 @@ def simhash32(toks: Column) -> Column:
     One md5 per token: tokens map to 32-bit hashes once, then a single
     aggregate() folds per-token ±1 bit vectors into 32 counters
     (zip_with). A naive per-bit formulation costs 32 md5 digests per
-    token — ~30× slower measured. For bulk tables prefer
-    dedup.simhash_table (explode form, map-side partial aggregation).
+    token — ~30× slower measured.
+
+    Choosing between this and dedup.simhash_table (explode form,
+    map-side partial aggregation): when simhash is the ONLY output,
+    the explode form wins in bulk (codegen'd expressions, combine-able
+    aggregate). When simhash ships alongside other per-row columns in
+    one projection (doc_fingerprints), THIS form wins — fusing into the
+    single scan beats a second lineage + equi-join (measured 8.8 s →
+    3.7 s at sf0.1 for the combined fingerprint query). Both compute
+    identical bits against the same oracle SQL.
     """
     hs = F.transform(
         toks,

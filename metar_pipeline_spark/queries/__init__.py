@@ -103,12 +103,17 @@ VERIFY_FIRST = [
 
 
 def _driver_green() -> set[str]:
-    """Query names with a fully-green row in ANY past round's
-    CORRECTNESS_r*.json (written by the external gate at repo root)."""
+    """Query names whose LATEST driver verdict is fully green.
+
+    Verdicts come from the CORRECTNESS_r*.json files the external gate
+    writes at repo root; a later round's row overrides an earlier one,
+    so a query that regressed (green r1, red r2) counts as NON-green
+    and re-enters the verification window. A query absent from later
+    files keeps its older verdict (it was rotated out while green)."""
     import json
     from pathlib import Path
 
-    green: set[str] = set()
+    verdict: dict[str, bool] = {}
     root = Path(__file__).resolve().parents[2]
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
@@ -116,13 +121,12 @@ def _driver_green() -> set[str]:
         except Exception:  # noqa: BLE001 — unreadable file: ignore
             continue
         for name, row in data.items():
-            if (
-                isinstance(row, dict)
-                and row.get("rows_match") is True
-                and row.get("hash_match") is True
-            ):
-                green.add(name)
-    return green
+            if isinstance(row, dict):
+                verdict[name] = (
+                    row.get("rows_match") is True
+                    and row.get("hash_match") is True
+                )
+    return {n for n, ok in verdict.items() if ok}
 
 
 def all_queries() -> dict[str, QuerySpec]:
@@ -140,15 +144,19 @@ def all_queries() -> dict[str, QuerySpec]:
         tpch_more,
     )
 
-    # Automatic rotation: queries with no driver-green CORRECTNESS row
-    # yet sort FIRST (into the gate's 50-entry window); historically
-    # green ones sort last, keeping their earlier rows as evidence.
-    # Within each class, VERIFY_FIRST is the manual boost order (use it
-    # to resurface a query whose code changed after it went green),
-    # then registration order (sorted() is stable).
+    # Automatic rotation: VERIFY_FIRST names lead unconditionally (the
+    # manual boost beats a green verdict — that is the whole point of
+    # boosting a query whose code changed after it went green), then
+    # queries whose latest driver verdict is not green, then green ones
+    # (their rows stand as evidence). Ties keep registration order
+    # (sorted() is stable).
     green = _driver_green()
     pri = {n: i for i, n in enumerate(VERIFY_FIRST)}
-    names = sorted(
-        REGISTRY, key=lambda n: (n in green, pri.get(n, len(pri)))
-    )
+
+    def key(n: str) -> tuple:
+        if n in pri:
+            return (0, pri[n])
+        return (1 if n not in green else 2, 0)
+
+    names = sorted(REGISTRY, key=key)
     return {n: REGISTRY[n] for n in names}

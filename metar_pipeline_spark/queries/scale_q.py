@@ -82,6 +82,35 @@ def salted_join_event_suppliers(spark, sf_dir):
 _STREAM_SEQ = [0]
 
 
+def _event_file_stream(spark, sf_dir):
+    """(stream_df, ts_expr) for a file stream over events.parquet.
+
+    File streams need an explicit schema; derive it from a batch read
+    of the same file so the stream matches whatever flavor the
+    generator wrote (TIMESTAMP(NANOS) → LongType under nanosAsLong;
+    micros NTZ/LTZ → TimestampType). Single source of truth for the
+    timestamp-flavor handling on the STREAM side — the batch side's
+    twin is io.load_table."""
+    import os
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(raw.dtypes).get("ts") == "bigint":
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        ts = F.col("ts").cast("timestamp")
+    # File streams take a directory; pick the events file by glob.
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream, ts
+
+
+
 @register(
     "stream_daily_rollup_complete",
     """
@@ -104,28 +133,7 @@ _STREAM_SEQ = [0]
     ),
 )
 def stream_daily_rollup_complete(spark, sf_dir):
-    import os
-
-    from pyspark.sql import types as T
-
-    # File streams need an explicit schema; derive it from a batch read
-    # of the same file so the stream matches whatever flavor the
-    # generator wrote (TIMESTAMP(NANOS) → LongType under nanosAsLong;
-    # micros NTZ/LTZ → TimestampType via load_table's normalization).
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    if dict(raw.dtypes).get("ts") == "bigint":
-        ts = F.timestamp_micros(F.expr("ts div 1000"))
-    else:
-        ts = F.col("ts").cast("timestamp")
-    # File streams take a directory; pick the events file by glob.
-    stream = (
-        spark.readStream.schema(raw.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream, ts = _event_file_stream(spark, sf_dir)
     agg = (
         stream.select(
             F.to_date(ts).alias("day"), "event_type", "value"
@@ -189,19 +197,7 @@ def stream_daily_rollup_append(spark, sf_dir):
     import shutil
     import tempfile
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    if dict(raw.dtypes).get("ts") == "bigint":
-        ts = F.timestamp_micros(F.expr("ts div 1000"))
-    else:
-        ts = F.col("ts").cast("timestamp")
-    stream = (
-        spark.readStream.schema(raw.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream, ts = _event_file_stream(spark, sf_dir)
     agg = (
         stream.select(ts.alias("ets"), "event_type", "value")
         .withWatermark("ets", "0 seconds")
