@@ -301,3 +301,37 @@ def resize_images(
             )
 
     return df.select(id_col, bin_col).mapInPandas(kernel, RESIZE_SCHEMA)
+
+
+ARROW_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("starts_the", T.BooleanType()),
+    ]
+)
+
+
+def arrow_byte_stats(
+    df: DataFrame, id_col: str = "doc_id", bin_col: str = "content"
+) -> DataFrame:
+    """``mapInArrow`` exhibit: per-row byte stats computed directly on
+    pyarrow RecordBatches — no pandas materialization at all, the
+    lowest-overhead Python eval shape Spark offers. Right when the
+    kernel is pure Arrow compute (here: binary lengths and first-byte
+    extraction via zero-copy buffers); pandas adds nothing but copies.
+    """
+    import pyarrow as pa
+
+    def kernel(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            bins = batch.column(1)
+            n_bytes = pa.compute.binary_length(bins).cast(pa.int32())
+            starts = pa.compute.starts_with(bins, pattern=b"the")
+            yield pa.RecordBatch.from_arrays(
+                [ids, n_bytes, starts],
+                names=["doc_id", "n_bytes", "starts_the"],
+            )
+
+    return df.select(id_col, bin_col).mapInArrow(kernel, ARROW_META_SCHEMA)

@@ -295,3 +295,25 @@ def udtf_token_chunks(spark, sf_dir):
              LATERAL token_chunks(d.text, 10) c
         """
     )
+
+
+@register(
+    "arrow_byte_stats",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           text LIKE 'the%' AS starts_the
+    FROM documents
+    """,
+    doc=(
+        "mapInArrow surface: per-row binary stats computed on raw "
+        "pyarrow RecordBatches (no pandas materialization) — the "
+        "lowest-overhead Python eval shape, hash-verified like the "
+        "pandas forms"
+    ),
+)
+def arrow_byte_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("content")
+    )
+    return mm.arrow_byte_stats(docs)

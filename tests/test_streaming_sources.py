@@ -325,3 +325,37 @@ def test_progress_metrics_listener(spark, tmp_path):
     assert all(r.batch_duration_ms >= 0 for r in rows)
     # the windowed aggregate is stateful: some batch must report state
     assert any(r.state_rows_total > 0 for r in rows)
+
+
+def test_datasource_collector_stream_offsets(spark, tmp_path):
+    """The streaming collector advances one poll cycle per run and
+    resumes from the checkpointed offset on restart; after max_cycles
+    the offset stops advancing and re-runs add nothing."""
+    from metar_pipeline_spark.sources.datasource import (
+        MetarCollectorDataSource,
+    )
+
+    spark.dataSource.register(MetarCollectorDataSource)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def run_once():
+        stream = (
+            spark.readStream.format("metar_collector")
+            .option("max_cycles", "2")
+            .option("stations", "UUEE,ULLI,UUDD")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)  # python source: one batch/run
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).count()
+
+    assert run_once() == 3   # cycle 0: 3 stations
+    assert run_once() == 6   # cycle 1 resumed from checkpoint
+    assert run_once() == 6   # offset exhausted: idempotent re-run
