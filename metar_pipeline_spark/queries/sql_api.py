@@ -102,3 +102,45 @@ _sql_query(
     """,
     doc="Recursive CTE date spine + gap-filling left join (Spark 4 recursion), identical ANSI text on both engines",
 )
+
+
+@register(
+    "scripted_incremental_rollup",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 2)
+               AS sum_value
+    FROM events
+    WHERE ts > (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Spark 4 SQL scripting (BEGIN/DECLARE/SET): the incremental "
+        "watermark-then-rollup flow as ONE procedural SQL block — the "
+        "dbt-style two-step (resolve high watermark, then filter+agg) "
+        "without leaving the SQL engine; oracle = the equivalent "
+        "subquery form. Timestamp arithmetic is exact (micros), so the "
+        "scripted and declarative forms hash-match."
+    ),
+)
+def scripted_incremental_rollup(spark, sf_dir):
+    register_views(spark, sf_dir)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE hw TIMESTAMP;
+          SET hw = (SELECT max(ts) - INTERVAL 7 DAY FROM events);
+          SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                 event_type,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 2)
+                     AS sum_value
+          FROM events
+          WHERE ts > hw
+          GROUP BY 1, 2;
+        END
+        """
+    )
