@@ -27,6 +27,7 @@ Scale notes:
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from metar_pipeline_spark.io import load_table
@@ -449,4 +450,64 @@ def similar_value_series_topk(spark, sf_dir):
         )
         .orderBy(F.desc("corr_with_query"), "user_id")
         .limit(10)
+    )
+
+
+@register(
+    "anomaly_daily_event_spikes",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ), scored AS (
+      SELECT day, n,
+             avg(n) OVER w AS mu,
+             stddev_samp(n) OVER w AS sd,
+             count(*) OVER w AS n_window
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT day, n,
+           round(mu, 6) AS trailing_mean,
+           round(CASE WHEN sd > 0 THEN (n - mu) / sd END, 6) AS z_score,
+           CASE WHEN sd > 0 THEN abs((n - mu) / sd) > 2.0 ELSE FALSE END
+               AS is_spike
+    FROM scored
+    WHERE n_window >= 3
+    """,
+    doc=(
+        "Anomaly detection over the event stream's daily volume: "
+        "trailing-7-day mean/stddev window, z-score and spike flag — "
+        "the Q6 monitor as an analytic query (counts are exact ints, "
+        "so the float math is order-independent and engine-identical)"
+    ),
+)
+def anomaly_daily_event_spikes(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # Global (unpartitioned) window is safe HERE: its input is the
+    # DAILY aggregate, whose cardinality is bounded by the calendar
+    # (~365 rows/year at any data scale), not by event volume. The
+    # single-partition sort the plan shows is over that tiny frame.
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    scored = daily.select(
+        "day",
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n_window"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    return scored.filter(F.col("n_window") >= 3).select(
+        "day",
+        "n",
+        F.round("mu", 6).alias("trailing_mean"),
+        F.round(F.when(F.col("sd") > 0, z), 6).alias("z_score"),
+        F.coalesce(
+            F.when(F.col("sd") > 0, F.abs(z) > 2.0), F.lit(False)
+        ).alias("is_spike"),
     )
