@@ -403,6 +403,7 @@ def incremental_dedup_verdicts(
     bands: int = 6,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    corpus_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch against an existing corpus without re-pairing
     the corpus with itself — the shape a continuously-ingesting pipeline
@@ -411,11 +412,12 @@ def incremental_dedup_verdicts(
     Candidates are (new, prior) only: prior = any corpus doc, or an
     earlier-id doc of the same batch. The corpus×corpus quadrant — by
     far the largest at 100 TB — is never generated. In production the
-    corpus signatures live in a signature store written bucketed by
-    (band, bucket) (sources/bucketed.py), so a new batch touches only
-    its own buckets and the corpus TEXT is fetched by id only for the
-    candidate pairs; here both signature tables are derived inline from
-    the same md5 formulation the oracle replays.
+    corpus band-buckets live in a persisted SIGNATURE STORE (written
+    once, partitioned by band — pass it as ``corpus_buckets``: columns
+    (id, band, bucket)), so each cycle re-derives signatures only for
+    the new batch and the corpus TEXT is joined by id only for the
+    candidate pairs. When ``corpus_buckets`` is None, the store is
+    derived inline from the same md5 formulation the oracle replays.
 
     Returns one verdict row per new doc: (id, matched_id, jaccard,
     is_duplicate) with the best match chosen by (rounded jaccard desc,
@@ -430,7 +432,13 @@ def incremental_dedup_verdicts(
         )
 
     new_b = buckets_of(new_docs, 0).cache()
-    prior_b = buckets_of(corpus_docs, 1).unionByName(new_b)
+    if corpus_buckets is not None:
+        corpus_b = corpus_buckets.select("id", "band", "bucket").withColumn(
+            "is_corpus", F.lit(1)
+        )
+    else:
+        corpus_b = buckets_of(corpus_docs, 1)
+    prior_b = corpus_b.unionByName(new_b)
     cands = (
         new_b.alias("a")
         .join(

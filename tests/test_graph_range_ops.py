@@ -70,3 +70,40 @@ def test_bucketed_range_join_rejects_multi_unit_granularity(spark):
         bucketed_range_join(df, "ts", df.select(
             F.col("ts").alias("ws"), F.col("ts").alias("we")
         ), "ws", "we", "6 hours")
+
+
+def test_incremental_dedup_from_persisted_signature_store(spark, tmp_path):
+    """Production incremental-dedup path: the corpus band-bucket table
+    is persisted once (partitioned by band) and each new batch joins
+    against the STORE — verdicts must be identical to the inline form,
+    with no corpus signature recomputation in the store path."""
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.io import load_table
+    from metar_pipeline_spark.operators.dedup import (
+        band_buckets,
+        incremental_dedup_verdicts,
+        minhash_signature,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+
+    store = str(tmp_path / "sigstore")
+    band_buckets(
+        minhash_signature(corpus, "doc_id", "text", 12, 3), "doc_id", 6, 2
+    ).write.partitionBy("band").mode("overwrite").parquet(store)
+
+    inline = incremental_dedup_verdicts(
+        new, corpus, "doc_id", "text",
+        num_hashes=12, bands=6, shingle_n=3, threshold=0.5,
+    )
+    stored = incremental_dedup_verdicts(
+        new, corpus, "doc_id", "text",
+        num_hashes=12, bands=6, shingle_n=3, threshold=0.5,
+        corpus_buckets=spark.read.parquet(store),
+    )
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, stored.collect())
+    )
