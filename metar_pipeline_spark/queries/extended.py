@@ -771,3 +771,38 @@ def variant_props_extract(spark, sf_dir):
         F.floor(k / 10).cast("int").alias("k_bucket"),
         (k % 2 == 0).alias("k_even"),
     )
+
+
+@register(
+    "try_function_surface",
+    """
+    SELECT event_id,
+           round(CASE WHEN event_id % 5 = 0 THEN NULL
+                      ELSE CAST(event_id AS DOUBLE) / (event_id % 5) END,
+                 6) AS safe_ratio,
+           TRY_CAST(event_type AS DOUBLE) AS not_a_number,
+           CASE WHEN event_id = 0 THEN 0
+                WHEN event_id = 1 THEN 9223372036854775807
+                ELSE NULL END AS overflow_guard
+    FROM events
+    """,
+    doc=(
+        "ANSI-safe try_* family: try_divide (NULL on zero divisor "
+        "instead of DIVIDE_BY_ZERO), try_cast (NULL on malformed "
+        "input), try_multiply (NULL on BIGINT overflow) — the "
+        "error-tolerant scalar surface ANSI mode makes load-bearing; "
+        "oracle expresses each guard as an explicit CASE"
+    ),
+)
+def try_function_surface(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.round(
+            F.try_divide(F.col("event_id"), F.col("event_id") % 5), 6
+        ).alias("safe_ratio"),
+        F.col("event_type").try_cast("double").alias("not_a_number"),
+        F.try_multiply(
+            F.col("event_id"), F.lit(9223372036854775807)
+        ).alias("overflow_guard"),
+    )
