@@ -144,3 +144,29 @@ def scripted_incremental_rollup(spark, sf_dir):
         END
         """
     )
+
+
+@register(
+    "parameterized_sql_topn",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events WHERE value >= 50.0
+    GROUP BY 1 ORDER BY n DESC, event_type LIMIT 3
+    """,
+    doc=(
+        "Parameterized SQL (Spark 4 named markers): the same statement "
+        "text executes with bound :min_v / :k arguments — injection-"
+        "safe templating inside the SQL front end; oracle = the bound "
+        "literal form"
+    ),
+)
+def parameterized_sql_topn(spark, sf_dir):
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events WHERE value >= :min_v
+        GROUP BY 1 ORDER BY n DESC, event_type LIMIT :k
+        """,
+        args={"min_v": 50.0, "k": 3},
+    )
