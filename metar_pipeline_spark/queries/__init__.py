@@ -100,6 +100,12 @@ VERIFY_FIRST = [
     # out: driver-green in both r1 and r2, unchanged since)
     "decontaminate_ngram_overlap",
 ]
+# The 50-entry window cannot hold every never-green query this round:
+# the 41 never-checked SURVEY-§2 tail entries plus the 8 changed/red
+# ones take priority; the remaining r3 additions (curation, try_*,
+# scripting, arrow, anomaly, incremental dedup, …) are locally
+# oracle-verified now and rotate into the window automatically next
+# round, once this round's window entries go green.
 
 
 def _driver_green() -> set[str]:

@@ -127,8 +127,14 @@ _sql_query(
 )
 def scripted_incremental_rollup(spark, sf_dir):
     register_views(spark, sf_dir)
+    # scripting is only needed while spark.sql PARSES the block; the
+    # returned DataFrame's plan is already built, so restoring the conf
+    # immediately avoids leaking scripting mode into later queries on
+    # the shared session.
+    prev = spark.conf.get("spark.sql.scripting.enabled", "false")
     spark.conf.set("spark.sql.scripting.enabled", "true")
-    return spark.sql(
+    try:
+        return spark.sql(
         """
         BEGIN
           DECLARE hw TIMESTAMP;
@@ -143,7 +149,9 @@ def scripted_incremental_rollup(spark, sf_dir):
           GROUP BY 1, 2;
         END
         """
-    )
+        )
+    finally:
+        spark.conf.set("spark.sql.scripting.enabled", prev)
 
 
 @register(

@@ -471,7 +471,8 @@ def similar_value_series_topk(spark, sf_dir):
     SELECT day, n,
            round(mu, 6) AS trailing_mean,
            round(CASE WHEN sd > 0 THEN (n - mu) / sd END, 6) AS z_score,
-           CASE WHEN sd > 0 THEN abs((n - mu) / sd) > 2.0 ELSE FALSE END
+           CASE WHEN sd > 0
+                THEN abs(round((n - mu) / sd, 6)) > 2.0 ELSE FALSE END
                AS is_spike
     FROM scored
     WHERE n_window >= 3
@@ -507,7 +508,10 @@ def anomaly_daily_event_spikes(spark, sf_dir):
         "n",
         F.round("mu", 6).alias("trailing_mean"),
         F.round(F.when(F.col("sd") > 0, z), 6).alias("z_score"),
+        # compare on the ROUNDED z: a 1-ulp stddev difference between
+        # engines must not flip the boundary boolean
         F.coalesce(
-            F.when(F.col("sd") > 0, F.abs(z) > 2.0), F.lit(False)
+            F.when(F.col("sd") > 0, F.abs(F.round(z, 6)) > 2.0),
+            F.lit(False),
         ).alias("is_spike"),
     )

@@ -34,8 +34,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
-    SimpleDataSourceStreamReader,
 )
 
 from metar_pipeline_spark.schemas import RUS_TOP20_ICAO
@@ -45,9 +45,22 @@ _DEFAULT_FETCHER = (
 )
 
 
+def _parse_stations(options: dict) -> list[str]:
+    raw = options.get("stations", "")
+    return [s for s in raw.split(",") if s] or list(RUS_TOP20_ICAO)
+
+
+def _resolve_fetcher(path: str):
+    import importlib
+
+    mod, fn = path.rsplit(".", 1)
+    return getattr(importlib.import_module(mod), fn)
+
+
 class StationPartition(InputPartition):
-    def __init__(self, stations: Sequence[str]):
+    def __init__(self, stations: Sequence[str], cycle: int = 0):
         self.stations = list(stations)
+        self.cycle = cycle
 
 
 class MetarCollectorDataSource(DataSource):
@@ -72,16 +85,13 @@ class MetarCollectorDataSource(DataSource):
     def reader(self, schema) -> "MetarCollectorReader":
         return MetarCollectorReader(self.options)
 
-    def simpleStreamReader(self, schema) -> "MetarCollectorStreamReader":
+    def streamReader(self, schema) -> "MetarCollectorStreamReader":
         return MetarCollectorStreamReader(self.options)
 
 
 class MetarCollectorReader(DataSourceReader):
     def __init__(self, options: dict):
-        raw = options.get("stations", "")
-        self.stations = [s for s in raw.split(",") if s] or list(
-            RUS_TOP20_ICAO
-        )
+        self.stations = _parse_stations(options)
         self.chunk = int(options.get("stations_per_partition", "5"))
         self.fetcher_path = options.get("fetcher", _DEFAULT_FETCHER)
 
@@ -92,10 +102,7 @@ class MetarCollectorReader(DataSourceReader):
         ]
 
     def read(self, partition: StationPartition) -> Iterator[tuple]:
-        import importlib
-
-        mod, fn = self.fetcher_path.rsplit(".", 1)
-        fetch = getattr(importlib.import_module(mod), fn)
+        fetch = _resolve_fetcher(self.fetcher_path)
         for station in partition.stations:
             for payload in fetch([station]):
                 yield (station, payload)
@@ -180,46 +187,58 @@ def collect_distributed(
     return normalize_bronze(to_bronze(reader.load()))
 
 
-class MetarCollectorStreamReader(SimpleDataSourceStreamReader):
+class MetarCollectorStreamReader(DataSourceStreamReader):
     """Micro-batch streaming form of the collector: each batch is ONE
     poll cycle over the station list (the reference's 30-minute Airflow
     cadence, main.py:53-69 — expressed as a native Spark stream with
     exactly-once offsets instead of an external scheduler).
 
-    The offset is simply the cycle counter; `max_cycles` bounds the
-    stream for tests/backfills — once reached, read() returns no rows
-    and the same offset, so the stream idles. Python micro-batch
-    sources don't support Trigger.AvailableNow (Spark falls back to
-    single-batch execution), so each bounded run processes ONE cycle;
-    restarting from the same checkpoint resumes at the next cycle —
-    the exactly-once offset contract across restarts is the point.
+    Partition-based DataSourceStreamReader, NOT the Simple variant: the
+    planner only moves {cycle} offsets; each micro-batch fans out one
+    StationPartition per station chunk and the fetch itself runs on
+    EXECUTORS with task-retry — the same distributed-collection shape
+    as the batch reader. Replay after a crash re-plans partitions for
+    the committed offset range and re-fetches deterministically.
+
+    The offset is the cycle counter; `max_cycles` bounds what
+    latestOffset reports as available, so bounded runs terminate
+    cleanly and a restart with a HIGHER bound (new data arrived)
+    resumes exactly after the checkpointed cycle — the offset-
+    continuity contract the test exercises.
     """
 
     def __init__(self, options: dict):
-        raw = options.get("stations", "")
-        self.stations = [s for s in raw.split(",") if s] or list(
-            RUS_TOP20_ICAO
-        )
+        self.stations = _parse_stations(options)
+        self.chunk = int(options.get("stations_per_partition", "5"))
         self.fetcher_path = options.get("fetcher", _DEFAULT_FETCHER)
         self.max_cycles = int(options.get("max_cycles", "1"))
 
     def initialOffset(self) -> dict:
         return {"cycle": 0}
 
-    def read(self, start: dict):
-        cycle = int(start["cycle"])
-        if cycle >= self.max_cycles:
-            return iter([]), {"cycle": cycle}
-        import importlib
+    def latestOffset(self) -> dict:
+        # all cycles up to the bound are "available now"; a production
+        # poller derives this from the wall clock (elapsed // cadence),
+        # so each 30-minute trigger exposes exactly one new cycle. The
+        # planner processes the (committed, latest] range and resumes
+        # from the checkpointed offset after any restart.
+        return {"cycle": self.max_cycles}
 
-        mod, fn = self.fetcher_path.rsplit(".", 1)
-        fetch = getattr(importlib.import_module(mod), fn)
-        rows = [
-            (station, payload)
-            for station in self.stations
-            for payload in fetch([station])
-        ]
-        return iter(rows), {"cycle": cycle + 1}
+    def partitions(self, start: dict, end: dict):
+        parts = []
+        for cycle in range(int(start["cycle"]), int(end["cycle"])):
+            parts.extend(
+                StationPartition(self.stations[i : i + self.chunk], cycle)
+                for i in range(0, len(self.stations), self.chunk)
+            )
+        # zero-partition batches are not allowed; emit an empty chunk
+        return parts or [StationPartition([], int(start["cycle"]))]
+
+    def read(self, partition: StationPartition) -> Iterator[tuple]:
+        fetch = _resolve_fetcher(self.fetcher_path)
+        for station in partition.stations:
+            for payload in fetch([station]):
+                yield (station, payload)
 
     def commit(self, end: dict) -> None:
         pass

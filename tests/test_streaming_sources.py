@@ -328,9 +328,9 @@ def test_progress_metrics_listener(spark, tmp_path):
 
 
 def test_datasource_collector_stream_offsets(spark, tmp_path):
-    """The streaming collector advances one poll cycle per run and
-    resumes from the checkpointed offset on restart; after max_cycles
-    the offset stops advancing and re-runs add nothing."""
+    """The streaming collector processes exactly the available cycle
+    range, resumes from the checkpointed offset when a restart finds
+    new cycles available, and re-runs idempotently once drained."""
     from metar_pipeline_spark.sources.datasource import (
         MetarCollectorDataSource,
     )
@@ -339,11 +339,12 @@ def test_datasource_collector_stream_offsets(spark, tmp_path):
     out = str(tmp_path / "out")
     ck = str(tmp_path / "ck")
 
-    def run_once():
+    def run_once(max_cycles):
         stream = (
             spark.readStream.format("metar_collector")
-            .option("max_cycles", "2")
+            .option("max_cycles", str(max_cycles))
             .option("stations", "UUEE,ULLI,UUDD")
+            .option("stations_per_partition", "2")
             .load()
         )
         q = (
@@ -356,6 +357,6 @@ def test_datasource_collector_stream_offsets(spark, tmp_path):
         q.awaitTermination()
         return spark.read.parquet(out).count()
 
-    assert run_once() == 3   # cycle 0: 3 stations
-    assert run_once() == 6   # cycle 1 resumed from checkpoint
-    assert run_once() == 6   # offset exhausted: idempotent re-run
+    assert run_once(1) == 3   # cycle 0: 3 stations
+    assert run_once(2) == 6   # cycle 1 arrived; resumed from checkpoint
+    assert run_once(2) == 6   # offset drained: idempotent re-run
