@@ -51,6 +51,17 @@ def canon(rows, cols):
 
 
 def main():
+    # Pin the PROCESS timezone before the JVM starts: PySpark's
+    # collect() materializes TimestampType through OS-local
+    # fromtimestamp(), so under TZ=America/New_York every raw
+    # timestamp output column would shift against DuckDB's naive-UTC
+    # values (16 false failures measured). The comparison semantics
+    # are UTC wall clock; make the checker immune to the ambient TZ.
+    import time as _time
+
+    os.environ["TZ"] = "UTC"
+    _time.tzset()
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
