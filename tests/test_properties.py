@@ -275,3 +275,40 @@ def test_mixture_sample_is_partitioning_invariant(spark, ids, quota):
     got_b = {r.doc_id for r in mixture_sample(b, F.lit(quota)).collect()}
     assert got_a == got_b
     assert len(got_a) == min(quota, len(ids))
+
+
+@given(
+    corpus=st.lists(st.text("abc ", min_size=0, max_size=25),
+                    min_size=1, max_size=10),
+    eval_set=st.lists(st.text("abc ", min_size=0, max_size=25),
+                      min_size=1, max_size=5),
+)
+@SETTINGS
+def test_ngram_overlap_matches_set_reference(spark, corpus, eval_set):
+    """decontamination counts equal a brute-force Python set reference
+    for ANY corpus/eval texts (distinct bigrams, md5-free ground truth)."""
+    from metar_pipeline_spark.operators.curation import ngram_overlap
+
+    def grams(t, n=2):
+        toks = [x for x in t.lower().split() if x]
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    eval_grams = set().union(*(grams(t) for t in eval_set)) if eval_set else set()
+    cdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    edf = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(eval_set)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_overlap, r.contaminated)
+        for r in ngram_overlap(cdf, edf, n=2).collect()
+    }
+    for i, t in enumerate(corpus):
+        g = grams(t)
+        if not g:
+            assert i not in got  # gram-less docs have no overlap row
+            continue
+        n_overlap = len(g & eval_grams)
+        assert got[i] == (len(g), n_overlap, n_overlap > 0), (i, t)
