@@ -107,3 +107,37 @@ def test_incremental_dedup_from_persisted_signature_store(spark, tmp_path):
     assert sorted(map(tuple, inline.collect())) == sorted(
         map(tuple, stored.collect())
     )
+
+
+def test_incremental_dedup_catches_planted_near_duplicate(spark):
+    """Semantic check beyond oracle parity: a new-batch doc that is a
+    lightly mutated copy of a corpus doc must be flagged as a duplicate
+    of exactly that doc; a clearly novel doc must not be flagged."""
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.io import load_table
+    from metar_pipeline_spark.operators.dedup import (
+        incremental_dedup_verdicts,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    victim = docs.filter(F.col("doc_id") == 7).first()
+    mutated = victim.text + " extra tail token"
+    novel = "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk jj ii"
+    new_batch = spark.createDataFrame(
+        [(100001, mutated), (100002, novel)], "doc_id long, text string"
+    )
+    corpus = docs.select("doc_id", "text")
+
+    verdicts = {
+        r.doc_id: r
+        for r in incremental_dedup_verdicts(
+            new_batch, corpus, "doc_id", "text",
+            num_hashes=12, bands=6, shingle_n=3, threshold=0.5,
+        ).collect()
+    }
+    assert verdicts[100001].is_duplicate
+    assert verdicts[100001].matched_id == 7
+    assert verdicts[100001].jaccard > 0.8
+    assert not verdicts[100002].is_duplicate
+    assert verdicts[100002].matched_id is None
