@@ -1,0 +1,69 @@
+"""Semantic checks for the curation operators — the behavior the oracle
+hash can't articulate: redaction really removes PII, quantile filtering
+keeps the intended fraction per stratum, quota sampling honors quotas."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from metar_pipeline_spark.io import load_table
+from metar_pipeline_spark.operators import curation as cu
+from metar_pipeline_spark.operators import textops as tx
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_redact_pii_removes_matches(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "write to alice.b@example.org or call +1-555-0199 now"),
+            (2, "no contact information here"),
+        ],
+        "doc_id long, text string",
+    )
+    redacted = df.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), cu.EMAIL_RE, "<EMAIL>"),
+            cu.PHONE_RE,
+            "<PHONE>",
+        ).alias("clean"),
+    )
+    rows = {r.doc_id: r.clean for r in redacted.collect()}
+    assert "<EMAIL>" in rows[1] and "<PHONE>" in rows[1]
+    assert "alice" not in rows[1] and "0199" not in rows[1]
+    assert rows[2] == "no contact information here"
+    stats = {r.doc_id: r for r in cu.redact_pii(df).collect()}
+    assert stats[1].n_emails == 1 and stats[1].n_phones == 1
+    assert stats[2].n_emails == 0 and stats[2].n_phones == 0
+
+
+def test_quality_quantile_filter_keeps_top_fraction_per_stratum(spark):
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    kept = cu.quality_quantile_filter(
+        docs, tx.quality_score(F.col("text")), 0.6
+    )
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    kept_by = {r.lang: r.n for r in kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    for lang, total in totals.items():
+        frac = kept_by.get(lang, 0) / total
+        # >= because of ties at the threshold; keeps roughly the top 40%
+        assert 0.35 <= frac <= 0.65, (lang, frac)
+
+
+def test_mixture_sample_honors_quotas(spark):
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source"
+    )
+    quota = (
+        F.when(F.col("source") == "src0", F.lit(2)).otherwise(F.lit(5))
+    )
+    out = cu.mixture_sample(docs, quota)
+    counts = {r.source: r.n for r in out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["src0"] == 2
+    assert all(v == 5 for s, v in counts.items() if s != "src0")
