@@ -154,6 +154,46 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_assignments(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+) -> DataFrame:
+    """The IVF INDEX: (id, cid, cvec, cnorm) — each corpus vector's
+    nearest deterministic centroid plus its precomputed norm. Build
+    once, persist ``partitionBy("cid")`` (the inverted lists), and
+    every probe becomes a partition-pruned read of the probed cells —
+    the corpus is never rescanned or re-assigned per query batch."""
+    cents = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("centvec"),
+        norm2(F.col(vec_col)).alias("centnorm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("cvec"),
+        norm2(F.col(vec_col)).alias("cnorm"),
+    )
+    cscore = F.round(
+        dot(F.col("cvec"), F.col("centvec"))
+        / (F.col("cnorm") * F.col("centnorm")),
+        6,
+    )
+    return (
+        c.join(F.broadcast(cents))
+        .select("id", "cvec", "cnorm", "cid", cscore.alias("cscore"))
+        .groupBy("id")
+        .agg(
+            F.max_by(
+                F.struct("cid", "cvec", "cnorm"),
+                F.struct(F.col("cscore"), -F.col("cid")),
+            ).alias("_a")
+        )
+        .select("id", "_a.cid", "_a.cvec", "_a.cnorm")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     query: DataFrame,
@@ -163,6 +203,7 @@ def ivf_topk(
     k: int,
     n_centroids: int,
     nprobe: int,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse-quantize the corpus
     into ``n_centroids`` cells, probe the ``nprobe`` nearest cells per
@@ -198,28 +239,10 @@ def ivf_topk(
             dot(vec, F.col("centvec")) / (nrm * F.col("centnorm")), 6
         )
 
-    c = corpus.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("cvec"),
-        norm2(F.col(vec_col)).alias("cnorm"),
-    )
     assigned = (
-        c.join(F.broadcast(cents))
-        .select(
-            "id",
-            "cvec",
-            "cnorm",
-            "cid",
-            _cell_score(F.col("cvec"), F.col("cnorm")).alias("cscore"),
-        )
-        .groupBy("id")
-        .agg(
-            F.max_by(
-                F.struct("cid", "cvec", "cnorm"),
-                F.struct(F.col("cscore"), -F.col("cid")),
-            ).alias("_a")
-        )
-        .select("id", "_a.cid", "_a.cvec", "_a.cnorm")
+        assignments
+        if assignments is not None
+        else ivf_assignments(corpus, id_col, vec_col, n_centroids)
     )
     q = query.select(
         F.col(query_id_col).alias("query_id"),
