@@ -317,3 +317,67 @@ def cosine_neardup_pairs(
             6,
         ).alias("cos_sim"),
     ).filter(F.col("cos_sim") >= threshold)
+
+
+def quantize_embeddings_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the standard 4× memory
+    reduction for an embedding store (float32 → int8 + one scale per
+    vector), as pure column math riding the scan.
+
+    q_i = floor(127 * x_i / max|x| + 0.5) (explicit half-up so every
+    engine rounds identically), reconstruction x̂_i = q_i * max|x| / 127.
+    Output keeps the quantized codes plus the audit stats a pipeline
+    gates on: reconstruction max-abs error, MSE (sequential fold —
+    order-deterministic), and the integer code checksum (exact).
+    """
+    x = F.col(vec_col)
+    maxabs = F.aggregate(
+        x, F.lit(0.0), lambda a, v: F.greatest(a, F.abs(v.cast("double")))
+    )
+    d = df.select(
+        F.col(id_col),
+        x.alias("_v"),
+        maxabs.alias("_m"),
+        F.size(x).alias("dim"),
+    )
+    scale = F.col("_m") / F.lit(127.0)
+    q = F.transform(
+        F.col("_v"),
+        lambda v: F.when(F.col("_m") == 0.0, F.lit(0)).otherwise(
+            F.floor(v.cast("double") / scale + F.lit(0.5)).cast("int")
+        ),
+    )
+    d = d.select(
+        id_col,
+        "dim",
+        F.round(scale, 9).alias("scale"),
+        q.alias("_q"),
+        "_v",
+        "_m",
+    )
+    recon_err = F.zip_with(
+        F.col("_v"),
+        F.col("_q"),
+        lambda v, qq: v.cast("double") - qq * (F.col("_m") / F.lit(127.0)),
+    )
+    return d.select(
+        id_col,
+        "dim",
+        "scale",
+        F.aggregate(
+            F.col("_q"), F.lit(0).cast("bigint"), lambda a, v: a + v
+        ).alias("code_checksum"),
+        F.round(
+            F.aggregate(
+                recon_err, F.lit(0.0), lambda a, e: F.greatest(a, F.abs(e))
+            ),
+            6,
+        ).alias("max_abs_err"),
+        F.round(
+            F.aggregate(recon_err, F.lit(0.0), lambda a, e: a + e * e)
+            / F.greatest(F.col("dim"), F.lit(1)),
+            9,
+        ).alias("mse"),
+    )

@@ -780,3 +780,49 @@ def dedup_incremental_batch(spark, sf_dir):
         new_docs, corpus, "doc_id", "text",
         num_hashes=12, bands=6, shingle_n=3, threshold=0.5,
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH base AS (
+      SELECT vec_id,
+             CAST(len(embedding) AS INTEGER) AS dim,
+             embedding,
+             list_reduce(list_transform(embedding,
+                                        x -> abs(x::DOUBLE)),
+                         (a, b) -> greatest(a, b)) AS m
+      FROM embeddings
+    ), qd AS (
+      SELECT vec_id, dim, m,
+             round(m / 127.0, 9) AS scale,
+             list_transform(embedding, x ->
+               CASE WHEN m = 0 THEN 0
+                    ELSE CAST(floor(x::DOUBLE / (m / 127.0) + 0.5) AS INTEGER)
+               END) AS q,
+             embedding
+      FROM base
+    ), e AS (
+      SELECT vec_id, dim, scale, q,
+             list_transform(generate_series(1, dim), i ->
+               embedding[i]::DOUBLE - q[i] * (m / 127.0)) AS err
+      FROM qd
+    )
+    SELECT vec_id, dim, scale,
+           CAST(list_reduce(q, (a, b) -> a + b) AS BIGINT) AS code_checksum,
+           round(list_reduce(list_transform(err, x -> abs(x)),
+                             (a, b) -> greatest(a, b)), 6) AS max_abs_err,
+           round(list_reduce(list_transform(err, x -> x * x),
+                             (a, b) -> a + b) / greatest(dim, 1), 9) AS mse
+    FROM e
+    """,
+    doc=(
+        "int8 embedding quantization (4x memory for the vector store): "
+        "per-vector symmetric scale, explicit half-up rounding so codes "
+        "are engine-identical; audited by integer code checksum + "
+        "reconstruction max-err/MSE"
+    ),
+)
+def embedding_quantize_int8(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.quantize_embeddings_int8(emb)
