@@ -39,73 +39,32 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 
 
 # The driver's correctness gate verifies the FIRST 50 registry entries
-# per round. Order therefore encodes verification priority: queries with
-# no driver-green CORRECTNESS row yet (the r1/r2 gates stopped at entry
-# 50, leaving the dedup/ANN/text/TPC-H tail unchecked) and queries whose
-# code or oracle changed this round come first; long-green unchanged
-# queries keep their earlier green rows as evidence and sort last.
+# per round. Order therefore encodes verification priority:
+#   0. VERIFY_FIRST — this round's manually-flagged changed/red queries;
+#   1. queries with no driver-green CORRECTNESS row yet;
+#   2. driver-green queries whose implementing source or oracle changed
+#      since their green hash was recorded (auto-boost — see
+#      _query_hash / green_hashes.json below);
+#   3. long-green unchanged queries (their rows stand as evidence).
+# Rotation protocol per round: (a) at round START, before any edit,
+# regenerate green_hashes.json (tools/update_green_hashes.py) so it
+# snapshots the source the driver just verified; (b) add any query
+# whose semantics you change to VERIFY_FIRST anyway (belt and braces —
+# the auto-boost catches direct query/oracle edits and one-hop operator
+# module edits, but not deeper transitive changes).
 VERIFY_FIRST = [
-    # never driver-checked (registry tail in r1/r2)
-    "recursive_date_spine_gapfill",
-    "text_token_stats",
-    "text_quality_scores",
-    "text_lang_id",
-    "doc_fingerprints",
-    "dedup_exact_groups",
-    "dedup_prefix_groups",
-    "dedup_unigram_jaccard_pairs",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash_pairs",
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    "embedding_neardup_pairs",
-    "ann_ivf_topk",
-    "doc_tfidf_top_terms",
-    "dedup_connected_components",
-    "text_repetition_signals",
-    "gopher_quality_filter",
-    "doc_top_bigram_share",
-    "sliding_window_event_stats",
-    "session_window_stats",
-    "range_join_event_windows",
-    "stats_moments_exact",
-    "deterministic_stratified_sample",
-    "value_histogram",
-    "similar_value_series_topk",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
+    # red in r3: oracle SUM(CASE) was HUGEINT → float; now CAST to BIGINT
     "tpch_q12_priority_shipping",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_cnt",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_promo_suppliers",
-    "tpch_q22_idle_customers",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_stock",
-    "tpch_q21_suppliers_kept_waiting",
-    # changed/new/red this round — need fresh driver rows
-    "sessionize_events",
-    "stream_daily_rollup_complete",
+    # changed this round: collect round-trip replaced by localCheckpoint
     "stream_daily_rollup_append",
-    "pivot_daily_event_type_counts",
-    "map_event_type_counts",
-    "array_function_surface",
-    "audio_features_stub",
-    "longest_daily_streak",
-    # new this round — first driver row (medallion_end_to_end rotated
-    # out: driver-green in both r1 and r2, unchanged since)
-    "decontaminate_ngram_overlap",
+    # changed this round: threshold comparison rounded on both engines
+    "quality_quantile_filter",
+    # changed this round: orderable-id tie-break + self-pair exclusion
+    "dedup_incremental_batch",
 ]
-# The 50-entry window cannot hold every never-green query this round:
-# the 41 never-checked SURVEY-§2 tail entries plus the 8 changed/red
-# ones take priority; the remaining r3 additions (curation, try_*,
-# scripting, arrow, anomaly, incremental dedup, …) are locally
-# oracle-verified now and rotate into the window automatically next
-# round, once this round's window entries go green.
+# Everything r3 left never-driver-verified (curation, incremental
+# dedup, quantization, SQL-surface, anomaly, arrow — 15 queries) now
+# auto-rotates into the window via group 1.
 
 
 def _driver_green() -> set[str]:
@@ -135,6 +94,61 @@ def _driver_green() -> set[str]:
     return {n for n, ok in verdict.items() if ok}
 
 
+def _query_hash(spec: QuerySpec) -> str:
+    """Content hash of a query's verified surface: its spark_fn source,
+    its oracle SQL, and — one hop out — the source of every
+    metar_pipeline_spark function/module the spark_fn references by name
+    (co_names), so an edit to e.g. operators/dedup.py re-boosts the
+    dedup queries that call it. Deliberately one hop, not transitive:
+    deep engine changes are covered by the full sf0.001 pytest oracle
+    suite; the hash exists to re-open the EXTERNAL gate for the common
+    regression class (direct query/oracle/operator-module edits)."""
+    import hashlib
+    import inspect
+    import types
+    from pathlib import Path
+
+    h = hashlib.sha256()
+    try:
+        h.update(inspect.getsource(spec.spark_fn).encode())
+    except OSError:
+        h.update(repr(spec.spark_fn.__code__.co_code).encode())
+    h.update((spec.oracle or "").encode())
+    g = spec.spark_fn.__globals__
+    for name in sorted(set(spec.spark_fn.__code__.co_names)):
+        v = g.get(name)
+        if isinstance(v, types.ModuleType):
+            if (v.__name__ or "").startswith("metar_pipeline_spark"):
+                try:
+                    h.update(Path(v.__file__).read_bytes())
+                except (OSError, TypeError):
+                    pass
+        elif callable(v) and getattr(v, "__module__", "").startswith(
+            "metar_pipeline_spark"
+        ):
+            try:
+                h.update(inspect.getsource(v).encode())
+            except (OSError, TypeError):
+                pass
+    return h.hexdigest()
+
+
+def _green_hashes() -> dict[str, str]:
+    """green_hashes.json: query name → _query_hash at the moment the
+    source was last snapshotted as driver-verified (regenerated at each
+    round start by tools/update_green_hashes.py). A green query whose
+    current hash differs was edited after verification and auto-boosts
+    back into the window."""
+    import json
+    from pathlib import Path
+
+    p = Path(__file__).resolve().parent / "green_hashes.json"
+    try:
+        return json.loads(p.read_text())
+    except Exception:  # noqa: BLE001 — missing/corrupt manifest: boost all
+        return {}
+
+
 def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect: populate REGISTRY.
     from metar_pipeline_spark.queries import (  # noqa: F401
@@ -154,15 +168,21 @@ def all_queries() -> dict[str, QuerySpec]:
     # manual boost beats a green verdict — that is the whole point of
     # boosting a query whose code changed after it went green), then
     # queries whose latest driver verdict is not green, then green ones
-    # (their rows stand as evidence). Ties keep registration order
-    # (sorted() is stable).
+    # whose source hash drifted from the verified snapshot (auto-boost),
+    # then unchanged green ones (their rows stand as evidence). Ties
+    # keep registration order (sorted() is stable).
     green = _driver_green()
+    manifest = _green_hashes()
     pri = {n: i for i, n in enumerate(VERIFY_FIRST)}
 
     def key(n: str) -> tuple:
         if n in pri:
             return (0, pri[n])
-        return (1 if n not in green else 2, 0)
+        if n not in green:
+            return (1, 0)
+        if manifest.get(n) != _query_hash(REGISTRY[n]):
+            return (2, 0)
+        return (3, 0)
 
     names = sorted(REGISTRY, key=key)
     return {n: REGISTRY[n] for n in names}

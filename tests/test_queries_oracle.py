@@ -56,6 +56,26 @@ def test_query_matches_oracle(spark, duck, name):
     assert canon(srows, scols) == canon(orows, ocols)
 
 
+def test_oracle_no_hugeint_columns(duck):
+    """DESCRIBE every oracle: no HUGEINT output columns allowed.
+
+    The driver compares pandas frames; DuckDB HUGEINT (an uncast
+    SUM(CASE…)) converts to float64 and hash-mismatches Spark's int64
+    even when every value is equal — the r2 pivot and r3 q12 failures.
+    The cursor description masks HUGEINT as generic 'NUMBER', so only
+    DESCRIBE sees it."""
+    offenders = []
+    for name, spec in SPECS.items():
+        if spec.oracle is None:
+            continue
+        for row in duck.execute(f"DESCRIBE {spec.oracle}").fetchall():
+            col, typ = row[0], row[1]
+            t = str(typ).upper()
+            if "HUGEINT" in t or "INT128" in t:
+                offenders.append(f"{name}.{col}: {typ}")
+    assert not offenders, offenders
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

@@ -93,19 +93,25 @@ def main():
         try:
             cur = con.execute(spec.oracle)
             ocols = [d[0] for d in cur.description]
-            otypes = [str(d[1]) for d in cur.description]
             orows = cur.fetchall()
+            # Dtype lint: the external gate compares pandas frames,
+            # where DuckDB HUGEINT (e.g. an uncast SUM(CASE…)) converts
+            # to float — hash-mismatching Spark's BIGINT even when every
+            # value is equal (the r2 pivot failure; the r3 q12 failure).
+            # The cursor description MASKS HUGEINT as generic 'NUMBER'
+            # (how q12 escaped the r3 lint), so inspect the real types
+            # via DESCRIBE <oracle>. Oracles must CAST such sums to
+            # BIGINT.
+            otypes = {
+                r[0]: str(r[1])
+                for r in con.execute(f"DESCRIBE {spec.oracle}").fetchall()
+            }
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
             continue
         problems = []
-        # Dtype lint: the external gate compares pandas frames, where
-        # DuckDB HUGEINT (e.g. an uncast SUM(CASE…)) converts to float —
-        # hash-mismatching Spark's BIGINT even when every value is equal
-        # (the r2 pivot failure). fetchall() can't see it; the
-        # description can. Oracles must CAST such sums to BIGINT.
-        for c, t in zip(ocols, otypes):
+        for c, t in otypes.items():
             if "HUGEINT" in t.upper() or "INT128" in t.upper():
                 problems.append(
                     f"oracle column {c} is {t} (pandas-converts to "
