@@ -173,12 +173,14 @@ def quality_quantile_filter(
 
     Thresholds are ONE tiny per-stratum aggregate broadcast back
     against the scan — the corpus is never shuffled. Exact interpolated
-    percentile on both engines; the comparison happens on the
-    unrounded threshold.
+    percentile on both engines; score AND threshold are rounded to the
+    same 6 decimals before the >= so a 1-ulp interpolation difference
+    between Spark's percentile and an oracle's quantile_cont can never
+    flip a boundary document's membership.
     """
-    scored = docs.withColumn("_q", quality)
+    scored = docs.withColumn("_q", F.round(quality, 6))
     thr = scored.groupBy(stratum_col).agg(
-        F.expr(f"percentile(_q, {q})").alias("_thr")
+        F.round(F.expr(f"percentile(_q, {q})"), 6).alias("_thr")
     )
     return (
         scored.join(F.broadcast(thr), stratum_col)
@@ -186,7 +188,7 @@ def quality_quantile_filter(
         .select(
             F.col(id_col),
             F.col(stratum_col),
-            F.round(F.col("_q"), 6).alias("quality"),
+            F.col("_q").alias("quality"),
         )
     )
 

@@ -18,7 +18,7 @@ Hashes are md5-derived (portable across engines) — see textops.hash32.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from metar_pipeline_spark.operators.textops import tokens, word_shingles
@@ -439,12 +439,15 @@ def incremental_dedup_verdicts(
     else:
         corpus_b = buckets_of(corpus_docs, 1)
     prior_b = corpus_b.unionByName(new_b)
+    # a.id != b.id everywhere: if a new-batch id ever collides with a
+    # corpus id, the doc must not match ITSELF through the corpus side.
     cands = (
         new_b.alias("a")
         .join(
             prior_b.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("b.id") != F.col("a.id"))
             & (
                 (F.col("b.is_corpus") == 1)
                 | (F.col("b.id") < F.col("a.id"))
@@ -455,18 +458,20 @@ def incremental_dedup_verdicts(
     )
     all_docs = new_docs.unionByName(corpus_docs)
     sims = jaccard_on_pairs(cands, all_docs, id_col, text_col, shingle_n)
+    # Best match per new doc by (jaccard desc, id_b asc) via row_number —
+    # works for ANY orderable id type (string ids included), unlike a
+    # negated-id struct max which requires numeric ids.
+    wb = Window.partitionBy("id_a").orderBy(
+        F.desc("jaccard"), F.asc("id_b")
+    )
     best = (
         sims.filter(F.col("jaccard") >= threshold)
-        .groupBy("id_a")
-        .agg(
-            F.max(
-                F.struct(F.col("jaccard"), (-F.col("id_b")).alias("_nb"))
-            ).alias("_m")
-        )
+        .withColumn("_rn", F.row_number().over(wb))
+        .filter(F.col("_rn") == 1)
         .select(
             F.col("id_a"),
-            (-F.col("_m._nb")).alias("matched_id"),
-            F.col("_m.jaccard").alias("jaccard"),
+            F.col("id_b").alias("matched_id"),
+            F.col("jaccard"),
         )
     )
     return (

@@ -216,11 +216,12 @@ def pii_redaction_stats(spark, sf_dir):
                    6)::DOUBLE AS quality
       FROM c
     ), thr AS (
-      SELECT lang, quantile_cont(quality, 0.6) AS t FROM q GROUP BY lang
+      SELECT lang, round(quantile_cont(quality, 0.6), 6) AS t
+      FROM q GROUP BY lang
     )
     SELECT q.doc_id, q.lang, round(q.quality, 6) AS quality
     FROM q JOIN thr USING (lang)
-    WHERE q.quality >= thr.t
+    WHERE round(q.quality, 6) >= thr.t
     """,
     doc=(
         "Corpus filtering: keep docs at/above the per-language 60th "

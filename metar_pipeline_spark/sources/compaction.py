@@ -18,6 +18,7 @@ sources/merge.upsert_parquet.
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import SparkSession
 
@@ -72,31 +73,56 @@ def compact_parquet_dir(
     return new_n
 
 
+_ISO_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+
+
 def expire_partitions(
     spark: SparkSession,
     path: str,
     partition_col: str,
     keep_from: str,
+    *,
+    dry_run: bool = False,
 ) -> list[str]:
     """Retention for a date-partitioned table: drop every
     ``{partition_col}=<value>`` directory with value < ``keep_from``.
 
     This is partition-level metadata surgery — directory deletes, no
     data read or rewritten — which is what makes retention viable on a
-    100 TB table (a filter-and-rewrite would scan everything). Values
-    compare lexicographically, correct for ISO dates (the layout
-    plans/medallion and the streaming sinks write). Lakehouse twins:
-    Delta `DELETE WHERE` + VACUUM, Iceberg expire_snapshots +
-    drop-partition. Returns the dropped partition values.
+    100 TB table (a filter-and-rewrite would scan everything).
+    Lakehouse twins: Delta `DELETE WHERE` + VACUUM, Iceberg
+    expire_snapshots + drop-partition.
+
+    Destructive-op guards (directory names are Hive-ESCAPED, so raw
+    lexicographic comparison is unsafe): values are URL-decoded first;
+    ``__HIVE_DEFAULT_PARTITION__`` (the null partition) is always kept;
+    any value that does not parse as an ISO yyyy-MM-dd date is kept and
+    reported — retention never deletes a directory it cannot prove is
+    an expired date. ``keep_from`` itself must be ISO. ``dry_run=True``
+    returns what WOULD be dropped without deleting.
+
+    Returns the dropped (or would-drop) partition values, decoded.
     """
+    from urllib.parse import unquote
+
+    if not _ISO_DATE_RE.match(keep_from):
+        raise ValueError(
+            f"keep_from must be an ISO yyyy-MM-dd date, got {keep_from!r}"
+        )
     fs, hpath, jvm = _hadoop_fs(spark, path)
     prefix = f"{partition_col}="
     dropped: list[str] = []
     for st in fs.listStatus(hpath):
         name = st.getPath().getName()
-        if st.isDirectory() and name.startswith(prefix):
-            value = name[len(prefix):]
-            if value < keep_from:
+        if not (st.isDirectory() and name.startswith(prefix)):
+            continue
+        value = unquote(name[len(prefix):])
+        if value == "__HIVE_DEFAULT_PARTITION__":
+            continue
+        if not _ISO_DATE_RE.match(value):
+            continue
+        if value < keep_from:
+            if not dry_run:
                 fs.delete(st.getPath(), True)
-                dropped.append(value)
+            dropped.append(value)
     return sorted(dropped)

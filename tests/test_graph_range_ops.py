@@ -141,3 +141,43 @@ def test_incremental_dedup_catches_planted_near_duplicate(spark):
     assert verdicts[100001].jaccard > 0.8
     assert not verdicts[100002].is_duplicate
     assert verdicts[100002].matched_id is None
+
+
+def test_incremental_dedup_string_ids_and_id_collision(spark):
+    """The dedup API is id-type agnostic: string ids must work (the
+    best-match tie-break is (jaccard desc, id asc) via row_number, not
+    numeric negation), and a new-batch id that COLLIDES with a corpus id
+    must never be reported as a duplicate of itself."""
+    from metar_pipeline_spark.operators.dedup import (
+        incremental_dedup_verdicts,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [
+            ("doc-a", base),
+            ("doc-b", base + " lambda"),  # near-dup of doc-a
+            ("doc-z", "one two three four five six seven eight nine ten"),
+        ],
+        "id string, text string",
+    )
+    new_batch = spark.createDataFrame(
+        [
+            # same id as a corpus doc AND same text: must match doc-b
+            # (or doc-a), never itself
+            ("doc-a", base),
+            ("doc-new", "totally different words nothing shared here at all"),
+        ],
+        "id string, text string",
+    )
+    verdicts = {
+        r.id: r
+        for r in incremental_dedup_verdicts(
+            new_batch, corpus, "id", "text",
+            num_hashes=12, bands=6, shingle_n=2, threshold=0.5,
+        ).collect()
+    }
+    assert verdicts["doc-a"].is_duplicate
+    assert verdicts["doc-a"].matched_id != "doc-a"
+    assert verdicts["doc-a"].matched_id in ("doc-b",)  # ties: id asc
+    assert not verdicts["doc-new"].is_duplicate

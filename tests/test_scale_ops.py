@@ -534,6 +534,43 @@ def test_expire_partitions_retention(spark, tmp_path):
     ) == survivor_files
 
 
+def test_expire_partitions_guards(spark, tmp_path):
+    """Destructive-delete guards: dry_run deletes nothing; the null
+    partition and non-date (Hive-escaped / malformed) values are always
+    kept; a non-ISO horizon is rejected outright."""
+    import os
+
+    import pytest
+
+    from metar_pipeline_spark.sources.compaction import expire_partitions
+
+    target = str(tmp_path / "t")
+    os.makedirs(os.path.join(target, "d=2024-01-01"))
+    os.makedirs(os.path.join(target, "d=2024-06-01"))
+    os.makedirs(os.path.join(target, "d=__HIVE_DEFAULT_PARTITION__"))
+    os.makedirs(os.path.join(target, "d=2024-01-01 00%3A00%3A00"))  # escaped ts
+    os.makedirs(os.path.join(target, "d=garbage"))
+
+    with pytest.raises(ValueError):
+        expire_partitions(spark, target, "d", keep_from="garbage")
+
+    would = expire_partitions(
+        spark, target, "d", keep_from="2024-06-01", dry_run=True
+    )
+    assert would == ["2024-01-01"]
+    assert len(os.listdir(target)) == 5  # dry run deleted nothing
+
+    dropped = expire_partitions(spark, target, "d", keep_from="2024-06-01")
+    assert dropped == ["2024-01-01"]
+    kept = sorted(os.listdir(target))
+    assert "d=2024-01-01" not in kept
+    # null partition, escaped timestamp, and malformed value all survive
+    assert "d=__HIVE_DEFAULT_PARTITION__" in kept
+    assert "d=2024-01-01 00%3A00%3A00" in kept
+    assert "d=garbage" in kept
+    assert "d=2024-06-01" in kept
+
+
 def test_ivf_probe_from_persisted_index(spark, tmp_path):
     """ANN-at-scale contract: the IVF index (cell assignments + norms)
     is built once and persisted partitionBy(cell); probing from the
