@@ -319,6 +319,157 @@ def cosine_neardup_pairs(
     ).filter(F.col("cos_sim") >= threshold)
 
 
+def quantize_codes(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, codes array<int>, scale double): the int8 codes themselves
+    (not just the audit stats — see quantize_embeddings_int8 for those).
+    ``scale`` is kept as the UNROUNDED double max|x|/127 so that any
+    engine reconstructing ``code * scale`` lands on the identical IEEE
+    value."""
+    x = F.col(vec_col)
+    maxabs = F.aggregate(
+        x, F.lit(0.0), lambda a, v: F.greatest(a, F.abs(v.cast("double")))
+    )
+    d = df.select(F.col(id_col).alias("id"), x.alias("_v"), maxabs.alias("_m"))
+    scale = F.col("_m") / F.lit(127.0)
+    codes = F.transform(
+        F.col("_v"),
+        lambda v: F.when(F.col("_m") == 0.0, F.lit(0)).otherwise(
+            F.floor(v.cast("double") / scale + F.lit(0.5)).cast("int")
+        ),
+    )
+    return d.select("id", codes.alias("codes"), scale.alias("scale"))
+
+
+def reconstructed(codes: Column, scale: Column) -> Column:
+    """Dequantize: x̂_i = code_i * scale (double array)."""
+    return F.transform(codes, lambda c: c.cast("double") * scale)
+
+
+def ivf_quantized_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+) -> DataFrame:
+    """The 4×-compressed serving index: (id, cid, codes, scale) — each
+    corpus vector stored as int8 codes + one scale, assigned to its
+    nearest centroid measured on the RECONSTRUCTED vectors (so the
+    assignment is consistent with what a probe scores against).
+    Persist ``partitionBy("cid")``; probes then read only the probed
+    cells' partitions. At 100 TB also persist the tiny centroid slice
+    (id < n_centroids) as a sidecar so probes never touch the big store
+    to rank cells — ivf_quantized_topk accepts it as ``centroids``."""
+    qc = quantize_codes(corpus, id_col, vec_col)
+    rv = reconstructed(F.col("codes"), F.col("scale"))
+    rec = qc.select(
+        "id", "codes", "scale", rv.alias("_rv"), norm2(rv).alias("_rn")
+    )
+    cents = rec.filter(F.col("id") < n_centroids).select(
+        F.col("id").alias("cid"),
+        F.col("_rv").alias("centvec"),
+        F.col("_rn").alias("centnorm"),
+    )
+    cscore = F.round(
+        dot(F.col("_rv"), F.col("centvec"))
+        / (F.col("_rn") * F.col("centnorm")),
+        6,
+    )
+    return (
+        rec.join(F.broadcast(cents))
+        .select("id", "codes", "scale", "cid", cscore.alias("_cs"))
+        .groupBy("id")
+        .agg(
+            F.max_by(
+                F.struct("cid", "codes", "scale"),
+                F.struct(F.col("_cs"), -F.col("cid")),
+            ).alias("_a")
+        )
+        .select("id", "_a.cid", "_a.codes", "_a.scale")
+    )
+
+
+def ivf_quantized_topk(
+    index: DataFrame,
+    query: DataFrame,
+    query_id_col: str,
+    vec_col: str,
+    k: int,
+    n_centroids: int,
+    nprobe: int,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Probe the quantized IVF store: full-precision queries scored
+    against int8-reconstructed corpus vectors (asymmetric distance
+    computation — the standard serving trade: 4× less store memory,
+    queries keep their precision).
+
+    ``index`` is (id, cid, codes, scale), e.g. the partitionBy("cid")
+    store read back; ``centroids`` the tiny (id, codes, scale) sidecar
+    (defaults to filtering the store — fine locally, but at scale pass
+    the sidecar so cell ranking never scans the big store). The cid
+    equi-join is what partition pruning rides on.
+
+    Output: (query_id, id, cos_sim, rank) — same shape as
+    brute_force_topk; recall < 1 by design (quantization + cell misses).
+    """
+    from pyspark.sql import Window
+
+    cent_src = centroids if centroids is not None else index
+    crv = reconstructed(F.col("codes"), F.col("scale"))
+    cents = cent_src.filter(F.col("id") < n_centroids).select(
+        F.col("id").alias("cid2"),
+        crv.alias("centvec"),
+        norm2(crv).alias("centnorm"),
+    )
+    q = query.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm2(F.col(vec_col)).alias("qnorm"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qscore"), F.asc("cid"))
+    probes = (
+        q.join(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qvec",
+            "qnorm",
+            F.col("cid2").alias("cid"),
+            F.round(
+                dot(F.col("qvec"), F.col("centvec"))
+                / (F.col("qnorm") * F.col("centnorm")),
+                6,
+            ).alias("qscore"),
+        )
+        .withColumn("prank", F.row_number().over(wq))
+        .filter(F.col("prank") <= nprobe)
+        .select("query_id", "qvec", "qnorm", "cid")
+    )
+    rv = reconstructed(F.col("codes"), F.col("scale"))
+    inv = index.select(
+        "id", "cid", rv.alias("cvec"), norm2(rv).alias("cnorm")
+    )
+    scored = (
+        inv.join(F.broadcast(probes), "cid")
+        .filter(F.col("query_id") != F.col("id"))
+        .select(
+            "query_id",
+            "id",
+            F.round(
+                dot(F.col("cvec"), F.col("qvec"))
+                / (F.col("cnorm") * F.col("qnorm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def quantize_embeddings_int8(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -465,6 +465,93 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+_DUCK_IVF_Q8 = f"""
+    WITH qd AS (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               CASE WHEN m = 0 THEN 0
+                    ELSE CAST(floor(x::DOUBLE / (m / 127.0) + 0.5) AS INTEGER)
+               END) AS q, m
+      FROM (SELECT vec_id, embedding,
+                   list_reduce(list_transform(embedding, x -> abs(x::DOUBLE)),
+                               (a, b) -> greatest(a, b)) AS m
+            FROM embeddings)
+    ),
+    recon AS (
+      SELECT vec_id, list_transform(q, c -> c * (m / 127.0)) AS v FROM qd
+    ),
+    cents AS (
+      SELECT vec_id AS cid, v AS centvec FROM recon WHERE vec_id < 8
+    ),
+    assigned AS (
+      SELECT id, cid, cvec FROM (
+        SELECT e.vec_id AS id, c.cid, e.v AS cvec,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round({_DUCK_COS.format(a="e.v", b="c.centvec")}, 6) DESC, c.cid
+               ) AS arn
+        FROM recon e, cents c
+      ) WHERE arn = 1
+    ),
+    probes AS (
+      SELECT query_id, qvec, cid FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round({_DUCK_COS.format(a="q.embedding", b="c.centvec")}, 6) DESC, c.cid
+               ) AS prn
+        FROM embeddings q, cents c WHERE q.vec_id < 5
+      ) WHERE prn <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, a.id,
+             round({_DUCK_COS.format(a="a.cvec", b="p.qvec")}, 6) AS cos_sim
+      FROM assigned a JOIN probes p ON a.cid = p.cid
+      WHERE a.id <> p.query_id
+    )
+    SELECT query_id, id, cos_sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, id) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+"""
+
+
+@register(
+    "ann_ivf_quantized_probe",
+    _DUCK_IVF_Q8,
+    doc=(
+        "The 100 TB ANN serving shape end-to-end: int8-quantized IVF "
+        "index (codes + per-vector scale, 4x memory) written "
+        "partitionBy(cell), read back, and probed with full-precision "
+        "queries (asymmetric distance) — nprobe=2 of 8 cells, so the "
+        "probe reads only the probed cells' partitions"
+    ),
+)
+def ann_ivf_quantized_probe(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ivf_q8_")
+    store = os.path.join(out, "index")
+    try:
+        sim.ivf_quantized_index(
+            emb, "vec_id", "embedding", n_centroids=8
+        ).write.partitionBy("cid").mode("overwrite").parquet(store)
+        index = spark.read.parquet(store)
+        q = emb.filter(F.col("vec_id") < 5)
+        res = sim.ivf_quantized_topk(
+            index, q, "vec_id", "embedding", k=10, n_centroids=8, nprobe=2
+        )
+        # materialize off the temp store before it is removed (the
+        # checkpointed partitions live in the block manager, not the dir)
+        result = res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return result
+
+
 @register(
     "doc_tfidf_top_terms",
     f"""

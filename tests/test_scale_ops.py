@@ -604,3 +604,62 @@ def test_ivf_probe_from_persisted_index(spark, tmp_path):
     # + DPP this shows up as a PartitionFilters/dynamicpruning scan —
     # at minimum, assert the join key is the partition column
     assert "cid" in spark.read.parquet(store).columns
+
+
+def test_ivf_quantized_store_probe_and_pruning(spark, tmp_path):
+    """The full 100 TB serving shape: int8-quantized IVF index persisted
+    partitionBy(cid); (a) probing the store equals probing the inline
+    index; (b) reconstruction error is bounded by the int8 step size;
+    (c) a probe restricted to known cells is answered by a
+    PARTITION-PRUNED scan (PartitionFilters on cid), i.e. the layout
+    actually prunes — the property the whole design rides on."""
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.io import load_table
+    from metar_pipeline_spark.operators import similarity as sim
+    from tests.test_plans import plan_str
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    idx = sim.ivf_quantized_index(emb, "vec_id", "embedding", n_centroids=8)
+    store = str(tmp_path / "ivf_q8")
+    idx.write.partitionBy("cid").mode("overwrite").parquet(store)
+    stored = spark.read.parquet(store)
+
+    got_inline = sim.ivf_quantized_topk(
+        idx, q, "vec_id", "embedding", k=10, n_centroids=8, nprobe=2
+    )
+    got_stored = sim.ivf_quantized_topk(
+        stored, q, "vec_id", "embedding", k=10, n_centroids=8, nprobe=2
+    )
+    rows = sorted(map(tuple, got_stored.collect()))
+    assert rows == sorted(map(tuple, got_inline.collect()))
+    assert rows  # non-degenerate
+
+    # (b) int8 reconstruction: |x - x̂| <= scale/2 per component —
+    # join the store back to the raw vectors and bound the worst error
+    joined = stored.join(
+        emb.select(F.col("vec_id").alias("id"), "embedding"), "id"
+    ).select(
+        F.max(
+            F.aggregate(
+                F.zip_with(
+                    sim.reconstructed(F.col("codes"), F.col("scale")),
+                    F.col("embedding"),
+                    lambda r, x: F.abs(r - x.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda a, e: F.greatest(a, e),
+            )
+            - F.col("scale") / 2.0
+        ).alias("worst_excess")
+    )
+    assert joined.first()["worst_excess"] <= 1e-9
+
+    # (c) literal cell restriction → partition-pruned scan
+    probe_scan = stored.filter(F.col("cid").isin(1, 3))
+    p = plan_str(probe_scan)
+    assert "PartitionFilters" in p
+    pf = p.split("PartitionFilters:")[1].split("\n")[0]
+    assert "cid" in pf
+    assert probe_scan.count() > 0
