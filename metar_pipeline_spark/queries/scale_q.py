@@ -228,9 +228,14 @@ def stream_daily_rollup_append(spark, sf_dir):
             .start()
         )
         q.awaitTermination()
-        # materialize the result before the temp dir is removed
-        rows = spark.read.schema(agg.schema).parquet(data)
-        result = spark.createDataFrame(rows.collect(), agg.schema)
+        # materialize the sealed-window result off the temp dir before it
+        # is removed: localCheckpoint(eager) pins the partitions in the
+        # block manager, so no driver-side collect round-trip is needed
+        result = (
+            spark.read.schema(agg.schema)
+            .parquet(data)
+            .localCheckpoint(eager=True)
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(out_dir, ignore_errors=True)

@@ -187,3 +187,27 @@ def test_pii_redaction_rides_the_scan(plans):
     """Regex scrub is per-row projection — no Exchange at all."""
     p = plans("pii_redaction_stats")
     assert "Exchange" not in p
+
+
+def test_package_has_no_driver_side_materialization():
+    """Every operator must stay distributed: no .collect()/.toPandas()
+    anywhere in the package. The only permitted driver-side reads are
+    `.first()` on ALREADY-AGGREGATED scalar frames (watermark max, byte
+    totals, convergence sums, layout bounds) — each .first() call site
+    must sit on an agg/aggregated expression."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / "metar_pipeline_spark"
+    offenders = []
+    for f in sorted(pkg.rglob("*.py")):
+        text = f.read_text()
+        for i, line in enumerate(text.splitlines(), 1):
+            if re.search(r"\.collect\(|\.toPandas\(|\.toLocalIterator\(", line):
+                offenders.append(f"{f.name}:{i}: {line.strip()}")
+            if ".first()" in line:
+                # scalar-read allowance: the expression must aggregate
+                window = "\n".join(text.splitlines()[max(0, i - 3):i])
+                if not re.search(r"\.agg\(|F\.max\(|F\.sum\(|F\.min\(", window):
+                    offenders.append(f"{f.name}:{i}: {line.strip()}")
+    assert not offenders, offenders

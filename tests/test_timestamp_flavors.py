@@ -79,3 +79,44 @@ def test_streak_jvm_plan_has_no_python_stage(spark):
     ev = load_table(spark, SF_DIR, "events")
     plan = longest_daily_streaks_jvm(ev)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Pandas" not in plan
+
+
+@pytest.mark.parametrize("flavor", ["TIMESTAMP_MICROS", "INT96"])
+def test_load_table_absorbs_utc_adjusted_flavors(spark, tmp_path, flavor):
+    """Third (and fourth) generator flavor: int64 micros with
+    isAdjustedToUTC=true, and legacy INT96. load_table must read both
+    as session-tz TIMESTAMP with values identical to the current
+    testdata — so the next generator change is absorbed silently."""
+    src = load_table(spark, SF_DIR, "events").select("event_id", "ts")
+    want = sorted((r.event_id, r.ts) for r in src.collect())
+
+    out_sf = str(tmp_path / flavor)
+    os.makedirs(out_sf)
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", flavor)
+    try:
+        src.write.mode("overwrite").parquet(
+            os.path.join(out_sf, "events.parquet")
+        )
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+
+    if flavor == "TIMESTAMP_MICROS":
+        # make the fixture honest: the file really is adjusted-UTC micros
+        import glob
+
+        import pyarrow.parquet as pq
+
+        f = glob.glob(os.path.join(out_sf, "events.parquet", "*.parquet"))[0]
+        ts_field = next(
+            c for c in pq.ParquetFile(f).schema
+            if c.name == "ts"
+        )
+        assert "isAdjustedToUTC=true" in str(ts_field.logical_type).replace(
+            " ", ""
+        ) or "UTC" in str(ts_field.logical_type)
+
+    got_df = load_table(spark, out_sf, "events")
+    assert dict(got_df.dtypes)["ts"] == "timestamp"
+    got = sorted((r.event_id, r.ts) for r in got_df.collect())
+    assert got == want
