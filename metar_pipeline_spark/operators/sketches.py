@@ -1,0 +1,88 @@
+"""Approximate sketches: HLL distinct and approximate quantiles.
+
+At 100 TB, exact COUNT(DISTINCT) over a high-cardinality key is a full
+shuffle of every distinct value; an HLL sketch is a fixed-size (KB)
+mergeable summary that combines map-side, ships one sketch per
+partition, and answers within ~1-2% — the standard trade for
+cardinality dashboards, join-size estimation, and dedup ratio tracking.
+Spark's hll_sketch_agg / hll_union_agg are Apache DataSketches HLL
+(java-side, codegen-friendly); estimates are DETERMINISTIC for a given
+input multiset and lgConfigK, but implementation-specific — so these
+operators register as rows-only queries (no cross-engine oracle), with
+calibration asserted against exact counts in the pytest suite instead.
+
+The mergeability contract is the scale property: sketch(shard_1) ∪ … ∪
+sketch(shard_n) == sketch(whole). partial_then_union() exercises
+exactly that shape — it is what lets a 1000-executor cluster compute
+global cardinality with one KB-sized row per executor instead of a
+distinct-shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hll_estimate(value: Column, lgk: int = 12) -> Column:
+    """HLL distinct-count estimate aggregate (~1.6% rse at lgk=12)."""
+    return F.hll_sketch_estimate(F.hll_sketch_agg(value, F.lit(lgk)))
+
+
+def approx_distinct_by(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    lgk: int = 12,
+) -> DataFrame:
+    """Per-group HLL estimate next to the exact distinct count.
+
+    The exact column exists for calibration/monitoring (and IS the
+    expensive path being replaced); production dashboards at 100 TB
+    would drop it and keep only the sketch.
+    """
+    return df.groupBy(*keys).agg(
+        F.count_distinct(F.col(value_col)).alias("n_exact"),
+        hll_estimate(F.col(value_col), lgk).alias("n_hll"),
+    )
+
+
+def partial_then_union(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    shard_col: Column,
+    lgk: int = 12,
+) -> DataFrame:
+    """Two-level sketch: per-(key, shard) partial sketches, then
+    hll_union_agg to the key level — the mergeable-summary shape a
+    cluster uses (one partial per executor/partition, KB-sized shuffle).
+    Estimates are identical to the single-pass sketch (HLL union is
+    lossless at equal lgConfigK)."""
+    partial = df.withColumn("__shard", shard_col).groupBy(
+        *keys, "__shard"
+    ).agg(F.hll_sketch_agg(F.col(value_col), F.lit(lgk)).alias("__sk"))
+    return partial.groupBy(*keys).agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg(F.col("__sk"), F.lit(True))
+        ).alias("n_hll")
+    )
+
+
+def approx_quantiles_by(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    probs: list[float],
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-group approximate quantiles (Greenwald-Khanna): mergeable,
+    bounded-memory — rank error ≤ 1/accuracy, vs an exact percentile's
+    full sort. One output column per requested quantile."""
+    aggs = [
+        F.percentile_approx(
+            F.col(value_col), F.lit(p), F.lit(accuracy)
+        ).alias(f"q{str(p).replace('0.', '')}")
+        for p in probs
+    ]
+    return df.groupBy(*keys).agg(*aggs)

@@ -240,3 +240,68 @@ def stream_daily_rollup_append(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(out_dir, ignore_errors=True)
     return result
+
+
+@register(
+    "approx_distinct_users_by_type",
+    None,  # HLL estimates are DataSketches-specific — no cross-engine
+    # oracle exists; calibration vs exact counts is pytest-asserted
+    # (tests/test_scale_ops.py) and the exact column rides along here.
+    doc=(
+        "Approximate distinct at scale: per-event-type HLL user "
+        "cardinality (KB-sized mergeable sketch, map-side combinable) "
+        "next to the exact count it replaces at 100 TB — rows-only "
+        "driver check; <2% error asserted in pytest"
+    ),
+)
+def approx_distinct_users_by_type(spark, sf_dir):
+    from metar_pipeline_spark.operators.sketches import approx_distinct_by
+
+    events = load_table(spark, sf_dir, "events")
+    return approx_distinct_by(events, ["event_type"], "user_id").orderBy(
+        "event_type"
+    )
+
+
+@register(
+    "hll_mergeable_daily_users",
+    None,  # same: sketch estimates have no cross-engine oracle; the
+    # mergeability contract (sharded partials ≡ single pass) is the
+    # pytest-asserted property.
+    doc=(
+        "The mergeable-summary shape a 1000-executor cluster uses: "
+        "per-(day, shard) partial HLL sketches union-merged to daily "
+        "user cardinality — KB per shard crosses the wire, never the "
+        "distinct user set"
+    ),
+)
+def hll_mergeable_daily_users(spark, sf_dir):
+    from metar_pipeline_spark.operators.sketches import partial_then_union
+
+    events = load_table(spark, sf_dir, "events")
+    return partial_then_union(
+        events.select(F.to_date("ts").alias("day"), "user_id", "event_id"),
+        ["day"],
+        "user_id",
+        shard_col=F.pmod(F.xxhash64(F.col("event_id")), F.lit(8)),
+    ).orderBy("day")
+
+
+@register(
+    "approx_value_quantiles_by_type",
+    None,  # Greenwald-Khanna outputs depend on the accuracy parameter's
+    # compaction schedule — no cross-engine oracle; rank-error bound
+    # asserted in pytest against exact percentiles.
+    doc=(
+        "Approximate per-type value quantiles (p50/p95/p99) via "
+        "percentile_approx: mergeable bounded-memory summaries vs the "
+        "exact percentile's full sort — the 100 TB monitoring shape"
+    ),
+)
+def approx_value_quantiles_by_type(spark, sf_dir):
+    from metar_pipeline_spark.operators.sketches import approx_quantiles_by
+
+    events = load_table(spark, sf_dir, "events")
+    return approx_quantiles_by(
+        events, ["event_type"], "value", [0.5, 0.95, 0.99]
+    ).orderBy("event_type")

@@ -51,6 +51,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Runtime bloom-filter join pruning (fact-fact joins): when one
+        # side carries a selective filter, Catalyst injects
+        # bloom_filter_agg on it and BloomFilterMightContain on the
+        # other side's scan, pruning shuffle input before the join. The
+        # built-in size thresholds (creation side ≥10MB, application
+        # side ≥10GB scan) keep it a no-op at test scale and a large
+        # win at 100 TB. Plan pinned in tests/test_plans.py.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # testdata parquet stamps are naive (isAdjustedToUTC=false); read
         # them as session-tz TIMESTAMP (UTC) — same wall-clock values the

@@ -663,3 +663,79 @@ def test_ivf_quantized_store_probe_and_pruning(spark, tmp_path):
     pf = p.split("PartitionFilters:")[1].split("\n")[0]
     assert "cid" in pf
     assert probe_scan.count() > 0
+
+
+def test_hll_estimate_within_two_percent_of_exact(spark):
+    """HLL at lgk=12 has ~1.6% rse; assert every group's estimate lands
+    within 2% of the exact distinct count it replaces at scale."""
+    from metar_pipeline_spark.operators.sketches import approx_distinct_by
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    rows = approx_distinct_by(ev, ["event_type"], "user_id").collect()
+    assert rows
+    for r in rows:
+        assert abs(r.n_hll - r.n_exact) <= max(0.02 * r.n_exact, 1), (
+            r.event_type, r.n_exact, r.n_hll,
+        )
+
+
+def test_hll_sharded_partials_equal_single_pass(spark):
+    """Mergeability — the property that makes sketches the 100 TB
+    answer: per-shard partial sketches union-merged must give the SAME
+    estimate as one global sketch over the same multiset."""
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.operators.sketches import (
+        hll_estimate,
+        partial_then_union,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        F.to_date("ts").alias("day"), "user_id", "event_id"
+    )
+    merged = {
+        r.day: r.n_hll
+        for r in partial_then_union(
+            ev, ["day"], "user_id",
+            shard_col=F.pmod(F.xxhash64(F.col("event_id")), F.lit(8)),
+        ).collect()
+    }
+    single = {
+        r.day: r.n_hll
+        for r in ev.groupBy("day")
+        .agg(hll_estimate(F.col("user_id")).alias("n_hll"))
+        .collect()
+    }
+    assert merged == single
+
+
+def test_approx_quantiles_bracket_exact(spark):
+    """percentile_approx at accuracy=10000 (rank error 1e-4): each
+    approximate quantile must lie within the exact [p-0.01, p+0.01]
+    quantile bracket of its group."""
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.operators.sketches import approx_quantiles_by
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    approx = {
+        r.event_type: r
+        for r in approx_quantiles_by(
+            ev, ["event_type"], "value", [0.5, 0.95]
+        ).collect()
+    }
+    brackets = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.49)").alias("lo50"),
+            F.expr("percentile(value, 0.51)").alias("hi50"),
+            F.expr("percentile(value, 0.94)").alias("lo95"),
+            F.expr("percentile(value, 0.96)").alias("hi95"),
+        )
+        .collect()
+    }
+    for t, a in approx.items():
+        b = brackets[t]
+        assert b.lo50 <= a.q5 <= b.hi50, (t, a.q5, b.lo50, b.hi50)
+        assert b.lo95 <= a.q95 <= b.hi95, (t, a.q95, b.lo95, b.hi95)
