@@ -73,6 +73,17 @@ def upsert_parquet(
 
     Write-to-staging + atomic rename (Hadoop FileSystem API, so the same
     code works on local FS and HDFS-compatible stores).
+
+    SINGLE-WRITER BY DESIGN (explicit non-goal, not an oversight): the
+    reference's Postgres upsert serializes writers transactionally;
+    this plain-parquet twin matches its semantics for one writer per
+    table — exactly the orchestration contract (plans/medallion runs
+    stages sequentially; Airflow in the reference runs one DAG). Two
+    concurrent upserts to the SAME path can interleave delete/rename
+    and lose one batch. If multi-writer ever matters, use a lakehouse
+    table format (Delta/Iceberg MERGE with optimistic commit) — a
+    lock-file protocol over generic object stores cannot be made safe
+    (no atomic check-and-put on S3-style stores).
     """
     fs, tpath, jvm = _hadoop_fs(spark, target_path)
     current = spark.read.parquet(target_path) if fs.exists(tpath) else None

@@ -213,48 +213,14 @@ def test_package_has_no_driver_side_materialization():
     assert not offenders, offenders
 
 
-def test_runtime_bloom_filter_injects_on_fact_fact_join(spark):
-    """session.py enables runtime bloom-filter join pruning: on a
-    fact-fact shuffle join where one side carries a selective filter,
-    Catalyst must inject bloom_filter_agg on the filtered side and
-    might_contain on the other side's scan — pruning shuffle input
-    before the join. The built-in size thresholds gate it to big scans
-    (no-op at test scale), so the test lowers only the application-side
-    minimum and disables broadcast to force the shuffle-join shape."""
-    from pyspark.sql import functions as F
+def test_runtime_bloom_filter_default_on():
+    """The runtime bloom-filter flag must stay a session default (the
+    injection plan shape itself is pinned in
+    test_scale_ops.py::test_runtime_bloom_filter_join_pruning)."""
+    from metar_pipeline_spark.session import get_spark
 
-    from metar_pipeline_spark.io import load_table
-
+    spark = get_spark("plan-tests")
     assert (
         spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
         == "true"
     )
-    prev_thr = spark.conf.get(
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
-    )
-    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set(
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-        "0",
-    )
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        li = (
-            load_table(spark, SF_DIR, "lineitem")
-            .filter(F.col("l_quantity") == 5)
-            .select("l_orderkey", "l_returnflag")
-        )
-        orders = load_table(spark, SF_DIR, "orders").select(
-            "o_orderkey", "o_orderpriority"
-        )
-        p = plan_str(
-            orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        )
-        assert "bloom_filter_agg" in p
-        assert "might_contain" in p
-    finally:
-        spark.conf.set(
-            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-            prev_thr,
-        )
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)

@@ -359,8 +359,13 @@ def test_runtime_bloom_filter_join_pruning(spark):
     sf0.01 sides are tiny; the assertion is about plan shape."""
     from metar_pipeline_spark.io import load_table
 
+    # the feature flag itself is a session.py default now — only the
+    # size thresholds (built for 100 TB scans) are forced for tiny data
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
     overrides = {
-        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
         "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
         "spark.sql.autoBroadcastJoinThreshold": "-1",
