@@ -257,3 +257,54 @@ def render_packed_windows(
             ).alias("window_md5"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int,
+    overlap_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAG-style sliding-window chunking: each document cut into
+    ``chunk_tokens``-token windows advancing by ``chunk_tokens -
+    overlap_tokens``, so consecutive chunks share ``overlap_tokens``
+    context (the retrieval-prep twin of render_packed_windows, which
+    splits the DOMAIN stream at exact boundaries instead).
+
+    Every chunk is computed as per-row higher-order-function math
+    (sequence → slice → digest) and fanned out with explode — a narrow
+    generator, not a shuffle; no window, no UDF: the whole operator
+    rides the scan and scales embarrassingly.
+    A short document (fewer tokens than one chunk) yields exactly one
+    (possibly partial) chunk, never zero, so no document silently
+    disappears from the retrieval index.
+
+    Output: (id, chunk_id, n_tokens, chunk_md5) — one row per chunk.
+    """
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError("need 0 <= overlap_tokens < chunk_tokens")
+    stride = chunk_tokens - overlap_tokens
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((n - F.lit(overlap_tokens)) / F.lit(stride).cast("double")),
+    ).cast("int")
+    piece = lambda i: F.slice(toks, i * stride + 1, chunk_tokens)  # noqa: E731
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.size(piece(i)).alias("n_tokens"),
+            F.md5(F.concat_ws(" ", piece(i))).alias("chunk_md5"),
+        ),
+    )
+    return docs.select(
+        F.col(id_col), F.explode(chunks).alias("_c")
+    ).select(
+        id_col,
+        F.col("_c.chunk_id").alias("chunk_id"),
+        F.col("_c.n_tokens").alias("n_tokens"),
+        F.col("_c.chunk_md5").alias("chunk_md5"),
+    )

@@ -274,3 +274,42 @@ def quality_quantile_filter(spark, sf_dir):
 def render_packed_windows(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return cu.render_packed_windows(docs, window_tokens=_PACK_WINDOW)
+
+
+_CHUNK, _CHUNK_OVERLAP = 128, 32
+_CHUNK_STRIDE = _CHUNK - _CHUNK_OVERLAP
+
+
+@register(
+    "chunk_documents_overlap",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ), e AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0,
+               CAST(greatest(1, ceil((len(toks) - {_CHUNK_OVERLAP})
+                                     / {_CHUNK_STRIDE}.0)) AS INTEGER) - 1
+             )) AS chunk_id
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS INTEGER) AS chunk_id,
+           CAST(len(list_slice(toks, chunk_id * {_CHUNK_STRIDE} + 1,
+                               chunk_id * {_CHUNK_STRIDE} + {_CHUNK})) AS INTEGER) AS n_tokens,
+           md5(array_to_string(list_slice(toks, chunk_id * {_CHUNK_STRIDE} + 1,
+                                          chunk_id * {_CHUNK_STRIDE} + {_CHUNK}), ' ')) AS chunk_md5
+    FROM e
+    """,
+    doc=(
+        f"RAG retrieval prep: every document cut into {_CHUNK}-token "
+        f"chunks sliding by {_CHUNK_STRIDE} ({_CHUNK_OVERLAP}-token "
+        "overlap), digest-verified — pure per-row HOF math riding the "
+        "scan (explode is a narrow generator; no shuffle, no UDF)"
+    ),
+)
+def chunk_documents_overlap(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return cu.chunk_documents(
+        docs, _CHUNK, _CHUNK_OVERLAP, id_col="doc_id", text_col="text"
+    )

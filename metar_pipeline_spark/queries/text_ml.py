@@ -622,9 +622,11 @@ def doc_tfidf_top_terms(spark, sf_dir):
     )
 
 
-@register(
-    "dedup_connected_components",
-    f"""
+# Shared transitive-closure prefix: unigram-Jaccard >= 0.8 pairs
+# (blocked on lang+source) -> recursive reachability -> per-doc
+# hash-min component id. Reused by the clustering query and the
+# canonical-keep curation endpoint below.
+_DUCK_CC_PREFIX = f"""
     WITH RECURSIVE t AS (
       SELECT doc_id, lang, source, list_distinct({_DUCK_TOKS}) AS s
       FROM documents
@@ -647,6 +649,13 @@ def doc_tfidf_top_terms(spark, sf_dir):
       SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
     ),
     comp AS (SELECT node AS doc_id, MIN(r) AS component_id FROM reach GROUP BY node)
+"""
+
+
+@register(
+    "dedup_connected_components",
+    _DUCK_CC_PREFIX
+    + """
     SELECT c.doc_id, c.component_id, z.component_size
     FROM comp c
     JOIN (SELECT component_id, COUNT(*) AS component_size
@@ -673,6 +682,57 @@ def dedup_connected_components(spark, sf_dir):
     )
     return comp.join(sizes, "component_id").select(
         "doc_id", "component_id", "component_size"
+    )
+
+
+@register(
+    "dedup_canonical_keep",
+    _DUCK_CC_PREFIX
+    + """
+    , ranked AS (
+      SELECT c.doc_id, c.component_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.component_id
+               ORDER BY length(d.text) DESC, c.doc_id
+             ) AS rn,
+             FIRST_VALUE(c.doc_id) OVER (
+               PARTITION BY c.component_id
+               ORDER BY length(d.text) DESC, c.doc_id
+             ) AS kept_doc_id
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id, component_id, rn = 1 AS is_kept, kept_doc_id
+    FROM ranked
+    """,
+    doc=(
+        "The dedup ENDPOINT a corpus pipeline actually applies: one "
+        "canonical survivor per near-dup cluster (longest text, doc_id "
+        "tiebreak) — every doc gets (is_kept, kept_doc_id) so dropped "
+        "rows stay attributable to their survivor"
+    ),
+)
+def dedup_canonical_keep(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_unigram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    comp = dd.connected_components(
+        docs.select("doc_id"), pairs,
+        node_col="doc_id", src_col="id_a", dst_col="id_b",
+    )
+    lens = docs.select("doc_id", F.length("text").alias("_len"))
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("_len"), F.asc("doc_id")
+    )
+    ranked = comp.join(lens, "doc_id").select(
+        "doc_id",
+        "component_id",
+        F.row_number().over(w).alias("_rn"),
+        F.first("doc_id").over(w).alias("kept_doc_id"),
+    )
+    return ranked.select(
+        "doc_id",
+        "component_id",
+        (F.col("_rn") == 1).alias("is_kept"),
+        "kept_doc_id",
     )
 
 

@@ -67,3 +67,72 @@ def test_mixture_sample_honors_quotas(spark):
         F.count(F.lit(1)).alias("n")).collect()}
     assert counts["src0"] == 2
     assert all(v == 5 for s, v in counts.items() if s != "src0")
+
+
+def test_chunk_documents_overlap_properties(spark):
+    """Chunking invariants: every doc yields >=1 chunk; chunk sizes are
+    full except the tail; consecutive chunks overlap by exactly
+    overlap_tokens (token multiset conservation: sum(n_tokens) =
+    n + overlap * (n_chunks - 1) whenever the last chunk is longer than
+    the overlap)."""
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.io import load_table
+    from metar_pipeline_spark.operators.curation import chunk_documents
+    from metar_pipeline_spark.operators.textops import tokens
+
+    chunk, ov = 128, 32
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = chunk_documents(docs, chunk, ov)
+    per_doc = {
+        r.doc_id: r
+        for r in got.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").alias("tok_sum"),
+            F.min("n_tokens").alias("min_tok"),
+            F.max("n_tokens").alias("max_tok"),
+        )
+        .collect()
+    }
+    true_len = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.size(tokens(F.col("text"))).alias("n")
+        ).collect()
+    }
+    assert set(per_doc) == set(true_len)  # no doc disappears
+    for d, r in per_doc.items():
+        n = true_len[d]
+        assert r.n_chunks >= 1
+        assert r.max_tok <= chunk
+        if r.n_chunks > 1:
+            # all but the tail are full-size, so the sum double-counts
+            # exactly the overlapping spans
+            assert r.tok_sum == n + ov * (r.n_chunks - 1), (d, n, dict(r.asDict()))
+
+
+def test_dedup_canonical_keep_one_survivor_per_cluster(spark):
+    """Exactly one kept doc per component; the survivor is the longest
+    text (doc_id tiebreak); every dropped doc points at its survivor."""
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.io import load_table
+    from metar_pipeline_spark.queries import all_queries
+
+    spec = all_queries()["dedup_canonical_keep"]
+    rows = spec.spark_fn(spark, "/root/testdata/sf0.001").collect()
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    lens = {r.doc_id: r.l for r in docs.select(
+        "doc_id", F.length("text").alias("l")).collect()}
+
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component_id, []).append(r)
+    for comp, members in by_comp.items():
+        kept = [m for m in members if m.is_kept]
+        assert len(kept) == 1, comp
+        k = kept[0]
+        assert all(m.kept_doc_id == k.doc_id for m in members)
+        best = max(members, key=lambda m: (lens[m.doc_id], -m.doc_id))
+        assert k.doc_id == best.doc_id
