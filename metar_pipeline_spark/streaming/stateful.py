@@ -156,6 +156,24 @@ def streaming_first_seen_dedup(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_dedup_within_watermark(
+    events: DataFrame, lateness: str = "10 minutes"
+) -> DataFrame:
+    """BOUNDED-state streaming dedup — the built-in production form.
+
+    `dropDuplicatesWithinWatermark` keeps each (user_id, event_id) in
+    state only until the watermark passes its event time + lateness,
+    then evicts it: state is proportional to the duplicate-arrival
+    window, not stream history. Use this when duplicates arrive within
+    a bounded delay (at-least-once sources, retried producers) — the
+    applyInPandasWithState form above is the unbounded-lifetime
+    fallback for sources that can repeat ids arbitrarily late.
+    """
+    return events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(
+        ["user_id", "event_id"]
+    )
+
+
 SESSIONIZE_STATE_SCHEMA = (
     "start_ms long, end_ms long, n_events long, sum_value double"
 )

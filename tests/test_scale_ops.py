@@ -744,3 +744,59 @@ def test_approx_quantiles_bracket_exact(spark):
         b = brackets[t]
         assert b.lo50 <= a.q5 <= b.hi50, (t, a.q5, b.lo50, b.hi50)
         assert b.lo95 <= a.q95 <= b.hi95, (t, a.q95, b.lo95, b.hi95)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Bounded-state streaming dedup (dropDuplicatesWithinWatermark):
+    a duplicate arriving one micro-batch later but within the lateness
+    window is suppressed; distinct ids all pass exactly once. State is
+    evicted by the watermark — the production dedup for at-least-once
+    sources (vs the unbounded applyInPandasWithState form)."""
+    import datetime as dt
+
+    from metar_pipeline_spark.streaming.stateful import (
+        streaming_dedup_within_watermark,
+    )
+
+    base = dt.datetime(2025, 1, 1, 12, 0, 0)
+    schema = "user_id long, event_id long, ts timestamp, value double"
+    b1 = [
+        (1, 100, base, 1.0),
+        (1, 101, base + dt.timedelta(minutes=1), 2.0),
+        (2, 200, base + dt.timedelta(minutes=2), 3.0),
+    ]
+    b2 = [
+        # exact duplicate of (1, 100), 2 minutes inside the 10-minute
+        # lateness window -> must be suppressed by retained state
+        (1, 100, base, 1.0),
+        (2, 201, base + dt.timedelta(minutes=5), 4.0),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = (
+        streaming_dedup_within_watermark(stream, "10 minutes")
+        .writeStream.format("memory")
+        .queryName("wm_dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.user_id, r.event_id)
+        for r in spark.table("wm_dedup_out").collect()
+    )
+    assert got == [(1, 100), (1, 101), (2, 200), (2, 201)]
