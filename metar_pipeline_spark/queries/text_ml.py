@@ -536,9 +536,15 @@ def ann_ivf_quantized_probe(spark, sf_dir):
     out = tempfile.mkdtemp(prefix="ivf_q8_")
     store = os.path.join(out, "index")
     try:
+        # one shuffle keyed by cell before the partitioned write → each
+        # inverted list lands as one file (instead of every reduce task
+        # emitting a sliver of every cell); AQE coalesces the ≤8
+        # non-empty partitions, so the store has 8 list files, not ~256
         sim.ivf_quantized_index(
             emb, "vec_id", "embedding", n_centroids=8
-        ).write.partitionBy("cid").mode("overwrite").parquet(store)
+        ).repartition("cid").write.partitionBy("cid").mode(
+            "overwrite"
+        ).parquet(store)
         index = spark.read.parquet(store)
         q = emb.filter(F.col("vec_id") < 5)
         res = sim.ivf_quantized_topk(
