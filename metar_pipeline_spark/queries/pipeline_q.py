@@ -83,3 +83,85 @@ def medallion_end_to_end(spark, sf_dir):
         F.col("value").alias("last_value"),
         F.col("event_type").alias("last_event_type"),
     )
+
+
+_SCD2_FULL_ORACLE = """
+    WITH ordered AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             CASE WHEN LAG(o_orderstatus) OVER w IS NULL
+                    OR o_orderstatus <> LAG(o_orderstatus) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    runs AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM ordered
+    ),
+    collapsed AS (
+      SELECT o_custkey, run_id,
+             MIN(o_orderstatus) AS o_orderstatus,
+             MIN(o_orderdate) AS valid_from
+      FROM runs GROUP BY o_custkey, run_id
+    )
+    SELECT o_custkey, o_orderstatus, valid_from,
+           LEAD(valid_from) OVER wl AS valid_to,
+           LEAD(valid_from) OVER wl IS NULL AS is_current
+    FROM collapsed
+    WINDOW wl AS (PARTITION BY o_custkey ORDER BY run_id)
+"""
+
+
+@register(
+    "scd2_order_status_history",
+    _SCD2_FULL_ORACLE,
+    doc=(
+        "SCD Type 2 batch build: each customer's order-status change "
+        "log collapsed into [valid_from, valid_to) validity intervals "
+        "with an is_current flag — the Type 2 companion to the "
+        "reference's Type 1 latest-per-key mart "
+        "(int_metar_latest.sql:13-23). Pure per-key window math, "
+        "hash-partitioned on the key."
+    ),
+)
+def scd2_order_status_history(spark, sf_dir):
+    from metar_pipeline_spark.operators.scd import scd2_from_changes
+
+    orders = load_table(spark, sf_dir, "orders")
+    return scd2_from_changes(
+        orders, "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"
+    )
+
+
+@register(
+    "scd2_incremental_apply",
+    _SCD2_FULL_ORACLE,
+    doc=(
+        "SCD Type 2 incremental merge: the dimension is built from "
+        "history (< 1998-07-01), then one micro-batch of newer changes "
+        "is applied with scd2_apply — open intervals replayed, closed "
+        "history untouched, keys absent from the batch passed through "
+        "whole. The oracle is the FULL rebuild over the combined log: "
+        "the incremental path must be indistinguishable from it "
+        "(SURVEY.md §2.7's incremental == full-refresh contract, "
+        "extended to Type 2)."
+    ),
+)
+def scd2_incremental_apply(spark, sf_dir):
+    from metar_pipeline_spark.operators.scd import (
+        scd2_apply,
+        scd2_from_changes,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    split = F.lit("1998-07-01").cast("timestamp")
+    hist = orders.filter(F.col("o_orderdate") < split)
+    batch = orders.filter(F.col("o_orderdate") >= split)
+    dim = scd2_from_changes(
+        hist, "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"
+    )
+    return scd2_apply(
+        dim, batch, "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"
+    )
