@@ -532,3 +532,119 @@ def quantize_embeddings_int8(
             9,
         ).alias("mse"),
     )
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    iters: int,
+) -> DataFrame:
+    """Lloyd's k-means refinement of the IVF coarse quantizer, as pure
+    DataFrame iterations (the iterative-algorithm shape on Spark).
+
+    Starts from the engine's deterministic init (vectors with
+    id < n_centroids — the same cells ivf_topk uses), then per
+    iteration: (1) assign every vector to its argmax-cosine centroid —
+    corpus × broadcast(tiny centroid set), aggregated map-side by
+    max_by, never shuffled at corpus width; (2) recompute each centroid
+    as the elementwise mean of its members via posexplode →
+    (cid, pos) partial-agg → array re-assembly — the shuffle carries
+    (cid, pos, sum, count) tuples, i.e. O(k × dim), not vectors.
+    Each new centroid set is localCheckpoint'd: the tiny k×dim frame is
+    pinned so the plan does not grow with the iteration count (the same
+    lineage control connected_components uses).
+
+    Cells that lose all members drop out (standard Lloyd behavior with
+    a fixed init; documented, matched by the oracle). Means accumulate
+    in exact DECIMAL then divide once — deterministic across partition
+    orders and engines. Returns (cid, centvec) after ``iters`` rounds.
+    """
+    # work in double throughout (floats widened once at the boundary)
+    # so the decimal mean accumulation sees the same IEEE values the
+    # oracle's ::DOUBLE projection sees
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    cents = c.filter(F.col("id") < n_centroids).select(
+        F.col("id").alias("cid"), F.col("v").alias("centvec")
+    )
+    for _ in range(iters):
+        score = F.round(
+            dot(F.col("v"), F.col("centvec"))
+            / (norm2(F.col("v")) * norm2(F.col("centvec"))),
+            6,
+        )
+        assigned = (
+            c.join(F.broadcast(cents))
+            .select("id", "v", "cid", score.alias("_s"))
+            .groupBy("id")
+            .agg(
+                F.max_by(
+                    F.struct("cid", "v"), F.struct(F.col("_s"), -F.col("cid"))
+                ).alias("_a")
+            )
+            .select(F.col("_a.cid").alias("cid"), F.col("_a.v").alias("v"))
+        )
+        means = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(30,10)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+        )
+        cents = (
+            means.groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("centvec")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
+def kmeans_cells(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    iters: int,
+) -> DataFrame:
+    """Final cell census after k-means refinement: one row per
+    surviving cell with its member count and refined-centroid norm —
+    the quantizer-quality summary an IVF build job would log."""
+    cents = kmeans_refine(corpus, id_col, vec_col, n_centroids, iters)
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    score = F.round(
+        dot(F.col("v"), F.col("centvec"))
+        / (norm2(F.col("v")) * norm2(F.col("centvec"))),
+        6,
+    )
+    final = (
+        c.join(F.broadcast(cents))
+        .select("id", "cid", score.alias("_s"))
+        .groupBy("id")
+        .agg(
+            F.max_by("cid", F.struct(F.col("_s"), -F.col("cid"))).alias("cid")
+        )
+    )
+    norms = cents.select(
+        "cid", F.round(norm2(F.col("centvec")), 6).alias("centroid_norm")
+    )
+    return (
+        final.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .join(F.broadcast(norms), "cid")
+        .select("cid", "n_members", "centroid_norm")
+    )

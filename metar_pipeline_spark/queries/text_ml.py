@@ -979,3 +979,79 @@ def dedup_incremental_batch(spark, sf_dir):
 def embedding_quantize_int8(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.quantize_embeddings_int8(emb)
+
+
+def _duck_kmeans_oracle(n_centroids: int, iters: int) -> str:
+    """Unrolled Lloyd iterations as a DuckDB CTE chain (one assign +
+    one recompute pair per iteration — the oracle twin of the
+    kmeans_refine DataFrame loop)."""
+    parts = [
+        "WITH recon AS (SELECT vec_id AS id,"
+        " list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),",
+        f"cents0 AS (SELECT id AS cid, v AS centvec FROM recon"
+        f" WHERE id < {n_centroids})",
+    ]
+    for i in range(1, iters + 1):
+        cos = _DUCK_COS.format(a="e.v", b="c.centvec")
+        parts.append(f"""
+        , assign{i} AS (
+          SELECT id, v, cid FROM (
+            SELECT e.id, e.v, c.cid,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.id
+                     ORDER BY round({cos}, 6) DESC, c.cid
+                   ) AS rn
+            FROM recon e, cents{i - 1} c
+          ) WHERE rn = 1
+        ),
+        cents{i} AS (
+          SELECT cid, list(m ORDER BY pos) AS centvec FROM (
+            SELECT cid, pos,
+                   CAST(SUM(CAST(val AS DECIMAL(30,10))) AS DOUBLE)
+                     / COUNT(*) AS m
+            FROM (SELECT cid, unnest(v) AS val,
+                         generate_subscripts(v, 1) AS pos
+                  FROM assign{i})
+            GROUP BY cid, pos
+          ) GROUP BY cid
+        )""")
+    cos_f = _DUCK_COS.format(a="e.v", b="c.centvec")
+    parts.append(f"""
+        , final AS (
+          SELECT cid FROM (
+            SELECT e.id, c.cid,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.id
+                     ORDER BY round({cos_f}, 6) DESC, c.cid
+                   ) AS rn
+            FROM recon e, cents{iters} c
+          ) WHERE rn = 1
+        )
+        SELECT f.cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+               round(sqrt(list_reduce(
+                 list_transform(c.centvec, x -> x * x), (x, y) -> x + y
+               )), 6) AS centroid_norm
+        FROM final f JOIN cents{iters} c ON f.cid = c.cid
+        GROUP BY f.cid, c.centvec""")
+    return "\n".join(parts)
+
+
+@register(
+    "kmeans_refined_cells",
+    _duck_kmeans_oracle(n_centroids=8, iters=2),
+    doc=(
+        "Lloyd's k-means as DataFrame iterations: 2 refinement rounds "
+        "of the IVF coarse quantizer from the deterministic id<k init. "
+        "Per round, assignment is corpus x broadcast(centroids) with a "
+        "map-side max_by (no corpus-width shuffle) and the recompute "
+        "shuffles only (cell, dim) partial sums — O(k*dim), not "
+        "vectors; each tiny centroid set is localCheckpoint'd so the "
+        "plan stays bounded per iteration. Output is the final cell "
+        "census (members + refined-centroid norm)."
+    ),
+)
+def kmeans_refined_cells(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.kmeans_cells(
+        emb, "vec_id", "embedding", n_centroids=8, iters=2
+    )

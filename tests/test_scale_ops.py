@@ -800,3 +800,47 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         for r in spark.table("wm_dedup_out").collect()
     )
     assert got == [(1, 100), (1, 101), (2, 200), (2, 201)]
+
+
+def test_kmeans_refinement_improves_quantizer(spark):
+    """Lloyd iterations must not worsen the quantizer: the mean
+    assignment cosine (each vector to its chosen centroid) after two
+    refinement rounds is >= the init quantizer's, and total membership
+    is conserved across surviving cells."""
+    from metar_pipeline_spark.operators.similarity import (
+        dot,
+        kmeans_refine,
+        norm2,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+
+    def mean_assign_cos(cents):
+        c = emb.select(
+            F.col("vec_id").alias("id"),
+            F.transform(
+                F.col("embedding"), lambda x: x.cast("double")
+            ).alias("v"),
+        )
+        s = F.round(
+            dot(F.col("v"), F.col("centvec"))
+            / (norm2(F.col("v")) * norm2(F.col("centvec"))),
+            6,
+        )
+        best = (
+            c.join(F.broadcast(cents))
+            .select("id", s.alias("s"))
+            .groupBy("id")
+            .agg(F.max("s").alias("best"))
+        )
+        return best.agg(F.avg("best")).collect()[0][0]
+
+    init = kmeans_refine(emb, "vec_id", "embedding", 8, iters=0)
+    refined = kmeans_refine(emb, "vec_id", "embedding", 8, iters=2)
+    assert mean_assign_cos(refined) >= mean_assign_cos(init) - 1e-9
+
+    from metar_pipeline_spark.operators.similarity import kmeans_cells
+
+    cells = kmeans_cells(emb, "vec_id", "embedding", 8, iters=2)
+    assert cells.agg(F.sum("n_members")).collect()[0][0] == n
