@@ -224,3 +224,26 @@ def test_runtime_bloom_filter_default_on():
         spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
         == "true"
     )
+
+
+def test_scd2_incremental_touches_only_batch_keys(plans):
+    # incremental SCD2: the batch key set drives broadcast semi/anti
+    # joins (closed history passes through untouched), the window math
+    # hash-partitions on the dimension key, and nothing degenerates to
+    # a sort-merge or cartesian plan at this scale
+    p = plans("scd2_incremental_apply")
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "BroadcastHashJoin" in p
+    assert "hashpartitioning(o_custkey" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_freq_tokens_sketch_partial_agg(plans):
+    # the frequent-items sketch must combine map-side: a partial
+    # approx_top_k aggregate below the exchange, final above — the
+    # vocabulary itself never shuffles
+    p = plans("freq_tokens_sketch_topk")
+    assert "partial_approx_top_k" in p
+    assert "approx_top_k" in p
