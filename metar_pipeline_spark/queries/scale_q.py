@@ -338,3 +338,70 @@ def freq_tokens_sketch_topk(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
     return top_k_frequent(toks, F.col("tok"), k=10)
+
+
+@register(
+    "stream_attribution_join",
+    """
+    SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+           p.value AS purchase_value, c.event_id AS click_id,
+           c.ts AS click_ts
+    FROM events p
+    JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND p.user_id = c.user_id
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+    doc=(
+        "Watermarked stream-stream interval join run as a streaming "
+        "query (availableNow over the bounded file): each purchase "
+        "matched to same-user clicks in the preceding hour. The "
+        "time-range condition + both-sides watermark bound the join "
+        "state to keys x 1h of rows — the property that makes the "
+        "join runnable on an unbounded stream; on bounded input the "
+        "emitted matches equal the batch interval join, which is the "
+        "oracle."
+    ),
+)
+def stream_attribution_join(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from metar_pipeline_spark.streaming.pipeline import (
+        attribution_join_stream,
+    )
+
+    cstream, cts = _event_file_stream(spark, sf_dir)
+    pstream, pts = _event_file_stream(spark, sf_dir)
+    clicks = cstream.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", cts.alias("ts")
+    )
+    purchases = pstream.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "value", pts.alias("ts")
+    )
+    joined = attribution_join_stream(clicks, purchases, max_gap="1 hour")
+    out_dir = tempfile.mkdtemp(prefix="stream_attr_join_")
+    ckpt = os.path.join(out_dir, "_ckpt")
+    data = os.path.join(out_dir, "data")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", data)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        result = (
+            spark.read.schema(joined.schema)
+            .parquet(data)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return result
