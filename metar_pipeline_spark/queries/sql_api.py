@@ -178,3 +178,22 @@ def parameterized_sql_topn(spark, sf_dir):
         """,
         args={"min_v": 50.0, "k": 3},
     )
+
+
+_sql_query(
+    "lateral_top2_customers",
+    """
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_name, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 2
+    ) t
+    """,
+    doc=(
+        "Correlated LATERAL subquery with per-row ORDER BY/LIMIT — the "
+        "SQL-standard top-n-per-group form, identical ANSI text on "
+        "both engines; Catalyst decorrelates it into the same "
+        "window/top-k physical shape the DataFrame form plans"
+    ),
+)
