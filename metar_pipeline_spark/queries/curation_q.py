@@ -313,3 +313,51 @@ def chunk_documents_overlap(spark, sf_dir):
     return cu.chunk_documents(
         docs, _CHUNK, _CHUNK_OVERLAP, id_col="doc_id", text_col="text"
     )
+
+
+@register(
+    "dataset_card_summary",
+    """
+    SELECT source, lang,
+           CAST(2 * GROUPING(source) + GROUPING(lang) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(list_filter(
+               regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''
+           ))) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(CAST(n_chars AS DECIMAL(30,10))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_chars
+    FROM documents
+    GROUP BY ROLLUP (source, lang)
+    """,
+    doc=(
+        "Dataset-card rollup: corpus composition by (source, lang) "
+        "with subtotals and a grand total in ONE pass (ROLLUP's "
+        "partial-agg tree) — doc counts, token totals, mean length; "
+        "the release-documentation summary a training corpus ships "
+        "with."
+    ),
+)
+def dataset_card_summary(spark, sf_dir):
+    from metar_pipeline_spark.operators.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            "lang",
+            F.size(tokens(F.col("text"))).alias("_nt"),
+            "n_chars",
+        )
+        .rollup("source", "lang")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("n_chars").cast("decimal(30,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_chars"),
+        )
+        .select("source", "lang", "gid", "n_docs", "n_tokens", "avg_chars")
+    )

@@ -1055,3 +1055,44 @@ def kmeans_refined_cells(spark, sf_dir):
     return sim.kmeans_cells(
         emb, "vec_id", "embedding", n_centroids=8, iters=2
     )
+
+
+@register(
+    "hard_negative_mining",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS id,
+             round({_DUCK_COS.format(a="e.embedding", b="q.qvec")}, 6) AS cos_sim
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, id) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, id AS negative_id, cos_sim,
+           CAST(rank - 1 AS INTEGER) AS negative_rank
+    FROM ranked WHERE rank BETWEEN 2 AND 6
+    """,
+    doc=(
+        "Contrastive-training hard-negative mining: for each anchor "
+        "vector, the 5 nearest NON-top-1 neighbors (high-similarity "
+        "negatives are the informative ones). Pure re-rank of the "
+        "brute-force scorer's output — one corpus pass, broadcast "
+        "anchors; at 100 TB the same mining runs over the IVF probe "
+        "instead of the full scan."
+    ),
+)
+def hard_negative_mining(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    top = sim.brute_force_topk(emb, q, "vec_id", "embedding", "vec_id", 6)
+    return top.filter(F.col("rank") >= 2).select(
+        "query_id",
+        F.col("id").alias("negative_id"),
+        "cos_sim",
+        (F.col("rank") - 1).cast("int").alias("negative_rank"),
+    )
