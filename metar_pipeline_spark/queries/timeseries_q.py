@@ -515,3 +515,94 @@ def anomaly_daily_event_spikes(spark, sf_dir):
             F.lit(False),
         ).alias("is_spike"),
     )
+
+
+@register(
+    "ewma_user_value",
+    """
+    SELECT user_id,
+           CAST(len(vals) AS INTEGER) AS n_events,
+           round(list_reduce(vals, (acc, x) -> 0.2 * x + 0.8 * acc), 6)
+               AS ewma_value
+    FROM (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id
+    )
+    """,
+    doc=(
+        "Exponentially weighted moving average per user (alpha=0.2): "
+        "the recurrence is a sequential JVM aggregate fold over the "
+        "time-ordered value array — one shuffle to group, zero Python, "
+        "zero window-function state; per-key arrays are bounded by "
+        "per-user history (the same bounded-fold contract as "
+        "longest_daily_streak). Both engines fold left-to-right from "
+        "the first observation, so the chained float arithmetic is "
+        "bit-identical."
+    ),
+)
+def ewma_user_value(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    grouped = events.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ),
+            lambda s: s["value"],
+        ).alias("vals")
+    )
+    ewma = F.aggregate(
+        F.expr("slice(vals, 2, greatest(size(vals) - 1, 0))"),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: F.lit(0.2) * x + F.lit(0.8) * acc,
+    )
+    return grouped.select(
+        "user_id",
+        F.size("vals").alias("n_events"),
+        F.round(ewma, 6).alias("ewma_value"),
+    )
+
+
+@register(
+    "cohort_retention_matrix",
+    """
+    WITH f AS (
+      SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS active_day
+      FROM events
+    )
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, a.active_day) AS INTEGER)
+               AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Cohort retention matrix: users bucketed by first-seen day, "
+        "counted per activity-day offset. Two partial aggregations "
+        "(first-seen per user, distinct user-days) meet in a join "
+        "keyed on user — the per-user reduction happens BEFORE the "
+        "join on both sides, so the fact table never joins at event "
+        "grain."
+    ),
+)
+def cohort_retention_matrix(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    days = events.select("user_id", F.to_date("ts").alias("active_day"))
+    first = days.groupBy("user_id").agg(
+        F.min("active_day").alias("cohort_day")
+    )
+    active = days.distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("active_day", "cohort_day")
+            .cast("int")
+            .alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
