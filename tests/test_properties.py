@@ -312,3 +312,74 @@ def test_ngram_overlap_matches_set_reference(spark, corpus, eval_set):
             continue
         n_overlap = len(g & eval_grams)
         assert got[i] == (len(g), n_overlap, n_overlap > 0), (i, t)
+
+
+@given(
+    data=st.lists(
+        st.tuples(keys, st.integers(min_value=0, max_value=2), ts_offsets),
+        min_size=0,
+        max_size=40,
+    ),
+    split=st.integers(min_value=0, max_value=6),
+)
+@SETTINGS
+def test_scd2_apply_matches_full_rebuild(spark, data, split):
+    """scd2_apply(dim(hist), batch) == scd2_from_changes(hist ∪ batch)
+    for ANY change log and ANY time split — tied timestamps, repeated
+    attribute values, keys living only in one side included."""
+    from metar_pipeline_spark.operators.scd import (
+        scd2_apply,
+        scd2_from_changes,
+    )
+
+    rows_ = [
+        (k, f"a{a}", T0 + timedelta(hours=t), i)
+        for i, (k, a, t) in enumerate(data)
+    ]
+    df = spark.createDataFrame(
+        rows_, "k long, attr string, ts timestamp, tb long"
+    )
+    cut = T0 + timedelta(hours=split)
+    hist = df.filter(F.col("ts") < F.lit(cut))
+    batch = df.filter(F.col("ts") >= F.lit(cut))
+    dim = scd2_from_changes(hist, "k", "attr", "ts", "tb")
+    merged = scd2_apply(dim, batch, "k", "attr", "ts", "tb")
+    full = scd2_from_changes(df, "k", "attr", "ts", "tb")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+@given(data=rows)
+@SETTINGS
+def test_ewma_fold_matches_reference_recurrence(spark, data):
+    """The JVM aggregate fold computes exactly the textbook EWMA
+    recurrence e_i = a*v_i + (1-a)*e_{i-1} over time-ordered values."""
+    df = _df(spark, data)
+    grouped = df.groupBy("key").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "id", "value"))),
+            lambda s: s["value"],
+        ).alias("vals")
+    )
+    ewma = F.aggregate(
+        F.expr("slice(vals, 2, greatest(size(vals) - 1, 0))"),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: F.lit(0.2) * x + F.lit(0.8) * acc,
+    )
+    got = {
+        r.key: r.e
+        for r in grouped.select("key", ewma.alias("e")).collect()
+        if r.e is not None
+    }
+    # reference: python recurrence over the same (ts, id) order
+    from collections import defaultdict
+
+    series = defaultdict(list)
+    for k, i, v, t in data:
+        series[k].append((T0 + timedelta(hours=t), i, float(v)))
+    for k, rows_ in series.items():
+        e = None
+        for _, _, v in sorted(rows_):
+            e = v if e is None else 0.2 * v + 0.8 * e
+        assert abs(got[k] - e) < 1e-9, k
