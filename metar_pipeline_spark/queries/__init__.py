@@ -61,6 +61,9 @@ VERIFY_FIRST = [
     "quality_quantile_filter",
     # changed this round: orderable-id tie-break + self-pair exclusion
     "dedup_incremental_batch",
+    # changed this round: oracle ORDER BY floored to whole seconds
+    # (sub-second epoch() shifted one 3600s-boundary row at sf0.1)
+    "events_last_hour_range_frame",
 ]
 # Everything r3 left never-driver-verified (curation, incremental
 # dedup, quantization, SQL-surface, anomaly, arrow — 15 queries) now

@@ -514,7 +514,12 @@ def unpivot_daily_metrics_long(spark, sf_dir):
     """
     SELECT event_id, user_id, ts,
            CAST(COUNT(*) OVER (
-             PARTITION BY user_id ORDER BY epoch(ts)
+             PARTITION BY user_id
+             -- floor to whole seconds: Spark's unix_timestamp truncates
+             -- sub-second parts, DuckDB's epoch() keeps them — an
+             -- untruncated ORDER BY shifts events sitting exactly on
+             -- the 3600s boundary (1 row at sf0.1)
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
            ) AS BIGINT) AS n_last_hour
     FROM events
