@@ -383,3 +383,32 @@ def test_ewma_fold_matches_reference_recurrence(spark, data):
         for _, _, v in sorted(rows_):
             e = v if e is None else 0.2 * v + 0.8 * e
         assert abs(got[k] - e) < 1e-9, k
+
+
+@given(data=rows)
+@SETTINGS
+def test_cohort_matrix_conserves_user_days(spark, data):
+    """Every distinct (user, active-day) lands in exactly one
+    (cohort_day, day_offset) cell; offsets are never negative and the
+    zero-offset diagonal counts every cohort's full population."""
+    df = _df(spark, data)
+    days = df.select("key", F.to_date("ts").alias("active_day"))
+    first = days.groupBy("key").agg(F.min("active_day").alias("cohort_day"))
+    active = days.distinct()
+    cells = (
+        active.join(first, "key")
+        .groupBy(
+            "cohort_day",
+            F.datediff("active_day", "cohort_day").cast("int").alias("off"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert all(r.off >= 0 for r in cells)
+    assert sum(r.n for r in cells) == active.count()
+    zero = {r.cohort_day: r.n for r in cells if r.off == 0}
+    pops = {
+        r.cohort_day: r.n
+        for r in first.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert zero == pops  # day-0 retention is definitionally 100%
