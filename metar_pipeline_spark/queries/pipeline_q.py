@@ -165,3 +165,59 @@ def scd2_incremental_apply(spark, sf_dir):
     return scd2_apply(
         dim, batch, "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"
     )
+
+
+@register(
+    "scd2_asof_lookup",
+    """
+    WITH ordered AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             CASE WHEN LAG(o_orderstatus) OVER w IS NULL
+                    OR o_orderstatus <> LAG(o_orderstatus) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    runs AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM ordered
+    ),
+    collapsed AS (
+      SELECT o_custkey, run_id,
+             MIN(o_orderstatus) AS o_orderstatus,
+             MIN(o_orderdate) AS valid_from
+      FROM runs GROUP BY o_custkey, run_id
+    ),
+    dim AS (
+      SELECT o_custkey, o_orderstatus, valid_from,
+             LEAD(valid_from) OVER wl AS valid_to
+      FROM collapsed
+      WINDOW wl AS (PARTITION BY o_custkey ORDER BY run_id)
+    )
+    SELECT o_custkey, o_orderstatus, valid_from
+    FROM dim
+    WHERE valid_from <= TIMESTAMP '1998-01-01'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '1998-01-01')
+    """,
+    doc=(
+        "SCD2 point-in-time read — the query shape Type 2 history "
+        "exists for: each customer's status AS OF 1998-01-01 via the "
+        "half-open interval predicate valid_from <= t < valid_to. At "
+        "100 TB this is a partition-prunable filter on the dimension "
+        "store, not a join or a window."
+    ),
+)
+def scd2_asof_lookup(spark, sf_dir):
+    from metar_pipeline_spark.operators.scd import scd2_from_changes
+
+    orders = load_table(spark, sf_dir, "orders")
+    dim = scd2_from_changes(
+        orders, "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"
+    )
+    t = F.lit("1998-01-01").cast("timestamp")
+    return dim.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select("o_custkey", "o_orderstatus", "valid_from")
