@@ -550,3 +550,75 @@ def stream_sessionize_stateful(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(out_dir, ignore_errors=True)
     return result
+
+
+@register(
+    "bucketed_join_priority_revenue",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           round(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01'
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+    GROUP BY o.o_orderpriority
+    """,
+    doc=(
+        "Shuffle-free co-located fact-fact join: both sides written "
+        "bucketed by the orderkey into the same bucket count, then "
+        "joined bucket-to-bucket with NO Exchange on either side (the "
+        "write pays the shuffle once; every later join of the pair is "
+        "exchange-free — the 100 TB answer to the lineitem⋈orders "
+        "shuffle). Oracle is the plain join; bucketing must be "
+        "result-invisible."
+    ),
+)
+def bucketed_join_priority_revenue(spark, sf_dir):
+    from metar_pipeline_spark.sources.bucketed import bucketed_pair
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderpriority")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    names = ("__bkq_orders", "__bkq_lineitem")
+    for t in names:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    # Broadcast off while this plan runs: at test scale the filtered
+    # orders side fits the broadcast threshold and Catalyst would pick
+    # BHJ, hiding the bucket benefit; at 100 TB neither fact side
+    # broadcasts and the bucket-to-bucket SMJ below IS the plan. Only
+    # the post-join groupBy exchanges (on the tiny priority key).
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bo, bl = bucketed_pair(
+            spark, orders, li, "o_orderkey", "l_orderkey", 8, names=names
+        )
+        joined = bl.join(bo, F.col("l_orderkey") == F.col("o_orderkey"))
+        result = (
+            joined.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.round(
+                    _dsum(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ),
+                    2,
+                ).alias("revenue"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        for t in names:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return result
