@@ -155,6 +155,7 @@ def _green_hashes() -> dict[str, str]:
 def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect: populate REGISTRY.
     from metar_pipeline_spark.queries import (  # noqa: F401
+        analytics_q,
         core,
         curation_q,
         extended,

@@ -1,0 +1,156 @@
+"""Semantic tests for the round-5 analytics operators: funnels, OLS
+trend, interpolation gap-fill (oracle-hash parity is covered by
+tests/test_queries_oracle.py; these pin the SEMANTICS on planted
+fixtures where the right answer is known by construction)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _ts(day, hour=0):
+    return dt.datetime(2024, 1, day, hour)
+
+
+class TestFunnel:
+    def _events(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id bigint, event_type string, ts timestamp"
+        )
+
+    def test_order_constraint_enforced(self, spark):
+        from metar_pipeline_spark.operators.funnel import funnel_user_steps
+
+        # u1 converts in order; u2 clicked BEFORE its first view → the
+        # click must not count (funnel steps are order-constrained).
+        rows = [
+            (1, "view", _ts(1)),
+            (1, "click", _ts(2)),
+            (1, "purchase", _ts(3)),
+            (2, "click", _ts(1)),
+            (2, "view", _ts(2)),
+        ]
+        out = {
+            r["user_id"]: r
+            for r in funnel_user_steps(
+                self._events(spark, rows), ["view", "click", "purchase"]
+            ).collect()
+        }
+        assert out[1]["step0_ts"] == _ts(1)
+        assert out[1]["step1_ts"] == _ts(2)
+        assert out[1]["step2_ts"] == _ts(3)
+        assert out[2]["step0_ts"] == _ts(2)
+        assert out[2]["step1_ts"] is None  # click precedes view
+        assert out[2]["step2_ts"] is None
+
+    def test_same_timestamp_counts(self, spark):
+        from metar_pipeline_spark.operators.funnel import funnel_user_steps
+
+        # >= comparison: a step at the exact same instant qualifies.
+        rows = [(1, "view", _ts(1)), (1, "click", _ts(1))]
+        r = funnel_user_steps(
+            self._events(spark, rows), ["view", "click"]
+        ).collect()[0]
+        assert r["step1_ts"] == _ts(1)
+
+    def test_summary_counts_and_conversion(self, spark):
+        from metar_pipeline_spark.operators.funnel import funnel_summary
+
+        rows = [
+            (1, "view", _ts(1)),
+            (1, "click", _ts(2)),
+            (2, "view", _ts(1)),
+            (3, "purchase", _ts(1)),  # no view → outside the funnel top
+        ]
+        out = {
+            r["step"]: r
+            for r in funnel_summary(
+                self._events(spark, rows), ["view", "click"]
+            ).collect()
+        }
+        assert out["view"]["users_reached"] == 2
+        assert out["click"]["users_reached"] == 1
+        assert out["click"]["conv_from_first"] == 0.5
+        assert out["click"]["conv_from_prev"] == 0.5
+
+
+class TestGroupedOLS:
+    def test_exact_line_recovered(self, spark):
+        from metar_pipeline_spark.operators.regression import grouped_ols
+
+        # y = 3x + 7 exactly → slope/intercept exact, r2 == 1.
+        rows = [("a", float(x), 3.0 * x + 7.0) for x in range(10)]
+        df = spark.createDataFrame(rows, "k string, x double, y double")
+        r = grouped_ols(df, ["k"], F.col("x"), F.col("y")).collect()[0]
+        assert r["slope"] == 3.0
+        assert r["intercept"] == 7.0
+        assert r["r2"] == 1.0
+
+    def test_matches_numpy_on_noisy_data(self, spark):
+        import numpy as np
+
+        from metar_pipeline_spark.operators.regression import grouped_ols
+
+        rng = np.random.default_rng(7)
+        xs = rng.uniform(0, 100, 200)
+        ys = 1.5 * xs - 4.0 + rng.normal(0, 5.0, 200)
+        df = spark.createDataFrame(
+            [("g", float(x), float(y)) for x, y in zip(xs, ys)],
+            "k string, x double, y double",
+        )
+        r = grouped_ols(df, ["k"], F.col("x"), F.col("y")).collect()[0]
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert abs(r["slope"] - slope) < 1e-5
+        assert abs(r["intercept"] - intercept) < 1e-4
+        cc = np.corrcoef(xs, ys)[0, 1] ** 2
+        assert abs(r["r2"] - cc) < 1e-5
+
+    def test_degenerate_group_yields_nulls(self, spark):
+        from metar_pipeline_spark.operators.regression import grouped_ols
+
+        df = spark.createDataFrame(
+            [("a", 1.0, 2.0), ("a", 1.0, 5.0), ("b", 2.0, 2.0)],
+            "k string, x double, y double",
+        )
+        out = {r["k"]: r for r in grouped_ols(df, ["k"], F.col("x"), F.col("y")).collect()}
+        assert out["a"]["slope"] is None  # constant x
+        assert out["b"]["slope"] is None  # single point
+
+
+class TestInterpolation:
+    def test_midpoint_and_flags(self, spark, tmp_path):
+        # Plant a per-type daily series with one interior gap; the
+        # registered query thins by event_id % 11 == 0 — craft ids so
+        # exactly the kept rows form days 1, 2, 4 (day 3 missing).
+        import pyspark.sql.functions as F  # noqa: F401
+
+        from metar_pipeline_spark.queries.analytics_q import (
+            interpolate_daily_gaps,
+        )
+
+        rows = [
+            # (event_id % 11 == 0 → kept)
+            (0, _ts(1), 1, "view", 10.0, "{}"),
+            (11, _ts(2), 1, "view", 20.0, "{}"),
+            (22, _ts(4), 1, "view", 40.0, "{}"),
+            (3, _ts(3), 1, "view", 999.0, "{}"),  # thinned out
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string",
+        )
+        d = tmp_path / "sf"
+        df.write.parquet(str(d / "events.parquet"))
+        out = {
+            r["day"]: r
+            for r in interpolate_daily_gaps(spark, str(d)).collect()
+        }
+        assert out[dt.date(2024, 1, 3)]["is_interpolated"] is True
+        # linear between 20 (day 2) and 40 (day 4) → 30 at day 3
+        assert out[dt.date(2024, 1, 3)]["value_filled"] == 30.0
+        assert out[dt.date(2024, 1, 2)]["is_interpolated"] is False
+        assert out[dt.date(2024, 1, 2)]["value_filled"] == 20.0
+        assert len(out) == 4
