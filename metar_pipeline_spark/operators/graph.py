@@ -1,0 +1,98 @@
+"""Iterative graph ranking (PageRank).
+
+Companion to the hash-min connected components in operators/dedup.py
+(:322) — the other canonical iterative graph primitive a curation
+pipeline needs (rank hosts/domains by link mass before sampling).
+
+Scale shape per iteration (the only shape that survives 100 TB):
+- contributions: edges ⋈ ranks is ONE equi-join shuffled on the node
+  id, followed by a partial+final hash aggregate on dst — no
+  all-pairs, no driver state;
+- out-degrees are a node-grain dim (≪ edges) joined broadcast;
+- the dangling mass is a one-row aggregate crossed back in broadcast —
+  never a driver round-trip;
+- lineage is cut per iteration with localCheckpoint (same pattern as
+  dedup.connected_components and similarity.kmeans_refine), so k
+  iterations stay k jobs, not a 2^k plan.
+
+Determinism (the oracle contract): per-iteration sums accumulate in
+DECIMAL(38,18) (partition-order-free), and each iteration's rank is
+rounded to 12 decimals so the NEXT iteration starts from bit-identical
+doubles on any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEC18 = "decimal(38,18)"
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Rank nodes of a directed graph: ``iterations`` synchronous
+    PageRank steps with uniform dangling-mass redistribution.
+
+    r'(v) = (1-d)/N + d * (Σ_{u→v} r(u)/deg(u) + dangling/N),
+    rounded to 12 decimals per step. Returns (node, rank).
+    """
+    edges = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).distinct()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # Scalar node count: an aggregated single number (same class as the
+    # incremental watermark reads) — not a data collect.
+    n = nodes.count()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.withColumn("r", F.lit(1.0 / n))
+    for _ in range(iterations):
+        contribs = (
+            edges.join(
+                ranks.withColumnRenamed("node", "src"), "src"
+            )
+            .join(F.broadcast(outdeg), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.sum((F.col("r") / F.col("deg")).cast(DEC18))
+                .cast("double")
+                .alias("c")
+            )
+        )
+        dangling = (
+            ranks.join(
+                outdeg.select(F.col("src").alias("node")),
+                "node",
+                "left_anti",
+            )
+            .agg(F.sum(F.col("r").cast(DEC18)).cast("double").alias("dang"))
+            .select(F.coalesce("dang", F.lit(0.0)).alias("dang"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                F.round(
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.col("dang") / F.lit(float(n))
+                    ),
+                    12,
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.col("r").alias("rank"))

@@ -248,3 +248,169 @@ def interpolate_daily_gaps(spark, sf_dir):
         .alias("value_filled"),
         F.col("v").isNull().alias("is_interpolated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog apply (I/U/D, ordered by sequence)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_apply_changelog",
+    """
+    WITH ch AS (
+      SELECT o_orderkey, 1 AS seq, 'I' AS op,
+             o_totalprice AS price, o_orderstatus
+      FROM orders
+      UNION ALL
+      -- the +10% reprice runs in exact DECIMAL (prices are 2-decimal
+      -- values): double round() half-ties resolve differently across
+      -- engines, decimal HALF_UP ties do not
+      SELECT o_orderkey, 2, 'U',
+             CAST(round(CAST(o_totalprice AS DECIMAL(18,2))
+                        * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE),
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, 3, 'D', CAST(NULL AS DOUBLE),
+             CAST(NULL AS VARCHAR)
+      FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    w AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_orderkey
+        ORDER BY seq DESC,
+                 CASE op WHEN 'D' THEN 3 WHEN 'U' THEN 2 ELSE 1 END DESC
+      ) AS rn
+      FROM ch
+    )
+    SELECT o_orderkey, price, o_orderstatus
+    FROM w WHERE rn = 1 AND op <> 'D'
+    """,
+    doc=(
+        "Debezium-style I/U/D change feed (derived deterministically "
+        "from orders: every key inserted, every 3rd updated +10%, every "
+        "5th deleted) collapsed to final state by sources/cdc.py — ONE "
+        "window pass on the key with a D>U>I tie-break so at-least-once "
+        "replays converge; the incremental target path touches only "
+        "changed keys (broadcast anti-join), tested in test_analytics"
+    ),
+)
+def cdc_apply_changelog(spark, sf_dir):
+    from metar_pipeline_spark.sources.cdc import apply_changelog
+
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    ins = orders.select(
+        key.alias("o_orderkey"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+        F.col("o_totalprice").alias("price"),
+        "o_orderstatus",
+    )
+    upd = orders.filter(key % 3 == 0).select(
+        key.alias("o_orderkey"),
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+        F.round(
+            F.col("o_totalprice").cast("decimal(18,2)")
+            * F.lit("1.1").cast("decimal(2,1)"),
+            2,
+        )
+        .cast("double")
+        .alias("price"),
+        "o_orderstatus",
+    )
+    dele = orders.filter(key % 5 == 0).select(
+        key.alias("o_orderkey"),
+        F.lit(3).alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("price"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+    )
+    changes = ins.unionByName(upd).unionByName(dele)
+    return apply_changelog(changes, ["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the supplier→part supply graph
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_oracle(iterations: int = 3, damping: float = 0.85) -> str:
+    """Unrolled-CTE twin of operators/graph.pagerank — one (contrib,
+    dangling, rank) CTE triple per iteration, the same DECIMAL(38,18)
+    accumulation and 12-decimal per-step rounding. Float literals are
+    interpolated from the SAME Python doubles the Spark side uses, so
+    e.g. 1-0.85 = 0.15000000000000002 appears identically on both
+    engines."""
+    head = """
+    WITH edges AS (
+      SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                      'p' || CAST(l_partkey AS VARCHAR) AS dst
+      FROM lineitem
+    ),
+    nodes AS (
+      SELECT node FROM (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges)
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS r
+           FROM nodes CROSS JOIN nn)"""
+    steps = []
+    for i in range(1, iterations + 1):
+        p = f"r{i - 1}"
+        steps.append(
+            f"""
+    c{i} AS (
+      SELECT e.dst AS node,
+             CAST(SUM(CAST(r.r / o.deg AS DECIMAL(38,18))) AS DOUBLE) AS c
+      FROM edges e JOIN {p} r ON e.src = r.node
+                   JOIN outdeg o ON e.src = o.src
+      GROUP BY e.dst
+    ),
+    d{i} AS (
+      SELECT COALESCE(
+        CAST(SUM(CAST(r.r AS DECIMAL(38,18))) AS DOUBLE), 0.0) AS dang
+      FROM {p} r LEFT JOIN outdeg o ON r.node = o.src
+      WHERE o.src IS NULL
+    ),
+    r{i} AS (
+      SELECT nd.node,
+             round(CAST({1.0 - damping!r} AS DOUBLE) / nn.n
+                   + CAST({damping!r} AS DOUBLE)
+                     * (COALESCE(c.c, 0.0) + d{i}.dang / nn.n), 12) AS r
+      FROM nodes nd LEFT JOIN c{i} c ON nd.node = c.node
+      CROSS JOIN nn CROSS JOIN d{i}
+    )"""
+        )
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"\n    SELECT node, r AS rank FROM r{iterations}"
+    )
+
+
+@register(
+    "pagerank_supply_graph",
+    _pagerank_oracle(),
+    doc=(
+        "3-iteration PageRank over the distinct supplier→part edges of "
+        "lineitem (every part node is dangling, so uniform dangling "
+        "redistribution is genuinely exercised) — per iteration one "
+        "edges⋈ranks equi-join + hash agg, broadcast out-degrees, "
+        "one-row dangling aggregate crossed back in, lineage cut with "
+        "localCheckpoint (operators/graph.py)"
+    ),
+)
+def pagerank_supply_graph(spark, sf_dir):
+    from metar_pipeline_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    return pagerank(edges, iterations=3, damping=0.85)

@@ -154,3 +154,82 @@ class TestInterpolation:
         assert out[dt.date(2024, 1, 2)]["is_interpolated"] is False
         assert out[dt.date(2024, 1, 2)]["value_filled"] == 20.0
         assert len(out) == 4
+
+
+class TestCDC:
+    def _changes(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "k bigint, seq int, op string, v string"
+        )
+
+    def test_snapshot_apply(self, spark):
+        from metar_pipeline_spark.sources.cdc import apply_changelog
+
+        rows = [
+            (1, 1, "I", "a"),
+            (1, 2, "U", "b"),
+            (2, 1, "I", "x"),
+            (2, 2, "D", None),
+            (3, 1, "I", "z"),
+        ]
+        out = {
+            r["k"]: r["v"]
+            for r in apply_changelog(
+                self._changes(spark, rows), ["k"]
+            ).collect()
+        }
+        assert out == {1: "b", 3: "z"}  # key 2 deleted
+
+    def test_incremental_target_only_touches_changed_keys(self, spark):
+        from metar_pipeline_spark.sources.cdc import apply_changelog
+
+        target = spark.createDataFrame(
+            [(1, "old1"), (2, "old2"), (3, "old3")], "k bigint, v string"
+        )
+        batch = self._changes(
+            spark, [(1, 10, "U", "new1"), (2, 10, "D", None)]
+        )
+        out = {
+            r["k"]: r["v"]
+            for r in apply_changelog(batch, ["k"], target=target).collect()
+        }
+        # 1 updated, 2 deleted, 3 passed through untouched
+        assert out == {1: "new1", 3: "old3"}
+
+    def test_replay_converges(self, spark):
+        from metar_pipeline_spark.sources.cdc import apply_changelog
+
+        rows = [(1, 1, "I", "a"), (1, 1, "D", None)]  # same seq: D wins
+        out = apply_changelog(self._changes(spark, rows), ["k"]).collect()
+        assert out == []
+        # replaying the doubled feed yields the same state
+        doubled = self._changes(spark, rows + rows)
+        assert apply_changelog(doubled, ["k"]).collect() == []
+
+
+class TestPageRank:
+    def test_star_graph_center_wins_and_mass_conserved(self, spark):
+        from metar_pipeline_spark.operators.graph import pagerank
+
+        # 4 leaves all point at the center; the center is dangling.
+        edges = spark.createDataFrame(
+            [(f"leaf{i}", "center") for i in range(4)],
+            "src string, dst string",
+        )
+        out = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
+        assert len(out) == 5
+        leaf_ranks = {v for k, v in out.items() if k.startswith("leaf")}
+        assert len(leaf_ranks) == 1  # symmetric leaves tie exactly
+        assert out["center"] > max(leaf_ranks)
+        # total rank mass stays 1 (dangling mass redistributed, each
+        # step only rounds at the 12th decimal)
+        assert abs(sum(out.values()) - 1.0) < 1e-9
+
+    def test_chain_converges_toward_sink(self, spark):
+        from metar_pipeline_spark.operators.graph import pagerank
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c")], "src string, dst string"
+        )
+        out = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
+        assert out["c"] > out["b"] > out["a"]
