@@ -1096,3 +1096,55 @@ def hard_negative_mining(spark, sf_dir):
         "cos_sim",
         (F.col("rank") - 1).cast("int").alias("negative_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-bigram LM perplexity (CCNet-style quality proxy)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lm_perplexity_scores",
+    """
+    WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, length(t) - 1),
+                                   i -> substring(t, i, 2))) AS bg
+      FROM d
+    ),
+    counts AS (SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg),
+    prefix AS (SELECT substring(bg, 1, 1) AS c1, SUM(c) AS pn
+               FROM counts GROUP BY 1),
+    model AS (
+      SELECT bg, ln(CAST(c AS DOUBLE) / pn) AS logp
+      FROM counts JOIN prefix ON substring(counts.bg, 1, 1) = prefix.c1
+    )
+    SELECT b.doc_id, COUNT(*) AS n_bigrams,
+           round(CAST(SUM(CAST(-m.logp AS DECIMAL(38,18))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_nll,
+           round(exp(round(
+                 CAST(SUM(CAST(-m.logp AS DECIMAL(38,18))) AS DOUBLE)
+                 / COUNT(*), 6)), 6) AS perplexity
+    FROM bg b JOIN model m USING (bg)
+    GROUP BY b.doc_id
+    """,
+    doc=(
+        "CCNet-style LM quality proxy: train a char-bigram model on "
+        "the corpus (explode + one hash agg; the model is bounded by "
+        "|charset|^2, independent of corpus size), broadcast it back "
+        "over a second scan, score each doc's mean NLL + perplexity "
+        "(operators/lm.py) — DECIMAL NLL accumulation, exp() of the "
+        "already-rounded mean so both engines exponentiate the same "
+        "double"
+    ),
+)
+def lm_perplexity_scores(spark, sf_dir):
+    from metar_pipeline_spark.operators.lm import (
+        score_docs_nll,
+        train_char_bigram_lm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = train_char_bigram_lm(docs)
+    return score_docs_nll(docs, model)

@@ -233,3 +233,47 @@ class TestPageRank:
         )
         out = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
         assert out["c"] > out["b"] > out["a"]
+
+
+class TestBigramLM:
+    def test_model_probs_and_scoring(self, spark):
+        import math
+
+        from metar_pipeline_spark.operators.lm import (
+            score_docs_nll,
+            train_char_bigram_lm,
+        )
+
+        # corpus 'abab' + 'abc': bigrams ab,ba,ab / ab,bc
+        docs = spark.createDataFrame(
+            [(1, "abab"), (2, "abc")], "doc_id bigint, text string"
+        )
+        model = {r["bg"]: r["logp"] for r in train_char_bigram_lm(docs).collect()}
+        # prefix counts are over bigram START positions: 'a' starts
+        # {ab,ab,ab} → P(b|a)=1; 'b' starts {ba,bc} → P(a|b)=P(c|b)=1/2
+        assert model["ab"] == 0.0
+        assert abs(model["ba"] - math.log(1 / 2)) < 1e-12
+        assert abs(model["bc"] - math.log(1 / 2)) < 1e-12
+        scored = {
+            r["doc_id"]: r
+            for r in score_docs_nll(docs, train_char_bigram_lm(docs)).collect()
+        }
+        # doc1 NLL = (0 + ln2 + 0)/3
+        assert abs(scored[1]["mean_nll"] - round(math.log(2) / 3, 6)) < 1e-9
+        assert scored[1]["n_bigrams"] == 3
+        # perplexity = exp(mean_nll)
+        assert abs(
+            scored[1]["perplexity"] - round(math.exp(scored[1]["mean_nll"]), 6)
+        ) < 1e-9
+
+    def test_short_and_empty_docs_drop_out(self, spark):
+        from metar_pipeline_spark.operators.lm import (
+            score_docs_nll,
+            train_char_bigram_lm,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "abcd"), (2, "x"), (3, "")], "doc_id bigint, text string"
+        )
+        out = score_docs_nll(docs, train_char_bigram_lm(docs)).collect()
+        assert {r["doc_id"] for r in out} == {1}
