@@ -648,3 +648,177 @@ def kmeans_cells(
         .join(F.broadcast(norms), "cid")
         .select("cid", "n_members", "centroid_norm")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — asymmetric-distance ANN serving
+# ---------------------------------------------------------------------------
+# The next compression step after per-vector int8 (quantize_codes):
+# each vector becomes m sub-space codes (m·log2(ksub) bits instead of
+# dim·8), and queries score candidates through a per-query distance
+# TABLE (m × ksub partial distances) — the standard IVF-PQ/ADC serving
+# shape (Jégou et al., "Product Quantization for Nearest Neighbor
+# Search"). Codebooks follow the house deterministic-quantizer contract
+# (the sub-vectors of corpus ids < ksub, the same "k-means init" rule
+# as ivf_topk's coarse centroids, refinable with kmeans_refine), so a
+# SQL oracle can replay encoding and probing exactly.
+
+
+def _subvectors(vec: Column, m: int) -> Column:
+    """Split a vector into m equal consecutive sub-vectors."""
+    sd = (F.size(vec) / m).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.slice(vec, j * sd + 1, sd),
+    )
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 distance (deterministic order —
+    mirrors the oracle's list_reduce)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    ksub: int,
+) -> DataFrame:
+    """(j, c, cv): codeword ``c`` of sub-space ``j`` is the j-th
+    sub-vector of corpus vector ``c`` (ids < ksub) — deterministic
+    PQ codebooks, total size m·ksub rows (always broadcastable)."""
+    return (
+        corpus.filter(F.col(id_col) < ksub)
+        .select(
+            F.col(id_col).cast("int").alias("c"),
+            F.posexplode(_subvectors(F.col(vec_col), m)).alias("j", "cv"),
+        )
+        .select("j", "c", "cv")
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    ksub: int,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """(id, pqcodes array<int>): each sub-vector's nearest codeword
+    (squared-L2 argmin, rounded distance + lowest-code tie-break).
+
+    Scale shape: posexplode is a narrow m-fold generator riding the
+    scan; the codebook join is broadcast (ksub-fold amplification
+    map-side, immediately collapsed by the min_by partial agg) — ONE
+    shuffle on (id) carrying m rows per vector, then an array_sort
+    re-assembly with no further exchange (same-key groupBys chain)."""
+    cb = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks(corpus, id_col, vec_col, m, ksub)
+    )
+    sub = corpus.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_subvectors(F.col(vec_col), m)).alias("j", "sv"),
+    )
+    enc = (
+        sub.join(F.broadcast(cb), "j")
+        .groupBy("id", "j")
+        .agg(
+            F.min_by(
+                "c",
+                F.struct(
+                    F.round(l2sq(F.col("sv"), F.col("cv")), 6).alias("d"),
+                    F.col("c"),
+                ),
+            ).alias("code")
+        )
+    )
+    return enc.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "code"))),
+            lambda s: s.getField("code"),
+        ).alias("pqcodes")
+    )
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    query: DataFrame,
+    codebooks: DataFrame,
+    query_id_col: str,
+    vec_col: str,
+    m: int,
+    k: int,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: each query precomputes
+    its m×ksub distance table against the broadcast codebooks, then a
+    candidate's distance is m table lookups + a sequential-fold sum —
+    the corpus pass never touches a float vector, only the codes.
+
+    Output: (query_id, id, adc_dist, rank) ascending by distance.
+    At 100 TB this runs inside probed IVF cells (codes_df = the
+    partition-pruned cell read), exactly the FAISS IVF-PQ layout."""
+    from pyspark.sql import Window
+
+    qsub = query.select(
+        F.col(query_id_col).alias("query_id"),
+        F.posexplode(_subvectors(F.col(vec_col), m)).alias("j", "qv"),
+    )
+    per_j = (
+        qsub.join(F.broadcast(codebooks), "j")
+        .select(
+            "query_id",
+            "j",
+            "c",
+            F.round(l2sq(F.col("qv"), F.col("cv")), 6).alias("pd"),
+        )
+        .groupBy("query_id", "j")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("c", "pd"))),
+                lambda s: s.getField("pd"),
+            ).alias("row")
+        )
+    )
+    qtab = per_j.groupBy("query_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "row"))),
+            lambda s: s.getField("row"),
+        ).alias("tab")
+    )
+    dist = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("pqcodes"),
+                F.col("tab"),
+                lambda c, row: F.element_at(row, c + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    scored = (
+        codes_df.crossJoin(F.broadcast(qtab))
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", "id", dist.alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

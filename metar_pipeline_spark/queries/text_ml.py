@@ -1148,3 +1148,69 @@ def lm_perplexity_scores(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     model = train_char_bigram_lm(docs)
     return score_docs_nll(docs, model)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: ADC top-k (FAISS IVF-PQ serving shape)
+# ---------------------------------------------------------------------------
+_DUCK_L2SQ = (
+    "list_reduce(list_transform(generate_series(1, len({a})), "
+    "i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE)"
+    " * ({a}[i]::DOUBLE - {b}[i]::DOUBLE)), (x, y) -> x + y)"
+)
+
+
+@register(
+    "ann_pq_adc_topk",
+    f"""
+    WITH js AS (SELECT unnest(generate_series(0, 3)) AS j),
+    sub AS (
+      SELECT e.vec_id AS id, js.j,
+             e.embedding[js.j * 16 + 1 : js.j * 16 + 16] AS sv
+      FROM embeddings e CROSS JOIN js
+    ),
+    cb AS (SELECT id AS c, j, sv AS cv FROM sub WHERE id < 16),
+    enc AS (
+      SELECT s.id, s.j, cb.c AS code
+      FROM sub s JOIN cb ON s.j = cb.j
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY s.id, s.j
+        ORDER BY round({_DUCK_L2SQ.format(a="s.sv", b="cb.cv")}, 6), cb.c
+      ) = 1
+    ),
+    dtab AS (
+      SELECT q.id AS query_id, q.j, cb.c,
+             round({_DUCK_L2SQ.format(a="q.sv", b="cb.cv")}, 6) AS pd
+      FROM sub q JOIN cb ON q.j = cb.j
+      WHERE q.id < 5
+    ),
+    adc AS (
+      SELECT d.query_id, e.id,
+             round(list_reduce(list(d.pd ORDER BY d.j),
+                               (x, y) -> x + y), 6) AS adc_dist
+      FROM enc e JOIN dtab d ON e.j = d.j AND e.code = d.c
+      WHERE e.id <> d.query_id
+      GROUP BY d.query_id, e.id
+    )
+    SELECT query_id, id, adc_dist,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY adc_dist, id) AS INTEGER) AS rank
+    FROM adc
+    QUALIFY rank <= 10
+    """,
+    doc=(
+        "Product-quantization ADC top-10: 64-dim vectors → 4 sub-space "
+        "codes (16 deterministic codewords each, 16x compression vs "
+        "int8); each query precomputes a 4x16 distance table against "
+        "the broadcast codebooks and candidates cost 4 lookups + a "
+        "sequential-fold sum — the corpus pass never touches a float "
+        "vector (similarity.pq_encode/pq_adc_topk; at 100 TB the codes "
+        "store is read partition-pruned inside probed IVF cells)"
+    ),
+)
+def ann_pq_adc_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = sim.pq_codebooks(emb, "vec_id", "embedding", m=4, ksub=16)
+    codes = sim.pq_encode(emb, "vec_id", "embedding", 4, 16, codebooks=cb)
+    q = emb.filter(F.col("vec_id") < 5)
+    return sim.pq_adc_topk(codes, q, cb, "vec_id", "embedding", m=4, k=10)

@@ -844,3 +844,64 @@ def test_kmeans_refinement_improves_quantizer(spark):
 
     cells = kmeans_cells(emb, "vec_id", "embedding", 8, iters=2)
     assert cells.agg(F.sum("n_members")).collect()[0][0] == n
+
+
+def test_pq_codebook_vectors_encode_to_themselves(spark):
+    """A codebook source vector (id < ksub) must encode each sub-space
+    to its own codeword (distance 0 beats everything, code tie-break
+    picks itself only if truly minimal — equal sub-vectors may share a
+    code, so assert distance-0 membership, not identity)."""
+    from metar_pipeline_spark.io import load_table
+    from metar_pipeline_spark.operators import similarity as sim
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cb = sim.pq_codebooks(emb, "vec_id", "embedding", m=4, ksub=16)
+    codes = {
+        r["id"]: r["pqcodes"]
+        for r in sim.pq_encode(
+            emb.filter(F.col("vec_id") < 16), "vec_id", "embedding", 4, 16,
+            codebooks=cb,
+        ).collect()
+    }
+    cbrows = {(r["j"], r["c"]): r["cv"] for r in cb.collect()}
+    embrows = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.filter(F.col("vec_id") < 16).collect()
+    }
+    for vid, pqcodes in codes.items():
+        assert len(pqcodes) == 4
+        for j, code in enumerate(pqcodes):
+            own = embrows[vid][j * 16 : (j + 1) * 16]
+            chosen = cbrows[(j, code)]
+            d = sum((a - b) ** 2 for a, b in zip(own, chosen))
+            assert d < 1e-10  # distance-0: its own sub-vector (or a twin)
+
+
+def test_pq_adc_recall_vs_brute_force(spark):
+    """4x16 PQ is a lossy 16x compression; ADC top-10 must still
+    overlap the exact top-10 meaningfully."""
+    from metar_pipeline_spark.io import load_table
+    from metar_pipeline_spark.operators import similarity as sim
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    truth = {
+        (r["query_id"], r["id"])
+        for r in sim.brute_force_topk(
+            emb, q, "vec_id", "embedding", "vec_id", 10
+        ).collect()
+    }
+    cb = sim.pq_codebooks(emb, "vec_id", "embedding", m=4, ksub=16)
+    codes = sim.pq_encode(emb, "vec_id", "embedding", 4, 16, codebooks=cb)
+    got = {
+        (r["query_id"], r["id"])
+        for r in sim.pq_adc_topk(
+            codes, q, cb, "vec_id", "embedding", m=4, k=10
+        ).collect()
+    }
+    assert len(got) == len(truth) == 50
+    assert all(qid != i for qid, i in got)
+    # Note: brute force ranks by COSINE, ADC by L2 — for these
+    # non-normalized vectors the orderings differ, so recall is a
+    # floor, not a near-1 target.
+    assert len(got & truth) / len(truth) >= 0.1
