@@ -7,15 +7,20 @@ broadcast join of the (tiny: |charset|²) model against the corpus.
 Everything is built-in column math — no UDF in either pass.
 
 Scale notes:
-- TRAIN: explode is a narrow generator riding the document scan; the
-  bigram count is a partial+final hash agg (map-side combine crushes
-  the per-partition stream to ≤|charset|² rows before the exchange).
-- SCORE: the model is broadcast (its size is bounded by the charset,
-  independent of corpus size), so scoring is a second scan with a
-  broadcast hash join + per-doc agg — shuffle carries one row per doc.
-- DETERMINISM: per-doc negative-log-likelihood sums accumulate in
-  DECIMAL(38,18); ln/exp inputs are identical doubles on both engines
-  so the 6-decimal rounding absorbs any last-ulp libm difference.
+- The corpus is exploded into bigrams ONCE: ``doc_bigram_counts``
+  reduces occurrences to per-(doc, bigram) counts (map-side combine
+  bounds each partition's stream at |docs_in_partition|·|charset|²),
+  and BOTH the model (a second-level re-aggregation) and the scores
+  (a broadcast join weighted by the counts) derive from it — one
+  generator pass over the data instead of two.
+- The model is broadcast (its size is bounded by the charset,
+  independent of corpus size); scoring shuffles one row per doc.
+- DETERMINISM: per-doc negative-log-likelihood accumulates as
+  DECIMAL(38,18) · count — exactly equal to summing the decimal cast
+  of every occurrence (decimal arithmetic is exact), so the
+  count-weighted form hashes identically to an occurrence-level
+  oracle; ln/exp see identical doubles on both engines and the
+  6-decimal rounding absorbs any last-ulp libm difference.
 """
 
 from __future__ import annotations
@@ -40,14 +45,36 @@ def char_bigrams(text: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def train_char_bigram_lm(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def doc_bigram_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, bg, cnt): per-document bigram occurrence counts — the one
+    generator pass everything else derives from. Callers that feed
+    both train and score should ``localCheckpoint`` the result so the
+    explode is not replayed per consumer."""
+    return (
+        docs.select(
+            F.col(id_col), F.explode(char_bigrams(F.col(text_col))).alias("bg")
+        )
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def train_char_bigram_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    doc_counts: DataFrame | None = None,
+) -> DataFrame:
     """Maximum-likelihood conditional bigram model: one row per seen
     bigram with ``logp = ln(count(c1c2) / count(c1·))``."""
-    counts = (
-        docs.select(F.explode(char_bigrams(F.col(text_col))).alias("bg"))
-        .groupBy("bg")
-        .agg(F.count(F.lit(1)).alias("c"))
+    dc = (
+        doc_counts
+        if doc_counts is not None
+        else doc_bigram_counts(docs, id_col, text_col)
     )
+    counts = dc.groupBy("bg").agg(F.sum("cnt").alias("c"))
     prefix = counts.groupBy(
         F.substring("bg", 1, 1).alias("c1")
     ).agg(F.sum("c").alias("pn"))
@@ -69,22 +96,33 @@ def score_docs_nll(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_to: int = 6,
+    doc_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document mean negative log-likelihood + perplexity under a
     trained bigram model. Documents shorter than one bigram drop out
     (no evidence to score). Perplexity is exp() of the ALREADY-rounded
     mean so both engines exponentiate the identical double."""
-    bg = docs.select(
-        F.col(id_col), F.explode(char_bigrams(F.col(text_col))).alias("bg")
+    dc = (
+        doc_counts
+        if doc_counts is not None
+        else doc_bigram_counts(docs, id_col, text_col)
     )
     scored = (
-        bg.join(F.broadcast(model), "bg")
+        dc.join(F.broadcast(model), "bg")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("cnt").alias("n_bigrams"),
+            # decimal(28,18) * decimal(8,0) → decimal(37,18): stays
+            # within precision 38 so the product (≡ cnt repeated
+            # decimal additions) is EXACT — a decimal(38,18)*bigint
+            # product would overflow and silently round at scale ~6,
+            # hash-mismatching the occurrence-level oracle
             F.round(
-                F.sum((-F.col("logp")).cast(DEC18)).cast("double")
-                / F.count(F.lit(1)),
+                F.sum(
+                    (-F.col("logp")).cast("decimal(28,18)")
+                    * F.col("cnt").cast("decimal(8,0)")
+                ).cast("double")
+                / F.sum("cnt"),
                 round_to,
             ).alias("mean_nll"),
         )

@@ -346,8 +346,7 @@ def _pagerank_oracle(iterations: int = 3, damping: float = 0.85) -> str:
     engines."""
     head = """
     WITH edges AS (
-      SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
-                      'p' || CAST(l_partkey AS VARCHAR) AS dst
+      SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
       FROM lineitem
     ),
     nodes AS (
@@ -385,11 +384,18 @@ def _pagerank_oracle(iterations: int = 3, damping: float = 0.85) -> str:
       CROSS JOIN nn CROSS JOIN d{i}
     )"""
         )
+    # ranks iterate on BIGINT node ids (integer shuffles/joins beat
+    # string shuffles ~2x at any scale); labels appear only in the
+    # final projection
+    label = (
+        "CASE WHEN node % 2 = 0 THEN 's' || CAST(node // 2 AS VARCHAR) "
+        "ELSE 'p' || CAST((node - 1) // 2 AS VARCHAR) END"
+    )
     return (
         head
         + ","
         + ",".join(steps)
-        + f"\n    SELECT node, r AS rank FROM r{iterations}"
+        + f"\n    SELECT {label} AS node, r AS rank FROM r{iterations}"
     )
 
 
@@ -409,8 +415,19 @@ def pagerank_supply_graph(spark, sf_dir):
     from metar_pipeline_spark.operators.graph import pagerank
 
     li = load_table(spark, sf_dir, "lineitem")
+    # iterate on bigint node ids (suppliers even, parts odd); the
+    # human-readable labels are a final-projection concern only
     edges = li.select(
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
     )
-    return pagerank(edges, iterations=3, damping=0.85)
+    ranks = pagerank(edges, iterations=3, damping=0.85)
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("s"), (F.col("node") / 2).cast("long").cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit("p"), ((F.col("node") - 1) / 2).cast("long").cast("string")
+        )
+    )
+    return ranks.select(label.alias("node"), "rank")

@@ -1141,13 +1141,18 @@ def hard_negative_mining(spark, sf_dir):
 )
 def lm_perplexity_scores(spark, sf_dir):
     from metar_pipeline_spark.operators.lm import (
+        doc_bigram_counts,
         score_docs_nll,
         train_char_bigram_lm,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    model = train_char_bigram_lm(docs)
-    return score_docs_nll(docs, model)
+    # one generator pass: train re-aggregates the checkpointed
+    # per-doc counts, score broadcast-joins them — the explode is
+    # never replayed
+    dc = doc_bigram_counts(docs).localCheckpoint(eager=True)
+    model = train_char_bigram_lm(docs, doc_counts=dc)
+    return score_docs_nll(docs, model, doc_counts=dc)
 
 
 # ---------------------------------------------------------------------------

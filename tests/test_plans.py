@@ -247,3 +247,44 @@ def test_freq_tokens_sketch_partial_agg(plans):
     p = plans("freq_tokens_sketch_topk")
     assert "partial_approx_top_k" in p
     assert "approx_top_k" in p
+
+
+def _nodes(p: str, kind: str) -> int:
+    # formatted explain prints each node twice (tree + detail); count
+    # the numbered detail headers to count NODES
+    import re
+
+    return len(re.findall(rf"\(\d+\) {kind}\b", p))
+
+
+def test_funnel_single_user_shuffle(plans):
+    # one-pass funnel: exactly two exchanges (per-user agg + the
+    # one-row summary), never one per step
+    p = plans("funnel_view_click_purchase")
+    assert _nodes(p, "Exchange") == 2, p
+    assert "CartesianProduct" not in p
+
+
+def test_ols_trend_one_agg_pass(plans):
+    # moments fit = one partial+final hash aggregate; only the final
+    # 5-row orderBy may add a range exchange
+    p = plans("ols_trend_by_event_type")
+    assert _nodes(p, "Exchange") <= 2
+    assert "partial_sum" in p  # map-side combine before the exchange
+
+
+def test_lm_model_joins_broadcast(plans):
+    # the bigram model and prefix totals are charset-bounded — both
+    # must broadcast; doc scoring may never shuffle the corpus join
+    p = plans("lm_perplexity_scores")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_pq_codebook_joins_broadcast(plans):
+    # PQ: codebooks and query distance tables broadcast; the corpus
+    # codes pass must not sort-merge or cartesian against either
+    p = plans("ann_pq_adc_topk")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
