@@ -86,3 +86,25 @@ def append_only(existing: DataFrame | None, updates: DataFrame) -> DataFrame:
     if existing is None:
         return updates
     return existing.unionByName(updates, allowMissingColumns=True)
+
+
+def merge_partial_rollups(
+    parts: list[DataFrame], keys: list[str], sum_cols: list[str]
+) -> DataFrame:
+    """Combine pre-aggregated rollup partials by re-aggregation —
+    incremental materialized-view maintenance for ADDITIVE aggregates
+    (count/sum and anything derived from them downstream).
+
+    The stored rollup and a new micro-batch's partial are both
+    key-grain; merging is union + one hash aggregate at that grain,
+    so advancing a 100 TB fact table's daily rollup costs O(|rollup| +
+    |batch partial|) — the history is NEVER rescanned. (Non-additive
+    aggregates need a mergeable sketch instead: see
+    operators/sketches.py for the HLL/quantile forms.)
+    """
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    return merged.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    )

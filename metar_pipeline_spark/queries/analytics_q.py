@@ -431,3 +431,176 @@ def pagerank_supply_graph(spark, sf_dir):
         )
     )
     return ranks.select(label.alias("node"), "rank")
+
+
+# ---------------------------------------------------------------------------
+# M4 time-series downsampling (min/max/first/last per bucket)
+# ---------------------------------------------------------------------------
+_T0MS = 1704067200000  # 2024-01-01T00:00:00Z in epoch millis
+
+
+@register(
+    "m4_downsample_value",
+    f"""
+    WITH k AS (
+      SELECT event_type, value,
+             (epoch_ms(ts) - {_T0MS}) // 21600000 AS b,
+             (epoch_ms(ts) - {_T0MS}) * 1000000 + event_id AS okey
+      FROM events
+    )
+    SELECT event_type,
+           make_timestamp(({_T0MS} + b * 21600000) * 1000) AS bucket_start,
+           COUNT(*) AS n,
+           MIN(value) AS v_min,
+           MAX(value) AS v_max,
+           arg_min(value, okey) AS v_first,
+           arg_max(value, okey) AS v_last
+    FROM k GROUP BY event_type, b
+    """,
+    doc=(
+        "M4 chart downsampling: per (series, 6h bucket) the min / max "
+        "/ first / last values — the four points that preserve a "
+        "line-chart's visual extremes (Jugel et al., M4). ONE hash "
+        "aggregate over the scan (arg_min/arg_max = min_by/max_by on "
+        "a composite millis+id ordering key, so ties are total); at "
+        "100 TB this is how a dashboard reads a trillion-point series"
+    ),
+)
+def m4_downsample_value(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp")) - F.lit(_T0MS)
+    # composite total-order key: millis then event_id (event_id stays
+    # below the 1e6 multiplier through sf0.1; the oracle uses the
+    # identical arithmetic)
+    okey = ms * F.lit(1000000) + F.col("event_id")
+    b = F.floor(ms / F.lit(21600000)).alias("b")
+    k = events.select("event_type", "value", b, okey.alias("okey"))
+    return (
+        k.groupBy("event_type", "b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+            F.min_by("value", F.col("okey")).alias("v_first"),
+            F.max_by("value", F.col("okey")).alias("v_last"),
+        )
+        .select(
+            "event_type",
+            F.timestamp_millis(
+                F.lit(_T0MS) + F.col("b") * F.lit(21600000)
+            ).alias("bucket_start"),
+            "n",
+            "v_min",
+            "v_max",
+            "v_first",
+            "v_last",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling without replacement (A-ES)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weighted_sample_docs",
+    """
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ln(((doc_id * 2654435761) % 4294967296 + 0.5)
+                / 4294967296.0) / n_chars AS skey
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars, round(skey, 10) AS sample_key,
+           CAST(ROW_NUMBER() OVER (ORDER BY skey DESC, doc_id)
+                AS INTEGER) AS rank
+    FROM keyed
+    QUALIFY rank <= 50
+    """,
+    doc=(
+        "Efraimidis-Spirakis weighted sampling without replacement "
+        "(weight = document length), derandomized: the uniform draw is "
+        "a multiplicative integer hash of the key, so the SAME sample "
+        "falls out on any engine, partitioning, or rerun — top-k by "
+        "ln(u)/w is a scan + bounded top-k (WindowGroupLimit), no "
+        "global sort, no RNG state"
+    ),
+)
+def weighted_sample_docs(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
+    u = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    keyed = docs.select(
+        "doc_id", "n_chars", (F.log(u) / F.col("n_chars")).alias("skey")
+    )
+    w = Window.orderBy(F.desc("skey"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .select(
+            "doc_id",
+            "n_chars",
+            F.round("skey", 10).alias("sample_key"),
+            "rank",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance (additive rollup merge)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_incremental_merge",
+    """
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(*) AS n_events,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc=(
+        "Incremental MV maintenance: the stored daily rollup (events "
+        "before the watermark) merges with the new batch's partial "
+        "(events after) by union + ONE key-grain re-aggregation "
+        "(operators/incremental.merge_partial_rollups) — additive "
+        "DECIMAL partials make merged == full-recompute EXACT, which "
+        "is what the oracle asserts; history is never rescanned"
+    ),
+)
+def rollup_incremental_merge(spark, sf_dir):
+    from metar_pipeline_spark.operators.incremental import (
+        merge_partial_rollups,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+
+    def partial(df):
+        return df.groupBy(
+            "event_type",
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+
+    stored = partial(events.filter(F.col("ts") < cutoff))
+    batch = partial(events.filter(F.col("ts") >= cutoff))
+    merged = merge_partial_rollups(
+        [stored, batch], ["event_type", "day"], ["n_events", "sum_value"]
+    )
+    return merged.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.round(F.col("sum_value").cast("double"), 2).alias("sum_value"),
+    )

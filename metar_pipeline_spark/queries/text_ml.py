@@ -1219,3 +1219,59 @@ def ann_pq_adc_topk(spark, sf_dir):
     codes = sim.pq_encode(emb, "vec_id", "embedding", 4, 16, codebooks=cb)
     q = emb.filter(F.col("vec_id") < 5)
     return sim.pq_adc_topk(codes, q, cb, "vec_id", "embedding", m=4, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Triangle census over the near-dup graph (clustering transitivity)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "neardup_triangle_census",
+    f"""
+    WITH e AS (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round({_DUCK_COS.format(a="a.embedding", b="b.embedding")}, 6)
+            >= 0.3
+    ),
+    deg AS (
+      SELECT v, COUNT(*) AS c FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v
+    ),
+    nw AS (
+      SELECT COUNT(*) AS n_nodes,
+             CAST(SUM(CAST(c * (c - 1) / 2 AS BIGINT)) AS BIGINT)
+               AS wedges
+      FROM deg
+    ),
+    m AS (SELECT COUNT(*) AS n_edges FROM e),
+    t AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM e e1 JOIN e e2 ON e1.b = e2.a
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT n_nodes, n_edges, n_triangles,
+           round(CASE WHEN wedges > 0
+                 THEN CAST(3.0 AS DOUBLE) * n_triangles / wedges END, 6)
+             AS transitivity
+    FROM nw CROSS JOIN m CROSS JOIN t
+    """,
+    doc=(
+        "Triangle census of the embedding near-dup graph (the "
+        "label-blocked cosine>=0.3 pairs): node/edge/triangle counts + "
+        "global transitivity 3T/wedges — the audit that says how "
+        "transitive 'near-duplicate' actually is before trusting "
+        "connected components as dedup clusters. Ordered two-hop "
+        "equi-joins count each triangle once (operators/graph."
+        "triangle_census); wedges come from the degree table, no "
+        "path enumeration"
+    ),
+)
+def neardup_triangle_census(spark, sf_dir):
+    from metar_pipeline_spark.operators.graph import triangle_census
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = sim.cosine_neardup_pairs(emb, "vec_id", "embedding", "label", 0.3)
+    return triangle_census(pairs, "id_a", "id_b")

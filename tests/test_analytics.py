@@ -277,3 +277,110 @@ class TestBigramLM:
         )
         out = score_docs_nll(docs, train_char_bigram_lm(docs)).collect()
         assert {r["doc_id"] for r in out} == {1}
+
+
+class TestTriangleCensus:
+    def test_k4_and_canonicalization(self, spark):
+        from metar_pipeline_spark.operators.graph import triangle_census
+
+        # K4 given with mixed edge orientation + a duplicate edge:
+        # canonicalization must still see 6 edges, 4 triangles,
+        # wedges = 4 * C(3,2) = 12 → transitivity 3*4/12 = 1.0
+        edges = spark.createDataFrame(
+            [(1, 2), (3, 1), (1, 4), (2, 3), (4, 2), (3, 4), (2, 1)],
+            "id_a bigint, id_b bigint",
+        )
+        r = triangle_census(edges).collect()[0]
+        assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
+        assert r["transitivity"] == 1.0
+
+    def test_triangle_free_graph(self, spark):
+        from metar_pipeline_spark.operators.graph import triangle_census
+
+        # a path 1-2-3-4 has wedges but no triangles
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4)], "id_a bigint, id_b bigint"
+        )
+        r = triangle_census(edges).collect()[0]
+        assert r["n_triangles"] == 0
+        assert r["transitivity"] == 0.0
+
+
+class TestRollupMerge:
+    def test_merge_equals_full_recompute(self, spark):
+        from metar_pipeline_spark.operators.incremental import (
+            merge_partial_rollups,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 1, 10.0), ("a", 1, 5.0), ("b", 2, 1.5), ("a", 2, 2.0)],
+            "k string, d int, v double",
+        )
+
+        def partial(x):
+            return x.groupBy("k", "d").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("v").cast("decimal(18,2)")).alias("s"),
+            )
+
+        full = {tuple(r[:2]): r[2:] for r in partial(df).collect()}
+        merged = merge_partial_rollups(
+            [partial(df.filter("d = 1")), partial(df.filter("d = 2"))],
+            ["k", "d"],
+            ["n", "s"],
+        )
+        got = {tuple(r[:2]): r[2:] for r in merged.collect()}
+        assert got == full
+
+
+class TestM4AndWeightedSample:
+    def test_m4_semantics(self, spark, tmp_path):
+        from metar_pipeline_spark.queries.analytics_q import (
+            m4_downsample_value,
+        )
+
+        rows = [
+            (1, dt.datetime(2024, 1, 1, 0, 0), 1, "view", 5.0, "{}"),
+            (2, dt.datetime(2024, 1, 1, 1, 0), 1, "view", 9.0, "{}"),
+            (3, dt.datetime(2024, 1, 1, 2, 0), 1, "view", 1.0, "{}"),
+            (4, dt.datetime(2024, 1, 1, 7, 0), 1, "view", 4.0, "{}"),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string",
+        )
+        d = tmp_path / "sf"
+        df.write.parquet(str(d / "events.parquet"))
+        out = sorted(
+            m4_downsample_value(spark, str(d)).collect(),
+            key=lambda r: r["bucket_start"],
+        )
+        first = out[0]  # 00:00-06:00 bucket: values 5, 9, 1
+        assert (first["n"], first["v_min"], first["v_max"]) == (3, 1.0, 9.0)
+        assert first["v_first"] == 5.0 and first["v_last"] == 1.0
+        assert out[1]["n"] == 1 and out[1]["v_first"] == 4.0
+
+    def test_weighted_sample_matches_reference_computation(self, spark):
+        import math
+
+        from metar_pipeline_spark.io import load_table
+        from metar_pipeline_spark.queries.analytics_q import (
+            weighted_sample_docs,
+        )
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        ref = []
+        for r in docs.select("doc_id", "n_chars").collect():
+            if r["n_chars"] > 0:
+                u = ((r["doc_id"] * 2654435761) % 4294967296 + 0.5) / 4294967296.0
+                ref.append((math.log(u) / r["n_chars"], -r["doc_id"]))
+        ref.sort(reverse=True)
+        want = [-d for _, d in ref[:50]]
+        got = [
+            r["doc_id"]
+            for r in weighted_sample_docs(
+                spark, "/root/testdata/sf0.001"
+            ).orderBy("rank").collect()
+        ]
+        assert got == want
