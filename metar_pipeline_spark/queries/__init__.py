@@ -52,22 +52,18 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # whose semantics you change to VERIFY_FIRST anyway (belt and braces —
 # the auto-boost catches direct query/oracle edits and one-hop operator
 # module edits, but not deeper transitive changes).
-VERIFY_FIRST = [
-    # red in r3: oracle SUM(CASE) was HUGEINT → float; now CAST to BIGINT
-    "tpch_q12_priority_shipping",
-    # changed this round: collect round-trip replaced by localCheckpoint
-    "stream_daily_rollup_append",
-    # changed this round: threshold comparison rounded on both engines
-    "quality_quantile_filter",
-    # changed this round: orderable-id tie-break + self-pair exclusion
-    "dedup_incremental_batch",
-    # changed this round: oracle ORDER BY floored to whole seconds
-    # (sub-second epoch() shifted one 3600s-boundary row at sf0.1)
-    "events_last_hour_range_frame",
+VERIFY_FIRST: list[str] = [
+    # Round 5: empty — every pending query already rotates in on its
+    # own: the 46 never-driver-verified queries (r4+r5 additions, plus
+    # r4's q12-oracle and quantile/incremental-dedup fixes whose only
+    # verdicts are stale reds) are group 1, and r4's two edited-while-
+    # green queries (stream_daily_rollup_append,
+    # events_last_hour_range_frame) auto-boost via hash drift
+    # (group 2). 46 + 2 = 48 of the 50 slots — verified by the
+    # simulation in tests/test_rotation.py. Use this list only when a
+    # change is too indirect for the one-hop hash (e.g. an io.py or
+    # session.py edit that shifts query semantics).
 ]
-# Everything r3 left never-driver-verified (curation, incremental
-# dedup, quantization, SQL-surface, anomaly, arrow — 15 queries) now
-# auto-rotates into the window via group 1.
 
 
 def _driver_green() -> set[str]:
