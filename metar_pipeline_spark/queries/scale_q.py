@@ -622,3 +622,89 @@ def bucketed_join_priority_revenue(spark, sf_dir):
         for t in names:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
     return result
+
+
+@register(
+    "stream_mv_merge_rollup",
+    """
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(*) AS n_events,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc=(
+        "Streaming materialized-view maintenance: the fact file is "
+        "split into 4 chunk files and streamed maxFilesPerTrigger=1, "
+        "so foreachBatch runs 4 genuine micro-batches, each reduced to "
+        "a key-grain DECIMAL partial and merged into the running "
+        "rollup via incremental.merge_partial_rollups (localCheckpoint "
+        "pins each MV generation; history never rescanned) — additive "
+        "partials make the final MV EXACTLY equal the batch rollup, "
+        "which is what the oracle asserts"
+    ),
+)
+def stream_mv_merge_rollup(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from metar_pipeline_spark.operators.incremental import (
+        merge_partial_rollups,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="stream_mv_")
+    src = os.path.join(tmp, "src")
+    ckpt = os.path.join(tmp, "_ckpt")
+    # 4 deterministic chunks → 4 micro-batches (any split yields the
+    # same MV: merge is content-order agnostic)
+    events.repartition(4, F.col("event_id")).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    keys = ["event_type", "day"]
+
+    def partial(df):
+        return df.groupBy(
+            "event_type",
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+
+    mv = {"df": None}
+
+    def upsert(batch_df, _batch_id):
+        p = partial(batch_df)
+        merged = (
+            p
+            if mv["df"] is None
+            else merge_partial_rollups(
+                [mv["df"], p], keys, ["n_events", "sum_value"]
+            )
+        )
+        mv["df"] = merged.localCheckpoint(eager=True)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return mv["df"].select(
+        "event_type",
+        "day",
+        "n_events",
+        F.round(F.col("sum_value").cast("double"), 2).alias("sum_value"),
+    )

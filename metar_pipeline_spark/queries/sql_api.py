@@ -197,3 +197,57 @@ _sql_query(
         "window/top-k physical shape the DataFrame form plans"
     ),
 )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 SQL-surface: GROUP BY ALL + ordered LISTAGG
+# ---------------------------------------------------------------------------
+# The one sql_api query whose text differs per engine: Spark 4 spells
+# the ordered string aggregate `listagg(x, sep) WITHIN GROUP (ORDER BY
+# ...)`, DuckDB spells it `string_agg(x, sep ORDER BY ...)`. Both use
+# GROUP BY ALL (which DuckDB pioneered and Spark 4 adopted).
+_LISTAGG_SPARK = """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY ALL
+    )
+    SELECT event_type, COUNT(*) AS n_busy_days,
+           listagg(CAST(day AS STRING), ',')
+             WITHIN GROUP (ORDER BY day) AS busy_days
+    FROM daily
+    WHERE n > (SELECT AVG(n) FROM daily)
+    GROUP BY ALL
+    ORDER BY event_type
+"""
+
+_LISTAGG_DUCK = """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY ALL
+    )
+    SELECT event_type, COUNT(*) AS n_busy_days,
+           string_agg(CAST(day AS VARCHAR), ',' ORDER BY day)
+             AS busy_days
+    FROM daily
+    WHERE n > (SELECT AVG(n) FROM daily)
+    GROUP BY ALL
+    ORDER BY event_type
+"""
+
+
+@register(
+    "listagg_group_by_all",
+    _LISTAGG_DUCK,
+    doc=(
+        "Ordered LISTAGG + GROUP BY ALL (both Spark 4 additions): "
+        "above-average busy days per event type concatenated in day "
+        "order — WITHIN GROUP ordering makes the string deterministic, "
+        "and the scalar-subquery threshold decorrelates to a broadcast "
+        "1-row join"
+    ),
+)
+def listagg_group_by_all(spark, sf_dir):
+    register_views(spark, sf_dir)
+    return spark.sql(_LISTAGG_SPARK)
