@@ -604,3 +604,79 @@ def rollup_incremental_merge(spark, sf_dir):
         "n_events",
         F.round(F.col("sum_value").cast("double"), 2).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyed table diff (migration/backfill reconciliation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "table_diff_orders_replica",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS s
+      FROM orders
+    ),
+    kept AS (
+      SELECT k, CASE WHEN k % 7 = 0 THEN p + 1 ELSE p END AS p, s
+      FROM base WHERE k % 5 <> 0
+    ),
+    added AS (
+      SELECT k + 10000000 AS k, p, s FROM base WHERE k % 11 = 0
+    ),
+    r AS (SELECT * FROM kept UNION ALL SELECT * FROM added),
+    d AS (
+      SELECT COALESCE(b.k, r.k) AS k,
+             CASE WHEN b.k IS NULL THEN 'added'
+                  WHEN r.k IS NULL THEN 'removed'
+                  WHEN b.p IS NOT DISTINCT FROM r.p
+                   AND b.s IS NOT DISTINCT FROM r.s THEN 'identical'
+                  ELSE 'changed' END AS status
+      FROM base b FULL OUTER JOIN r ON b.k = r.k
+    ),
+    c AS (SELECT status, COUNT(*) AS n_keys FROM d GROUP BY status),
+    sm AS (
+      SELECT status,
+             string_agg(CAST(k AS VARCHAR), ',' ORDER BY k)
+               AS example_keys
+      FROM (SELECT status, k,
+                   row_number() OVER (PARTITION BY status ORDER BY k)
+                     AS rn
+            FROM d)
+      WHERE rn <= 3 GROUP BY status
+    )
+    SELECT c.status, c.n_keys, sm.example_keys
+    FROM c LEFT JOIN sm USING (status)
+    """,
+    doc=(
+        "data-diff-style reconciliation of orders vs a perturbed "
+        "replica (every 5th key dropped, every 7th repriced, every "
+        "11th re-keyed as new): both sides reduce to (key, xxhash64 "
+        "row digest) BEFORE the single full-outer shuffle — two hashes "
+        "per row cross the wire, never payloads — then added/removed/"
+        "changed/identical is column math with bounded per-class "
+        "example keys (operators/diffing.py; the oracle compares "
+        "columns directly, so the digest equivalence is itself under "
+        "test)"
+    ),
+)
+def table_diff_orders_replica(spark, sf_dir):
+    from metar_pipeline_spark.operators.diffing import table_diff_summary
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    k = F.col("o_orderkey")
+    kept = base.filter(k % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(k % 7 == 0, F.col("o_totalprice") + 1).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    added = base.filter(k % 11 == 0).withColumn(
+        "o_orderkey", k + 10000000
+    )
+    replica = kept.unionByName(added)
+    return table_diff_summary(
+        base, replica, ["o_orderkey"], sample_per_class=3
+    ).withColumnRenamed("o_orderkey", "k")

@@ -384,3 +384,36 @@ class TestM4AndWeightedSample:
             ).orderBy("rank").collect()
         ]
         assert got == want
+
+
+class TestTableDiff:
+    def test_statuses_and_null_handling(self, spark):
+        from metar_pipeline_spark.operators.diffing import (
+            table_diff,
+            table_diff_summary,
+        )
+
+        left = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, None), (4, "")],
+            "k bigint, v string",
+        )
+        right = spark.createDataFrame(
+            [(1, "a"), (2, "B"), (3, ""), (5, "new")],
+            "k bigint, v string",
+        )
+        out = {r["k"]: r["status"] for r in table_diff(left, right, ["k"]).collect()}
+        assert out == {
+            1: "identical",
+            2: "changed",
+            3: "changed",  # NULL vs '' must NOT hash equal
+            4: "removed",
+            5: "added",
+        }
+        summary = {
+            r["status"]: (r["n_keys"], r["example_keys"])
+            for r in table_diff_summary(
+                left, right, ["k"], sample_per_class=2
+            ).collect()
+        }
+        assert summary["changed"] == (2, "2,3")
+        assert summary["added"] == (1, "5")
