@@ -412,3 +412,141 @@ def test_cohort_matrix_conserves_user_days(spark, data):
         for r in first.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert zero == pops  # day-0 retention is definitionally 100%
+
+
+# ---------------------------------------------------------------------------
+# Round-5 operator laws
+# ---------------------------------------------------------------------------
+
+small_rows = st.lists(
+    st.tuples(keys, st.sampled_from(["a", "b", "c"]), ts_offsets),
+    min_size=0,
+    max_size=24,
+)
+
+
+@given(data=small_rows)
+@SETTINGS
+def test_funnel_monotone_and_order_free(spark, data):
+    """Funnel law: step counts never increase down the funnel, and the
+    result is invariant to input row order (the collect_list arrays
+    are order-insensitive through array_min/filter)."""
+    from metar_pipeline_spark.operators.funnel import funnel_user_steps
+
+    rows = [
+        (k, t, datetime(2024, 1, 1) + timedelta(hours=off))
+        for k, t, off in data
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts timestamp"
+    ) if rows else spark.createDataFrame(
+        [], "user_id bigint, event_type string, ts timestamp"
+    )
+    steps = ["a", "b", "c"]
+    out = funnel_user_steps(df, steps).collect()
+    counts = [
+        sum(1 for r in out if r[f"step{i}_ts"] is not None)
+        for i in range(3)
+    ]
+    assert counts[0] >= counts[1] >= counts[2]
+    for r in out:  # chain timestamps are non-decreasing while present
+        ts = [r["step0_ts"], r["step1_ts"], r["step2_ts"]]
+        present = [t for t in ts if t is not None]
+        assert present == sorted(present)
+    rev = funnel_user_steps(
+        spark.createDataFrame(
+            list(reversed(rows)),
+            "user_id bigint, event_type string, ts timestamp",
+        )
+        if rows
+        else df,
+        steps,
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, rev))
+
+
+@given(data=rows, mask=st.lists(st.booleans(), min_size=40, max_size=40))
+@SETTINGS
+def test_rollup_merge_split_invariance(spark, data, mask):
+    """Additive-rollup law: merging the partials of ANY 2-way split
+    equals the full-recompute rollup exactly (DECIMAL partials)."""
+    from metar_pipeline_spark.operators.incremental import (
+        merge_partial_rollups,
+    )
+
+    rows_v = [(k, i % 3, float(v)) for (k, i, v, _) in data]
+    df = spark.createDataFrame(rows_v, "k int, d int, v double") if rows_v else None
+    if df is None:
+        return
+
+    def partial(x):
+        return x.groupBy("k", "d").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(18,2)")).alias("s"),
+        )
+
+    full = {tuple(r[:2]): tuple(r[2:]) for r in partial(df).collect()}
+    m = [mask[i % len(mask)] for i in range(len(rows_v))]
+    a = [r for r, keep in zip(rows_v, m) if keep]
+    b = [r for r, keep in zip(rows_v, m) if not keep]
+    parts = []
+    for chunk in (a, b):
+        if chunk:
+            parts.append(
+                partial(spark.createDataFrame(chunk, "k int, d int, v double"))
+            )
+    merged = {
+        tuple(r[:2]): tuple(r[2:])
+        for r in merge_partial_rollups(parts, ["k", "d"], ["n", "s"]).collect()
+    }
+    assert merged == full
+
+
+@given(data=st.lists(st.tuples(keys, keys), min_size=0, max_size=20))
+@SETTINGS
+def test_triangle_census_orientation_invariant(spark, data):
+    """Triangle law: the census is invariant to edge orientation and
+    duplication (canonicalization owns both)."""
+    from metar_pipeline_spark.operators.graph import triangle_census
+
+    edges = [(a, b) for a, b in data if a != b]
+    if not edges:
+        return
+    df1 = spark.createDataFrame(edges, "id_a int, id_b int")
+    flipped = [(b, a) for a, b in edges] + edges  # reversed + doubled
+    df2 = spark.createDataFrame(flipped, "id_a int, id_b int")
+    r1 = triangle_census(df1).collect()[0]
+    r2 = triangle_census(df2).collect()[0]
+    assert tuple(r1) == tuple(r2)
+
+
+@given(
+    data=st.lists(
+        st.tuples(ids, st.integers(1, 5), st.sampled_from("IUD"), vals),
+        min_size=0,
+        max_size=24,
+    )
+)
+@SETTINGS
+def test_cdc_replay_idempotent(spark, data):
+    """CDC law: applying a feed twice (doubled rows) gives the same
+    state as applying it once — the D>U>I tie-break makes at-least-
+    once delivery converge."""
+    from metar_pipeline_spark.sources.cdc import apply_changelog
+
+    if not data:
+        return
+    schema = "k int, seq int, op string, v int"
+    once = {
+        tuple(r)
+        for r in apply_changelog(
+            spark.createDataFrame(data, schema), ["k"]
+        ).collect()
+    }
+    twice = {
+        tuple(r)
+        for r in apply_changelog(
+            spark.createDataFrame(data + data, schema), ["k"]
+        ).collect()
+    }
+    assert once == twice
