@@ -308,3 +308,37 @@ def chunk_documents(
         F.col("_c.n_tokens").alias("n_tokens"),
         F.col("_c.chunk_md5").alias("chunk_md5"),
     )
+
+
+def train_val_test_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    fractions: tuple[float, float] = (0.8, 0.1),
+    out_dir: str | None = None,
+) -> DataFrame:
+    """Deterministic train/val/test assignment (remainder → test).
+
+    The split is a multiplicative integer hash of the id mapped to
+    [0, 1) — the same document lands in the same split on any engine,
+    partitioning, cluster size, or rerun (the property held-out sets
+    MUST have; rand(seed) is partition-dependent). With ``out_dir``
+    the assigned frame is also written ``partitionBy("split")`` so
+    each split is a partition-pruned read, and the write pays the one
+    pass; nothing is re-derived at training time.
+    """
+    u = (
+        (F.col(id_col) * F.lit(2654435761)) % F.lit(4294967296)
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    train_f, val_f = fractions
+    split = (
+        F.when(u < F.lit(train_f), F.lit("train"))
+        .when(u < F.lit(train_f + val_f), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    assigned = docs.withColumn("split", split)
+    if out_dir is not None:
+        assigned.write.mode("overwrite").partitionBy("split").parquet(
+            out_dir
+        )
+    return assigned

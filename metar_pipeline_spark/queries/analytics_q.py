@@ -680,3 +680,82 @@ def table_diff_orders_replica(spark, sf_dir):
     return table_diff_summary(
         base, replica, ["o_orderkey"], sample_per_class=3
     ).withColumnRenamed("o_orderkey", "k")
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics: per-group median absolute deviation + outliers
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "robust_mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS m
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, med.m,
+             abs(e.value - med.m) AS ad
+      FROM events e JOIN med USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, m, quantile_cont(ad, 0.5) AS mad
+      FROM dev GROUP BY event_type, m
+    )
+    SELECT d.event_type,
+           COUNT(*) AS n,
+           round(mad.m, 6) AS median_value,
+           round(mad.mad, 6) AS mad,
+           -- CAST to DOUBLE first: a bare 3 * 1.4826 would be DECIMAL
+           -- arithmetic in DuckDB but IEEE double on the Spark side,
+           -- and the two can differ in the last ulp at the threshold
+           CAST(SUM(CASE WHEN d.ad > CAST(3 AS DOUBLE)
+                                     * CAST(1.4826 AS DOUBLE) * mad.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad USING (event_type)
+    GROUP BY d.event_type, mad.m, mad.mad
+    """,
+    doc=(
+        "Robust per-group dispersion: median absolute deviation and a "
+        "3-sigma-equivalent outlier count (MAD * 1.4826 consistency "
+        "constant) — two exact interpolated-percentile passes with the "
+        "5-row median frame broadcast back against the scan; the "
+        "robust alternative to stats_moments_exact when heavy tails "
+        "would poison mean/stddev gates"
+    ),
+)
+def robust_mad_outliers(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("m")
+    )
+    dev = events.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "value",
+        "m",
+        F.abs(F.col("value") - F.col("m")).alias("ad"),
+    )
+    mad = dev.groupBy("event_type", "m").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad")
+    )
+    out = (
+        dev.join(F.broadcast(mad.drop("m")), "event_type")
+        .groupBy("event_type", "m", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    F.col("ad") > F.lit(3) * F.lit(1.4826) * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("m", 6).alias("median_value"),
+        F.round("mad", 6).alias("mad"),
+        "n_outliers",
+    )

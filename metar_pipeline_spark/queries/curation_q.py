@@ -361,3 +361,49 @@ def dataset_card_summary(spark, sf_dir):
         )
         .select("source", "lang", "gid", "n_docs", "n_tokens", "avg_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split manifest
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "train_val_test_manifest",
+    """
+    WITH assigned AS (
+      SELECT source,
+             CASE WHEN u < 0.8 THEN 'train'
+                  WHEN u < 0.9 THEN 'val'
+                  ELSE 'test' END AS split,
+             n_chars
+      FROM (
+        SELECT source, n_chars,
+               ((doc_id * 2654435761) % 4294967296 + 0.5)
+                 / 4294967296.0 AS u
+        FROM documents
+      )
+    )
+    SELECT split, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM assigned GROUP BY split, source
+    """,
+    doc=(
+        "Train/val/test split manifest: the 80/10/10 assignment is a "
+        "multiplicative integer hash of doc_id mapped to [0,1) — the "
+        "same doc lands in the same split on any engine, partitioning "
+        "or rerun (rand(seed) is partition-dependent, hence banned); "
+        "curation.train_val_test_split also writes partitionBy(split) "
+        "so training reads are partition-pruned (write path exercised "
+        "in test_curation_semantics)"
+    ),
+)
+def train_val_test_manifest(spark, sf_dir):
+    from metar_pipeline_spark.operators.curation import train_val_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = train_val_test_split(docs)
+    return assigned.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -136,3 +136,38 @@ def test_dedup_canonical_keep_one_survivor_per_cluster(spark):
         assert all(m.kept_doc_id == k.doc_id for m in members)
         best = max(members, key=lambda m: (lens[m.doc_id], -m.doc_id))
         assert k.doc_id == best.doc_id
+
+
+class TestTrainValTestSplit:
+    def test_partitioned_write_and_determinism(self, spark, tmp_path):
+        from metar_pipeline_spark.io import load_table
+        from metar_pipeline_spark.operators.curation import (
+            train_val_test_split,
+        )
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        out = str(tmp_path / "splits")
+        a1 = train_val_test_split(docs, out_dir=out)
+        counts = {
+            r["split"]: r["n"]
+            for r in a1.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        total = sum(counts.values())
+        # 80/10/10 within hash tolerance on 500 docs
+        assert 0.7 < counts["train"] / total < 0.9
+        assert set(counts) == {"train", "val", "test"}
+        # the partitioned store round-trips identically and prunes
+        back = spark.read.parquet(out)
+        assert back.count() == total
+        import os
+
+        assert sorted(
+            d for d in os.listdir(out) if d.startswith("split=")
+        ) == ["split=test", "split=train", "split=val"]
+        # rerun assigns the SAME docs to the same split (derandomized)
+        a2 = {
+            r["doc_id"]: r["split"]
+            for r in train_val_test_split(docs).select("doc_id", "split").collect()
+        }
+        for r in a1.select("doc_id", "split").collect():
+            assert a2[r["doc_id"]] == r["split"]
