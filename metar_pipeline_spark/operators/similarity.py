@@ -822,3 +822,140 @@ def pq_adc_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def ivfpq_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    m: int,
+    ksub: int,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """The FAISS IVF-PQ store: (id, cid, pqcodes) — every corpus
+    vector carries its inverted-list cell and its m sub-space codes.
+    Persist ``partitionBy("cid")``; a probe then reads only the probed
+    cells' partitions AND never touches a float vector (the two
+    compressions compose: cell pruning × m·log2(ksub)-bit codes).
+
+    Codes quantize the RAW vectors (codebooks shared across cells);
+    the residual-encoding variant (encode x − centroid per cell) buys
+    accuracy at the cost of per-cell codebooks — same plumbing, train
+    ``pq_codebooks`` per cell and join on (cid, j) instead of (j).
+    """
+    cb = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks(corpus, id_col, vec_col, m, ksub)
+    )
+    cells = ivf_assignments(corpus, id_col, vec_col, n_centroids).select(
+        "id", "cid"
+    )
+    codes = pq_encode(corpus, id_col, vec_col, m, ksub, codebooks=cb)
+    # both sides arrive hash-partitioned by id from their aggregates
+    return cells.join(codes, "id")
+
+
+def ivfpq_probe(
+    index: DataFrame,
+    query: DataFrame,
+    codebooks: DataFrame,
+    centroids: DataFrame,
+    query_id_col: str,
+    vec_col: str,
+    m: int,
+    k: int,
+    nprobe: int,
+) -> DataFrame:
+    """Probe the IVF-PQ store: rank cells by full-precision centroid
+    cosine (the tiny ``centroids`` sidecar — never the store), take
+    ``nprobe``, then ADC-score only those cells' code rows via each
+    query's broadcast distance table. Output (query_id, id, adc_dist,
+    rank), ascending distance — recall < 1 by design (cell misses +
+    quantization), the standard serving trade."""
+    from pyspark.sql import Window
+
+    cents = centroids.select(
+        F.col("cid"),
+        F.col("centvec"),
+        norm2(F.col("centvec")).alias("centnorm"),
+    )
+    q = query.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm2(F.col(vec_col)).alias("qnorm"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("qscore"), F.asc("cid")
+    )
+    probes = (
+        q.join(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qvec",
+            "cid",
+            F.round(
+                dot(F.col("qvec"), F.col("centvec"))
+                / (F.col("qnorm") * F.col("centnorm")),
+                6,
+            ).alias("qscore"),
+        )
+        .withColumn("prank", F.row_number().over(wq))
+        .filter(F.col("prank") <= nprobe)
+        .select("query_id", "qvec", "cid")
+    )
+    qsub = probes.select(
+        "query_id",
+        "cid",
+        F.posexplode(_subvectors(F.col("qvec"), m)).alias("j", "qv"),
+    )
+    qtab = (
+        qsub.join(F.broadcast(codebooks), "j")
+        .select(
+            "query_id",
+            "cid",
+            "j",
+            "c",
+            F.round(l2sq(F.col("qv"), F.col("cv")), 6).alias("pd"),
+        )
+        .groupBy("query_id", "cid", "j")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("c", "pd"))),
+                lambda s: s.getField("pd"),
+            ).alias("row")
+        )
+        .groupBy("query_id", "cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "row"))),
+                lambda s: s.getField("row"),
+            ).alias("tab")
+        )
+    )
+    dist = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("pqcodes"),
+                F.col("tab"),
+                lambda c, row: F.element_at(row, c + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    # the cid equi-join is what partition pruning rides on: only the
+    # probed cells' store partitions are read
+    scored = (
+        index.join(F.broadcast(qtab), "cid")
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", "id", dist.alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -1275,3 +1275,119 @@ def neardup_triangle_census(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = sim.cosine_neardup_pairs(emb, "vec_id", "embedding", "label", 0.3)
     return triangle_census(pairs, "id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composed store probe (cell pruning × code compression)
+# ---------------------------------------------------------------------------
+_DUCK_IVFPQ = f"""
+    WITH js AS (SELECT unnest(generate_series(0, 3)) AS j),
+    sub AS (
+      SELECT e.vec_id AS id, js.j,
+             e.embedding[js.j * 16 + 1 : js.j * 16 + 16] AS sv
+      FROM embeddings e CROSS JOIN js
+    ),
+    cb AS (SELECT id AS c, j, sv AS cv FROM sub WHERE id < 16),
+    enc AS (
+      SELECT s.id, s.j, cb.c AS code
+      FROM sub s JOIN cb ON s.j = cb.j
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY s.id, s.j
+        ORDER BY round({_DUCK_L2SQ.format(a="s.sv", b="cb.cv")}, 6), cb.c
+      ) = 1
+    ),
+    cents AS (
+      SELECT vec_id AS cid, embedding AS centvec
+      FROM embeddings WHERE vec_id < 8
+    ),
+    assigned AS (
+      SELECT id, cid FROM (
+        SELECT e.vec_id AS id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round({_DUCK_COS.format(a="e.embedding", b="c.centvec")}, 6) DESC, c.cid
+               ) AS arn
+        FROM embeddings e, cents c
+      ) WHERE arn = 1
+    ),
+    probes AS (
+      SELECT query_id, cid FROM (
+        SELECT q.vec_id AS query_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round({_DUCK_COS.format(a="q.embedding", b="c.centvec")}, 6) DESC, c.cid
+               ) AS prn
+        FROM embeddings q, cents c WHERE q.vec_id < 5
+      ) WHERE prn <= 2
+    ),
+    dtab AS (
+      SELECT q.id AS query_id, q.j, cb.c,
+             round({_DUCK_L2SQ.format(a="q.sv", b="cb.cv")}, 6) AS pd
+      FROM sub q JOIN cb ON q.j = cb.j
+      WHERE q.id < 5
+    ),
+    adc AS (
+      SELECT p.query_id, a.id,
+             round(list_reduce(list(d.pd ORDER BY d.j),
+                               (x, y) -> x + y), 6) AS adc_dist
+      FROM probes p
+      JOIN assigned a ON a.cid = p.cid
+      JOIN enc e ON e.id = a.id
+      JOIN dtab d ON d.query_id = p.query_id
+                 AND d.j = e.j AND d.c = e.code
+      WHERE a.id <> p.query_id
+      GROUP BY p.query_id, a.id
+    )
+    SELECT query_id, id, adc_dist,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY adc_dist, id) AS INTEGER)
+             AS rank
+    FROM adc
+    QUALIFY rank <= 10
+"""
+
+
+@register(
+    "ann_ivfpq_store_probe",
+    _DUCK_IVFPQ,
+    doc=(
+        "FAISS IVF-PQ end-to-end: the store is (id, cell, 4 sub-space "
+        "codes) written partitionBy(cell) and read back, probed with "
+        "full-precision queries — cell ranking touches only the tiny "
+        "centroid sidecar, the cid equi-join partition-prunes the "
+        "store read, and candidate scoring is ADC table lookups (the "
+        "two compressions compose: nprobe/ncells of the data x "
+        "m*log2(ksub) bits per vector; similarity.ivfpq_index/"
+        "ivfpq_probe)"
+    ),
+)
+def ann_ivfpq_store_probe(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = sim.pq_codebooks(emb, "vec_id", "embedding", m=4, ksub=16)
+    out = tempfile.mkdtemp(prefix="ivfpq_")
+    store = os.path.join(out, "index")
+    try:
+        sim.ivfpq_index(
+            emb, "vec_id", "embedding", n_centroids=8, m=4, ksub=16,
+            codebooks=cb,
+        ).repartition("cid").write.partitionBy("cid").mode(
+            "overwrite"
+        ).parquet(store)
+        index = spark.read.parquet(store)
+        cents = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("centvec"),
+        )
+        q = emb.filter(F.col("vec_id") < 5)
+        res = sim.ivfpq_probe(
+            index, q, cb, cents, "vec_id", "embedding",
+            m=4, k=10, nprobe=2,
+        )
+        result = res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return result

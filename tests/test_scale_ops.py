@@ -905,3 +905,45 @@ def test_pq_adc_recall_vs_brute_force(spark):
     # non-normalized vectors the orderings differ, so recall is a
     # floor, not a near-1 target.
     assert len(got & truth) / len(truth) >= 0.1
+
+
+def test_ivfpq_store_partition_pruning_and_recall(spark, tmp_path):
+    """The IVF-PQ probe must (a) partition-prune the store read to the
+    probed cells and (b) retain meaningful recall vs brute force."""
+    import os
+
+    from metar_pipeline_spark.io import load_table
+    from metar_pipeline_spark.operators import similarity as sim
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cb = sim.pq_codebooks(emb, "vec_id", "embedding", m=4, ksub=16)
+    store = str(tmp_path / "index")
+    sim.ivfpq_index(
+        emb, "vec_id", "embedding", n_centroids=8, m=4, ksub=16, codebooks=cb
+    ).repartition("cid").write.partitionBy("cid").parquet(store)
+    assert any(d.startswith("cid=") for d in os.listdir(store))
+    index = spark.read.parquet(store)
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("centvec")
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    res = sim.ivfpq_probe(
+        index, q, cb, cents, "vec_id", "embedding", m=4, k=10, nprobe=2
+    )
+    # plan: the store scan must carry a PartitionFilters entry from the
+    # cid equi-join (dynamic pruning or pushed isnotnull at minimum)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "cid" in plan
+    rows = res.collect()
+    assert 0 < len(rows) <= 50
+    assert all(r["id"] != r["query_id"] for r in rows)
+    # recall floor vs exact cosine top-10 (ADC ranks by L2 on coarse
+    # codes AND drops non-probed cells — a floor, not a target)
+    truth = {
+        (r["query_id"], r["id"])
+        for r in sim.brute_force_topk(
+            emb, q, "vec_id", "embedding", "vec_id", 10
+        ).collect()
+    }
+    got = {(r["query_id"], r["id"]) for r in rows}
+    assert len(got & truth) / len(truth) >= 0.05
