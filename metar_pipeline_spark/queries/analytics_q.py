@@ -759,3 +759,191 @@ def robust_mad_outliers(spark, sf_dir):
         F.round("mad", 6).alias("mad"),
         "n_outliers",
     )
+
+
+# ---------------------------------------------------------------------------
+# User-journey Markov transitions (event-type transition matrix)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    t AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT from_type, SUM(n) AS row_n FROM t GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type, t.n,
+           round(CAST(t.n AS DOUBLE) / tot.row_n, 6) AS p
+    FROM t JOIN tot USING (from_type)
+    """,
+    doc=(
+        "First-order Markov transition matrix of the user journey: "
+        "LEAD over (user, time) pairs consecutive events — ONE window "
+        "pass sharing its user_id exchange, then a 25-cell hash agg; "
+        "row-normalized probabilities say where users go next from "
+        "each state (event_id tiebreak makes tied timestamps total)"
+    ),
+)
+def event_transition_matrix(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    t = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = t.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return t.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("row_n"), 6).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day active users (exact sliding distinct)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rolling_7d_active_users",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud)
+    SELECT d.day,
+           COUNT(DISTINCT u.user_id) AS active_7d
+    FROM days d JOIN ud u
+      ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day
+    """,
+    doc=(
+        "Exact trailing-7-day active users: events reduce to the "
+        "user-day grain FIRST (the big cardinality drop), then each "
+        "calendar day joins its 7-day window of user-days and counts "
+        "distinct — the x7 amplification happens on the small deduped "
+        "grain, never the raw events, and sliding count-distinct "
+        "(which no window frame supports) becomes a plain join+agg; "
+        "the HLL sketch variant (operators/sketches.py) is the "
+        "approximate fallback when even user-day is too big"
+    ),
+)
+def rolling_7d_active_users(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    ud = events.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    days = ud.select("day").distinct()
+    j = days.alias("d").join(
+        ud.alias("u"),
+        (F.col("u.day") >= F.expr("d.day - INTERVAL 6 DAYS"))
+        & (F.col("u.day") <= F.col("d.day")),
+    )
+    return (
+        j.groupBy(F.col("d.day").alias("day"))
+        .agg(F.count_distinct(F.col("u.user_id")).alias("active_7d"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition (trend + day-of-week seasonality + residual)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "seasonal_decompose_daily",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             round(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE)
+                   / COUNT(*), 6) AS v
+      FROM events GROUP BY 1
+    ),
+    tr AS (
+      SELECT day, v,
+             round(CAST(SUM(CAST(v AS DECIMAL(38,10))) OVER (
+                     ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                   ) AS DOUBLE)
+                   / COUNT(*) OVER (
+                     ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                   ), 6) AS trend
+      FROM daily
+    ),
+    season AS (
+      SELECT dayofweek(day) AS dow,
+             round(CAST(SUM(CAST(v - trend AS DECIMAL(38,10)))
+                        AS DOUBLE) / COUNT(*), 6) AS seasonal
+      FROM tr GROUP BY 1
+    )
+    SELECT tr.day, tr.v, tr.trend, s.seasonal,
+           round(tr.v - tr.trend - s.seasonal, 6) AS residual
+    FROM tr JOIN season s ON dayofweek(tr.day) = s.dow
+    """,
+    doc=(
+        "Additive seasonal decomposition of the daily series: trend = "
+        "centered 7-day moving average (DECIMAL window sums), "
+        "seasonality = mean detrended value per day-of-week (a 7-row "
+        "broadcast frame), residual = the rest — the classical-"
+        "decomposition recipe as three cheap passes; the calendar-"
+        "bounded window partitions make the global window safe at any "
+        "fact size"
+    ),
+)
+def seasonal_decompose_daily(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.round(_dsum(F.col("value"), DEC10) / F.count(F.lit(1)), 6).alias(
+            "v"
+        )
+    )
+    wt = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "v",
+        F.round(
+            F.sum(F.col("v").cast("decimal(38,10)")).over(wt).cast("double")
+            / F.count(F.lit(1)).over(wt),
+            6,
+        ).alias("trend"),
+    )
+    season = tr.groupBy(F.dayofweek("day").alias("dow")).agg(
+        F.round(
+            F.sum((F.col("v") - F.col("trend")).cast("decimal(38,10)"))
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("seasonal")
+    )
+    return (
+        tr.join(
+            F.broadcast(season), F.dayofweek(tr["day"]) == season["dow"]
+        )
+        .select(
+            "day",
+            "v",
+            "trend",
+            "seasonal",
+            F.round(
+                F.col("v") - F.col("trend") - F.col("seasonal"), 6
+            ).alias("residual"),
+        )
+    )
