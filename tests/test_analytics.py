@@ -417,3 +417,50 @@ class TestTableDiff:
         }
         assert summary["changed"] == (2, "2,3")
         assert summary["added"] == (1, "5")
+
+
+class TestDynamicPartitionBackfill:
+    def test_untouched_partitions_keep_exact_files(self, spark, tmp_path):
+        import os
+
+        from metar_pipeline_spark.sources.backfill import (
+            overwrite_affected_partitions,
+        )
+
+        store = str(tmp_path / "store")
+        full = spark.createDataFrame(
+            [(d, i, float(i)) for d in ("a", "b", "c") for i in range(3)],
+            "part string, k int, v double",
+        )
+        full.write.partitionBy("part").parquet(store)
+
+        def files(p):
+            out = {}
+            for d in os.listdir(p):
+                if d.startswith("part="):
+                    sub = os.path.join(p, d)
+                    out[d] = {
+                        f: os.path.getmtime(os.path.join(sub, f))
+                        for f in os.listdir(sub)
+                        if f.endswith(".parquet")
+                    }
+            return out
+
+        before = files(store)
+        repaired = spark.createDataFrame(
+            [("b", 99, 99.0)], "part string, k int, v double"
+        )
+        overwrite_affected_partitions(spark, repaired, store, "part")
+        after = files(store)
+        # a and c byte-identical (same files, same mtimes); b replaced
+        assert after["part=a"] == before["part=a"]
+        assert after["part=c"] == before["part=c"]
+        assert after["part=b"] != before["part=b"]
+        back = spark.read.parquet(store)
+        assert back.filter("part = 'b'").count() == 1
+        assert back.count() == 7
+        # the conf is restored to its previous value
+        assert (
+            spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+            != "dynamic"
+        )

@@ -9,14 +9,33 @@ from __future__ import annotations
 import metar_pipeline_spark.queries as q
 
 
-def test_never_green_queries_fit_in_window():
+def test_window_is_saturated_with_pending_queries():
+    """The gate verifies the FIRST 50 registry entries. Invariant: no
+    window slot may be wasted — while pending (never-green) queries
+    exist beyond the window, every window slot must hold a pending or
+    manually-boosted query, and the overflow must stay small enough to
+    clear in one following round (the registry grows ~15-20/round
+    against a 50/round gate)."""
     names = list(q.all_queries())
     green = q._driver_green()
     never = [n for n in names if n not in green]
-    assert len(never) <= 50, "never-green set no longer fits the gate window"
-    left_out = [n for n in never if n not in names[:50]]
-    assert not left_out, (
-        f"never-green query rotated OUT of the first-50 window: {left_out}"
+    window = names[:50]
+    left_out = [n for n in never if n not in window]
+    if left_out:
+        # oversubscribed: every slot must then be spent on pending work
+        wasted = [
+            n for n in window if n in green and n not in q.VERIFY_FIRST
+        ]
+        # hash-drifted green queries are legitimate re-verification work
+        manifest = q._green_hashes()
+        specs = q.all_queries()
+        wasted = [
+            n for n in wasted if manifest.get(n) == q._query_hash(specs[n])
+        ]
+        assert not wasted, f"window slot wasted on stable-green: {wasted}"
+    assert len(left_out) <= 25, (
+        f"{len(left_out)} pending queries overflow the window — more than "
+        f"one round of backlog: {left_out}"
     )
 
 
