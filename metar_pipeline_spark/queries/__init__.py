@@ -155,6 +155,7 @@ def all_queries() -> dict[str, QuerySpec]:
         core,
         curation_q,
         extended,
+        geo_q,
         multimodal_q,
         pipeline_q,
         scale_q,

@@ -464,3 +464,51 @@ class TestDynamicPartitionBackfill:
             spark.conf.get("spark.sql.sources.partitionOverwriteMode")
             != "dynamic"
         )
+
+
+class TestGeo:
+    def test_haversine_known_distance(self, spark):
+        from metar_pipeline_spark.operators.geo import haversine_km
+
+        # Paris (48.8566, 2.3522) to London (51.5074, -0.1278) ≈ 334 km
+        df = spark.createDataFrame(
+            [(48.8566, 2.3522, 51.5074, -0.1278)],
+            "lat1 double, lon1 double, lat2 double, lon2 double",
+        )
+        d = df.select(
+            haversine_km(
+                F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")
+            ).alias("d")
+        ).collect()[0]["d"]
+        assert 330 < d < 345
+        # zero distance to itself
+        z = df.select(
+            haversine_km(
+                F.col("lat1"), F.col("lon1"), F.col("lat1"), F.col("lon1")
+            ).alias("d")
+        ).collect()[0]["d"]
+        assert z == 0.0
+
+    def test_grid_nearest_agrees_with_bruteforce_when_found(self, spark):
+        """Grid blocking is radius-bounded: wherever it returns a
+        station, that station must be the TRUE nearest whenever the
+        true nearest lies within the 3x3 neighborhood — at this
+        density (sf0.001 customers) every probe's true nearest is
+        in-neighborhood, so the two agree exactly."""
+        from metar_pipeline_spark.queries.geo_q import (
+            geo_grid_nearest_station,
+            geo_nearest_station_bruteforce,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        brute = {
+            r["probe_id"]: (r["station_id"], r["dist_km"])
+            for r in geo_nearest_station_bruteforce(spark, sf).collect()
+        }
+        grid = {
+            r["probe_id"]: (r["station_id"], r["dist_km"])
+            for r in geo_grid_nearest_station(spark, sf).collect()
+        }
+        for pid, (sid, dist) in grid.items():
+            assert brute[pid] == (sid, dist)
+        assert len(grid) >= 3  # most probes find a neighbor in 3x3
