@@ -67,6 +67,10 @@ def pagerank(
     # Scalar node count: an aggregated single number (same class as the
     # incremental watermark reads) — not a data collect.
     n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            F.col("node"), F.lit(None).cast("double").alias("rank")
+        )
     outdeg = (
         edges.groupBy("src")
         .agg(F.count(F.lit(1)).alias("deg"))
