@@ -708,3 +708,68 @@ def stream_mv_merge_rollup(spark, sf_dir):
         "n_events",
         F.round(F.col("sum_value").cast("double"), 2).alias("sum_value"),
     )
+
+
+@register(
+    "stream_static_enrichment",
+    """
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           COUNT(*) AS n_events,
+           round(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Stream-static enrichment — the most common production "
+        "streaming join: the event stream joins the static customer "
+        "dim executor-side (the dim is read fresh per micro-batch, "
+        "broadcast under AQE; NO join state is kept, unlike "
+        "stream-stream), then a watermark-free running aggregate in "
+        "complete mode over the bounded availableNow input equals the "
+        "batch join+agg — which is what the oracle asserts"
+    ),
+)
+def stream_static_enrichment(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from metar_pipeline_spark.io import load_table
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    stream, _ts = _event_file_stream(spark, sf_dir)
+    enriched = (
+        stream.join(dim, stream["user_id"] == dim["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(_dsum(F.col("value")), 2).alias("sum_value"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_static_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName("stream_static_enrichment_result")
+            .outputMode("complete")
+            .option(
+                "checkpointLocation", os.path.join(tmp, "_ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        result = spark.table(
+            "stream_static_enrichment_result"
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
