@@ -342,3 +342,53 @@ def train_val_test_split(
             out_dir
         )
     return assigned
+
+
+def length_bucket_padding(
+    docs: DataFrame,
+    id_col: str,
+    len_col,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Padding-efficiency audit for length-bucketed batching.
+
+    Training dataloaders pad every sequence in a batch to the batch
+    max; sorting the corpus into ``n_buckets`` length quantiles first
+    (the standard "sorted batching" / bucketing trick) bounds the
+    waste to the within-bucket spread. This measures it: per bucket,
+    doc count, min/max/total tokens, and padding_frac — the fraction
+    of a max-padded bucket that would be pad tokens.
+
+    Scale shape: ntile needs a total order over n_tokens — a single
+    global sort, which is exactly one range-partitioned exchange
+    (rangepartitioning survives 100 TB; it is what ORDER BY costs).
+    The per-bucket aggregate then combines map-side. For a truly
+    sort-free variant at extreme scale, bucket on approx quantile
+    boundaries (percentile_approx) and broadcast them instead.
+    """
+    w = Window.orderBy(F.col("_len"), F.col(id_col))
+    t = docs.select(
+        F.col(id_col), len_col.cast("bigint").alias("_len")
+    ).withColumn("bucket", F.ntile(n_buckets).over(w))
+    return (
+        t.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("_len").alias("min_tokens"),
+            F.max("_len").alias("max_tokens"),
+            F.sum("_len").alias("sum_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "min_tokens",
+            "max_tokens",
+            "sum_tokens",
+            F.round(
+                F.lit(1.0)
+                - F.col("sum_tokens")
+                / (F.col("max_tokens") * F.col("n_docs")).cast("double"),
+                6,
+            ).alias("padding_frac"),
+        )
+    )

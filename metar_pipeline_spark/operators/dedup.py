@@ -484,3 +484,100 @@ def incremental_dedup_verdicts(
             F.col("matched_id").isNotNull().alias("is_duplicate"),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): per document, the set of selected shingle hashes that
+    GUARANTEES any exact shared token run of length >= window +
+    shingle_k - 1 produces at least one shared fingerprint.
+
+    Selection: hash every ``shingle_k``-token shingle (portable
+    textops.hash32), slide a ``window``-wide window over the hash
+    sequence, keep the minimum of each window, dedupe. Expected density
+    is 2/(window+1) of positions — the bandwidth knob for 100 TB: the
+    downstream self-join shuffles (hash, id) pairs only, never text,
+    and raising ``window`` thins the fingerprint stream linearly while
+    keeping the detection guarantee for proportionally longer runs.
+
+    This is the scale-correct form of "docs sharing an exact substring"
+    (exact-substring dedup a la Lee et al. 2022 "Deduplicating Training
+    Data Makes Language Models Better"): emitting ALL positions is
+    O(tokens) rows/doc; winnowing keeps the guarantee at a fraction of
+    the volume. Returns (id, fps: array<bigint>).
+    """
+    from metar_pipeline_spark.operators.textops import hash32
+
+    toks = tokens(F.col(text_col))
+    sh = word_shingles(toks, shingle_k)
+    h = F.transform(sh, lambda s: hash32(s))
+    n_wins = F.size(h) - F.lit(window - 1)
+    # sequence(1, stop) DESCENDS when stop < 1 — guard explicitly.
+    fps = F.when(
+        n_wins >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_wins),
+                lambda i: F.array_min(F.slice(h, i, window)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return df.select(F.col(id_col).alias("id"), fps.alias("fps"))
+
+
+def winnow_span_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 8,
+    window: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Document pairs sharing at least one winnowing fingerprint, i.e.
+    candidates for exact-substring duplication (shared runs of
+    >= window + shingle_k - 1 tokens).
+
+    Shape: explode fingerprints -> self-equi-join on the 32-bit hash ->
+    per-pair distinct-fingerprint count. The join is bucket-occupancy
+    bounded exactly like LSH (lsh_candidate_pairs:233); boilerplate
+    hashes (licence headers, templates) are the skew risk at corpus
+    scale — ``max_bucket`` drops any fingerprint held by more than that
+    many docs before the self-join (the standard stop-list move; None
+    keeps exact semantics for the oracle). Returns
+    (id_a, id_b, n_shared_fps).
+    """
+    fp_rows = (
+        winnow_fingerprints(
+            df, id_col, text_col, shingle_k=shingle_k, window=window
+        )
+        .select("id", F.explode("fps").alias("fp"))
+        .cache()
+    )
+    if max_bucket is not None:
+        w_ok = (
+            fp_rows.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("fp")
+        )
+        fp_rows = fp_rows.join(F.broadcast(w_ok), "fp")
+    a, b = fp_rows.alias("a"), fp_rows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.count_distinct(F.col("a.fp")).alias("n_shared_fps"))
+    )

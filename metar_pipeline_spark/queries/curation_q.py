@@ -407,3 +407,35 @@ def train_val_test_manifest(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@register(
+    "length_bucket_padding_stats",
+    f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ), b AS (
+      SELECT doc_id, n_tokens,
+             NTILE(8) OVER (ORDER BY n_tokens, doc_id) AS bucket
+      FROM t
+    )
+    SELECT bucket,
+           COUNT(*) AS n_docs,
+           MIN(n_tokens) AS min_tokens,
+           MAX(n_tokens) AS max_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           round(1.0 - SUM(n_tokens) / CAST(MAX(n_tokens) * COUNT(*) AS DOUBLE), 6)
+             AS padding_frac
+    FROM b GROUP BY bucket
+    """,
+    doc="Sorted-batching audit: 8 length quantiles with per-bucket "
+    "padding waste under pad-to-batch-max",
+)
+def length_bucket_padding_stats(spark, sf_dir):
+    from metar_pipeline_spark.operators import textops as tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cu.length_bucket_padding(
+        docs, "doc_id", F.size(tx.tokens(F.col("text"))), n_buckets=8
+    )

@@ -1391,3 +1391,44 @@ def ann_ivfpq_store_probe(spark, sf_dir):
     finally:
         shutil.rmtree(out, ignore_errors=True)
     return result
+
+
+@register(
+    "dedup_winnow_span_pairs",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    h AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(toks) - 7),
+               i -> ('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 8))::BIGINT
+             ) AS h
+      FROM t
+    ),
+    fp AS (
+      SELECT doc_id,
+             CASE WHEN len(h) >= 4
+                  THEN list_distinct(list_transform(
+                         generate_series(1, len(h) - 3),
+                         i -> list_min(h[i:i+3])))
+                  ELSE []::BIGINT[] END AS fps
+      FROM h
+    ),
+    e AS (SELECT doc_id, UNNEST(fps) AS fp FROM fp)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           COUNT(DISTINCT a.fp) AS n_shared_fps
+    FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+    doc="Exact-substring dup candidates via MOSS winnowing: shared "
+    "8-gram runs >= 11 tokens guaranteed to collide on a fingerprint",
+)
+def dedup_winnow_span_pairs(spark, sf_dir):
+    # Winnowing (MOSS) — the scale form of exact-substring dedup: the
+    # self-join shuffles selected 32-bit hashes (expected density
+    # 2/(w+1) of positions), never text. max_bucket=None here for exact
+    # oracle parity; at corpus scale pass a stop-list cap (see
+    # operators/dedup.winnow_span_pairs docstring).
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.winnow_span_pairs(
+        docs, "doc_id", "text", shingle_k=8, window=4
+    )

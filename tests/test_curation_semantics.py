@@ -171,3 +171,70 @@ class TestTrainValTestSplit:
         }
         for r in a1.select("doc_id", "split").collect():
             assert a2[r["doc_id"]] == r["split"]
+
+
+def test_winnow_guarantee_detects_planted_long_run(spark):
+    """MOSS guarantee: two docs sharing an exact run of
+    window + shingle_k - 1 = 11 tokens MUST share >= 1 fingerprint;
+    disjoint-vocabulary docs must share none."""
+    from metar_pipeline_spark.operators import dedup as dd
+
+    shared = " ".join(f"tok{i}" for i in range(11))  # 11-token run
+    rows = [
+        (1, "alpha beta gamma " + shared + " delta epsilon"),
+        (2, shared + " zeta eta theta iota kappa"),
+        (3, " ".join(f"other{i}" for i in range(30))),  # disjoint
+        (4, "short doc"),  # < shingle_k tokens -> no fingerprints
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared_fps"]
+        for r in dd.winnow_span_pairs(
+            df, "doc_id", "text", shingle_k=8, window=4
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert all(k == (1, 2) for k in pairs)
+    fps = {
+        r["id"]: r["fps"]
+        for r in dd.winnow_fingerprints(
+            df, "doc_id", "text", shingle_k=8, window=4
+        ).collect()
+    }
+    assert fps[4] == []  # sub-shingle doc yields empty, not null/error
+
+
+def test_winnow_max_bucket_drops_boilerplate_hashes(spark):
+    """A fingerprint shared by more docs than max_bucket is stop-listed
+    out of the candidate join (the corpus-scale skew guard)."""
+    from metar_pipeline_spark.operators import dedup as dd
+
+    boiler = " ".join(f"lic{i}" for i in range(20))
+    rows = [(i, boiler) for i in range(1, 6)]  # 5 identical docs
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    full = dd.winnow_span_pairs(df, "doc_id", "text").count()
+    capped = dd.winnow_span_pairs(
+        df, "doc_id", "text", max_bucket=3
+    ).count()
+    assert full == 10  # all C(5,2) pairs collide
+    assert capped == 0  # every fingerprint occupancy is 5 > 3
+
+
+def test_length_bucket_padding_conservation(spark):
+    """Buckets partition the corpus: doc and token totals are conserved,
+    padding_frac is within [0, 1), and bucket max is non-decreasing."""
+    docs = load_table(spark, SF_DIR, "documents")
+    out = (
+        cu.length_bucket_padding(
+            docs, "doc_id", F.size(tx.tokens(F.col("text"))), n_buckets=8
+        )
+        .orderBy("bucket")
+        .collect()
+    )
+    assert [r["bucket"] for r in out] == list(range(1, 9))
+    assert sum(r["n_docs"] for r in out) == docs.count()
+    maxes = [r["max_tokens"] for r in out]
+    assert maxes == sorted(maxes)
+    for r in out:
+        assert 0.0 <= r["padding_frac"] < 1.0
+        assert r["min_tokens"] <= r["max_tokens"]
