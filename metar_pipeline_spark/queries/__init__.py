@@ -53,16 +53,20 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # the auto-boost catches direct query/oracle edits and one-hop operator
 # module edits, but not deeper transitive changes).
 VERIFY_FIRST: list[str] = [
-    # Round 5: empty — every pending query already rotates in on its
-    # own: the 46 never-driver-verified queries (r4+r5 additions, plus
-    # r4's q12-oracle and quantile/incremental-dedup fixes whose only
-    # verdicts are stale reds) are group 1, and r4's two edited-while-
-    # green queries (stream_daily_rollup_append,
-    # events_last_hour_range_frame) auto-boost via hash drift
-    # (group 2). 46 + 2 = 48 of the 50 slots — verified by the
-    # simulation in tests/test_rotation.py. Use this list only when a
-    # change is too indirect for the one-hop hash (e.g. an io.py or
-    # session.py edit that shifts query semantics).
+    # Round-4 gate priorities (VERDICT r3 "Next round" items):
+    #  - the one stale-red row, its oracle HUGEINT cast now fixed;
+    #  - the two judge-listed never-verified queries that registration
+    #    order would otherwise push past the 50-slot window;
+    #  - the IVF+int8 composed store probe (VERDICT item 5) and the two
+    #    ADVICE-fixed dedup queries, which sat at the window cutoff.
+    "tpch_q12_priority_shipping",
+    "embedding_quantize_int8",
+    "anomaly_daily_event_spikes",
+    "ann_ivf_quantized_probe",
+    "dedup_incremental_batch",
+    "dedup_canonical_keep",
+    "scripted_incremental_rollup",
+    "parameterized_sql_topn",
 ]
 
 
