@@ -486,6 +486,13 @@ def incremental_dedup_verdicts(
     )
 
 
+# Winnowing polynomial-hash constants, shared verbatim with the DuckDB
+# oracle: shingle hash = sum_j tokh[j]*BASE^j mod MOD, mod applied per
+# step so every intermediate fits int64 on both engines.
+WINNOW_MOD = 2147483647  # 2^31 - 1
+WINNOW_BASE = 1000003
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str,
@@ -499,9 +506,11 @@ def winnow_fingerprints(
     GUARANTEES any exact shared token run of length >= window +
     shingle_k - 1 produces at least one shared fingerprint.
 
-    Selection: hash every ``shingle_k``-token shingle (portable
-    textops.hash32), slide a ``window``-wide window over the hash
-    sequence, keep the minimum of each window, dedupe. Expected density
+    Selection: hash every ``shingle_k``-token shingle with a rolling
+    polynomial over per-token hashes (Σ_j tokh[i+j]·B^j mod 2³¹−1 —
+    one portable textops.hash32 digest per token, int math for the
+    rest), slide a ``window``-wide window over the hash sequence, keep
+    the minimum of each window, dedupe. Expected density
     is 2/(window+1) of positions — the bandwidth knob for 100 TB: the
     downstream self-join shuffles (hash, id) pairs only, never text,
     and raising ``window`` thins the fingerprint stream linearly while
@@ -515,21 +524,65 @@ def winnow_fingerprints(
     """
     from metar_pipeline_spark.operators.textops import hash32
 
-    toks = tokens(F.col(text_col))
-    sh = word_shingles(toks, shingle_k)
-    h = F.transform(sh, lambda s: hash32(s))
-    n_wins = F.size(h) - F.lit(window - 1)
-    # sequence(1, stop) DESCENDS when stop < 1 — guard explicitly.
-    fps = F.when(
-        n_wins >= 1,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n_wins),
-                lambda i: F.array_min(F.slice(h, i, window)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    return df.select(F.col(id_col).alias("id"), fps.alias("fps"))
+    # Shingle hashes as a POLYNOMIAL over per-token hashes (the actual
+    # MOSS formulation): one md5 per TOKEN, then shingle_hash =
+    # Σ_j tokh[i+j]·B^j mod M — pure int64 zip_with math. The naive
+    # alternative (md5 over each materialized k-token shingle STRING)
+    # costs k× the digests plus k string concats per position: measured
+    # 4.5 s → ~1 s for the fingerprint pass at sf0.1. Every step mods
+    # by M = 2³¹−1 so intermediates stay under int64 on both engines.
+    #
+    # Evaluation-order trap (costs O(len²) if ignored): higher-order
+    # functions are interpreted with no common-subexpression
+    # elimination, so the hash array must be staged as a BOUND column
+    # before any sliding-window form references it repeatedly — an
+    # inline transform(sequence(1, n), i -> array_min(slice(h, i, w)))
+    # re-computed every digest once per window position (measured
+    # 270 s at sf0.1). Same pitfall and fix as textops.word_shingles.
+    M, B = WINNOW_MOD, WINNOW_BASE
+    # Stage 1: per-token hashes, bound as a real column (referenced
+    # shingle_k times below — inline it and the digests replay per
+    # reference; CollapseProject keeps non-cheap multi-referenced
+    # aliases staged, so this stays a separate projection).
+    tok_staged = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            tokens(F.col(text_col)), lambda t: hash32(t) % M
+        ).alias("_th"),
+    )
+    tokh = F.col("_th")
+
+    def _poly_step(cj: int):
+        return lambda a, b: (a + b * F.lit(cj)) % M
+
+    sh_h = tokh
+    for j in range(1, shingle_k):
+        shifted = F.slice(
+            tokh, j + 1, F.greatest(F.size(tokh) - j, F.lit(0))
+        )
+        sh_h = F.zip_with(sh_h, shifted, _poly_step(pow(B, j, M)))
+    staged = tok_staged.select(
+        "id",
+        F.filter(sh_h, lambda x: x.isNotNull()).alias("_h"),
+    )
+    # Rolling min as a zip_with chain over the bound column: O(window)
+    # references to _h per row, one pass per shift. zip_with pads the
+    # shorter (shifted) side with NULL; propagating NULL through the
+    # pairwise min marks trailing partial windows, dropped by the
+    # final filter (least() alone would SKIP nulls and emit partials).
+    h = F.col("_h")
+    out = h
+    for j in range(1, window):
+        shifted = F.slice(h, j + 1, F.greatest(F.size(h) - j, F.lit(0)))
+        out = F.zip_with(
+            out,
+            shifted,
+            lambda a, b: F.when(
+                a.isNull() | b.isNull(), F.lit(None)
+            ).otherwise(F.least(a, b)),
+        )
+    fps = F.array_distinct(F.filter(out, lambda x: x.isNotNull()))
+    return staged.select("id", fps.alias("fps"))
 
 
 def winnow_span_pairs(
@@ -554,12 +607,21 @@ def winnow_span_pairs(
     keeps exact semantics for the oracle). Returns
     (id_a, id_b, n_shared_fps).
     """
+    # Materialize the per-doc fingerprint table (1 row/doc, ~2/(w+1)
+    # selected hashes each) BEFORE the explode. Two reasons, both
+    # measured at sf0.1: (a) InferFiltersFromGenerate synthesizes
+    # size(fps) > 0 from the explode and pushes it through the staged
+    # projections, inlining the whole hash chain into one filter
+    # expression that replays every digest per reference (~26 s vs
+    # ~4 s); (b) the self-join needs the rows twice, and the
+    # checkpoint is the cheap reuse point (same pattern as
+    # simhash_neardup_pairs:116).
     fp_rows = (
         winnow_fingerprints(
             df, id_col, text_col, shingle_k=shingle_k, window=window
         )
+        .localCheckpoint(eager=True)
         .select("id", F.explode("fps").alias("fp"))
-        .cache()
     )
     if max_bucket is not None:
         w_ok = (

@@ -1397,12 +1397,17 @@ def ann_ivfpq_store_probe(spark, sf_dir):
     "dedup_winnow_span_pairs",
     f"""
     WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    th AS (
+      SELECT doc_id,
+             list_transform(toks,
+               t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % 2147483647) AS th
+      FROM t
+    ),
     h AS (
       SELECT doc_id,
-             list_transform(generate_series(1, len(toks) - 7),
-               i -> ('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 8))::BIGINT
-             ) AS h
-      FROM t
+             list_transform(generate_series(1, len(th) - 7),
+               i -> ((((((((((((((th[i] + th[i+1]*1000003) % 2147483647) + th[i+2]*1426104154) % 2147483647) + th[i+3]*1049561761) % 2147483647) + th[i+4]*1604566856) % 2147483647) + th[i+5]*1953433226) % 2147483647) + th[i+6]*2061642598) % 2147483647) + th[i+7]*57298384) % 2147483647)) AS h
+      FROM th
     ),
     fp AS (
       SELECT doc_id,
