@@ -288,3 +288,24 @@ def test_pq_codebook_joins_broadcast(plans):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_winnow_no_generate_filter_blowup(plans):
+    # InferFiltersFromGenerate once pushed a size(fps)>0 predicate
+    # through the staged projections, inlining the whole hash chain
+    # into one filter that replayed every md5 per reference (26 s vs
+    # 4 s at sf0.1). The localCheckpoint before the explode cuts
+    # lineage, so the executed plan must carry (almost) no digest
+    # expressions — a couple on the checkpointed side at most, never
+    # the ~200 of the inlined form.
+    p = plans("dedup_winnow_span_pairs")
+    assert p.count("md5") <= 4, p.count("md5")
+    assert "CartesianProduct" not in p
+
+
+def test_length_bucket_padding_single_sort(plans):
+    # ntile needs one global range exchange; the bucket agg combines
+    # map-side — nothing else may shuffle
+    p = plans("length_bucket_padding_stats")
+    assert _nodes(p, "Exchange") <= 3
+    assert "CartesianProduct" not in p
