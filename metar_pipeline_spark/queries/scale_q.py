@@ -773,3 +773,95 @@ def stream_static_enrichment(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+@register(
+    "stream_trending_topk",
+    """
+    WITH mx AS (SELECT MAX(ts) AS mts FROM events),
+    sealed AS (
+      SELECT time_bucket(INTERVAL 6 HOUR, ts) AS win_start,
+             event_type,
+             COUNT(*) AS n_events
+      FROM events, mx
+      WHERE time_bucket(INTERVAL 6 HOUR, ts) + INTERVAL 6 HOUR <= mx.mts
+      GROUP BY 1, 2
+    )
+    SELECT win_start, event_type, CAST(n_events AS BIGINT) AS n_events,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY win_start ORDER BY n_events DESC, event_type
+      ) AS rnk
+      FROM sealed
+    ) WHERE rnk <= 3
+    """,
+    doc=(
+        "Streaming trending top-k: watermarked 6h tumbling windows in "
+        "APPEND mode (state evicted as each window seals), then a batch "
+        "rank over the sealed aggregates — counts stream, ranking reads "
+        "the (tiny) per-window rollup, never the events"
+    ),
+)
+def stream_trending_topk(spark, sf_dir):
+    """Windowed heavy-hitters over the stream: per sealed 6-hour
+    window, the 3 most frequent event types.
+
+    Two-tier shape (the only one that scales): tier 1 is the streaming
+    windowed COUNT — state bounded by open windows × types, emitted
+    once on seal; tier 2 ranks the sealed aggregate table, whose size
+    is windows × types, independent of stream volume. Ranking inside
+    the stream would need complete-mode state over everything;
+    ranking the rollup is a window function over a dimension-sized
+    frame. Cites the reference's 30-min cadence contract
+    (infra/airflow/dags/metar_pipeline_dag.py:18) — same
+    micro-batch-then-serve split, applied to trending."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    stream, ts = _event_file_stream(spark, sf_dir)
+    agg = (
+        stream.select(ts.alias("ets"), "event_type")
+        .withWatermark("ets", "0 seconds")
+        .groupBy(F.window("ets", "6 hours").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    out_dir = tempfile.mkdtemp(prefix="stream_trending_")
+    ckpt = os.path.join(out_dir, "_ckpt")
+    data = os.path.join(out_dir, "data")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", data)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        sealed = (
+            spark.read.schema(agg.schema)
+            .parquet(data)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(out_dir, ignore_errors=True)
+    w = Window.partitionBy("win_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        sealed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("win_start", "event_type", "n_events", "rnk")
+    )

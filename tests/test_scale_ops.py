@@ -947,3 +947,46 @@ def test_ivfpq_store_partition_pruning_and_recall(spark, tmp_path):
     }
     got = {(r["query_id"], r["id"]) for r in rows}
     assert len(got & truth) / len(truth) >= 0.05
+
+
+def test_dynamic_partition_pruning_on_day_partitioned_fact(spark, tmp_path):
+    """Runtime (dynamic) partition pruning: a fact table partitioned by
+    day, joined to a dim filtered AT RUNTIME, must scan only the
+    matching day partitions — the subquery-driven pruning a 100 TB
+    date-partitioned lake lives on (static PartitionFilters only cover
+    literal predicates)."""
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.io import load_table
+
+    events = load_table(spark, SF_SMOKE, "events")
+    fact = str(tmp_path / "fact_by_day")
+    events.withColumn("day", F.col("ts").cast("date")).write.partitionBy(
+        "day"
+    ).parquet(fact)
+    f = spark.read.parquet(fact)
+    dim = (
+        f.select("day").distinct().orderBy("day").limit(2)
+        .withColumn("tag", F.lit("keep"))
+        .localCheckpoint(eager=True)  # runtime-only content: DPP, not
+    )  # static pruning, must kick in
+    # DPP's planner heuristic requires a selective predicate on the dim
+    # side (PartitionPruning.hasSelectivePredicate) — a bare table scan
+    # is assumed unselective and gets no pruning subquery.
+    joined = (
+        f.join(dim.filter(F.col("tag") == "keep"), "day")
+        .groupBy("day")
+        .agg(F.count("*").alias("n"))
+    )
+    from tests.test_plans import plan_str
+
+    p = plan_str(joined)
+    assert "dynamicpruning" in p.lower(), p[:2000]
+    got = {r["day"]: r["n"] for r in joined.collect()}
+    days = [r["day"] for r in dim.select("day").collect()]
+    exact = {
+        r["day"]: r["n"]
+        for r in f.filter(F.col("day").isin(days))
+        .groupBy("day").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == exact and len(got) == 2
