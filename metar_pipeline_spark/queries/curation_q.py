@@ -439,3 +439,212 @@ def length_bucket_padding_stats(spark, sf_dir):
     return cu.length_bucket_padding(
         docs, "doc_id", F.size(tx.tokens(F.col("text"))), n_buckets=8
     )
+
+
+@register(
+    "corpus_curation_funnel",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lang, text, toks,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             md5(text) AS k,
+             (doc_id % {_EVAL_MOD} <> 0) AS is_corpus,
+             round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                   / greatest(length(text), 1), 6) AS alpha_ratio,
+             round(length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g'))
+                   / greatest(length(text), 1), 6) AS punct_ratio,
+             round(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','that','for','with')))
+                   / greatest(len(toks), 1), 6) AS stopword_ratio
+      FROM (SELECT doc_id, lang, text, {_DUCK_TOKS} AS toks FROM documents)
+    ), flags AS (
+      SELECT doc_id, lang, n_tokens, is_corpus,
+             (min(CASE WHEN is_corpus THEN doc_id END)
+                OVER (PARTITION BY k) = doc_id) AS canon,
+             (CAST(len(toks) AS INTEGER) BETWEEN 20 AND 100000
+              AND round(CASE WHEN len(toks) = 0 THEN 0
+                    ELSE list_reduce(list_transform(toks, t -> length(t)),
+                                     (x, y) -> x + y) END
+                    / greatest(len(toks), 1), 6) BETWEEN 2 AND 10
+              AND round(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+                    / greatest(len(toks), 1), 6) >= 0.8
+              AND round(len(list_filter(toks, t -> t IN ('#', '...', '…')))
+                    / greatest(len(toks), 1), 6) < 0.1) AS gopher_ok,
+             round(0.4 * CAST(least(n_tokens / 100.0, 1.0) AS DECIMAL(18,6))
+                   + 0.3 * CAST(alpha_ratio AS DECIMAL(18,6))
+                   + 0.2 * CAST(stopword_ratio AS DECIMAL(18,6))
+                   + 0.1 * CAST(1 - least(punct_ratio * 10, 1.0) AS DECIMAL(18,6)),
+                   6)::DOUBLE AS q
+      FROM base
+    ), eval_grams AS (
+      SELECT DISTINCT md5(g) AS g FROM (
+        SELECT unnest(list_distinct(list_transform(
+                 generate_series(1, len(toks) - 4),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                      || toks[i+3] || ' ' || toks[i+4]))) AS g
+        FROM base WHERE NOT is_corpus
+      )
+    ), cont AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, md5(g) AS g FROM (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(1, len(toks) - 4),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                        || toks[i+3] || ' ' || toks[i+4]))) AS g
+          FROM base WHERE is_corpus
+        )
+      ) JOIN eval_grams USING (g)
+    ), f2 AS (
+      SELECT f.*, (c.doc_id IS NOT NULL) AS contaminated
+      FROM flags f LEFT JOIN cont c USING (doc_id)
+    ), s4 AS (
+      SELECT * FROM f2
+      WHERE is_corpus AND canon AND gopher_ok AND NOT contaminated
+    ), thr AS (
+      SELECT lang, round(quantile_cont(q, 0.6), 6) AS t
+      FROM s4 GROUP BY lang
+    ), s5 AS (
+      SELECT s4.* FROM s4 JOIN thr USING (lang) WHERE q >= t
+    ), rawn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS rn FROM f2)
+    SELECT stage_idx, stage,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(coalesce(n_toks, 0) AS BIGINT) AS n_tokens,
+           round(n_docs / rn, 6) AS pct_of_raw
+    FROM (
+      SELECT 0 AS stage_idx, 'raw' AS stage,
+             COUNT(*) AS n_docs, SUM(n_tokens) AS n_toks FROM f2
+      UNION ALL
+      SELECT 1, 'holdout_split', COUNT(*), SUM(n_tokens)
+      FROM f2 WHERE is_corpus
+      UNION ALL
+      SELECT 2, 'exact_dedup', COUNT(*), SUM(n_tokens)
+      FROM f2 WHERE is_corpus AND canon
+      UNION ALL
+      SELECT 3, 'gopher_filter', COUNT(*), SUM(n_tokens)
+      FROM f2 WHERE is_corpus AND canon AND gopher_ok
+      UNION ALL
+      SELECT 4, 'decontaminated', COUNT(*), SUM(n_tokens) FROM s4
+      UNION ALL
+      SELECT 5, 'quality_top', COUNT(*), SUM(n_tokens) FROM s5
+    ), rawn
+    """,
+    doc=(
+        "End-to-end corpus-curation funnel: holdout split -> exact "
+        "dedup -> Gopher filter -> decontamination -> per-language "
+        "quality quantile, with doc/token survivors per stage. "
+        "Stages 0-4 are ONE conditional aggregate over a single "
+        "flagged scan; only the quantile stage needs a second "
+        "(dimension-sized) pass."
+    ),
+)
+def corpus_curation_funnel(spark, sf_dir):
+    """The flagship curation composition: every per-doc verdict
+    (canonical-after-dedup, Gopher pass, decontaminated) is computed as
+    a FLAG on one scan, so the whole five-stage funnel costs one md5
+    window + one gram join + one conditional aggregate — not five
+    passes over the corpus. Only the per-language quality threshold is
+    inherently sequential (it is defined over stage-4 survivors) and it
+    aggregates a dimension-sized frame.
+    """
+    from pyspark.sql import Window
+
+    from metar_pipeline_spark.operators import textops as tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.md5("text").alias("_k"),
+        (F.col("doc_id") % _EVAL_MOD != 0).alias("is_corpus"),
+        tx.gopher_passes(tx.gopher_signals(F.col("text"))).alias(
+            "gopher_ok"
+        ),
+        tx.quality_score(F.col("text")).alias("q"),
+    )
+    wk = Window.partitionBy("_k")
+    canon = (
+        F.min(F.when(F.col("is_corpus"), F.col("doc_id"))).over(wk)
+        == F.col("doc_id")
+    )
+    cont_ids = (
+        cu.ngram_overlap(
+            docs.filter(F.col("doc_id") % _EVAL_MOD != 0),
+            docs.filter(F.col("doc_id") % _EVAL_MOD == 0),
+            n=5,
+        )
+        .filter(F.col("contaminated"))
+        .select("doc_id", F.lit(True).alias("_cont"))
+    )
+    flagged = (
+        base.withColumn("canon", canon)
+        .drop("text", "_k")
+        .join(cont_ids, "doc_id", "left")
+        .withColumn(
+            "contaminated", F.coalesce(F.col("_cont"), F.lit(False))
+        )
+        .drop("_cont")
+        .cache()  # three consumers: stage agg, threshold agg, stage-5 agg
+    )
+    s4 = (
+        F.col("is_corpus")
+        & F.col("canon")
+        & F.col("gopher_ok")
+        & ~F.col("contaminated")
+    )
+    conds = [
+        ("raw", F.lit(True)),
+        ("holdout_split", F.col("is_corpus")),
+        ("exact_dedup", F.col("is_corpus") & F.col("canon")),
+        (
+            "gopher_filter",
+            F.col("is_corpus") & F.col("canon") & F.col("gopher_ok"),
+        ),
+        ("decontaminated", s4),
+    ]
+    main = flagged.agg(
+        *[
+            x
+            for i, (_, c) in enumerate(conds)
+            for x in (
+                F.count(F.when(c, 1)).alias(f"_c{i}"),
+                F.coalesce(
+                    F.sum(F.when(c, F.col("n_tokens"))), F.lit(0)
+                ).alias(f"_t{i}"),
+            )
+        ]
+    )
+    thr = (
+        flagged.filter(s4)
+        .groupBy("lang")
+        .agg(F.round(F.expr("percentile(q, 0.6)"), 6).alias("_thr"))
+    )
+    s5agg = (
+        flagged.filter(s4)
+        .join(F.broadcast(thr), "lang")
+        .filter(F.col("q") >= F.col("_thr"))
+        .agg(
+            F.count(F.lit(1)).alias("_c5"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("_t5"),
+        )
+    )
+    rows = [
+        F.struct(
+            F.lit(i).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.col(f"_c{i}").cast("bigint").alias("n_docs"),
+            F.col(f"_t{i}").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.col(f"_c{i}").cast("double") / F.col("_c0"), 6
+            ).alias("pct_of_raw"),
+        )
+        for i, name in enumerate(
+            [n for n, _ in conds] + ["quality_top"]
+        )
+    ]
+    return (
+        main.crossJoin(s5agg)
+        .select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.*")
+    )

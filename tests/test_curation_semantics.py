@@ -238,3 +238,26 @@ def test_length_bucket_padding_conservation(spark):
     for r in out:
         assert 0.0 <= r["padding_frac"] < 1.0
         assert r["min_tokens"] <= r["max_tokens"]
+
+
+def test_corpus_curation_funnel_is_monotone(spark):
+    """Each curation stage can only shrink the corpus; stage 0 equals
+    the raw doc count; pct_of_raw is consistent with n_docs."""
+    from metar_pipeline_spark.queries import all_queries
+
+    spec = all_queries()["corpus_curation_funnel"]
+    rows = sorted(
+        spec.spark_fn(spark, SF_DIR).collect(),
+        key=lambda r: r["stage_idx"],
+    )
+    assert [r["stage"] for r in rows] == [
+        "raw", "holdout_split", "exact_dedup", "gopher_filter",
+        "decontaminated", "quality_top",
+    ]
+    docs = load_table(spark, SF_DIR, "documents")
+    assert rows[0]["n_docs"] == docs.count()
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_docs"] <= a["n_docs"]
+        assert b["n_tokens"] <= a["n_tokens"]
+    for r in rows:
+        assert abs(r["pct_of_raw"] - r["n_docs"] / rows[0]["n_docs"]) < 1e-6
