@@ -24,7 +24,7 @@ column hash, never rand(), so retried tasks and both engines agree.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -96,3 +96,56 @@ def salted_join(
         how,
     )
     return out.drop("__salt")
+
+
+def skew_key_report(
+    df: DataFrame, key_col: str, top_n: int = 5
+) -> DataFrame:
+    """Pre-flight skew diagnosis for a join/aggregation key: the top-N
+    heaviest keys with their share, skew ratio (key rows ÷ mean rows
+    per key), and an integer recommended salt factor — the number the
+    salted_agg/salted_join operators above take as ``n_salts``.
+
+    Cost: ONE partial+final count aggregate over the key (the same
+    shuffle the audited operation would pay), then ranking a
+    keys-cardinality table. At 100 TB run it on a sample or reuse the
+    shuffle statistics; the operator exists so the decision to salt is
+    measured, not guessed. recommended_salts is computed in pure
+    integer math (ceil-div) so the verdict is engine-exact.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    stats = counts.agg(
+        F.sum("n_rows").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    w = Window.orderBy(F.desc("n_rows"), F.asc("key"))
+    top = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+    )
+    amplified = F.col("n_rows") * F.col("n_keys")
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("key").cast("string").alias("key"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.round(
+                F.col("n_rows") / F.col("total_rows").cast("double"), 6
+            ).alias("share"),
+            F.round(
+                amplified / F.col("total_rows").cast("double"), 6
+            ).alias("skew_ratio"),
+            # ceil-div: explicit floor() on both engines (a bare
+            # double->int cast truncates in Spark but ROUNDS in
+            # DuckDB)
+            F.floor(
+                (amplified + F.col("total_rows") - 1)
+                / F.col("total_rows")
+            ).cast("bigint").alias("recommended_salts"),
+            F.col("total_rows").cast("bigint").alias("total_rows"),
+            F.col("n_keys").cast("bigint").alias("n_keys"),
+        )
+    )

@@ -865,3 +865,44 @@ def stream_trending_topk(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .select("win_start", "event_type", "n_events", "rnk")
     )
+
+
+@register(
+    "skew_key_report",
+    """
+    WITH c AS (
+      SELECT event_type AS key, COUNT(*) AS n_rows
+      FROM events GROUP BY 1
+    ), s AS (
+      SELECT CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys
+      FROM c
+    ), r AS (
+      SELECT key, n_rows,
+             ROW_NUMBER() OVER (ORDER BY n_rows DESC, key) AS rank
+      FROM c
+    )
+    SELECT CAST(key AS VARCHAR) AS key,
+           CAST(rank AS INTEGER) AS rank,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           round(n_rows / CAST(total_rows AS DOUBLE), 6) AS share,
+           round(n_rows * n_keys / CAST(total_rows AS DOUBLE), 6)
+               AS skew_ratio,
+           CAST(floor((n_rows * n_keys + total_rows - 1)
+                      / CAST(total_rows AS DOUBLE)) AS BIGINT)
+               AS recommended_salts,
+           total_rows, n_keys
+    FROM r, s WHERE rank <= 5
+    """,
+    doc=(
+        "Pre-flight skew diagnosis: top-5 heaviest join/agg keys with "
+        "share, skew ratio, and the integer salt factor salted_agg/"
+        "salted_join should use — salting decided by measurement, not "
+        "guesswork"
+    ),
+)
+def skew_key_report(spark, sf_dir):
+    from metar_pipeline_spark.operators.skew import skew_key_report as rpt
+
+    events = load_table(spark, sf_dir, "events")
+    return rpt(events, "event_type", top_n=5)
