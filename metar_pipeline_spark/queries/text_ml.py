@@ -1437,3 +1437,85 @@ def dedup_winnow_span_pairs(spark, sf_dir):
     return dd.winnow_span_pairs(
         docs, "doc_id", "text", shingle_k=8, window=4
     )
+
+
+@register(
+    "vocab_zipf_fit",
+    f"""
+    WITH w AS (
+      SELECT unnest(toks) AS t
+      FROM (SELECT {_DUCK_TOKS} AS toks FROM documents)
+    ), c AS (
+      SELECT t, COUNT(*) AS f FROM w GROUP BY t
+    ), st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+             CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS hapax_count
+      FROM c
+    ), r AS (
+      SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, t) AS rk FROM c
+    ), p AS (
+      SELECT round(ln(rk), 6) AS x, round(ln(f), 6) AS y
+      FROM r WHERE rk <= 1000
+    ), s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,10))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,10))) AS DOUBLE) AS sxy
+      FROM p
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                 / n, 6) AS intercept,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2,
+           vocab_size, hapax_count
+    FROM s, st
+    """,
+    doc=(
+        "Corpus-health Zipf audit: log-log OLS fit of the top-1000 "
+        "word frequency-vs-rank curve (natural text ~ slope -1; "
+        "boilerplate/synthetic corpora deviate) plus vocabulary size "
+        "and hapax count. Explode -> one count agg -> rank -> the "
+        "six-number DECIMAL power-sum fit from operators/regression.py"
+    ),
+)
+def vocab_zipf_fit(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from metar_pipeline_spark.operators.regression import grouped_ols
+
+    docs = load_table(spark, sf_dir, "documents")
+    freqs = (
+        docs.select(F.explode(tx.tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    stats = freqs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.count(F.when(F.col("f") == 1, 1))
+        .cast("bigint")
+        .alias("hapax_count"),
+    )
+    w = Window.orderBy(F.desc("f"), F.asc("t"))
+    top = (
+        freqs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 1000)
+    )
+    fit = grouped_ols(
+        top,
+        [],
+        F.round(F.log(F.col("rk")), 6),
+        F.round(F.log(F.col("f")), 6),
+    )
+    return fit.crossJoin(F.broadcast(stats)).select(
+        F.col("n").cast("bigint").alias("n"),
+        "slope",
+        "intercept",
+        "r2",
+        "vocab_size",
+        "hapax_count",
+    )

@@ -990,3 +990,26 @@ def test_dynamic_partition_pruning_on_day_partitioned_fact(spark, tmp_path):
         .groupBy("day").agg(F.count("*").alias("n")).collect()
     }
     assert got == exact and len(got) == 2
+
+
+def test_skew_report_matches_salting_contract(spark):
+    """The report's verdicts are internally consistent: shares sum to
+    <=1 over the top-N, ranks are dense from 1, the heaviest key's
+    skew_ratio >= 1, and recommended_salts equals ceil(n_rows * n_keys
+    / total_rows) computed exactly."""
+    import math
+
+    from metar_pipeline_spark.io import load_table
+    from metar_pipeline_spark.operators.skew import skew_key_report
+
+    events = load_table(spark, SF_SMOKE, "events")
+    rows = sorted(
+        skew_key_report(events, "event_type", top_n=5).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert sum(r["share"] for r in rows) <= 1.0 + 1e-6
+    assert rows[0]["skew_ratio"] >= 1.0  # heaviest is at least mean
+    for r in rows:
+        want = math.ceil(r["n_rows"] * r["n_keys"] / r["total_rows"])
+        assert r["recommended_salts"] == want
