@@ -309,3 +309,19 @@ def test_length_bucket_padding_single_sort(plans):
     p = plans("length_bucket_padding_stats")
     assert _nodes(p, "Exchange") <= 3
     assert "CartesianProduct" not in p
+
+
+def test_curation_funnel_bounded_scans(plans):
+    # six funnel stages, but the corpus is NOT scanned once per stage:
+    # stages 0-4 are flags folded by one conditional aggregate, so the
+    # documents file appears in at most 4 lineages (flag pass, the two
+    # gram-join sides, threshold/stage-5 reuse) — a per-stage design
+    # would show 6+
+    p = plans("corpus_curation_funnel")
+    assert 0 < p.count("documents.parquet") <= 4, p.count(
+        "documents.parquet"
+    )
+    # the only joins are the broadcast gram/threshold joins and the
+    # one-row summary combines — never a shuffled sort-merge pass over
+    # the corpus
+    assert "SortMergeJoin" not in p
