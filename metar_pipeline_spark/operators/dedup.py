@@ -643,3 +643,71 @@ def winnow_span_pairs(
         )
         .agg(F.count_distinct(F.col("a.fp")).alias("n_shared_fps"))
     )
+
+
+def winnow_incremental_pairs(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 8,
+    window: int = 4,
+    corpus_fps: DataFrame | None = None,
+) -> DataFrame:
+    """Exact-substring screening of a NEW batch against an existing
+    corpus — the winnowing twin of incremental_dedup_verdicts (:396),
+    for the continuously-ingesting pipeline shape.
+
+    Candidate pairs are (new, prior) only: prior = any corpus doc, or
+    an earlier-id doc of the same batch. The corpus×corpus quadrant is
+    never generated, and in production the corpus fingerprints come
+    from a persisted store (pass ``corpus_fps``: columns (id, fp),
+    written once and appended per cycle) so each cycle hashes only the
+    new batch; the corpus TEXT is never re-read at all — fingerprints
+    alone decide candidacy.
+
+    Returns (id_new, matched_id, n_shared_fps, is_corpus_match) — one
+    row per detected (new, prior) fingerprint collision, i.e. a shared
+    exact token run of >= window + shingle_k - 1 tokens.
+    """
+    new_rows = (
+        winnow_fingerprints(
+            new_docs, id_col, text_col, shingle_k=shingle_k, window=window
+        )
+        .localCheckpoint(eager=True)  # same Generate-filter guard as
+        .select("id", F.explode("fps").alias("fp"))  # winnow_span_pairs
+    )
+    if corpus_fps is not None:
+        corp_rows = corpus_fps.select("id", "fp")
+    else:
+        corp_rows = (
+            winnow_fingerprints(
+                corpus_docs,
+                id_col,
+                text_col,
+                shingle_k=shingle_k,
+                window=window,
+            )
+            .localCheckpoint(eager=True)
+            .select("id", F.explode("fps").alias("fp"))
+        )
+    prior = corp_rows.withColumn("is_corpus", F.lit(True)).unionByName(
+        new_rows.withColumn("is_corpus", F.lit(False))
+    )
+    a, b = new_rows.alias("a"), prior.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("b.id") != F.col("a.id"))
+            & (F.col("b.is_corpus") | (F.col("b.id") < F.col("a.id"))),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_new"),
+            F.col("b.id").alias("matched_id"),
+            F.col("b.is_corpus").alias("is_corpus_match"),
+        )
+        .agg(F.count_distinct(F.col("a.fp")).alias("n_shared_fps"))
+        .select("id_new", "matched_id", "n_shared_fps", "is_corpus_match")
+    )

@@ -1393,10 +1393,10 @@ def ann_ivfpq_store_probe(spark, sf_dir):
     return result
 
 
-@register(
-    "dedup_winnow_span_pairs",
-    f"""
-    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+# Shared winnowing-fingerprint CTEs (MOSS rolling polynomial hash;
+# constants = operators/dedup.WINNOW_MOD/WINNOW_BASE, k=8, w=4):
+# yields e(doc_id, fp) - one row per selected fingerprint.
+_DUCK_WINNOW_CTES = f"""    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
     th AS (
       SELECT doc_id,
              list_transform(toks,
@@ -1418,7 +1418,13 @@ def ann_ivfpq_store_probe(spark, sf_dir):
                   ELSE []::BIGINT[] END AS fps
       FROM h
     ),
-    e AS (SELECT doc_id, UNNEST(fps) AS fp FROM fp)
+    e AS (SELECT doc_id, UNNEST(fps) AS fp FROM fp)"""
+
+
+@register(
+    "dedup_winnow_span_pairs",
+    f"""
+    {_DUCK_WINNOW_CTES}
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            COUNT(DISTINCT a.fp) AS n_shared_fps
     FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
@@ -1518,4 +1524,32 @@ def vocab_zipf_fit(spark, sf_dir):
         "r2",
         "vocab_size",
         "hapax_count",
+    )
+
+
+@register(
+    "dedup_winnow_incremental",
+    f"""
+    {_DUCK_WINNOW_CTES}
+    SELECT a.doc_id AS id_new, b.doc_id AS matched_id,
+           COUNT(DISTINCT a.fp) AS n_shared_fps,
+           (b.doc_id % 10 <> 0) AS is_corpus_match
+    FROM e a JOIN e b ON a.fp = b.fp
+     AND a.doc_id % 10 = 0 AND b.doc_id <> a.doc_id
+     AND (b.doc_id % 10 <> 0 OR b.doc_id < a.doc_id)
+    GROUP BY 1, 2, 4
+    """,
+    doc=(
+        "Incremental exact-substring screening: the 10% 'new batch' "
+        "(doc_id % 10 = 0) winnow-checked against corpus + earlier "
+        "batch fingerprints only — corpus x corpus never generated, "
+        "corpus text never re-read (store-backed fingerprints)"
+    ),
+)
+def dedup_winnow_incremental(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    new_docs = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return dd.winnow_incremental_pairs(
+        new_docs, corpus, "doc_id", "text", shingle_k=8, window=4
     )

@@ -261,3 +261,36 @@ def test_corpus_curation_funnel_is_monotone(spark):
         assert b["n_tokens"] <= a["n_tokens"]
     for r in rows:
         assert abs(r["pct_of_raw"] - r["n_docs"] / rows[0]["n_docs"]) < 1e-6
+
+
+def test_winnow_incremental_store_backed_equals_inline(spark, tmp_path):
+    """The persisted fingerprint store path (corpus text never re-read)
+    returns exactly the inline derivation's verdicts, and no
+    corpus-corpus pair is ever reported."""
+    from metar_pipeline_spark.operators import dedup as dd
+
+    docs = load_table(spark, SF_DIR, "documents")
+    new_docs = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+
+    inline = dd.winnow_incremental_pairs(
+        new_docs, corpus, "doc_id", "text"
+    )
+    store = str(tmp_path / "fp_store")
+    (
+        dd.winnow_fingerprints(corpus, "doc_id", "text")
+        .select("id", F.explode("fps").alias("fp"))
+        .write.parquet(store)
+    )
+    backed = dd.winnow_incremental_pairs(
+        new_docs,
+        None,
+        "doc_id",
+        "text",
+        corpus_fps=spark.read.parquet(store),
+    )
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, backed.collect())
+    )
+    for r in inline.collect():
+        assert r["id_new"] % 10 == 0  # every verdict is about a new doc
