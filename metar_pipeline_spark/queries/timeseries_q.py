@@ -606,3 +606,85 @@ def cohort_retention_matrix(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "holt_linear_forecast",
+    """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+                 AS y
+      FROM events GROUP BY 1, 2
+    ), series AS (
+      SELECT event_type, list(y ORDER BY day) AS vals
+      FROM daily GROUP BY event_type
+    ), fitted AS (
+      SELECT event_type, CAST(len(vals) AS INTEGER) AS n_days,
+             CASE WHEN len(vals) >= 2 THEN
+               list_reduce(
+                 [[vals[2], vals[2] - vals[1]]]
+                   || list_transform(vals[3:], v -> [v, 0.0]),
+                 (acc, x) -> [
+                   0.3 * x[1] + 0.7 * (acc[1] + acc[2]),
+                   0.1 * ((0.3 * x[1] + 0.7 * (acc[1] + acc[2])) - acc[1])
+                     + 0.9 * acc[2]
+                 ])
+             END AS st
+      FROM series
+    )
+    SELECT event_type, n_days,
+           round(st[1], 6) AS level,
+           round(st[2], 6) AS trend,
+           round(st[1] + 7 * st[2], 6) AS forecast_7d
+    FROM fitted
+    """,
+    doc=(
+        "Holt double-exponential smoothing per event type "
+        "(alpha=0.3, beta=0.1) over the daily-sum series, with the "
+        "7-step-ahead linear forecast — the (level, trend) state rides "
+        "the same sequential JVM aggregate fold as ewma_user_value "
+        "(one shuffle to group, zero Python); both engines fold "
+        "left-to-right so the chained float recurrence is bit-identical"
+    ),
+)
+def holt_linear_forecast(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.round(_dsum(F.col("value"), DEC2), 2).alias("y"))
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "y"))),
+            lambda s: s["y"],
+        ).alias("vals")
+    )
+    y1 = F.element_at(F.col("vals"), 1)
+    y2 = F.element_at(F.col("vals"), 2)
+    # state at t=2: level = y2, trend = first difference (standard Holt
+    # init; an l=y1 init lags the level one step behind forever)
+    init = F.struct(y2.alias("l"), (y2 - y1).alias("b"))
+    rest = F.expr("slice(vals, 3, greatest(size(vals) - 2, 0))")
+
+    def step(acc, x):
+        # l_new duplicated textually in the trend term — the oracle
+        # does the same, so both engines evaluate the identical float
+        # expression (no CSE on either side changes the bits)
+        l_new = F.lit(0.3) * x + F.lit(0.7) * (acc["l"] + acc["b"])
+        return F.struct(
+            l_new.alias("l"),
+            (
+                F.lit(0.1) * (l_new - acc["l"]) + F.lit(0.9) * acc["b"]
+            ).alias("b"),
+        )
+
+    st = F.when(
+        F.size("vals") >= 2, F.aggregate(rest, init, step)
+    )
+    return series.select(
+        "event_type",
+        F.size("vals").alias("n_days"),
+        F.round(st["l"], 6).alias("level"),
+        F.round(st["b"], 6).alias("trend"),
+        F.round(st["l"] + F.lit(7) * st["b"], 6).alias("forecast_7d"),
+    )

@@ -512,3 +512,42 @@ class TestGeo:
         for pid, (sid, dist) in grid.items():
             assert brute[pid] == (sid, dist)
         assert len(grid) >= 3  # most probes find a neighbor in 3x3
+
+
+def test_holt_is_exact_on_linear_series(spark):
+    """On perfectly linear data Holt's recurrence is exact for ANY
+    alpha/beta with the (l1=y1, b1=y2-y1) init: level tracks y_t,
+    trend stays at the slope, and the h-step forecast extrapolates the
+    line exactly — a closed-form anchor the oracle hash can't state."""
+    from metar_pipeline_spark.queries import all_queries
+
+    import datetime
+
+    rows = [
+        (
+            i,
+            datetime.datetime(2024, 1, 1 + i, 12, 0, 0),
+            1,
+            "lin",
+            10.0 + 2.5 * i,
+            "{}",
+        )
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")  # only table this reads
+        out = all_queries()["holt_linear_forecast"].spark_fn(
+            spark, d
+        ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_days"] == 10
+    assert abs(r["level"] - (10.0 + 2.5 * 9)) < 1e-6
+    assert abs(r["trend"] - 2.5) < 1e-6
+    assert abs(r["forecast_7d"] - (10.0 + 2.5 * 9 + 7 * 2.5)) < 1e-6
