@@ -325,3 +325,26 @@ def test_curation_funnel_bounded_scans(plans):
     # one-row summary combines — never a shuffled sort-merge pass over
     # the corpus
     assert "SortMergeJoin" not in p
+
+
+def test_registry_wide_plan_lint(spark):
+    """Sweeping scale-hygiene lint over EVERY registered query's
+    physical plan at sf0.001: no CartesianProduct (an unbounded
+    cross is never acceptable; one-row summary combines plan as
+    BroadcastNestedLoopJoin and are fine), and no BatchEvalPython
+    (row-at-a-time Python in a plan means a hot path left the JVM —
+    Arrow forms show as ArrowEvalPython/MapInPandas/
+    FlatMapGroupsInPandas and are allowed)."""
+    specs = all_queries()
+    offenders = {}
+    for name, spec in specs.items():
+        try:
+            p = plan_str(spec.spark_fn(spark, SF_DIR))
+        except Exception as e:  # noqa: BLE001 — surface, don't mask
+            offenders[name] = f"plan build failed: {e}"
+            continue
+        if "CartesianProduct" in p:
+            offenders[name] = "CartesianProduct"
+        if "BatchEvalPython" in p:
+            offenders[name] = "BatchEvalPython"
+    assert not offenders, offenders
