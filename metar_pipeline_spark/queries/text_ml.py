@@ -1553,3 +1553,67 @@ def dedup_winnow_incremental(spark, sf_dir):
     return dd.winnow_incremental_pairs(
         new_docs, corpus, "doc_id", "text", shingle_k=8, window=4
     )
+
+
+@register(
+    "lpa_communities",
+    _DUCK_CC_PREFIX
+    + """
+    , nodes AS (SELECT DISTINCT src AS node FROM edges),
+    l0 AS (SELECT node, node AS label FROM nodes),
+    n1 AS (
+      SELECT e.src AS node, l.label, COUNT(*) AS c
+      FROM edges e JOIN l0 l ON l.node = e.dst GROUP BY 1, 2
+    ),
+    l1 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label) AS rn
+        FROM n1
+      ) WHERE rn = 1
+    ),
+    n2 AS (
+      SELECT e.src AS node, l.label, COUNT(*) AS c
+      FROM edges e JOIN l1 l ON l.node = e.dst GROUP BY 1, 2
+    ),
+    l2 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label) AS rn
+        FROM n2
+      ) WHERE rn = 1
+    )
+    SELECT l2.node AS doc_id, l2.label AS community_id,
+           z.community_size
+    FROM l2
+    JOIN (SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size
+          FROM l2 GROUP BY 1) z USING (label)
+    """,
+    doc=(
+        "Community detection: 2 synchronous label-propagation rounds "
+        "over the near-dup pair graph (most-frequent neighbor label, "
+        "smallest-label tiebreak) — splits weakly-bridged clusters that "
+        "connected components merges; per round one edge join + "
+        "two-level hash agg, no windows over edges"
+    ),
+)
+def lpa_communities(spark, sf_dir):
+    from metar_pipeline_spark.operators.graph import label_propagation
+
+    pairs = dedup_unigram_jaccard_pairs(spark, sf_dir).select(
+        "id_a", "id_b"
+    )
+    labels = label_propagation(pairs, iterations=2)
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("community_size")
+    )
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("community_id"),
+            "community_size",
+        )
+    )

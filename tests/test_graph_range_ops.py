@@ -181,3 +181,33 @@ def test_incremental_dedup_string_ids_and_id_collision(spark):
     assert verdicts["doc-a"].matched_id != "doc-a"
     assert verdicts["doc-a"].matched_id in ("doc-b",)  # ties: id asc
     assert not verdicts["doc-new"].is_duplicate
+
+
+def test_label_propagation_separates_disjoint_triangles(spark):
+    """Two disjoint triangles converge to two communities labeled by
+    their min node; a one-edge bridge still leaves the left triangle
+    uniformly labeled after 2 synchronous rounds (communities are
+    finer than connected components, which would merge everything)."""
+    from metar_pipeline_spark.operators.graph import label_propagation
+
+    tri = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)]
+    df = spark.createDataFrame(tri, ["id_a", "id_b"])
+    out = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, iterations=3).collect()
+    }
+    assert {out[1], out[2], out[3]} == {1}
+    assert {out[4], out[5], out[6]} == {4}
+
+    bridged = spark.createDataFrame(tri + [(3, 4)], ["id_a", "id_b"])
+    out2 = {
+        r["node"]: r["label"]
+        for r in label_propagation(bridged, iterations=2).collect()
+    }
+    assert len({out2[1], out2[2], out2[3]}) == 1  # left stays uniform
+    # determinism: a rerun is bit-identical
+    out3 = {
+        r["node"]: r["label"]
+        for r in label_propagation(bridged, iterations=2).collect()
+    }
+    assert out2 == out3
