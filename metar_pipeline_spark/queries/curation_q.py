@@ -648,3 +648,138 @@ def corpus_curation_funnel(spark, sf_dir):
         .select(F.explode(F.array(*rows)).alias("r"))
         .select("r.*")
     )
+
+
+_NEYMAN_BUDGET = 120
+
+
+@register(
+    "neyman_stratified_sample",
+    f"""
+    WITH q AS (
+      SELECT doc_id, source,
+             round(0.4 * CAST(least(CAST(len({_DUCK_TOKS}) AS INTEGER) / 100.0, 1.0) AS DECIMAL(18,6))
+                   + 0.3 * CAST(round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                         / greatest(length(text), 1), 6) AS DECIMAL(18,6))
+                   + 0.2 * CAST(round(len(list_filter({_DUCK_TOKS},
+                           t -> t IN ('the','a','of','and','to','in','is','that','for','with')))
+                         / greatest(CAST(len({_DUCK_TOKS}) AS INTEGER), 1), 6) AS DECIMAL(18,6))
+                   + 0.1 * CAST(1 - least(round(length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g'))
+                         / greatest(length(text), 1), 6) * 10, 1.0) AS DECIMAL(18,6)),
+                   6)::DOUBLE AS qual
+      FROM documents
+    ), s AS (
+      SELECT source, COUNT(*) AS n,
+             CAST(SUM(CAST(qual AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(qual * qual AS DECIMAL(38,10))) AS DOUBLE) AS sxx
+      FROM q GROUP BY source
+    ), sig AS (
+      SELECT source, n,
+             round(sqrt((sxx - sx * sx / n) / n), 6) AS sigma
+      FROM s
+    ), w AS (
+      SELECT source, n, sigma,
+             round(CAST(n * CAST(sigma AS DECIMAL(18,6)) AS DOUBLE)
+                   / CAST((SELECT SUM(n * CAST(sigma AS DECIMAL(18,6))) FROM sig) AS DOUBLE),
+                   6) AS weight
+      FROM sig
+    ), alloc AS (
+      SELECT source, n AS stratum_n, sigma, weight,
+             greatest(1, CAST(floor({_NEYMAN_BUDGET} * CAST(weight AS DECIMAL(18,6))) AS BIGINT))
+                 AS alloc
+      FROM w
+    ), ranked AS (
+      SELECT d.doc_id, d.source,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.source
+               ORDER BY md5('mix:' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+             ) AS sample_rank
+      FROM documents d
+    )
+    SELECT r.doc_id, r.source,
+           CAST(r.sample_rank AS INTEGER) AS sample_rank,
+           a.stratum_n, a.sigma, a.weight,
+           CAST(a.alloc AS BIGINT) AS alloc
+    FROM ranked r JOIN alloc a USING (source)
+    WHERE r.sample_rank <= a.alloc
+    """,
+    doc=(
+        "Neyman-allocation stratified sampling: per-source sample "
+        "sizes proportional to N_h * sigma_h (exact DECIMAL moments, "
+        "decimal-exact floor allocation), drawn with the deterministic "
+        "salted-hash rank — high-variance strata get more of the "
+        "budget, the statistically efficient split of a labeling/eval "
+        "budget over a heterogeneous corpus"
+    ),
+)
+def neyman_stratified_sample(spark, sf_dir):
+    from metar_pipeline_spark.operators import textops as tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    dec = "decimal(38,10)"
+    scored = docs.select(
+        "doc_id",
+        "source",
+        tx.quality_score(F.col("text")).alias("qual"),
+    )
+    s = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("qual").cast(dec)).cast("double").alias("sx"),
+        F.sum((F.col("qual") * F.col("qual")).cast(dec))
+        .cast("double")
+        .alias("sxx"),
+    )
+    sig = s.select(
+        "source",
+        "n",
+        F.round(
+            F.sqrt(
+                (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+                / F.col("n")
+            ),
+            6,
+        ).alias("sigma"),
+    )
+    # N_h * sigma_h in exact DECIMAL (sigma is 6dp), so the weight
+    # ratio and the floor allocation are engine-exact
+    prod = F.col("n") * F.col("sigma").cast("decimal(18,6)")
+    tot = sig.agg(F.sum(prod).alias("_tot"))
+    alloc = (
+        sig.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "weight",
+            F.round(prod.cast("double") / F.col("_tot").cast("double"), 6),
+        )
+        .withColumn(
+            "alloc",
+            F.greatest(
+                F.lit(1),
+                F.floor(
+                    F.lit(_NEYMAN_BUDGET)
+                    * F.col("weight").cast("decimal(18,6)")
+                ),
+            ).cast("bigint"),
+        )
+        .select(
+            "source",
+            F.col("n").alias("stratum_n"),
+            "sigma",
+            "weight",
+            "alloc",
+        )
+    )
+    sampled = cu.mixture_sample(
+        docs.select("doc_id", "source").join(
+            F.broadcast(alloc), "source"
+        ),
+        F.col("alloc"),
+    )
+    return sampled.select(
+        "doc_id",
+        "source",
+        F.col("sample_rank").cast("int").alias("sample_rank"),
+        "stratum_n",
+        "sigma",
+        "weight",
+        F.col("alloc").cast("bigint").alias("alloc"),
+    )

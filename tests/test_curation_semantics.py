@@ -294,3 +294,42 @@ def test_winnow_incremental_store_backed_equals_inline(spark, tmp_path):
     )
     for r in inline.collect():
         assert r["id_new"] % 10 == 0  # every verdict is about a new doc
+
+
+def test_neyman_allocation_favors_high_variance_strata(spark):
+    """With equal stratum sizes, a zero-variance source gets the
+    floor allocation of 1 while the varied source takes essentially
+    the whole budget; every stratum is represented; no stratum
+    exceeds its allocation."""
+    from metar_pipeline_spark.queries import all_queries
+
+    import tempfile
+
+    rows = []
+    for i in range(50):  # constant-quality stratum: sigma = 0
+        rows.append((i, "x " * 50, "en", "flat", 100))
+    for i in range(50, 100):  # wildly varied lengths: sigma >> 0
+        text = "word " * (2 + (i % 25) * 40)
+        rows.append((i, text, "en", "varied", len(text)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        out = all_queries()["neyman_stratified_sample"].spark_fn(
+            spark, d
+        ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == {"flat", "varied"}  # both represented
+    assert len(by_src["flat"]) == 1  # sigma=0 -> floor alloc of 1
+    # the varied stratum is granted ~the whole budget (alloc 120),
+    # capped by its actual size
+    assert by_src["varied"][0]["alloc"] >= 100
+    assert len(by_src["varied"]) == 50
+    for src, members in by_src.items():
+        alloc = members[0]["alloc"]
+        assert len(members) == min(alloc, members[0]["stratum_n"])
+        assert all(m["sample_rank"] <= alloc for m in members)
