@@ -688,3 +688,65 @@ def holt_linear_forecast(spark, sf_dir):
         F.round(st["b"], 6).alias("trend"),
         F.round(st["l"] + F.lit(7) * st["b"], 6).alias("forecast_7d"),
     )
+
+
+@register(
+    "time_weighted_avg_user_value",
+    """
+    WITH d AS (
+      SELECT user_id, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             LEAD(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS t_next
+      FROM events
+    ), w AS (
+      SELECT user_id, value, (t_next - t) AS dt
+      FROM d WHERE t_next IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS INTEGER) AS n_intervals,
+           CAST(SUM(dt) AS BIGINT) AS covered_seconds,
+           round(CAST(SUM(CAST(value * dt AS DECIMAL(38,10))) AS DOUBLE)
+                 / CAST(SUM(CAST(dt AS DECIMAL(38,10))) AS DOUBLE), 6)
+               AS twa_value
+    FROM w GROUP BY user_id
+    HAVING SUM(dt) > 0
+    """,
+    doc=(
+        "Time-weighted average per user (each observation weighted by "
+        "its hold time until the next one — the TSDB time_weight "
+        "aggregate; an unweighted mean over-counts burst periods): "
+        "one LEAD window sharing the per-user exchange, then exact "
+        "DECIMAL weighted sums. Zero-duration-only users drop (no "
+        "covered time)."
+    ),
+)
+def time_weighted_avg_user_value(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    dec = "decimal(38,10)"
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.col("ts").cast("timestamp").cast("long")
+    d = events.select(
+        "user_id",
+        "value",
+        t.alias("t"),
+        F.lead(t).over(w).alias("t_next"),
+    ).filter(F.col("t_next").isNotNull())
+    dt = F.col("t_next") - F.col("t")
+    return (
+        d.select("user_id", "value", dt.alias("dt"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_intervals"),
+            F.sum("dt").cast("bigint").alias("covered_seconds"),
+            F.round(
+                F.sum((F.col("value") * F.col("dt")).cast(dec)).cast(
+                    "double"
+                )
+                / F.sum(F.col("dt").cast(dec)).cast("double"),
+                6,
+            ).alias("twa_value"),
+        )
+        .filter(F.col("covered_seconds") > 0)
+    )
