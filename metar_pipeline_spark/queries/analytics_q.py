@@ -1034,3 +1034,42 @@ def dynamic_partition_backfill(spark, sf_dir):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+@register(
+    "table_fingerprint_orders",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(('0x' || substr(md5(
+                 CAST(o_orderkey AS VARCHAR) || '|' ||
+                 CAST(o_custkey AS VARCHAR) || '|' ||
+                 coalesce(o_orderstatus, '<N>') || '|' ||
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+               ), 1, 8))::BIGINT) AS BIGINT) AS content_fingerprint
+    FROM orders
+    """,
+    doc=(
+        "Order-insensitive table fingerprint: SUM of per-row 32-bit "
+        "content digests (md5 over a canonical '|'-joined rendering, "
+        "doubles via DECIMAL so both engines print identical text) — "
+        "two tables are byte-equal iff (n_rows, fingerprint) agree up "
+        "to digest collisions; the O(1)-output companion to the "
+        "per-key table_diff, cheap enough to run after every copy/"
+        "backfill. Commutative sum => partition-order free; rides the "
+        "scan with one partial+final agg."
+    ),
+)
+def table_fingerprint_orders(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.coalesce(F.col("o_orderstatus"), F.lit("<N>")),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("bigint")
+    return orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(h).cast("bigint").alias("content_fingerprint"),
+    )

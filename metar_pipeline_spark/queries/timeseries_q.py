@@ -814,3 +814,74 @@ def benford_first_digit_audit(spark, sf_dir):
             ).alias("deviation"),
         )
     )
+
+
+@register(
+    "interval_coverage_islands",
+    """
+    WITH iv AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) AS BIGINT) + 60 + (event_id % 600) AS e,
+             event_id
+      FROM events
+    ), flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > coalesce(MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ), -9223372036854775808)
+                  THEN 1 ELSE 0 END AS brk,
+             event_id
+      FROM iv
+    ), isl AS (
+      SELECT user_id, s, e,
+             SUM(brk) OVER (
+               PARTITION BY user_id ORDER BY s, event_id
+             ) AS island_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(island_id AS BIGINT) AS island_id,
+           MIN(s) AS island_start,
+           MAX(e) AS island_end,
+           CAST(COUNT(*) AS INTEGER) AS n_intervals,
+           CAST(MAX(e) - MIN(s) AS BIGINT) AS covered_seconds
+    FROM isl GROUP BY user_id, island_id
+    """,
+    doc=(
+        "Gaps-and-islands over INTERVALS (not points — sessionize's "
+        "sibling): merge overlapping/touching per-user validity "
+        "intervals into coverage islands via the running-max-end "
+        "break flag + cumulative island id; both windows share ONE "
+        "per-user exchange. Interval = [ts, ts + 60 + event_id%600 s] "
+        "(deterministic synthetic duration; the corpus has no native "
+        "interval column)."
+    ),
+)
+def interval_coverage_islands(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    t = F.col("ts").cast("timestamp").cast("long")
+    iv = events.select(
+        "user_id",
+        t.alias("s"),
+        (t + 60 + (F.col("event_id") % 600)).alias("e"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_end = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        F.col("s")
+        > F.coalesce(prev_max_end, F.lit(-(2**63))),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    isl = iv.withColumn("brk", brk).withColumn(
+        "island_id", F.sum("brk").over(w)
+    )
+    return isl.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("island_start"),
+        F.max("e").alias("island_end"),
+        F.count(F.lit(1)).cast("int").alias("n_intervals"),
+        (F.max("e") - F.min("s")).cast("bigint").alias("covered_seconds"),
+    )
