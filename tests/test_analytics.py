@@ -551,3 +551,82 @@ def test_holt_is_exact_on_linear_series(spark):
     assert abs(r["level"] - (10.0 + 2.5 * 9)) < 1e-6
     assert abs(r["trend"] - 2.5) < 1e-6
     assert abs(r["forecast_7d"] - (10.0 + 2.5 * 9 + 7 * 2.5)) < 1e-6
+
+
+def test_time_weighted_avg_on_planted_holds(spark, tmp_path):
+    """TWA semantics by construction: value 10 held for 30s then value
+    20 held for 10s -> (10*30 + 20*10) / 40 = 12.5 (an unweighted mean
+    would say 15); a constant series returns the constant; the final
+    observation carries no weight."""
+    import datetime
+
+    from metar_pipeline_spark.queries import all_queries
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 1, "view", 10.0, "{}"),
+        (2, t0 + datetime.timedelta(seconds=30), 1, "view", 20.0, "{}"),
+        (3, t0 + datetime.timedelta(seconds=40), 1, "view", 999.0, "{}"),
+        (4, t0, 2, "view", 7.0, "{}"),
+        (5, t0 + datetime.timedelta(seconds=60), 2, "view", 7.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    d = str(tmp_path)
+    df.write.parquet(f"{d}/events.parquet")
+    out = {
+        r["user_id"]: r
+        for r in all_queries()["time_weighted_avg_user_value"]
+        .spark_fn(spark, d)
+        .collect()
+    }
+    assert out[1]["twa_value"] == 12.5  # 999 at the tail has no weight
+    assert out[1]["covered_seconds"] == 40
+    assert out[2]["twa_value"] == 7.0
+
+
+def test_interval_islands_merge_overlaps(spark, tmp_path):
+    """Overlapping and touching intervals merge; a gap starts a new
+    island. Durations are 60 + event_id % 600 seconds, so event_id
+    picks the overlap structure exactly."""
+    import datetime
+
+    from metar_pipeline_spark.queries import all_queries
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # island A: [0, 60] and [30, 90+60] overlap (dur 60, 120)
+        (0, t0, 1, "v", 0.0, "{}"),
+        (60, t0 + datetime.timedelta(seconds=30), 1, "v", 0.0, "{}"),
+        # island B: starts at 1000 > 150 (gap)
+        (0, t0 + datetime.timedelta(seconds=1000), 1, "v", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    d = str(tmp_path)
+    df.write.parquet(f"{d}/events.parquet")
+    out = sorted(
+        all_queries()["interval_coverage_islands"]
+        .spark_fn(spark, d)
+        .collect(),
+        key=lambda r: r["island_id"],
+    )
+    assert len(out) == 2
+    assert out[0]["n_intervals"] == 2 and out[1]["n_intervals"] == 1
+    assert out[0]["covered_seconds"] == 150  # [t0, t0+30+120]
+
+
+def test_benford_frequencies_sum_to_one(spark):
+    from metar_pipeline_spark.queries import all_queries
+
+    rows = all_queries()["benford_first_digit_audit"].spark_fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert [r["digit"] for r in sorted(rows, key=lambda r: r["digit"])] \
+        == list(range(1, 10))
+    assert abs(sum(r["observed_freq"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["benford_freq"] for r in rows) - 1.0) < 1e-4
