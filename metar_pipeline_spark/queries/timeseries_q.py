@@ -885,3 +885,118 @@ def interval_coverage_islands(spark, sf_dir):
         F.count(F.lit(1)).cast("int").alias("n_intervals"),
         (F.max("e") - F.min("s")).cast("bigint").alias("covered_seconds"),
     )
+
+
+@register(
+    "psi_value_drift",
+    """
+    WITH b AS (
+      SELECT CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       < (SELECT (CAST(floor(epoch(MIN(ts))) AS BIGINT)
+                                  + CAST(floor(epoch(MAX(ts))) AS BIGINT)) // 2
+                          FROM events)
+                  THEN 'ref' ELSE 'cur' END AS period,
+             least(greatest(CAST(floor(value / 100.0) AS INTEGER), 0), 9)
+                 AS bin
+      FROM events
+    ), c AS (
+      SELECT period, bin, COUNT(*) AS n FROM b GROUP BY 1, 2
+    ), t AS (
+      SELECT period, CAST(SUM(n) AS DOUBLE) AS total FROM c GROUP BY 1
+    ), p AS (
+      SELECT bin,
+             round(coalesce(MAX(CASE WHEN period = 'ref' THEN n END), 0)
+                   / (SELECT total FROM t WHERE period = 'ref') + 0.0001, 6)
+                 AS p_ref,
+             round(coalesce(MAX(CASE WHEN period = 'cur' THEN n END), 0)
+                   / (SELECT total FROM t WHERE period = 'cur') + 0.0001, 6)
+                 AS p_cur
+      FROM c GROUP BY bin
+    )
+    SELECT bin, p_ref, p_cur,
+           round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term
+    FROM p ORDER BY bin
+    """,
+    doc=(
+        "Population-stability-index drift audit: the value "
+        "distribution of the later half of the stream vs the earlier "
+        "half over 10 fixed bins, with the per-bin PSI contribution "
+        "(sum > 0.2 = actionable drift, the standard ML-ops rule). "
+        "Laplace-style +1e-4 smoothing keeps empty bins finite and is "
+        "applied AFTER the 6-dp rounding on both engines so the log "
+        "ratio is bit-identical. One count aggregate per period over "
+        "the scan; the split point is a one-row MIN/MAX aggregate, "
+        "broadcast."
+    ),
+)
+def psi_value_drift(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    # split point in INTEGER epoch seconds (floor-div) — interval
+    # halving differs between engines, integer math cannot
+    span = events.agg(
+        F.floor(
+            (
+                F.min(F.col("ts").cast("timestamp").cast("long"))
+                + F.max(F.col("ts").cast("timestamp").cast("long"))
+            )
+            / 2
+        ).alias("_mid")
+    )
+    b = events.crossJoin(F.broadcast(span)).select(
+        F.when(
+            F.col("ts").cast("timestamp").cast("long") < F.col("_mid"),
+            F.lit("ref"),
+        )
+        .otherwise(F.lit("cur"))
+        .alias("period"),
+        F.least(
+            F.greatest(
+                F.floor(F.col("value") / 100.0).cast("int"), F.lit(0)
+            ),
+            F.lit(9),
+        ).alias("bin"),
+    )
+    c = b.groupBy("period", "bin").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("period").agg(F.sum("n").cast("double").alias("total"))
+    p = (
+        c.join(F.broadcast(t), "period")
+        .groupBy("bin")
+        .agg(
+            F.round(
+                F.coalesce(
+                    F.max(
+                        F.when(
+                            F.col("period") == "ref",
+                            F.col("n") / F.col("total"),
+                        )
+                    ),
+                    F.lit(0.0),
+                )
+                + 0.0001,
+                6,
+            ).alias("p_ref"),
+            F.round(
+                F.coalesce(
+                    F.max(
+                        F.when(
+                            F.col("period") == "cur",
+                            F.col("n") / F.col("total"),
+                        )
+                    ),
+                    F.lit(0.0),
+                )
+                + 0.0001,
+                6,
+            ).alias("p_cur"),
+        )
+    )
+    return p.select(
+        "bin",
+        "p_ref",
+        "p_cur",
+        F.round(
+            (F.col("p_cur") - F.col("p_ref"))
+            * F.log(F.col("p_cur") / F.col("p_ref")),
+            6,
+        ).alias("psi_term"),
+    )
