@@ -1073,3 +1073,87 @@ def table_fingerprint_orders(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum(h).cast("bigint").alias("content_fingerprint"),
     )
+
+
+@register(
+    "linear_attribution_revenue",
+    """
+    WITH p AS (
+      SELECT event_id AS pid, user_id, ts AS pt, value
+      FROM events WHERE event_type = 'purchase'
+    ), t AS (
+      SELECT user_id, event_type, ts AS tt
+      FROM events WHERE event_type IN ('view', 'click')
+    ), j AS (
+      SELECT p.pid, p.value, t.event_type
+      FROM p JOIN t ON p.user_id = t.user_id
+       AND t.tt >= p.pt - INTERVAL 1 HOUR AND t.tt < p.pt
+    ), n AS (
+      SELECT pid, COUNT(*) AS c FROM j GROUP BY pid
+    ), shares AS (
+      SELECT j.event_type, j.value / n.c AS share
+      FROM j JOIN n USING (pid)
+    )
+    SELECT event_type AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           round(CAST(SUM(CAST(share AS DECIMAL(38,10))) AS DOUBLE), 2)
+               AS attributed_revenue
+    FROM shares GROUP BY 1
+    UNION ALL
+    SELECT 'direct',
+           CAST(COUNT(*) AS BIGINT),
+           round(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 2)
+    FROM p WHERE pid NOT IN (SELECT pid FROM n)
+    """,
+    doc=(
+        "Linear multi-touch attribution: each purchase's value split "
+        "equally across the user's view/click touches in the "
+        "preceding hour; untouched purchases fall to 'direct'. The "
+        "touch join is a per-user equi-join (cardinality bounded by "
+        "per-user activity) + time filter — never a theta cross "
+        "join; shares accumulate in DECIMAL"
+    ),
+)
+def linear_attribution_revenue(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    dec = "decimal(38,10)"
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("pt"),
+        "value",
+    )
+    t = events.filter(
+        F.col("event_type").isin("view", "click")
+    ).select("user_id", "event_type", F.col("ts").alias("tt"))
+    j = p.join(t, "user_id").filter(
+        (F.col("tt") >= F.col("pt") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("tt") < F.col("pt"))
+    )
+    n = j.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
+    shares = j.join(n, "pid").select(
+        "event_type", (F.col("value") / F.col("c")).alias("share")
+    )
+    touched = shares.groupBy(
+        F.col("event_type").alias("touch_type")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.round(
+            F.sum(F.col("share").cast(dec)).cast("double"), 2
+        ).alias("attributed_revenue"),
+    )
+    direct = (
+        p.join(n.select("pid"), "pid", "left_anti")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.round(
+                F.sum(F.col("value").cast(dec)).cast("double"), 2
+            ).alias("attributed_revenue"),
+        )
+        .select(
+            F.lit("direct").alias("touch_type"),
+            "n_touches",
+            "attributed_revenue",
+        )
+    )
+    return touched.unionByName(direct)
