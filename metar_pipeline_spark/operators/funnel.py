@@ -31,12 +31,17 @@ def funnel_user_steps(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    max_gap_seconds: int | None = None,
 ) -> DataFrame:
     """Per-user first qualifying timestamp for each ordered funnel step.
 
     Returns one row per user with columns ``step0_ts .. step{k-1}_ts``;
     ``step_i_ts`` is the earliest step-i event at or after the user's
-    chosen step-(i-1) timestamp (NULL once the chain breaks).
+    chosen step-(i-1) timestamp (NULL once the chain breaks). With
+    ``max_gap_seconds`` the step must also land within that many
+    seconds of the previous step (the time-boxed funnel every product
+    team actually runs) — the gap bound changes only the per-element
+    filter predicate, not the one-shuffle shape.
     """
     per_user = (
         df.filter(F.col(type_col).isin(list(steps)))
@@ -56,9 +61,20 @@ def funnel_user_steps(
             expr = F.array_min(F.col("_ts_0"))
         else:
             prev = F.col(f"step{i - 1}_ts")
+            cond = (
+                (lambda t: t >= prev)
+                if max_gap_seconds is None
+                else (
+                    lambda t: (t >= prev)
+                    & (
+                        t.cast("long")
+                        <= prev.cast("long") + max_gap_seconds
+                    )
+                )
+            )
             expr = F.when(
                 prev.isNotNull(),
-                F.array_min(F.filter(F.col(f"_ts_{i}"), lambda t: t >= prev)),
+                F.array_min(F.filter(F.col(f"_ts_{i}"), cond)),
             )
         out = out.withColumn(f"step{i}_ts", expr)
     return out.drop(*[f"_ts_{i}" for i in range(len(steps))])
@@ -71,6 +87,7 @@ def funnel_summary(
     type_col: str = "event_type",
     ts_col: str = "ts",
     round_to: int = 6,
+    max_gap_seconds: int | None = None,
 ) -> DataFrame:
     """Funnel conversion table: one row per step with the users reached,
     conversion vs the first step, and conversion vs the previous step.
@@ -79,7 +96,10 @@ def funnel_summary(
     then unpivoted driver-free with ``stack`` — the whole funnel is a
     single job with a single exchange.
     """
-    per_user = funnel_user_steps(df, steps, user_col, type_col, ts_col)
+    per_user = funnel_user_steps(
+        df, steps, user_col, type_col, ts_col,
+        max_gap_seconds=max_gap_seconds,
+    )
     counts = per_user.agg(
         *[
             F.count(F.col(f"step{i}_ts")).alias(f"c{i}")

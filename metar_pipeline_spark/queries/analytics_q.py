@@ -1157,3 +1157,71 @@ def linear_attribution_revenue(spark, sf_dir):
         )
     )
     return touched.unionByName(direct)
+
+
+@register(
+    "funnel_time_boxed_24h",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+       AND e.ts >= s1.t1
+       AND CAST(floor(epoch(e.ts)) AS BIGINT)
+           <= CAST(floor(epoch(s1.t1)) AS BIGINT) + 86400
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+       AND e.ts >= s2.t2
+       AND CAST(floor(epoch(e.ts)) AS BIGINT)
+           <= CAST(floor(epoch(s2.t2)) AS BIGINT) + 86400
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    c AS (
+      SELECT (SELECT COUNT(*) FROM s1) AS c0,
+             (SELECT COUNT(*) FROM s2) AS c1,
+             (SELECT COUNT(*) FROM s3) AS c2
+    )
+    SELECT * FROM (
+      SELECT 0 AS step_idx, 'view' AS step, c0 AS users_reached,
+             round(CAST(c0 AS DOUBLE) / NULLIF(c0, 0), 6) AS conv_from_first,
+             round(CAST(c0 AS DOUBLE) / NULLIF(c0, 0), 6) AS conv_from_prev
+      FROM c
+      UNION ALL
+      SELECT 1, 'click', c1,
+             round(CAST(c1 AS DOUBLE) / NULLIF(c0, 0), 6),
+             round(CAST(c1 AS DOUBLE) / NULLIF(c0, 0), 6) FROM c
+      UNION ALL
+      SELECT 2, 'purchase', c2,
+             round(CAST(c2 AS DOUBLE) / NULLIF(c0, 0), 6),
+             round(CAST(c2 AS DOUBLE) / NULLIF(c1, 0), 6) FROM c
+    ) ORDER BY step_idx
+    """,
+    doc=(
+        "Time-boxed funnel: each step must land within 24h of the "
+        "previous one (the form product funnels actually use — an "
+        "unbounded funnel credits conversions months later). Same "
+        "one-aggregation-pass shape; the gap bound only changes the "
+        "per-element filter predicate."
+    ),
+)
+def funnel_time_boxed_24h(spark, sf_dir):
+    from metar_pipeline_spark.operators.funnel import funnel_summary
+
+    events = load_table(spark, sf_dir, "events")
+    return funnel_summary(
+        events,
+        ["view", "click", "purchase"],
+        max_gap_seconds=86400,
+    ).select(
+        "step_idx",
+        "step",
+        F.col("users_reached").cast("bigint").alias("users_reached"),
+        "conv_from_first",
+        "conv_from_prev",
+    )

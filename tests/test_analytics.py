@@ -630,3 +630,31 @@ def test_benford_frequencies_sum_to_one(spark):
         == list(range(1, 10))
     assert abs(sum(r["observed_freq"] for r in rows) - 1.0) < 1e-4
     assert abs(sum(r["benford_freq"] for r in rows) - 1.0) < 1e-4
+
+
+def test_funnel_max_gap_excludes_late_steps(spark):
+    """A click 2h after the view converts in the unbounded funnel but
+    NOT in a 1h-boxed funnel; within the box both agree."""
+    from metar_pipeline_spark.operators.funnel import funnel_user_steps
+
+    rows = [
+        (1, "view", _ts(1, 0)),
+        (1, "click", _ts(1, 2)),  # 2h later
+        (2, "view", _ts(2, 0)),
+        (2, "click", _ts(2, 0)),  # same instant
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts timestamp"
+    )
+    unbounded = {
+        r["user_id"]: r["step1_ts"]
+        for r in funnel_user_steps(df, ["view", "click"]).collect()
+    }
+    boxed = {
+        r["user_id"]: r["step1_ts"]
+        for r in funnel_user_steps(
+            df, ["view", "click"], max_gap_seconds=3600
+        ).collect()
+    }
+    assert unbounded[1] is not None and boxed[1] is None
+    assert unbounded[2] == boxed[2] == _ts(2, 0)
