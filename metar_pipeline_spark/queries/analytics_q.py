@@ -1225,3 +1225,94 @@ def funnel_time_boxed_24h(spark, sf_dir):
         "conv_from_first",
         "conv_from_prev",
     )
+
+
+@register(
+    "event_cooccurrence_pmi",
+    """
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ), nu AS (
+      SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n FROM events
+    ), m AS (
+      SELECT event_type, COUNT(*) AS c FROM ut GROUP BY event_type
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS c_ab
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b,
+           CAST(p.c_ab AS BIGINT) AS n_users_both,
+           round(p.c_ab * nu.n / (ma.c * mb.c), 6) AS lift,
+           round(ln(p.c_ab * nu.n / (ma.c * mb.c)), 6) AS pmi
+    FROM pairs p
+    JOIN m ma ON ma.event_type = p.type_a
+    JOIN m mb ON mb.event_type = p.type_b
+    CROSS JOIN nu
+    """,
+    doc=(
+        "Association mining: pointwise mutual information / lift for "
+        "every event-type pair co-occurring in a user's history. The "
+        "user-grain distinct FIRST (the deduped grain bounds the "
+        "self-join at types-per-user, not events-per-user), then a "
+        "per-user pair join against a broadcast marginal table — "
+        "market-basket analysis that survives 100 TB because the "
+        "exploded grain is |users| x |distinct types|, never raw "
+        "events squared."
+    ),
+)
+def event_cooccurrence_pmi(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    ut = events.select("user_id", "event_type").distinct()
+    nu = events.agg(
+        F.count_distinct("user_id").cast("double").alias("n")
+    )
+    m = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a, b = ut.alias("a"), ut.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    ratio = (
+        F.col("c_ab")
+        * F.col("n")
+        / (F.col("ca") * F.col("cb"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                m.select(
+                    F.col("event_type").alias("type_a"),
+                    F.col("c").alias("ca"),
+                )
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                m.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("c").alias("cb"),
+                )
+            ),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("c_ab").cast("bigint").alias("n_users_both"),
+            F.round(ratio, 6).alias("lift"),
+            F.round(F.log(ratio), 6).alias("pmi"),
+        )
+    )
