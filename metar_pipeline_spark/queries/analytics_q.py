@@ -1316,3 +1316,43 @@ def event_cooccurrence_pmi(spark, sf_dir):
             F.round(F.log(ratio), 6).alias("pmi"),
         )
     )
+
+
+@register(
+    "partition_fingerprints_events",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(('0x' || substr(md5(
+                 CAST(event_id AS VARCHAR) || '|' ||
+                 CAST(user_id AS VARCHAR) || '|' ||
+                 coalesce(event_type, '<N>') || '|' ||
+                 CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR)
+               ), 1, 8))::BIGINT) AS BIGINT) AS fingerprint
+    FROM events GROUP BY 1
+    """,
+    doc=(
+        "Merkle-style per-partition fingerprints: the table-level "
+        "content digest (table_fingerprint_orders) at day grain, so a "
+        "copy/backfill mismatch is LOCALIZED to the divergent day "
+        "partitions instead of one table-wide boolean — compare two "
+        "sides' day rows, recompute only where they differ. Commutative "
+        "per-day digest sums combine map-side; one agg on the scan."
+    ),
+)
+def partition_fingerprints_events(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    canon = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        F.coalesce(F.col("event_type"), F.lit("<N>")),
+        F.col("value").cast("decimal(18,6)").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("bigint")
+    return events.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(h).cast("bigint").alias("fingerprint"),
+    )

@@ -783,3 +783,50 @@ def neyman_stratified_sample(spark, sf_dir):
         "weight",
         F.col("alloc").cast("bigint").alias("alloc"),
     )
+
+
+@register(
+    "quality_percent_rank_by_source",
+    f"""
+    WITH q AS (
+      SELECT doc_id, source,
+             round(0.4 * CAST(least(CAST(len({_DUCK_TOKS}) AS INTEGER) / 100.0, 1.0) AS DECIMAL(18,6))
+                   + 0.3 * CAST(round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                         / greatest(length(text), 1), 6) AS DECIMAL(18,6))
+                   + 0.2 * CAST(round(len(list_filter({_DUCK_TOKS},
+                           t -> t IN ('the','a','of','and','to','in','is','that','for','with')))
+                         / greatest(CAST(len({_DUCK_TOKS}) AS INTEGER), 1), 6) AS DECIMAL(18,6))
+                   + 0.1 * CAST(1 - least(round(length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g'))
+                         / greatest(length(text), 1), 6) * 10, 1.0) AS DECIMAL(18,6)),
+                   6)::DOUBLE AS qual
+      FROM documents
+    )
+    SELECT doc_id, source, qual,
+           round(PERCENT_RANK() OVER (
+             PARTITION BY source ORDER BY qual, doc_id
+           ), 6) AS pct_rank
+    FROM q
+    """,
+    doc=(
+        "Cross-source score normalization: per-source percent_rank of "
+        "the quality score (total order via doc_id tiebreak) — maps "
+        "every domain's score distribution onto [0,1] so a threshold "
+        "means the same thing in every domain; one rank window per "
+        "source partition"
+    ),
+)
+def quality_percent_rank_by_source(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from metar_pipeline_spark.operators import textops as tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        tx.quality_score(F.col("text")).alias("qual"),
+    )
+    w = Window.partitionBy("source").orderBy("qual", "doc_id")
+    return scored.withColumn(
+        "pct_rank", F.round(F.percent_rank().over(w), 6)
+    )
