@@ -345,9 +345,16 @@ def test_scd2_apply_matches_full_rebuild(spark, data, split):
     dim = scd2_from_changes(hist, "k", "attr", "ts", "tb")
     merged = scd2_apply(dim, batch, "k", "attr", "ts", "tb")
     full = scd2_from_changes(df, "k", "attr", "ts", "tb")
-    assert sorted(map(tuple, merged.collect())) == sorted(
-        map(tuple, full.collect())
-    )
+    # None-safe sort key: open intervals carry valid_to=NULL, and when
+    # two rows tie on every earlier field Python's tuple sort would
+    # compare None against a datetime and throw (hypothesis found the
+    # duplicate-change-row case) — rank Nones explicitly instead.
+    def canon(df_):
+        return sorted(
+            (tuple((v is None, v) for v in t) for t in map(tuple, df_.collect()))
+        )
+
+    assert canon(merged) == canon(full)
 
 
 @given(data=rows)
