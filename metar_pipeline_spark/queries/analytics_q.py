@@ -1356,3 +1356,105 @@ def partition_fingerprints_events(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum(h).cast("bigint").alias("fingerprint"),
     )
+
+
+@register(
+    "activity_gini_coefficient",
+    """
+    WITH c AS (
+      SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ), r AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n, user_id) AS i FROM c
+    ), t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS total,
+             CAST(SUM((2 * i - (SELECT COUNT(*) FROM r) - 1) * n) AS BIGINT)
+                 AS wsum
+      FROM r
+    )
+    SELECT k AS n_users, total AS n_events,
+           round(CAST(wsum AS DOUBLE) / (CAST(k AS DOUBLE) * total), 6)
+               AS gini
+    FROM t
+    """,
+    doc=(
+        "Gini coefficient of per-user event concentration (0 = "
+        "uniform, ->1 = one user dominates) via the sorted-rank "
+        "formula sum((2i-k-1)·x_i)/(k·sum x) — all-integer weighted "
+        "sum, one rank window over the USER-grain aggregate (|users| "
+        "rows, never events). The concentration audit that decides "
+        "whether per-key skew handling is needed at all."
+    ),
+)
+def activity_gini_coefficient(spark, sf_dir):
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    c = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("n", "user_id")
+    # rank + total-count windows over the USER-grain frame (|users|
+    # rows — the global window is fine at this grain; the event table
+    # is never globally sorted)
+    r = c.withColumn("i", F.row_number().over(w)).withColumn(
+        "k", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    return r.agg(
+        F.max("k").cast("bigint").alias("n_users"),
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.round(
+            F.sum(
+                (F.lit(2) * F.col("i") - F.col("k") - 1) * F.col("n")
+            ).cast("double")
+            / (F.max("k").cast("double") * F.sum("n")),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "source_mix_entropy",
+    """
+    WITH c AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ), t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total,
+                    CAST(COUNT(*) AS BIGINT) AS k FROM c)
+    SELECT k AS n_sources,
+           round(CAST(SUM(-(n / total) * ln(n / total)) AS DOUBLE), 6)
+               AS shannon_entropy,
+           round(CAST(SUM(-(n / total) * ln(n / total)) AS DOUBLE)
+                 / ln(CAST(k AS DOUBLE)), 6) AS evenness
+    FROM c, t GROUP BY k
+    """,
+    doc=(
+        "Dataset-card diversity: Shannon entropy of the source mix and "
+        "Pielou evenness (entropy / ln k; 1 = perfectly balanced "
+        "domains) — the one-number balance check before mixture "
+        "sampling. One count aggregate; the entropy sum runs over the "
+        "|sources|-row marginal."
+    ),
+)
+def source_mix_entropy(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(
+        F.sum("n").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    p = F.col("n") / F.col("total")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .groupBy("k")
+        .agg(
+            F.round(F.sum(-p * F.log(p)).cast("double"), 6).alias(
+                "shannon_entropy"
+            ),
+            F.round(
+                F.sum(-p * F.log(p)).cast("double")
+                / F.log(F.col("k").cast("double")),
+                6,
+            ).alias("evenness"),
+        )
+        .select(
+            F.col("k").alias("n_sources"), "shannon_entropy", "evenness"
+        )
+    )
