@@ -1458,3 +1458,61 @@ def source_mix_entropy(spark, sf_dir):
             F.col("k").alias("n_sources"), "shannon_entropy", "evenness"
         )
     )
+
+
+@register(
+    "conversion_time_percentiles",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id,
+             MIN(CAST(floor(epoch(e.ts)) AS BIGINT)
+                 - CAST(floor(epoch(v.t_view)) AS BIGINT)) AS secs
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.t_view
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converters,
+           CAST(MIN(secs) AS BIGINT) AS p0_secs,
+           CAST(round(quantile_cont(secs, 0.5), 0) AS BIGINT) AS p50_secs,
+           CAST(round(quantile_cont(secs, 0.9), 0) AS BIGINT) AS p90_secs,
+           CAST(MAX(secs) AS BIGINT) AS p100_secs
+    FROM p
+    """,
+    doc=(
+        "Time-to-convert distribution: per converting user, seconds "
+        "from first view to first subsequent purchase, summarized as "
+        "min/median/p90/max (exact interpolated percentiles rounded to "
+        "whole seconds — integer in, integer out, so interpolation "
+        "half-cases cannot drift between engines). Two user-grain "
+        "aggregates; the join is per-user equi."
+    ),
+)
+def conversion_time_percentiles(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    t = F.col("ts").cast("timestamp").cast("long")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(t).alias("t_view"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", t.alias("t_p"))
+        .join(v, "user_id")
+        .filter(F.col("t_p") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min(F.col("t_p") - F.col("t_view")).alias("secs"))
+    )
+    return p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converters"),
+        F.min("secs").cast("bigint").alias("p0_secs"),
+        F.round(F.expr("percentile(secs, 0.5)"), 0)
+        .cast("bigint")
+        .alias("p50_secs"),
+        F.round(F.expr("percentile(secs, 0.9)"), 0)
+        .cast("bigint")
+        .alias("p90_secs"),
+        F.max("secs").cast("bigint").alias("p100_secs"),
+    )

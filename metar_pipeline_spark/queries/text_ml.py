@@ -1617,3 +1617,35 @@ def lpa_communities(spark, sf_dir):
             "community_size",
         )
     )
+
+
+@register(
+    "cross_source_duplicates",
+    """
+    SELECT md5(text) AS content_key,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           MIN(doc_id) AS canonical_id
+    FROM documents
+    GROUP BY md5(text)
+    HAVING COUNT(DISTINCT source) > 1
+    """,
+    doc=(
+        "Provenance-leakage audit: exact-content groups spanning more "
+        "than one source — the docs that make per-domain statistics "
+        "lie and let eval sets leak through a 'different' domain. Same "
+        "digest-groupBy as exact dedup, plus a distinct-source count "
+        "(map-side partial distinct)."
+    ),
+)
+def cross_source_duplicates(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_key"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.count_distinct("source").cast("bigint").alias("n_sources"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+        .filter(F.col("n_sources") > 1)
+    )

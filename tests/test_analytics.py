@@ -658,3 +658,70 @@ def test_funnel_max_gap_excludes_late_steps(spark):
     }
     assert unbounded[1] is not None and boxed[1] is None
     assert unbounded[2] == boxed[2] == _ts(2, 0)
+
+
+def test_gini_bounds_and_uniform_case(spark, tmp_path):
+    """Gini of a perfectly uniform activity distribution is 0; adding
+    one dominant user pushes it strictly positive; always within
+    [0, 1)."""
+    import datetime
+
+    from metar_pipeline_spark.queries import all_queries
+
+    t0 = datetime.datetime(2024, 1, 1)
+    uniform = [
+        (u * 10 + i, t0, u, "view", 1.0, "{}")
+        for u in range(1, 6)
+        for i in range(4)
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    d1 = str(tmp_path / "u")
+    spark.createDataFrame(uniform, schema).write.parquet(
+        f"{d1}/events.parquet"
+    )
+    g1 = all_queries()["activity_gini_coefficient"].spark_fn(
+        spark, d1
+    ).collect()[0]
+    assert g1["gini"] == 0.0 and g1["n_users"] == 5
+
+    skewed = uniform + [
+        (1000 + i, t0, 9, "view", 1.0, "{}") for i in range(100)
+    ]
+    d2 = str(tmp_path / "s")
+    spark.createDataFrame(skewed, schema).write.parquet(
+        f"{d2}/events.parquet"
+    )
+    g2 = all_queries()["activity_gini_coefficient"].spark_fn(
+        spark, d2
+    ).collect()[0]
+    assert 0.0 < g2["gini"] < 1.0
+
+
+def test_pmi_marginal_consistency(spark):
+    """Lift and PMI agree (pmi == ln(lift)) and pair counts never
+    exceed either marginal's user count."""
+    import math
+
+    from metar_pipeline_spark.io import load_table
+    from metar_pipeline_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_queries()["event_cooccurrence_pmi"].spark_fn(
+        spark, sf
+    ).collect()
+    events = load_table(spark, sf, "events")
+    marg = {
+        r["event_type"]: r["n"]
+        for r in events.select("user_id", "event_type")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert rows
+    for r in rows:
+        assert abs(r["pmi"] - round(math.log(r["lift"]), 6)) <= 1e-5
+        assert r["n_users_both"] <= min(marg[r["type_a"]], marg[r["type_b"]])
