@@ -1649,3 +1649,62 @@ def cross_source_duplicates(spark, sf_dir):
         )
         .filter(F.col("n_sources") > 1)
     )
+
+
+@register(
+    "dup_span_coverage",
+    f"""
+    {_DUCK_WINNOW_CTES}
+    , occ AS (
+      SELECT fp, COUNT(DISTINCT doc_id) AS n_docs FROM e GROUP BY fp
+    ), per_doc AS (
+      SELECT e.doc_id,
+             COUNT(*) AS n_fps,
+             CAST(SUM(CASE WHEN occ.n_docs > 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_shared
+      FROM e JOIN occ USING (fp)
+      GROUP BY e.doc_id
+    )
+    SELECT doc_id, CAST(n_fps AS BIGINT) AS n_fps, n_shared,
+           round(n_shared / CAST(n_fps AS DOUBLE), 6) AS dup_coverage
+    FROM per_doc WHERE n_shared > 0
+    """,
+    doc=(
+        "Per-document duplication coverage: the fraction of a doc's "
+        "winnowing fingerprints shared with ANY other document — "
+        "'how much of this doc is duplicated', the number that "
+        "separates drop-the-doc from trim-the-span decisions "
+        "(pairwise winnow says who matches; this says how much). "
+        "Fingerprint occupancy is one digest-grain aggregate joined "
+        "back — no pair explosion at all."
+    ),
+)
+def dup_span_coverage(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    fp_rows = (
+        dd.winnow_fingerprints(docs, "doc_id", "text")
+        .localCheckpoint(eager=True)  # Generate-filter guard, as in
+        .select("id", F.explode("fps").alias("fp"))  # winnow_span_pairs
+    )
+    occ = fp_rows.groupBy("fp").agg(
+        F.count_distinct("id").alias("n_docs")
+    )
+    return (
+        fp_rows.join(occ, "fp")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_fps"),
+            F.sum(
+                F.when(F.col("n_docs") > 1, 1).otherwise(0)
+            ).cast("bigint").alias("n_shared"),
+        )
+        .filter(F.col("n_shared") > 0)
+        .select(
+            "doc_id",
+            "n_fps",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.col("n_fps").cast("double"), 6
+            ).alias("dup_coverage"),
+        )
+    )
