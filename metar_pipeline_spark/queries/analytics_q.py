@@ -1516,3 +1516,71 @@ def conversion_time_percentiles(spark, sf_dir):
         .alias("p90_secs"),
         F.max("secs").cast("bigint").alias("p100_secs"),
     )
+
+
+@register(
+    "value_decile_concentration",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events GROUP BY user_id
+    ), d AS (
+      SELECT total, NTILE(10) OVER (ORDER BY total DESC, user_id) AS decile
+      FROM u
+    ), t AS (
+      SELECT CAST(SUM(CAST(total AS DECIMAL(38,10))) AS DOUBLE)
+                 AS grand FROM u
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           round(CAST(SUM(CAST(total AS DECIMAL(38,10))) AS DOUBLE), 2)
+               AS decile_value,
+           round(CAST(SUM(CAST(total AS DECIMAL(38,10))) AS DOUBLE)
+                 / t.grand, 6) AS share_of_total
+    FROM d, t GROUP BY decile, t.grand
+    """,
+    doc=(
+        "Pareto concentration curve: users ranked into value deciles "
+        "(top decile first), per-decile share of total value — the "
+        "80/20 curve that pairs with the Gini scalar. The ntile runs "
+        "on the USER-grain aggregate; DECIMAL sums end to end."
+    ),
+)
+def value_decile_concentration(spark, sf_dir):
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    u = events.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total")
+    )
+    w = Window.orderBy(F.desc("total"), F.asc("user_id"))
+    d = u.withColumn("decile", F.ntile(10).over(w))
+    t = u.agg(
+        F.sum(F.col("total").cast("decimal(38,10)"))
+        .cast("double")
+        .alias("grand")
+    )
+    return (
+        d.crossJoin(F.broadcast(t))
+        .groupBy("decile", "grand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.round(
+                F.sum(F.col("total").cast("decimal(38,10)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("decile_value"),
+            F.round(
+                F.sum(F.col("total").cast("decimal(38,10)")).cast(
+                    "double"
+                )
+                / F.col("grand"),
+                6,
+            ).alias("share_of_total"),
+        )
+        .drop("grand")
+    )

@@ -1000,3 +1000,61 @@ def psi_value_drift(spark, sf_dir):
             6,
         ).alias("psi_term"),
     )
+
+
+@register(
+    "winsorized_mean_value_by_type",
+    """
+    WITH thr AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.05), 6) AS lo,
+             round(quantile_cont(value, 0.95), 6) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(SUM(CAST(least(greatest(e.value, t.lo), t.hi)
+                               AS DECIMAL(38,10))) AS DOUBLE)
+                 / COUNT(*), 6) AS winsorized_mean,
+           CAST(SUM(CASE WHEN e.value < t.lo OR e.value > t.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM events e JOIN thr t USING (event_type)
+    GROUP BY e.event_type
+    """,
+    doc=(
+        "Winsorized mean per event type: clip at the exact p5/p95 "
+        "(rounded thresholds broadcast back against the scan, same "
+        "shape as the MAD outlier pass) then a DECIMAL-exact mean — "
+        "the robust location estimate that, unlike trimming, keeps n "
+        "constant. Clipped-row count rides the same aggregate."
+    ),
+)
+def winsorized_mean_value_by_type(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    dec = "decimal(38,10)"
+    thr = events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.05)"), 6).alias("lo"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("hi"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("value"), F.col("lo")), F.col("hi")
+    )
+    return (
+        events.join(F.broadcast(thr), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.sum(clipped.cast(dec)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("winsorized_mean"),
+            F.sum(
+                F.when(
+                    (F.col("value") < F.col("lo"))
+                    | (F.col("value") > F.col("hi")),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_clipped"),
+        )
+    )
