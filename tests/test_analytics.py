@@ -725,3 +725,51 @@ def test_pmi_marginal_consistency(spark):
     for r in rows:
         assert abs(r["pmi"] - round(math.log(r["lift"]), 6)) <= 1e-5
         assert r["n_users_both"] <= min(marg[r["type_a"]], marg[r["type_b"]])
+
+
+def test_winsorized_mean_bounds_and_clipping(spark):
+    """The winsorized mean lies within [lo, hi]; clipped count is at
+    most ~10% of rows (5% each tail, up to interpolation ties)."""
+    from metar_pipeline_spark.queries import all_queries
+
+    rows = all_queries()["winsorized_mean_value_by_type"].spark_fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["n_clipped"] <= 0.12 * r["n"]
+
+
+def test_decile_concentration_shares_sum_to_one(spark):
+    from metar_pipeline_spark.queries import all_queries
+
+    rows = sorted(
+        all_queries()["value_decile_concentration"].spark_fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    assert abs(sum(r["share_of_total"] for r in rows) - 1.0) < 1e-4
+    # deciles are ranked top-down: shares are non-increasing
+    shares = [r["share_of_total"] for r in rows]
+    assert shares == sorted(shares, reverse=True)
+
+
+def test_psi_terms_are_finite_and_smoothed(spark):
+    """Smoothing keeps every PSI term finite; ref/cur frequencies are
+    proper distributions up to the +1e-4 smoothing mass."""
+    import math
+
+    from metar_pipeline_spark.queries import all_queries
+
+    rows = all_queries()["psi_value_drift"].spark_fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert math.isfinite(r["psi_term"])
+        assert r["p_ref"] > 0 and r["p_cur"] > 0
+    for col in ("p_ref", "p_cur"):
+        s = sum(r[col] for r in rows)
+        assert abs(s - 1.0) < 0.01 + 1e-4 * len(rows)
