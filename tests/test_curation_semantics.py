@@ -333,3 +333,22 @@ def test_neyman_allocation_favors_high_variance_strata(spark):
         alloc = members[0]["alloc"]
         assert len(members) == min(alloc, members[0]["stratum_n"])
         assert all(m["sample_rank"] <= alloc for m in members)
+
+
+def test_dup_coverage_consistent_with_winnow_pairs(spark):
+    """Cross-operator invariant: a document has dup_coverage > 0 iff it
+    appears in some winnow span pair — the coverage aggregate and the
+    pair join are two views of the same fingerprint collisions."""
+    from metar_pipeline_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    pairs = all_queries()["dedup_winnow_span_pairs"].spark_fn(
+        spark, sf
+    ).collect()
+    cov = all_queries()["dup_span_coverage"].spark_fn(spark, sf).collect()
+    in_pairs = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+    covered = {r["doc_id"] for r in cov}
+    assert covered == in_pairs
+    for r in cov:
+        assert 0 < r["dup_coverage"] <= 1.0
+        assert r["n_shared"] <= r["n_fps"]
