@@ -1708,3 +1708,66 @@ def dup_span_coverage(spark, sf_dir):
             ).alias("dup_coverage"),
         )
     )
+
+
+@register(
+    "ttr_lexical_diversity",
+    f"""
+    WITH t AS (SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents),
+    per_doc AS (
+      SELECT source,
+             round(len(list_distinct(toks[1:100]))
+                   / CAST(least(len(toks), 100) AS DOUBLE), 6) AS ttr100,
+             round(len(list_distinct(toks[1:200]))
+                   / CAST(least(len(toks), 200) AS DOUBLE), 6) AS ttr200
+      FROM t WHERE len(toks) >= 20
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(CAST(SUM(CAST(ttr100 AS DECIMAL(38,10))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_ttr100,
+           round(CAST(SUM(CAST(ttr200 AS DECIMAL(38,10))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_ttr200
+    FROM per_doc GROUP BY source
+    """,
+    doc=(
+        "Lexical diversity per source: mean type-token ratio at fixed "
+        "100- and 200-token prefixes (fixed windows because raw TTR "
+        "falls with length — comparing unequal-length docs without "
+        "fixing the window is the classic TTR mistake). Low TTR "
+        "flags template/boilerplate-heavy domains the repetition "
+        "signals miss at doc grain. Per-row array math riding the "
+        "scan + one DECIMAL mean per source."
+    ),
+)
+def ttr_lexical_diversity(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    dec = "decimal(38,10)"
+    toks = tx.tokens(F.col("text"))
+    staged = docs.select("source", toks.alias("_t")).filter(
+        F.size("_t") >= 20
+    )
+
+    def ttr(k: int):
+        return F.round(
+            F.size(F.array_distinct(F.slice(F.col("_t"), 1, k)))
+            / F.least(F.size("_t"), F.lit(k)).cast("double"),
+            6,
+        )
+
+    per_doc = staged.select(
+        "source", ttr(100).alias("ttr100"), ttr(200).alias("ttr200")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum(F.col("ttr100").cast(dec)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_ttr100"),
+        F.round(
+            F.sum(F.col("ttr200").cast(dec)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_ttr200"),
+    )

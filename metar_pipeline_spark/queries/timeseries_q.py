@@ -1058,3 +1058,71 @@ def winsorized_mean_value_by_type(spark, sf_dir):
             ).cast("bigint").alias("n_clipped"),
         )
     )
+
+
+@register(
+    "user_burstiness_score",
+    """
+    WITH g AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS gap
+      FROM events
+    ), s AS (
+      SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(CAST(gap AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(gap * gap AS DECIMAL(38,10))) AS DOUBLE) AS sxx
+      FROM g WHERE gap IS NOT NULL GROUP BY user_id HAVING COUNT(*) >= 2
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+           round(sx / n, 6) AS mean_gap_secs,
+           round((round(sqrt((sxx - sx * sx / n) / n), 6) - round(sx / n, 6))
+                 / (round(sqrt((sxx - sx * sx / n) / n), 6) + round(sx / n, 6)),
+                 6) AS burstiness
+    FROM s
+    """,
+    doc=(
+        "Goh-Barabasi burstiness B = (sigma - mu)/(sigma + mu) of "
+        "per-user inter-arrival gaps: -1 = periodic, 0 = Poisson, "
+        "->1 = bursty. One LAG window sharing the per-user exchange + "
+        "exact DECIMAL moments; sigma and mu are each rounded to 6 "
+        "before the ratio so the composite can't drift between "
+        "engines. The traffic-shape audit behind retry/batching "
+        "policy and session-gap choices."
+    ),
+)
+def user_burstiness_score(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    dec = "decimal(38,10)"
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.col("ts").cast("timestamp").cast("long")
+    g = events.select(
+        "user_id", (t - F.lag(t).over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    s = (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("gap").cast(dec)).cast("double").alias("sx"),
+            F.sum((F.col("gap") * F.col("gap")).cast(dec))
+            .cast("double")
+            .alias("sxx"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    mu = F.round(F.col("sx") / F.col("n"), 6)
+    sigma = F.round(
+        F.sqrt(
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            / F.col("n")
+        ),
+        6,
+    )
+    return s.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_gaps"),
+        mu.alias("mean_gap_secs"),
+        F.round((sigma - mu) / (sigma + mu), 6).alias("burstiness"),
+    )
