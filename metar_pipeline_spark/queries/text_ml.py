@@ -1771,3 +1771,68 @@ def ttr_lexical_diversity(spark, sf_dir):
             6,
         ).alias("mean_ttr200"),
     )
+
+
+@register(
+    "neardup_rate_by_source",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, lang, list_distinct({_DUCK_TOKS}) AS s
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM t a JOIN t b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE round(len(list_intersect(a.s, b.s))
+                  / greatest(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 1), 6) >= 0.8
+    ),
+    dup_ids AS (
+      SELECT id_a AS doc_id FROM pairs
+      UNION SELECT id_b FROM pairs
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN u.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_in_neardup,
+           round(SUM(CASE WHEN u.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS neardup_rate
+    FROM documents d LEFT JOIN dup_ids u USING (doc_id)
+    GROUP BY d.source
+    """,
+    doc=(
+        "Per-source near-duplicate rate: the fraction of each domain's "
+        "docs participating in a >=0.8-Jaccard pair (same blocked pair "
+        "generation the CC/canonical queries use) — the dashboard "
+        "number that says WHICH ingestion source needs dedup "
+        "attention; the dup-id set joins back broadcast."
+    ),
+)
+def neardup_rate_by_source(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_unigram_jaccard_pairs(spark, sf_dir).select(
+        "id_a", "id_b"
+    )
+    dup_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        docs.join(F.broadcast(dup_ids), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(F.col("_dup").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_in_neardup"),
+            F.round(
+                F.sum(
+                    F.when(F.col("_dup").isNotNull(), 1).otherwise(0)
+                )
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("neardup_rate"),
+        )
+    )

@@ -1126,3 +1126,84 @@ def user_burstiness_score(spark, sf_dir):
         mu.alias("mean_gap_secs"),
         F.round((sigma - mu) / (sigma + mu), 6).alias("burstiness"),
     )
+
+
+@register(
+    "session_duration_percentiles",
+    """
+    WITH t AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+             LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev
+      FROM events
+    ), s AS (
+      SELECT user_id, tsec,
+             SUM(CASE WHEN prev IS NOT NULL AND tsec - prev > 1800
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY tsec, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sid
+      FROM t
+    ), sess AS (
+      SELECT user_id, sid,
+             MAX(tsec) - MIN(tsec) AS dur_secs,
+             COUNT(*) AS n_events
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(round(quantile_cont(dur_secs, 0.5), 0) AS BIGINT)
+               AS p50_dur_secs,
+           CAST(round(quantile_cont(dur_secs, 0.9), 0) AS BIGINT)
+               AS p90_dur_secs,
+           CAST(round(quantile_cont(n_events, 0.5), 0) AS BIGINT)
+               AS p50_events,
+           CAST(MAX(n_events) AS BIGINT) AS max_events
+    FROM sess
+    """,
+    doc=(
+        "Session-shape distribution: 30-min-gap sessionization (the "
+        "batch window-sum formulation sessionize_events registers "
+        "per-row) reduced to duration/size percentiles in integer "
+        "seconds/counts — the summary that calibrates the gap "
+        "parameter and streaming state TTLs. Shares the one per-user "
+        "exchange; percentiles run on the session-grain frame."
+    ),
+)
+def session_duration_percentiles(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.col("ts").cast("timestamp").cast("long")
+    flagged = events.select(
+        "user_id", "event_id", t.alias("tsec"),
+        F.lag(t).over(w).alias("prev"),
+    ).withColumn(
+        "sid",
+        F.sum(
+            F.when(
+                F.col("prev").isNotNull()
+                & (F.col("tsec") - F.col("prev") > 1800),
+                1,
+            ).otherwise(0)
+        ).over(
+            Window.partitionBy("user_id").orderBy("tsec", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    sess = flagged.groupBy("user_id", "sid").agg(
+        (F.max("tsec") - F.min("tsec")).alias("dur_secs"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return sess.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.round(F.expr("percentile(dur_secs, 0.5)"), 0)
+        .cast("bigint")
+        .alias("p50_dur_secs"),
+        F.round(F.expr("percentile(dur_secs, 0.9)"), 0)
+        .cast("bigint")
+        .alias("p90_dur_secs"),
+        F.round(F.expr("percentile(n_events, 0.5)"), 0)
+        .cast("bigint")
+        .alias("p50_events"),
+        F.max("n_events").cast("bigint").alias("max_events"),
+    )
