@@ -1207,3 +1207,49 @@ def session_duration_percentiles(spark, sf_dir):
         .alias("p50_events"),
         F.max("n_events").cast("bigint").alias("max_events"),
     )
+
+
+@register(
+    "hour_of_week_profile",
+    """
+    WITH b AS (
+      SELECT ((CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7) AS dow,
+             ((CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600) AS hour,
+             value
+      FROM events
+    )
+    SELECT CAST(dow AS INTEGER) AS dow, CAST(hour AS INTEGER) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS sum_value
+    FROM b GROUP BY dow, hour
+    """,
+    doc=(
+        "Hour-of-week activity profile (the seasonality heatmap "
+        "behind capacity planning): day-of-week and hour derived from "
+        "INTEGER epoch arithmetic (epoch//86400 + 4) % 7 — engine "
+        "date-part functions number weekdays differently (DuckDB "
+        "Sunday=0, Spark Sunday=1), integer math numbers them "
+        "identically (0=Monday). One agg riding the scan."
+    ),
+)
+def hour_of_week_profile(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    e = F.col("ts").cast("timestamp").cast("long")
+    return (
+        events.select(
+            ((F.floor(e / 86400) + 4) % 7).cast("int").alias("dow"),
+            ((e % 86400) / 3600).cast("int").alias("hour"),
+            "value",
+        )
+        .groupBy("dow", "hour")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("sum_value"),
+        )
+    )

@@ -716,3 +716,60 @@ def tpch_q21_suppliers_kept_waiting(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@register(
+    "order_backlog_sweepline",
+    """
+    WITH iv AS (
+      SELECT CAST(o_orderdate AS DATE) AS open_day,
+             CAST(o_orderdate AS DATE)
+               + CAST((1 + o_orderkey % 90) AS INTEGER) AS close_day
+      FROM orders
+    ), deltas AS (
+      SELECT open_day AS day, CAST(1 AS BIGINT) AS delta FROM iv
+      UNION ALL
+      SELECT close_day, CAST(-1 AS BIGINT) FROM iv
+    ), daily AS (
+      SELECT day, SUM(delta) AS net FROM deltas GROUP BY day
+    )
+    SELECT day,
+           CAST(SUM(net) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS open_orders
+    FROM daily
+    """,
+    doc=(
+        "Concurrent-intervals backlog via the sweep line: each order "
+        "contributes +1 at open and -1 at close (synthetic 1-90-day "
+        "fulfilment from the orderkey), net deltas aggregate per day "
+        "FIRST (map-side combinable, |days| rows), then ONE cumulative "
+        "sum over the calendar-bounded day grain. The O(n) alternative "
+        "to the per-day interval-containment join, and the shape that "
+        "answers any 'how many X were open at time T' at 100 TB."
+    ),
+)
+def order_backlog_sweepline(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    open_day = F.col("o_orderdate").cast("date")
+    close_day = F.date_add(
+        open_day, (1 + F.col("o_orderkey") % 90).cast("int")
+    )
+    iv = orders.select(open_day.alias("open_day"), close_day.alias("close_day"))
+    deltas = iv.select(
+        F.col("open_day").alias("day"), F.lit(1).cast("bigint").alias("delta")
+    ).unionAll(
+        iv.select(
+            F.col("close_day").alias("day"),
+            F.lit(-1).cast("bigint").alias("delta"),
+        )
+    )
+    daily = deltas.groupBy("day").agg(F.sum("delta").alias("net"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "day", F.sum("net").over(w).cast("bigint").alias("open_orders")
+    )
