@@ -1253,3 +1253,124 @@ def hour_of_week_profile(spark, sf_dir):
             ).alias("sum_value"),
         )
     )
+
+
+@register(
+    "daily_value_max_drawdown",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+                 AS v
+      FROM events GROUP BY 1
+    ), cum AS (
+      SELECT day,
+             round(CAST(SUM(CAST(v AS DECIMAL(38,10))) OVER (
+               ORDER BY day ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2)
+                 AS cum_v
+      FROM daily
+    ), dd AS (
+      SELECT day, cum_v,
+             round(MAX(cum_v) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                   - cum_v, 2) AS drawdown
+      FROM cum
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           round(MAX(drawdown), 2) AS max_drawdown,
+           MIN(day) FILTER (WHERE drawdown =
+               (SELECT MAX(drawdown) FROM dd)) AS worst_day
+    FROM dd
+    """,
+    doc=(
+        "Maximum drawdown of the cumulative daily value series "
+        "(peak-to-trough loss — the risk statistic for any cumulative "
+        "KPI): running sum then running max, both windows sharing one "
+        "calendar-bounded day-grain sort; the worst day ties break to "
+        "the earliest. DECIMAL at every accumulation; day-grain "
+        "reduction happens FIRST so the windows never see raw events."
+    ),
+)
+def daily_value_max_drawdown(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("v")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.select(
+        "day",
+        F.round(
+            F.sum(F.col("v").cast("decimal(38,10)")).over(w).cast(
+                "double"
+            ),
+            2,
+        ).alias("cum_v"),
+    )
+    dd = cum.select(
+        "day",
+        F.round(F.max("cum_v").over(w) - F.col("cum_v"), 2).alias(
+            "drawdown"
+        ),
+    )
+    mx = dd.agg(F.max("drawdown").alias("_m"))
+    return (
+        dd.crossJoin(F.broadcast(mx))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(F.max("drawdown"), 2).alias("max_drawdown"),
+            F.min(
+                F.when(F.col("drawdown") == F.col("_m"), F.col("day"))
+            ).alias("worst_day"),
+        )
+    )
+
+
+@register(
+    "user_growth_curve",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS day
+      FROM events GROUP BY user_id
+    ), daily AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM first_seen GROUP BY day
+    )
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+    FROM daily
+    """,
+    doc=(
+        "Cumulative distinct-user growth curve: first-seen day per "
+        "user (one user-grain MIN — the reduction that makes "
+        "'cumulative distinct' map-side combinable at all), day-grain "
+        "counts, then ONE calendar-bounded running sum. The naive "
+        "per-day COUNT(DISTINCT user_id <= day) re-scans the stream "
+        "per day; this shape is O(n) + a |days| window."
+    ),
+)
+def user_growth_curve(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(
+        F.min(
+            F.date_trunc("day", F.col("ts")).cast("date")
+        ).alias("day")
+    )
+    daily = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias(
+            "cumulative_users"
+        ),
+    )
