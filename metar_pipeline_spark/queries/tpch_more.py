@@ -773,3 +773,55 @@ def order_backlog_sweepline(spark, sf_dir):
     return daily.select(
         "day", F.sum("net").over(w).cast("bigint").alias("open_orders")
     )
+
+
+@register(
+    "shipping_lag_percentiles",
+    """
+    WITH lag AS (
+      SELECT o.o_orderpriority,
+             CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE)) AS BIGINT)
+                 AS lag_days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(round(quantile_cont(lag_days, 0.5), 0) AS BIGINT)
+               AS p50_days,
+           CAST(round(quantile_cont(lag_days, 0.9), 0) AS BIGINT)
+               AS p90_days,
+           CAST(MAX(lag_days) AS BIGINT) AS max_days
+    FROM lag GROUP BY o_orderpriority
+    """,
+    doc=(
+        "Order-to-ship latency profile by priority: integer-day "
+        "percentiles of (shipdate - orderdate) over the fact-fact "
+        "join (broadcast orders side at these SFs, shuffled+AQE at "
+        "scale) — integer in, integer out, so interpolation "
+        "half-cases cannot drift. The supply-chain SLA readout."
+    ),
+)
+def shipping_lag_percentiles(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("od"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    lag = li.join(
+        F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey")
+    ).select(
+        "o_orderpriority", F.datediff("sd", "od").cast("bigint").alias("lag_days")
+    )
+    return lag.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.round(F.expr("percentile(lag_days, 0.5)"), 0)
+        .cast("bigint")
+        .alias("p50_days"),
+        F.round(F.expr("percentile(lag_days, 0.9)"), 0)
+        .cast("bigint")
+        .alias("p90_days"),
+        F.max("lag_days").cast("bigint").alias("max_days"),
+    )
