@@ -671,6 +671,11 @@ def winnow_incremental_pairs(
     row per detected (new, prior) fingerprint collision, i.e. a shared
     exact token run of >= window + shingle_k - 1 tokens.
     """
+    if corpus_docs is None and corpus_fps is None:
+        raise ValueError(
+            "winnow_incremental_pairs: pass corpus_docs (texts to "
+            "fingerprint) or corpus_fps (persisted (id, fp) store)"
+        )
     new_rows = (
         winnow_fingerprints(
             new_docs, id_col, text_col, shingle_k=shingle_k, window=window

@@ -53,20 +53,12 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # the auto-boost catches direct query/oracle edits and one-hop operator
 # module edits, but not deeper transitive changes).
 VERIFY_FIRST: list[str] = [
-    # Round-4 gate priorities (VERDICT r3 "Next round" items):
-    #  - the one stale-red row, its oracle HUGEINT cast now fixed;
-    #  - the two judge-listed never-verified queries that registration
-    #    order would otherwise push past the 50-slot window;
-    #  - the IVF+int8 composed store probe (VERDICT item 5) and the two
-    #    ADVICE-fixed dedup queries, which sat at the window cutoff.
-    "tpch_q12_priority_shipping",
-    "embedding_quantize_int8",
-    "anomaly_daily_event_spikes",
-    "ann_ivf_quantized_probe",
-    "dedup_incremental_batch",
-    "dedup_canonical_keep",
-    "scripted_incremental_rollup",
-    "parameterized_sql_topn",
+    # Empty this round: every previously-boosted name went driver-green
+    # in the last gate run and its source is hash-stable, so boosting
+    # any of them would waste a window slot (the rotation-invariant
+    # test now enforces exactly that). With the list empty, category 1
+    # (never-driver-green) fills the window — the entire remaining
+    # backlog fits in one 50-slot round.
 ]
 
 

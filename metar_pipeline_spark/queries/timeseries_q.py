@@ -1213,7 +1213,7 @@ def session_duration_percentiles(spark, sf_dir):
     "hour_of_week_profile",
     """
     WITH b AS (
-      SELECT ((CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7) AS dow,
+      SELECT ((CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 3) % 7) AS dow,
              ((CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600) AS hour,
              value
       FROM events
@@ -1227,10 +1227,11 @@ def session_duration_percentiles(spark, sf_dir):
     doc=(
         "Hour-of-week activity profile (the seasonality heatmap "
         "behind capacity planning): day-of-week and hour derived from "
-        "INTEGER epoch arithmetic (epoch//86400 + 4) % 7 — engine "
+        "INTEGER epoch arithmetic (epoch//86400 + 3) % 7 — engine "
         "date-part functions number weekdays differently (DuckDB "
         "Sunday=0, Spark Sunday=1), integer math numbers them "
-        "identically (0=Monday). One agg riding the scan."
+        "identically: epoch day 0 is a Thursday, +3 makes 0=Monday. "
+        "One agg riding the scan."
     ),
 )
 def hour_of_week_profile(spark, sf_dir):
@@ -1238,7 +1239,7 @@ def hour_of_week_profile(spark, sf_dir):
     e = F.col("ts").cast("timestamp").cast("long")
     return (
         events.select(
-            ((F.floor(e / 86400) + 4) % 7).cast("int").alias("dow"),
+            ((F.floor(e / 86400) + 3) % 7).cast("int").alias("dow"),
             ((e % 86400) / 3600).cast("int").alias("hour"),
             "value",
         )

@@ -296,6 +296,19 @@ def test_winnow_incremental_store_backed_equals_inline(spark, tmp_path):
         assert r["id_new"] % 10 == 0  # every verdict is about a new doc
 
 
+def test_winnow_incremental_requires_a_corpus(spark):
+    """corpus_docs=None + corpus_fps=None is a contract violation and
+    must fail loudly at the call site, not as an opaque AttributeError
+    deep inside winnow_fingerprints."""
+    import pytest
+
+    from metar_pipeline_spark.operators import dedup as dd
+
+    docs = load_table(spark, SF_DIR, "documents").limit(5)
+    with pytest.raises(ValueError, match="corpus_docs.*corpus_fps"):
+        dd.winnow_incremental_pairs(docs, None, "doc_id", "text")
+
+
 def test_neyman_allocation_favors_high_variance_strata(spark):
     """With equal stratum sizes, a zero-variance source gets the
     floor allocation of 1 while the varied source takes essentially

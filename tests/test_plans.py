@@ -334,7 +334,16 @@ def test_registry_wide_plan_lint(spark):
     BroadcastNestedLoopJoin and are fine), and no BatchEvalPython
     (row-at-a-time Python in a plan means a hot path left the JVM —
     Arrow forms show as ArrowEvalPython/MapInPandas/
-    FlatMapGroupsInPandas and are allowed)."""
+    FlatMapGroupsInPandas and are allowed).
+
+    Measured exemption: udtf_token_chunks deliberately uses the
+    pickled UDTF path (BatchEvalPythonUDTF) — its useArrow=True form
+    benched 2.6x slower at sf0.1 (1.00 s vs 0.38 s; round-5 finding,
+    see functions/udtf_fns.py docstring): short variable-length
+    string rows make per-batch Arrow conversion cost more than
+    pickle. The exemption is name-scoped so any OTHER query landing a
+    pickled Python eval still fails the lint."""
+    measured_python_exempt = {"udtf_token_chunks": "BatchEvalPythonUDTF"}
     specs = all_queries()
     offenders = {}
     for name, spec in specs.items():
@@ -345,6 +354,6 @@ def test_registry_wide_plan_lint(spark):
             continue
         if "CartesianProduct" in p:
             offenders[name] = "CartesianProduct"
-        if "BatchEvalPython" in p:
+        if "BatchEvalPython" in p and name not in measured_python_exempt:
             offenders[name] = "BatchEvalPython"
     assert not offenders, offenders

@@ -21,29 +21,42 @@ def test_window_is_saturated_with_pending_queries():
     never = [n for n in names if n not in green]
     window = names[:50]
     left_out = [n for n in never if n not in window]
+    manifest = q._green_hashes()
+    specs = q.all_queries()
     if left_out:
         # oversubscribed: every slot must then be spent on pending work
+        # (a manual boost is NOT an excuse — see the stale-boost test)
         wasted = [
-            n for n in window if n in green and n not in q.VERIFY_FIRST
-        ]
-        # hash-drifted green queries are legitimate re-verification work
-        manifest = q._green_hashes()
-        specs = q.all_queries()
-        wasted = [
-            n for n in wasted if manifest.get(n) == q._query_hash(specs[n])
+            n for n in window
+            if n in green and manifest.get(n) == q._query_hash(specs[n])
+            and n not in q.VERIFY_FIRST
         ]
         assert not wasted, f"window slot wasted on stable-green: {wasted}"
-    # Round 4 consciously pushed breadth (25+ new oracle-verified
-    # queries in one round), so the backlog bound is ~three gate
-    # rounds. Every overflow query is hash-verified LOCALLY each
-    # session by tools/check_oracle.py AND the judge has historically
-    # re-run the deferred set itself (r3 verdict), so a deferred
-    # driver row costs latency, not correctness. Judge-priority
-    # queries are pinned in-window via VERIFY_FIRST regardless.
-    assert len(left_out) <= 60, (
-        f"{len(left_out)} pending queries overflow the window — more than "
-        f"three rounds of backlog: {left_out}"
+    # Tight bound: the registry grows ≤ a handful of queries per round
+    # against a 50/round gate, so pending work must clear within ONE
+    # following gate round. (Round 4's breadth push temporarily relaxed
+    # this to 60; ratcheted back down once the round-5 window covered
+    # the whole backlog.)
+    assert len(left_out) <= 10, (
+        f"{len(left_out)} pending queries overflow the window — "
+        f"verification debt must clear in one gate round: {left_out}"
     )
+
+
+def test_no_stale_manual_boost():
+    """A VERIFY_FIRST name that is simultaneously driver-green AND
+    hash-stable (source unchanged since its green verdict) has no
+    business being boosted — it would crowd a never-green query out of
+    the 50-slot window. This is the loophole that let rounds 3 and 4
+    each ship a stale boost list."""
+    specs = q.all_queries()
+    green = q._driver_green()
+    manifest = q._green_hashes()
+    stale = [
+        n for n in q.VERIFY_FIRST
+        if n in green and manifest.get(n) == q._query_hash(specs[n])
+    ]
+    assert not stale, f"stale VERIFY_FIRST entries (green + unchanged): {stale}"
 
 
 def test_verify_first_names_exist():
