@@ -116,33 +116,73 @@ def _fake_image_header(buf: bytes) -> tuple[int, int, int, float]:
     return width, height, channels, brightness
 
 
+def _resolve_codec(codec: str) -> str:
+    """'auto' → 'pil' when PIL is importable, else 'fake'; 'pil'
+    raises if the library is absent (explicit request must not
+    silently degrade)."""
+    if codec == "fake":
+        return "fake"
+    import importlib.util
+
+    have_pil = importlib.util.find_spec("PIL") is not None
+    if codec == "auto":
+        return "pil" if have_pil else "fake"
+    if codec == "pil":
+        if not have_pil:
+            raise NotImplementedError(
+                "codec='pil' requested but PIL is not installed"
+            )
+        return "pil"
+    raise ValueError(f"unknown codec {codec!r} (use auto|pil|fake)")
+
+
 def decode_images(
-    df: DataFrame, id_col: str = "doc_id", bin_col: str = "content"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "content",
+    codec: str = "auto",
 ) -> DataFrame:
-    """Image decode → (id, width, height, n_channels, mean_pixel).
+    """Image decode → (id, width, height, n_channels, brightness).
 
-    Real-decoder seam: if PIL is importable the kernel would open each
-    buffer; in this container it uses the deterministic fake header.
-    The mapInPandas shape (batched, schema'd, no driver data) is the
-    production shape either way.
+    Real-decoder seam: codec='auto' upgrades to a real PIL decode when
+    the library is importable (richer environments) and falls back to
+    the deterministic digest-derived fake header here. The
+    oracle-paired stub query pins codec='fake' so its SQL digest twin
+    stays engine-reproducible regardless of installed libraries. The
+    mapInPandas shape (batched, schema'd, no driver data) is the
+    production shape either way. PIL-gated integration test:
+    tests/test_formats.py::TestRealCodecs.
     """
-    try:  # pragma: no cover - library not present in this environment
-        import PIL.Image  # noqa: F401
-
-        have_pil = True
-    except Exception:
-        have_pil = False
+    use = _resolve_codec(codec)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if use == "pil":  # pragma: no cover - PIL absent in this env
+            import io as _io
+
+            import PIL.Image
+            from PIL import ImageStat
+
         for pdf in batches:
-            if have_pil:  # pragma: no cover
-                raise NotImplementedError(
-                    "real PIL decode intentionally not wired in this build"
-                )
-            rows = [
-                (i, *_fake_image_header(bytes(b)))
-                for i, b in zip(pdf[id_col], pdf[bin_col])
-            ]
+            if use == "pil":  # pragma: no cover - PIL absent here
+                rows = []
+                for i, b in zip(pdf[id_col], pdf[bin_col]):
+                    img = PIL.Image.open(_io.BytesIO(bytes(b)))
+                    img.load()
+                    means = ImageStat.Stat(img).mean
+                    rows.append(
+                        (
+                            i,
+                            img.width,
+                            img.height,
+                            len(img.getbands()),
+                            round(sum(means) / (len(means) * 255.0), 6),
+                        )
+                    )
+            else:
+                rows = [
+                    (i, *_fake_image_header(bytes(b)))
+                    for i, b in zip(pdf[id_col], pdf[bin_col])
+                ]
             yield pd.DataFrame(
                 rows, columns=[c.name for c in IMAGE_DECODE_SCHEMA]
             )
@@ -250,32 +290,57 @@ def resize_images(
     target_h: int,
     id_col: str = "doc_id",
     bin_col: str = "content",
+    codec: str = "auto",
 ) -> DataFrame:
     """Image resize → (id, target dims, resized bytes, digest, size).
 
-    Real-decoder seam as in decode_images: with PIL present the kernel
-    would decode → resample → re-encode; here the stand-in emits a
-    deterministic ``target_w*target_h``-byte buffer derived by cycling
+    Real-decoder seam as in decode_images: codec='auto' upgrades to
+    PIL decode → LANCZOS resample → PNG re-encode when the library is
+    importable; the fallback stand-in emits a deterministic
+    ``target_w*target_h``-byte buffer derived by cycling
     md5(buf || dims) — a pure function of the input, so schema, batch
     shape, output cardinality (1:1), and byte-budget behavior are all
     exercised for real. Binary out-columns stay opaque to Spark exactly
-    like production re-encoded JPEGs would.
+    like production re-encoded JPEGs would. The oracle-paired stub
+    query pins codec='fake'; PIL-gated integration test:
+    tests/test_formats.py::TestRealCodecs.
     """
-    try:  # pragma: no cover - library not present in this environment
-        import PIL.Image  # noqa: F401
-
-        have_pil = True
-    except Exception:
-        have_pil = False
-
+    use = _resolve_codec(codec)
     n_out = target_w * target_h
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if use == "pil":  # pragma: no cover - PIL absent in this env
+            import io as _io
+
+            import PIL.Image
+
         for pdf in batches:
-            if have_pil:  # pragma: no cover
-                raise NotImplementedError(
-                    "real PIL resize intentionally not wired in this build"
+            if use == "pil":  # pragma: no cover - PIL absent here
+                rows = []
+                for i, b in zip(pdf[id_col], pdf[bin_col]):
+                    img = PIL.Image.open(_io.BytesIO(bytes(b)))
+                    small = img.resize(
+                        (target_w, target_h), PIL.Image.LANCZOS
+                    )
+                    out_buf = _io.BytesIO()
+                    small.save(out_buf, format="PNG")
+                    buf = out_buf.getvalue()
+                    rows.append(
+                        (
+                            i,
+                            target_w,
+                            target_h,
+                            buf,
+                            hashlib.md5(
+                                buf.hex().upper().encode()
+                            ).hexdigest(),
+                            len(buf),
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows, columns=[c.name for c in RESIZE_SCHEMA]
                 )
+                continue
             rows = []
             for i, b in zip(pdf[id_col], pdf[bin_col]):
                 # hex-string hashing (not raw-byte) so a SQL oracle with

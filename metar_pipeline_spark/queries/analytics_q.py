@@ -1045,18 +1045,23 @@ def dynamic_partition_backfill(spark, sf_dir):
                  CAST(o_custkey AS VARCHAR) || '|' ||
                  coalesce(o_orderstatus, '<N>') || '|' ||
                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
-               ), 1, 8))::BIGINT) AS BIGINT) AS content_fingerprint
+               ), 1, 8))::BIGINT) % 2147483647 AS BIGINT)
+               AS content_fingerprint
     FROM orders
     """,
     doc=(
         "Order-insensitive table fingerprint: SUM of per-row 32-bit "
         "content digests (md5 over a canonical '|'-joined rendering, "
-        "doubles via DECIMAL so both engines print identical text) — "
-        "two tables are byte-equal iff (n_rows, fingerprint) agree up "
-        "to digest collisions; the O(1)-output companion to the "
-        "per-key table_diff, cheap enough to run after every copy/"
-        "backfill. Commutative sum => partition-order free; rides the "
-        "scan with one partial+final agg."
+        "doubles via DECIMAL so both engines print identical text), "
+        "reduced mod the Mersenne prime 2^31-1 — two tables are "
+        "byte-equal iff (n_rows, fingerprint) agree up to digest "
+        "collisions; the O(1)-output companion to the per-key "
+        "table_diff, cheap enough to run after every copy/backfill. "
+        "The sum accumulates in 128-bit (DECIMAL(38,0) / HUGEINT) so "
+        "it never overflows int64 regardless of row count; only the "
+        "mod-reduced value is cast back. Commutative sum => "
+        "partition-order free; rides the scan with one partial+final "
+        "agg."
     ),
 )
 def table_fingerprint_orders(spark, sf_dir):
@@ -1071,7 +1076,9 @@ def table_fingerprint_orders(spark, sf_dir):
     h = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("bigint")
     return orders.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.sum(h).cast("bigint").alias("content_fingerprint"),
+        (F.sum(h.cast("decimal(38,0)")) % F.lit(2147483647))
+        .cast("bigint")
+        .alias("content_fingerprint"),
     )
 
 
@@ -1328,7 +1335,7 @@ def event_cooccurrence_pmi(spark, sf_dir):
                  CAST(user_id AS VARCHAR) || '|' ||
                  coalesce(event_type, '<N>') || '|' ||
                  CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR)
-               ), 1, 8))::BIGINT) AS BIGINT) AS fingerprint
+               ), 1, 8))::BIGINT) % 2147483647 AS BIGINT) AS fingerprint
     FROM events GROUP BY 1
     """,
     doc=(
@@ -1336,8 +1343,10 @@ def event_cooccurrence_pmi(spark, sf_dir):
         "content digest (table_fingerprint_orders) at day grain, so a "
         "copy/backfill mismatch is LOCALIZED to the divergent day "
         "partitions instead of one table-wide boolean — compare two "
-        "sides' day rows, recompute only where they differ. Commutative "
-        "per-day digest sums combine map-side; one agg on the scan."
+        "sides' day rows, recompute only where they differ. Digest "
+        "sums accumulate in 128-bit and reduce mod 2^31-1 (int64-safe "
+        "at any partition size). Commutative per-day digest sums "
+        "combine map-side; one agg on the scan."
     ),
 )
 def partition_fingerprints_events(spark, sf_dir):
@@ -1354,7 +1363,9 @@ def partition_fingerprints_events(spark, sf_dir):
         F.date_trunc("day", F.col("ts")).cast("date").alias("day")
     ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.sum(h).cast("bigint").alias("fingerprint"),
+        (F.sum(h.cast("decimal(38,0)")) % F.lit(2147483647))
+        .cast("bigint")
+        .alias("fingerprint"),
     )
 
 
@@ -1583,4 +1594,74 @@ def value_decile_concentration(spark, sf_dir):
             ).alias("share_of_total"),
         )
         .drop("grand")
+    )
+
+
+@register(
+    "skyline_price_date_frontier",
+    """
+    WITH per_day AS (
+      SELECT o_orderdate AS day,
+             CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS best_price,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    c AS (
+      SELECT day, best_price, n_orders,
+             MIN(best_price) OVER (
+               ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_best
+      FROM per_day
+    )
+    SELECT CAST(day AS DATE) AS day,
+           round(CAST(best_price AS DOUBLE), 2) AS best_price,
+           round(CAST(prev_best AS DOUBLE), 2) AS prev_best,
+           round(CAST(coalesce(prev_best - best_price, 0)
+                      AS DOUBLE), 2) AS improvement,
+           n_orders
+    FROM c
+    WHERE prev_best IS NULL OR best_price < prev_best
+    """,
+    doc=(
+        "Pareto-skyline frontier (minimize order date, minimize "
+        "price): the orders no other order dominates on both axes — "
+        "the classic SKYLINE operator reduced to one date-grain MIN "
+        "agg (map-side partial, fact scanned once) plus a strict "
+        "running-min window over the calendar-bounded day table; the "
+        "100 TB fact never feeds a pairwise dominance join. DECIMAL "
+        "min/compare keeps the frontier test exact; doubles appear "
+        "only rounded at the output."
+    ),
+)
+def skyline_price_date_frontier(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    per_day = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.min(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("best_price"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = per_day.withColumn("prev_best", F.min("best_price").over(w))
+    return c.filter(
+        F.col("prev_best").isNull()
+        | (F.col("best_price") < F.col("prev_best"))
+    ).select(
+        "day",
+        F.round(F.col("best_price").cast("double"), 2).alias("best_price"),
+        F.round(F.col("prev_best").cast("double"), 2).alias("prev_best"),
+        F.round(
+            F.coalesce(
+                F.col("prev_best") - F.col("best_price"), F.lit(0)
+            ).cast("double"),
+            2,
+        ).alias("improvement"),
+        "n_orders",
     )

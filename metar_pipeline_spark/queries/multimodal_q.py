@@ -91,7 +91,9 @@ def image_decode_stub(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", _content_col().alias("content")
     )
-    return mm.decode_images(docs, "doc_id", "content")
+    # codec pinned to the digest-derived fake so the SQL oracle twin
+    # reproduces every field even in PIL-equipped environments
+    return mm.decode_images(docs, "doc_id", "content", codec="fake")
 
 
 @register(
@@ -227,7 +229,7 @@ def image_resize_stub(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", _content_col().alias("content")
     )
-    out = mm.resize_images(docs, 8, 8, "doc_id", "content")
+    out = mm.resize_images(docs, 8, 8, "doc_id", "content", codec="fake")
     # raw bytes stay engine-side (BLOB hashing isn't portable to the
     # VARCHAR-md5 oracle); the digest + length pin them exactly.
     return out.select(

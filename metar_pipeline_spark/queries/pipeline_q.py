@@ -221,3 +221,81 @@ def scd2_asof_lookup(spark, sf_dir):
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     ).select("o_custkey", "o_orderstatus", "valid_from")
+
+
+@register(
+    "tombstone_delete_audit",
+    """
+    WITH tombstones AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 13
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN t.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purged,
+           CAST(SUM(CASE WHEN t.user_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_retained,
+           CAST(COUNT(DISTINCT CASE WHEN t.user_id IS NOT NULL
+                                    THEN e.user_id END) AS BIGINT)
+               AS n_users_purged,
+           round(SUM(CASE WHEN t.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS purge_rate
+    FROM events e LEFT JOIN tombstones t USING (user_id)
+    GROUP BY e.event_type
+    """,
+    doc=(
+        "GDPR/right-to-be-forgotten tombstone audit: a deletion-"
+        "request dimension (stand-in: user_id % 97 = 13; in production "
+        "a requests table) broadcast-left-joined onto the fact ONCE, "
+        "with purged/retained/affected-user counts per event_type from "
+        "a single conditional agg — the pre-delete impact report. The "
+        "actual purge is the same broadcast join flipped to anti "
+        "(tombstone_purge operator), feeding the partition rewriter "
+        "(dynamic_partition_backfill); zero-leak invariant pinned in "
+        "tests/test_analytics.py."
+    ),
+)
+def tombstone_delete_audit(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    tombstones = (
+        events.filter(F.col("user_id") % 97 == 13)
+        .select("user_id")
+        .distinct()
+        .withColumn("_ts", F.lit(1))
+    )
+    purged = F.col("_ts").isNotNull()
+    return (
+        events.join(F.broadcast(tombstones), "user_id", "left")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum(F.when(purged, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_purged"),
+            F.sum(F.when(~purged, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_retained"),
+            F.count_distinct(F.when(purged, F.col("user_id")))
+            .cast("bigint")
+            .alias("n_users_purged"),
+            F.round(
+                F.sum(F.when(purged, 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("purge_rate"),
+        )
+    )
+
+
+def tombstone_purge(events, tombstones):
+    """The delete itself: broadcast LEFT ANTI join — every surviving
+    row provably has no tombstoned key. Deletion requests are
+    dimension-sized (thousands) against a 100 TB fact, so the purge is
+    a map-side hash probe with NO shuffle of the fact; pair with
+    dynamic_partition_backfill to rewrite only partitions that lost
+    rows."""
+    return events.join(
+        F.broadcast(tombstones.select("user_id").distinct()),
+        "user_id",
+        "left_anti",
+    )

@@ -1836,3 +1836,120 @@ def neardup_rate_by_source(spark, sf_dir):
             ).alias("neardup_rate"),
         )
     )
+
+
+@register(
+    "bm25_keyword_search",
+    f"""
+    WITH words AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents
+    ),
+    doclen AS (
+      SELECT doc_id, COUNT(*) AS len_d FROM words GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             SUM(len_d) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM doclen
+    ),
+    tfq AS (
+      SELECT doc_id, term, COUNT(*) AS n_td
+      FROM words WHERE term IN ('spark', 'join', 'vector')
+      GROUP BY doc_id, term
+    ),
+    dfq AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df_t
+      FROM words WHERE term IN ('spark', 'join', 'vector')
+      GROUP BY term
+    ),
+    contrib AS (
+      SELECT tfq.doc_id, tfq.term,
+             round(ln((stats.n_docs - dfq.df_t + 0.5)
+                      / (dfq.df_t + 0.5) + 1.0)
+                   * (tfq.n_td * 2.2)
+                   / (tfq.n_td + 1.2 * (0.25 + 0.75 * doclen.len_d
+                                               / stats.avgdl)), 6)
+                 AS c
+      FROM tfq
+      JOIN doclen ON tfq.doc_id = doclen.doc_id
+      JOIN dfq ON tfq.term = dfq.term
+      CROSS JOIN stats
+    ),
+    scored AS (
+      SELECT doc_id,
+             round(coalesce(MAX(CASE WHEN term = 'spark' THEN c END), 0)
+                 + coalesce(MAX(CASE WHEN term = 'join' THEN c END), 0)
+                 + coalesce(MAX(CASE WHEN term = 'vector' THEN c END), 0),
+                   6) AS bm25,
+             CAST(COUNT(*) AS INTEGER) AS n_terms_hit
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, bm25, n_terms_hit,
+           CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 20
+    """,
+    doc=(
+        "BM25 keyword retrieval (k1=1.2, b=0.75) for a fixed 3-term "
+        "query: tf rows are filtered to the query terms BEFORE the "
+        "(doc, term) shuffle, so the fact-side agg is query-sized, not "
+        "vocabulary-sized; df and the (N, avgdl) one-row stats "
+        "broadcast back. Per-term contributions are rounded then added "
+        "in fixed pivot order (never a float SUM), so the score is "
+        "accumulation-order free; global top-20 with doc_id tiebreak."
+    ),
+)
+def bm25_keyword_search(spark, sf_dir):
+    query_terms = ["spark", "join", "vector"]
+    k1, b = 1.2, 0.75
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(tx.tokens(F.col("text"))).alias("term")
+    )
+    doclen = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len_d"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("len_d") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+    )
+    qw = words.filter(F.col("term").isin(query_terms))
+    tfq = qw.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("n_td"))
+    dfq = qw.groupBy("term").agg(F.count_distinct("doc_id").alias("df_t"))
+    contrib = (
+        tfq.join(doclen, "doc_id")
+        .join(F.broadcast(dfq), "term")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df_t") + 0.5)
+                    / (F.col("df_t") + 0.5)
+                    + 1.0
+                )
+                * (F.col("n_td") * (k1 + 1.0))
+                / (
+                    F.col("n_td")
+                    + k1
+                    * (1.0 - b + b * F.col("len_d") / F.col("avgdl"))
+                ),
+                6,
+            ).alias("c"),
+        )
+    )
+    per_term = [
+        F.coalesce(
+            F.max(F.when(F.col("term") == t, F.col("c"))), F.lit(0.0)
+        )
+        for t in query_terms
+    ]
+    scored = contrib.groupBy("doc_id").agg(
+        F.round(per_term[0] + per_term[1] + per_term[2], 6).alias("bm25"),
+        F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
+    )
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
+    )

@@ -144,22 +144,31 @@ def run_daily_rollup_append(
     target_dir: str,
     checkpoint_dir: str,
     watermark: str = "0 seconds",
-) -> None:
+    trigger_interval: str | None = None,
+):
     """Append-mode daily rollup: emits each (day, key) aggregate once its
     window is sealed by the watermark; output is date-partitioned parquet
-    (the partition-pruned gold layout, SURVEY.md §4)."""
+    (the partition-pruned gold layout, SURVEY.md §4).
+
+    trigger_interval=None (tests/backfills) runs trigger(availableNow)
+    to completion and returns None. A cadence string (the production L6
+    shape, e.g. "30 minutes" ≡ the reference's schedule_interval,
+    /root/reference/airflow/dags/metar_pipeline_dag.py:18) starts a
+    long-lived trigger(processingTime=...) query and RETURNS the
+    StreamingQuery — the caller owns its lifecycle."""
     events = read_event_stream(spark, source_dir)
     rolled = daily_rollup_stream(events, watermark=watermark)
-    (
+    writer = (
         rolled.writeStream.format("parquet")
         .option("path", target_dir)
         .option("checkpointLocation", checkpoint_dir)
         .partitionBy("observed_date")
         .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
     )
+    if trigger_interval is None:
+        writer.trigger(availableNow=True).start().awaitTermination()
+        return None
+    return writer.trigger(processingTime=trigger_interval).start()
 
 
 def attribution_join_stream(

@@ -773,3 +773,25 @@ def test_psi_terms_are_finite_and_smoothed(spark):
     for col in ("p_ref", "p_cur"):
         s = sum(r[col] for r in rows)
         assert abs(s - 1.0) < 0.01 + 1e-4 * len(rows)
+
+
+class TestTombstonePurge:
+    def test_purge_leaves_zero_tombstoned_rows(self, spark):
+        """The anti-join delete is provably complete: after
+        tombstone_purge, a semi-join back against the tombstone set is
+        empty, and retained + purged partitions the fact exactly."""
+        from metar_pipeline_spark.io import load_table
+        from metar_pipeline_spark.queries.pipeline_q import tombstone_purge
+        SF_DIR = "/root/testdata/sf0.001"
+        events = load_table(spark, SF_DIR, "events")
+        tombstones = (
+            events.filter(F.col("user_id") % 97 == 13)
+            .select("user_id")
+            .distinct()
+        )
+        retained = tombstone_purge(events, tombstones)
+        leaked = retained.join(tombstones, "user_id", "left_semi")
+        assert leaked.count() == 0
+        assert retained.count() + events.join(
+            tombstones, "user_id", "left_semi"
+        ).count() == events.count()

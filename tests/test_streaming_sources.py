@@ -405,3 +405,41 @@ def test_stream_merge_replay_after_lost_commit_is_idempotent(
     assert got.exceptAll(want.select(*got.columns)).count() == 0
     # keys are still unique — the replay created no duplicates
     assert got.groupBy("user_id").count().filter("count > 1").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# L6: the production processingTime cadence (not just availableNow)
+# ---------------------------------------------------------------------------
+def test_daily_rollup_processing_time_trigger(spark, tmp_path, events_halves):
+    """Smoke for the long-lived trigger(processingTime=...) form — the
+    reference's 30-minute cadence scaled to 1 s so a microbatch fires in
+    test time. The query must process the backlog, keep running (L6 is a
+    continuous service, not a one-shot), and stop cleanly."""
+    import time
+
+    half1, _ = events_halves
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "gold")
+    ckpt = str(tmp_path / "ckpt")
+    half1.write.mode("append").parquet(src)
+
+    q = run_daily_rollup_append(
+        spark, src, out, ckpt, trigger_interval="1 second"
+    )
+    try:
+        deadline = time.time() + 60
+        done = False
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p and p["numInputRows"] == 0 and q.isActive:
+                done = True  # backlog drained, query idling on cadence
+                break
+            time.sleep(0.5)
+        assert done, f"no idle microbatch within 60s: {q.lastProgress}"
+        assert q.isActive  # still running — continuous, not availableNow
+    finally:
+        q.stop()
+    # sealed windows landed in the date-partitioned gold layout
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    assert "observed_date" in got.columns
