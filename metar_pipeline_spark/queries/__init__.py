@@ -103,11 +103,15 @@ def _query_hash(spec: QuerySpec) -> str:
     import types
     from pathlib import Path
 
+    import importlib
+    import re
+
     h = hashlib.sha256()
     try:
-        h.update(inspect.getsource(spec.spark_fn).encode())
+        src = inspect.getsource(spec.spark_fn)
     except OSError:
-        h.update(repr(spec.spark_fn.__code__.co_code).encode())
+        src = repr(spec.spark_fn.__code__.co_code)
+    h.update(src.encode())
     h.update((spec.oracle or "").encode())
     g = spec.spark_fn.__globals__
     for name in sorted(set(spec.spark_fn.__code__.co_names)):
@@ -125,6 +129,19 @@ def _query_hash(spec: QuerySpec) -> str:
                 h.update(inspect.getsource(v).encode())
             except (OSError, TypeError):
                 pass
+    # Function-LOCAL imports (`from metar_pipeline_spark.x import y`
+    # inside the body) never appear as module-level globals, so the
+    # co_names walk above misses them — hash those modules too, or an
+    # edit there silently fails to re-open the gate (the round-5
+    # udtf_fns revert escaped the auto-boost exactly this way).
+    for mod_name in sorted(
+        set(re.findall(r"from\s+(metar_pipeline_spark[.\w]*)\s+import", src))
+    ):
+        try:
+            m = importlib.import_module(mod_name)
+            h.update(Path(m.__file__).read_bytes())
+        except Exception:  # noqa: BLE001 — unresolvable import: skip
+            pass
     return h.hexdigest()
 
 

@@ -787,8 +787,8 @@ def variant_props_extract(spark, sf_dir):
                  6) AS safe_ratio,
            TRY_CAST(event_type AS DOUBLE) AS not_a_number,
            CASE WHEN event_id = 0 THEN 0
-                WHEN event_id = 1 THEN 9223372036854775807
-                ELSE NULL END AS overflow_guard
+                WHEN event_id % 1000 = 0 THEN NULL
+                ELSE event_id END AS overflow_guard
     FROM events
     """,
     doc=(
@@ -796,7 +796,13 @@ def variant_props_extract(spark, sf_dir):
         "instead of DIVIDE_BY_ZERO), try_cast (NULL on malformed "
         "input), try_multiply (NULL on BIGINT overflow) — the "
         "error-tolerant scalar surface ANSI mode makes load-bearing; "
-        "oracle expresses each guard as an explicit CASE"
+        "oracle expresses each guard as an explicit CASE. Scale note "
+        "(measured r5): each FAILING try_* row raises and catches a "
+        "JVM exception (~21 us/row — an every-row-overflows form of "
+        "this query cost 2.1 s for 100k rows, 16x the scan), so try_* "
+        "is for failure-is-RARE guards; the exhibit overflows 0.1% of "
+        "rows, the designed-for regime. Pre-filter or CASE-guard any "
+        "path where failure would be the common case."
     ),
 )
 def try_function_surface(spark, sf_dir):
@@ -808,6 +814,10 @@ def try_function_surface(spark, sf_dir):
         ).alias("safe_ratio"),
         F.col("event_type").try_cast("double").alias("not_a_number"),
         F.try_multiply(
-            F.col("event_id"), F.lit(9223372036854775807)
+            F.col("event_id"),
+            F.when(
+                F.col("event_id") % 1000 == 0,
+                F.lit(9223372036854775807),
+            ).otherwise(F.lit(1)),
         ).alias("overflow_guard"),
     )

@@ -795,3 +795,74 @@ class TestTombstonePurge:
         assert retained.count() + events.join(
             tombstones, "user_id", "left_semi"
         ).count() == events.count()
+
+
+class TestSkylineFrontier:
+    def test_frontier_dominance_properties(self, spark):
+        """Planted fixture: every returned point must be undominated,
+        every omitted day dominated by some frontier point, and
+        best_price strictly decreasing over frontier days."""
+        import datetime as _dt
+
+        from metar_pipeline_spark.queries.analytics_q import (
+            skyline_price_date_frontier,
+        )
+        from metar_pipeline_spark.io import load_table
+
+        SF_DIR = "/root/testdata/sf0.001"
+        out = skyline_price_date_frontier(spark, SF_DIR).collect()
+        days = [r["day"] for r in out]
+        prices = [r["best_price"] for r in out]
+        assert days == sorted(days)
+        assert all(a > b for a, b in zip(prices, prices[1:])), (
+            "frontier prices must strictly improve"
+        )
+        # every non-frontier day is dominated: its per-day min price is
+        # >= some earlier-or-equal frontier price
+        per_day = {
+            r["day"]: r["p"]
+            for r in load_table(spark, SF_DIR, "orders")
+            .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+            .agg(F.round(F.min("o_totalprice"), 2).alias("p"))
+            .collect()
+        }
+        frontier = dict(zip(days, prices))
+        for day, p in per_day.items():
+            if day in frontier:
+                continue
+            assert any(fd <= day and fp <= p for fd, fp in frontier.items()), (
+                f"non-frontier day {day} (price {p}) is not dominated"
+            )
+
+
+class TestBM25:
+    def test_planted_relevance_ordering(self, spark):
+        """A doc stuffed with a rare query term must outrank docs that
+        merely mention common terms once; docs with zero query terms
+        never appear."""
+        from metar_pipeline_spark.queries import all_queries
+
+        docs = spark.createDataFrame(
+            [
+                (1, "vector vector vector vector", "en", "a", 20),
+                (2, "join the big table stream", "en", "a", 25),
+                (3, "nothing relevant here at all", "en", "a", 28),
+                (4, "spark join vector", "en", "a", 17),
+            ],
+            "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        )
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            docs.write.parquet(f"{d}/documents.parquet")
+            out = all_queries()["bm25_keyword_search"].spark_fn(
+                spark, d
+            ).collect()
+        ranks = {r["doc_id"]: r["rank"] for r in out}
+        hits = {r["doc_id"]: r["n_terms_hit"] for r in out}
+        assert 3 not in ranks  # no query term -> never retrieved
+        assert hits[4] == 3 and hits[1] == 1 and hits[2] == 1
+        # doc 4 matches all three terms (incl. rare 'spark') and is
+        # short -> top rank; the single-common-term doc 2 ranks last
+        assert ranks[4] == 1
+        assert ranks[2] == max(ranks.values())

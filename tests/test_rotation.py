@@ -98,3 +98,24 @@ def test_drifted_green_query_autoboosts(monkeypatch):
     ]
     assert unchanged_green
     assert names.index(victim) < min(names.index(n) for n in unchanged_green)
+
+
+def test_query_hash_covers_function_local_imports():
+    """udtf_token_chunks imports its UDTF class inside the function
+    body; a change to functions/udtf_fns.py must still drift the hash
+    (the co_names walk only sees module-level globals)."""
+    import inspect
+    from pathlib import Path
+
+    spec = q.all_queries()["udtf_token_chunks"]
+    src = inspect.getsource(spec.spark_fn)
+    assert "from metar_pipeline_spark.functions.udtf_fns import" in src
+    h0 = q._query_hash(spec)
+    # tampering the locally-imported module's file must change the hash
+    mod_path = Path(q.__file__).resolve().parents[1] / "functions" / "udtf_fns.py"
+    original = mod_path.read_bytes()
+    try:
+        mod_path.write_bytes(original + b"\n# tamper\n")
+        assert q._query_hash(spec) != h0
+    finally:
+        mod_path.write_bytes(original)
