@@ -34,7 +34,13 @@ DEC18 = "decimal(38,18)"
 def char_bigrams(text: Column) -> Column:
     """Array of lowercased character bigrams of ``text`` (empty for
     texts shorter than 2 chars — guard needed because Spark's
-    ``sequence(1, 0)`` counts DOWN, unlike SQL generate_series)."""
+    ``sequence(1, 0)`` counts DOWN, unlike SQL generate_series).
+
+    Column-expression convenience for array-valued contexts only. For
+    bulk (explode → aggregate) paths use ``doc_bigram_counts``: its
+    explode-first form is fully codegen'd, while this HOF re-evaluates
+    the captured lower(text) per element when interpreted — O(len²)
+    per document (measured 2.1x slower at sf0.1)."""
     t = F.lower(text)
     return F.when(
         F.length(t) >= 2,
@@ -51,10 +57,29 @@ def doc_bigram_counts(
     """(id, bg, cnt): per-document bigram occurrence counts — the one
     generator pass everything else derives from. Callers that feed
     both train and score should ``localCheckpoint`` the result so the
-    explode is not replayed per consumer."""
+    explode is not replayed per consumer.
+
+    Shape (measured r5, sf0.1): explode-FIRST — stage lower(text) as a
+    bound column, explode sequence(1, len-1), substring per output row.
+    All codegen'd, no higher-order function. The HOF form
+    (explode(char_bigrams(text))) cost 2.1x more: the transform lambda
+    captures lower(text) as an EXPRESSION and interpreted HOF eval
+    re-lowers the whole document per element — O(len²) character work
+    per doc (4.2 s vs 2.0 s for this stage alone)."""
+    staged = docs.select(
+        F.col(id_col), F.lower(F.col(text_col)).alias("_lt")
+    )
     return (
-        docs.select(
-            F.col(id_col), F.explode(char_bigrams(F.col(text_col))).alias("bg")
+        staged.filter(F.length("_lt") >= 2)
+        .select(
+            F.col(id_col),
+            "_lt",
+            F.explode(
+                F.sequence(F.lit(1), F.length("_lt") - 1)
+            ).alias("_i"),
+        )
+        .select(
+            F.col(id_col), F.expr("substring(_lt, _i, 2)").alias("bg")
         )
         .groupBy(id_col, "bg")
         .agg(F.count(F.lit(1)).alias("cnt"))
