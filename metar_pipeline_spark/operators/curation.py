@@ -280,12 +280,22 @@ def chunk_documents(
     (possibly partial) chunk, never zero, so no document silently
     disappears from the retrieval index.
 
+    The token array is staged as a BOUND column before the transform:
+    interpreted HOF lambdas re-evaluate captured expressions per
+    element, so slicing an inline tokens(text) expression would
+    re-tokenize the whole document once per chunk — O(len²/chunk) at
+    long-document scale (the lm.py bigram finding, measured 2.1x at
+    sf0.1; far worse on real 100k-token documents).
+
     Output: (id, chunk_id, n_tokens, chunk_md5) — one row per chunk.
     """
     if not 0 <= overlap_tokens < chunk_tokens:
         raise ValueError("need 0 <= overlap_tokens < chunk_tokens")
     stride = chunk_tokens - overlap_tokens
-    toks = tokens(F.col(text_col))
+    staged = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
     n = F.size(toks)
     n_chunks = F.greatest(
         F.lit(1),
@@ -300,7 +310,7 @@ def chunk_documents(
             F.md5(F.concat_ws(" ", piece(i))).alias("chunk_md5"),
         ),
     )
-    return docs.select(
+    return staged.select(
         F.col(id_col), F.explode(chunks).alias("_c")
     ).select(
         id_col,
