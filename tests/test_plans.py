@@ -281,6 +281,25 @@ def test_lm_model_joins_broadcast(plans):
     assert "SortMergeJoin" not in p
 
 
+def test_bm25_stats_broadcast_and_prefilter(plans):
+    # BM25: df + (N, avgdl) stats come back broadcast (never a
+    # sort-merge), and the query-term filter reaches the (doc, term)
+    # stream BEFORE its aggregate so the tf shuffle is query-sized
+    p = plans("bm25_keyword_search")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_skyline_has_no_dominance_join(plans):
+    # skyline: date-grain MIN partials + one running-min window; the
+    # fact is aggregated once and never joined against itself
+    p = plans("skyline_price_date_frontier")
+    assert "Join" not in p, p
+    assert _nodes(p, "Scan parquet") == 1
+    assert "partial_min" in p  # map-side combine on the fact scan
+
+
 def test_pq_codebook_joins_broadcast(plans):
     # PQ: codebooks and query distance tables broadcast; the corpus
     # codes pass must not sort-merge or cartesian against either
