@@ -62,10 +62,36 @@ def main():
     os.environ["TZ"] = "UTC"
     _time.tzset()
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    drifted_only = "--drifted" in args
+    pending_only = "--pending" in args
+    args = [a for a in args if a not in ("--drifted", "--pending")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     specs = all_queries()
+    if drifted_only or pending_only:
+        # --drifted: driver-green queries whose source/oracle hash no
+        # longer matches the verified snapshot (the set the auto-boost
+        # will re-gate next round) — run after editing green queries.
+        # --pending: queries with no driver-green row yet (the current
+        # verification-window backlog).
+        import metar_pipeline_spark.queries as q
+
+        green = q._driver_green()
+        manifest = q._green_hashes()
+        sel = set()
+        if drifted_only:
+            sel |= {
+                n for n, s in specs.items()
+                if n in green and manifest.get(n) != q._query_hash(s)
+            }
+        if pending_only:
+            sel |= {n for n in specs if n not in green}
+        specs = {k: v for k, v in specs.items() if k in sel}
+        print(f"selected {len(specs)} queries"
+              f"{' (drifted)' if drifted_only else ''}"
+              f"{' (pending)' if pending_only else ''}")
     if only:
         specs = {k: v for k, v in specs.items() if k in only}
 
