@@ -159,8 +159,18 @@ def decode_images(
         if use == "pil":  # pragma: no cover - PIL absent in this env
             import io as _io
 
-            import PIL.Image
-            from PIL import ImageStat
+            try:
+                import PIL.Image
+                from PIL import ImageStat
+            except ImportError as e:
+                # resolution happened on the DRIVER; this runs on an
+                # EXECUTOR — fail with the actual cluster misconfig
+                # instead of a bare ModuleNotFoundError per task
+                raise RuntimeError(
+                    "codec resolved to 'pil' on the driver but PIL is "
+                    "not importable on this executor — install Pillow "
+                    "in the executor image or pass codec='fake'"
+                ) from e
 
         for pdf in batches:
             if use == "pil":  # pragma: no cover - PIL absent here
@@ -168,7 +178,12 @@ def decode_images(
                 for i, b in zip(pdf[id_col], pdf[bin_col]):
                     img = PIL.Image.open(_io.BytesIO(bytes(b)))
                     img.load()
-                    means = ImageStat.Stat(img).mean
+                    # brightness on a CONVERTED 8-bit RGB view:
+                    # ImageStat on the raw image averages palette
+                    # INDICES for 'P' mode and 0..65535 values for
+                    # 16/32-bit modes, landing far outside [0,1];
+                    # n_channels still reports the ORIGINAL bands
+                    means = ImageStat.Stat(img.convert("RGB")).mean
                     rows.append(
                         (
                             i,
@@ -312,7 +327,14 @@ def resize_images(
         if use == "pil":  # pragma: no cover - PIL absent in this env
             import io as _io
 
-            import PIL.Image
+            try:
+                import PIL.Image
+            except ImportError as e:
+                raise RuntimeError(
+                    "codec resolved to 'pil' on the driver but PIL is "
+                    "not importable on this executor — install Pillow "
+                    "in the executor image or pass codec='fake'"
+                ) from e
 
         for pdf in batches:
             if use == "pil":  # pragma: no cover - PIL absent here

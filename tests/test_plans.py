@@ -373,6 +373,11 @@ def test_registry_wide_plan_lint(spark):
             continue
         if "CartesianProduct" in p:
             offenders[name] = "CartesianProduct"
-        if "BatchEvalPython" in p and name not in measured_python_exempt:
+        # the exemption is node-kind-scoped, not a blanket pass: strip
+        # only the measured node's occurrences, then any REMAINING
+        # pickled Python eval (e.g. a row-at-a-time scalar UDF added
+        # later to the same query) still fails the lint
+        residual = p.replace(measured_python_exempt.get(name, "\0"), "")
+        if "BatchEvalPython" in residual:
             offenders[name] = "BatchEvalPython"
     assert not offenders, offenders

@@ -119,3 +119,26 @@ def test_query_hash_covers_function_local_imports():
         assert q._query_hash(spec) != h0
     finally:
         mod_path.write_bytes(original)
+
+
+def test_query_hash_covers_package_form_local_imports():
+    """`from metar_pipeline_spark.operators import textops as tx`
+    resolves the import target to the PACKAGE; the hash must probe each
+    imported name as a submodule, or textops.py edits silently escape
+    the auto-boost (round-5 review finding)."""
+    import inspect
+    from pathlib import Path
+
+    spec = q.all_queries()["quality_quantile_filter"]
+    src = inspect.getsource(spec.spark_fn)
+    assert "from metar_pipeline_spark.operators import" in src
+    h0 = q._query_hash(spec)
+    mod_path = (
+        Path(q.__file__).resolve().parents[1] / "operators" / "textops.py"
+    )
+    original = mod_path.read_bytes()
+    try:
+        mod_path.write_bytes(original + b"\n# tamper\n")
+        assert q._query_hash(spec) != h0
+    finally:
+        mod_path.write_bytes(original)

@@ -66,8 +66,12 @@ def main():
     drifted_only = "--drifted" in args
     pending_only = "--pending" in args
     args = [a for a in args if a not in ("--drifted", "--pending")]
-    sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    only = set(args[1:])
+    # the sf_dir positional is optional: `--drifted some_query` must
+    # treat some_query as a query name, not a data directory
+    if args and os.path.isdir(args[0]):
+        sf_dir, only = args[0], set(args[1:])
+    else:
+        sf_dir, only = "/root/testdata/sf0.01", set(args)
 
     specs = all_queries()
     if drifted_only or pending_only:
