@@ -557,3 +557,48 @@ def test_cdc_replay_idempotent(spark, data):
         ).collect()
     }
     assert once == twice
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 30),
+            st.text("xy ", min_size=0, max_size=40),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    chunk=st.sampled_from([3, 5, 8]),
+    overlap=st.integers(0, 2),
+)
+@SETTINGS
+def test_chunking_covers_tokens_with_exact_overlap(spark, docs, chunk, overlap):
+    """chunk_documents invariants for ANY corpus: every doc yields >= 1
+    chunk; chunk k starts at token k*stride (so consecutive chunks
+    share exactly `overlap` tokens while both are full); sizes are
+    chunk_tokens except possibly the last; chunk ids are dense from 0;
+    and total coverage equals n_tokens + overlap*(n_chunks-1)."""
+    from metar_pipeline_spark.operators.curation import chunk_documents
+
+    uniq = {d: t for d, t in docs}
+    rows = [(d, t) for d, t in uniq.items()]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk, overlap).collect()
+
+    stride = chunk - overlap
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {d for d, _ in rows}  # no doc disappears
+    for d, t in rows:
+        toks = [x for x in t.lower().split() if x]
+        n = len(toks)
+        chunks = sorted(by_doc[d], key=lambda r: r.chunk_id)
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        import math
+
+        expect_chunks = max(1, math.ceil(max(n - overlap, 0) / stride)) if n else 1
+        assert len(chunks) == expect_chunks
+        for k, c in enumerate(chunks):
+            want = toks[k * stride : k * stride + chunk]
+            assert c.n_tokens == len(want)
