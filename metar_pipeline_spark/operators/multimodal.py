@@ -344,6 +344,13 @@ def resize_images(
                     small = img.resize(
                         (target_w, target_h), PIL.Image.LANCZOS
                     )
+                    # PNG can't encode CMYK/F/YCbCr & friends; one such
+                    # row would raise OSError and kill the whole task.
+                    # Mirror decode_images' convert-for-stats guard.
+                    if small.mode not in (
+                        "1", "L", "LA", "I", "P", "RGB", "RGBA",
+                    ):
+                        small = small.convert("RGB")
                     out_buf = _io.BytesIO()
                     small.save(out_buf, format="PNG")
                     buf = out_buf.getvalue()

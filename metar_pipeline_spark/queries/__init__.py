@@ -53,23 +53,15 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # the auto-boost catches direct query/oracle edits and one-hop operator
 # module edits, but not deeper transitive changes).
 VERIFY_FIRST: list[str] = [
-    # Empty this round: every previously-boosted name went driver-green
-    # in the last gate run and its source is hash-stable, so boosting
-    # any of them would waste a window slot (the rotation-invariant
-    # test now enforces exactly that). With the list empty, category 1
-    # (never-driver-green) fills all 50 slots — the entire
-    # never-verified backlog clears in one gate round.
-    #
-    # DELIBERATE deviation from the belt-and-braces rule below: three
-    # green queries changed OUTPUT semantics this round
-    # (table_fingerprint_orders / partition_fingerprints_events mod-
-    # prime fingerprints, try_function_surface overflow slice). They
-    # are NOT boosted, because every boost would evict a never-green
-    # query from the saturated window — the gate's top priority this
-    # round. Risk is bounded: both engines changed together, all three
-    # pass `tools/check_oracle.py --drifted` at sf0.01 locally, and the
-    # hash auto-boost queues them at the FRONT of the next round's
-    # window (they are category 2, position 51+ now).
+    # Empty (round 6): the round-5 gate cleared the entire backlog —
+    # every registered query with an oracle is driver-green (189/192;
+    # the 3 sketch queries are rows-only by design and re-verify every
+    # round as category 1). The round-5 deviation set
+    # (table_fingerprint_orders, partition_fingerprints_events,
+    # try_function_surface, hour_of_week_profile — all four changed
+    # output semantics in r5) went through the r5 window and is green,
+    # so nothing needs a manual boost; the AST-based auto-boost below
+    # re-gates any query this round's edits touch.
 ]
 
 
@@ -109,13 +101,14 @@ def _query_hash(spec: QuerySpec) -> str:
     deep engine changes are covered by the full sf0.001 pytest oracle
     suite; the hash exists to re-open the EXTERNAL gate for the common
     regression class (direct query/oracle/operator-module edits)."""
+    import ast
     import hashlib
     import inspect
+    import textwrap
     import types
     from pathlib import Path
 
     import importlib
-    import re
 
     h = hashlib.sha256()
     try:
@@ -145,28 +138,38 @@ def _query_hash(spec: QuerySpec) -> str:
     # co_names walk above misses them — hash those modules too, or an
     # edit there silently fails to re-open the gate (the round-5
     # udtf_fns revert escaped the auto-boost exactly this way).
+    # Parsed with ast, not a regex: parenthesized multi-line, aliased,
+    # and plain `import pkg.mod` forms all count (round-5 review found
+    # the regex skipped paren-form imports — scd/lm edits escaped).
     # IMPORTANT: `from pkg.operators import textops` resolves the
     # import target to the PACKAGE, whose __init__.py bytes never
     # change — each imported NAME must be probed as a submodule and
-    # hashed when it is one (review finding, round 5).
-    for stmt in re.finditer(
-        r"from\s+(metar_pipeline_spark[.\w]*)\s+import\s+([^\n(]+)", src
-    ):
-        base, names = stmt.group(1), stmt.group(2)
-        targets = [base]
-        for piece in names.split(","):
-            name = piece.strip().split(" as ")[0].strip()
-            if name.isidentifier():
-                targets.append(f"{base}.{name}")
-        for mod_name in targets:
-            try:
-                m = importlib.import_module(mod_name)
-            except Exception:  # noqa: BLE001 — name isn't a module: skip
-                continue
-            try:
-                h.update(Path(m.__file__).read_bytes())
-            except (OSError, TypeError):
-                pass
+    # hashed when it is one.
+    targets: set[str] = set()
+    try:
+        tree = ast.parse(textwrap.dedent(src))
+    except SyntaxError:
+        tree = None
+    for node in ast.walk(tree) if tree else ():
+        if isinstance(node, ast.Import):
+            for alias in node.names:
+                if alias.name.startswith("metar_pipeline_spark"):
+                    targets.add(alias.name)
+        elif isinstance(node, ast.ImportFrom):
+            base = node.module or ""
+            if node.level == 0 and base.startswith("metar_pipeline_spark"):
+                targets.add(base)
+                for alias in node.names:
+                    targets.add(f"{base}.{alias.name}")
+    for mod_name in sorted(targets):
+        try:
+            m = importlib.import_module(mod_name)
+        except Exception:  # noqa: BLE001 — name isn't a module: skip
+            continue
+        try:
+            h.update(Path(m.__file__).read_bytes())
+        except (OSError, TypeError):
+            pass
     return h.hexdigest()
 
 

@@ -179,6 +179,41 @@ class TestRealCodecs:
         assert img.size == (8, 8)
         assert out["n_bytes"] == len(bytes(out["resized"]))
 
+    @_pytest.mark.skipif(pil_missing, reason="PIL not installed")
+    def test_resize_images_non_png_modes_real_pil(self, spark):  # pragma: no cover
+        """CMYK/F source images can't be written back as PNG; resize
+        must convert rather than raise and kill the task (r5 advice)."""
+        import io
+
+        import PIL.Image
+
+        from metar_pipeline_spark.operators import multimodal as mm
+
+        def jpeg_cmyk():
+            buf = io.BytesIO()
+            PIL.Image.new("CMYK", (32, 32), (0, 10, 20, 30)).save(
+                buf, format="JPEG"
+            )
+            return buf.getvalue()
+
+        def tiff_float():
+            buf = io.BytesIO()
+            PIL.Image.new("F", (16, 16), 0.5).save(buf, format="TIFF")
+            return buf.getvalue()
+
+        df = spark.createDataFrame(
+            [(1, bytearray(jpeg_cmyk())), (2, bytearray(tiff_float()))],
+            "doc_id bigint, content binary",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in mm.resize_images(df, 8, 8, codec="pil").collect()
+        }
+        for r in rows.values():
+            img = PIL.Image.open(io.BytesIO(bytes(r["resized"])))
+            assert img.size == (8, 8)
+            assert img.format == "PNG"
+
     def test_explicit_pil_codec_fails_loudly_without_pil(self, spark):
         """codec='pil' must never silently degrade to the fake kernel."""
         import importlib.util

@@ -121,6 +121,27 @@ def test_query_hash_covers_function_local_imports():
         mod_path.write_bytes(original)
 
 
+def test_query_hash_covers_paren_form_local_imports():
+    """`from metar_pipeline_spark.operators.scd import (\n scd2_apply,
+    ...)` — the multi-line parenthesized form the old regex matcher
+    skipped entirely (round-5 advice). The ast-based scan must hash the
+    module, so an operators/scd.py edit drifts scd2_incremental_apply."""
+    import inspect
+    from pathlib import Path
+
+    spec = q.all_queries()["scd2_incremental_apply"]
+    src = inspect.getsource(spec.spark_fn)
+    assert "from metar_pipeline_spark.operators.scd import (" in src
+    h0 = q._query_hash(spec)
+    mod_path = Path(q.__file__).resolve().parents[1] / "operators" / "scd.py"
+    original = mod_path.read_bytes()
+    try:
+        mod_path.write_bytes(original + b"\n# tamper\n")
+        assert q._query_hash(spec) != h0
+    finally:
+        mod_path.write_bytes(original)
+
+
 def test_query_hash_covers_package_form_local_imports():
     """`from metar_pipeline_spark.operators import textops as tx`
     resolves the import target to the PACKAGE; the hash must probe each

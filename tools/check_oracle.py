@@ -72,6 +72,11 @@ def main():
         sf_dir, only = args[0], set(args[1:])
     else:
         sf_dir, only = "/root/testdata/sf0.01", set(args)
+    # A mistyped data dir must not silently become a query-name filter
+    # that matches nothing and exits green (r5 advice).
+    pathlike = [a for a in only if os.sep in a]
+    if pathlike:
+        sys.exit(f"not a directory (typo in sf_dir?): {pathlike}")
 
     specs = all_queries()
     if drifted_only or pending_only:
@@ -97,7 +102,14 @@ def main():
               f"{' (drifted)' if drifted_only else ''}"
               f"{' (pending)' if pending_only else ''}")
     if only:
+        unknown = only - set(specs)
+        if unknown and not (drifted_only or pending_only):
+            sys.exit(f"unknown query names: {sorted(unknown)}")
         specs = {k: v for k, v in specs.items() if k in only}
+    if not specs and not (drifted_only or pending_only):
+        # --drifted/--pending legitimately select zero (count printed
+        # above); an empty plain run means a selection typo — fail loud.
+        sys.exit("no queries selected — nothing verified")
 
     spark = get_spark("check-oracle")
     con = duckdb.connect()
