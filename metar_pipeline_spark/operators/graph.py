@@ -58,10 +58,21 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Node dim carries (deg, dangling) from day one: the per-iteration
+    # dangling mass is then a FILTER + one-row aggregate over ranks —
+    # no anti-join shuffle inside the loop (one less exchange per
+    # iteration; bit-identical ranks, verified against the join form).
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .join(
+            F.broadcast(outdeg.select(F.col("src").alias("node"), "deg")),
+            "node",
+            "left",
+        )
+        .withColumn("dangling", F.col("deg").isNull())
         .localCheckpoint(eager=True)
     )
     # Scalar node count: an aggregated single number (same class as the
@@ -71,18 +82,15 @@ def pagerank(
         return nodes.select(
             F.col("node"), F.lit(None).cast("double").alias("rank")
         )
-    outdeg = (
-        edges.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint(eager=True)
-    )
     ranks = nodes.withColumn("r", F.lit(1.0 / n))
     for i in range(iterations):
         contribs = (
             edges.join(
-                ranks.withColumnRenamed("node", "src"), "src"
+                ranks.filter(~F.col("dangling")).select(
+                    F.col("node").alias("src"), "r", "deg"
+                ),
+                "src",
             )
-            .join(F.broadcast(outdeg), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(
                 F.sum((F.col("r") / F.col("deg")).cast(DEC18))
@@ -91,11 +99,7 @@ def pagerank(
             )
         )
         dangling = (
-            ranks.join(
-                outdeg.select(F.col("src").alias("node")),
-                "node",
-                "left_anti",
-            )
+            ranks.filter(F.col("dangling"))
             .agg(F.sum(F.col("r").cast(DEC18)).cast("double").alias("dang"))
             .select(F.coalesce("dang", F.lit(0.0)).alias("dang"))
         )
@@ -104,6 +108,8 @@ def pagerank(
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "deg",
+                "dangling",
                 F.round(
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)

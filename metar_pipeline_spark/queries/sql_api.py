@@ -200,6 +200,90 @@ _sql_query(
 
 
 # ---------------------------------------------------------------------------
+# Spark 4.1 SQL pipe syntax (|>)
+# ---------------------------------------------------------------------------
+# The second sql_api query whose text differs per engine: Spark 4.1
+# parses the SQL pipe-operator form (FROM ... |> WHERE ... |> AGGREGATE
+# ... GROUP BY ...); DuckDB runs the equivalent plain-ANSI rewrite. The
+# pipe form is purely front-end sugar — Catalyst plans the identical
+# join/filter/agg tree, which the hash match proves.
+_PIPE_SPARK = """
+    FROM orders
+    |> JOIN customer ON o_custkey = c_custkey
+    |> WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    |> EXTEND CAST(date_trunc('month', o_orderdate) AS DATE) AS month
+    |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 round(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue
+       GROUP BY c_mktsegment, month
+    |> WHERE n_orders > 5
+    |> ORDER BY month, c_mktsegment
+    |> LIMIT 100
+"""
+
+_PIPE_DUCK = """
+    SELECT c_mktsegment, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           round(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY c_mktsegment, month
+    HAVING CAST(COUNT(*) AS BIGINT) > 5
+    ORDER BY month, c_mktsegment
+    LIMIT 100
+"""
+
+
+@register(
+    "pipe_syntax_monthly_revenue",
+    _PIPE_DUCK,
+    doc=(
+        "Spark 4.1 SQL pipe operators: orders ⋈ customer |> filter |> "
+        "EXTEND month |> AGGREGATE |> post-agg filter |> order/limit — "
+        "the linear pipeline spelling of the monthly-revenue rollup; "
+        "oracle is the plain-ANSI rewrite (HAVING form), proving the "
+        "pipe front end plans the identical relational tree"
+    ),
+)
+def pipe_syntax_monthly_revenue(spark, sf_dir):
+    register_views(spark, sf_dir)
+    return spark.sql(_PIPE_SPARK)
+
+
+_sql_query(
+    "recursive_cte_hierarchy_rollup",
+    """
+    WITH RECURSIVE edges AS (
+      SELECT c_custkey AS child,
+             CAST(floor(c_custkey / 2) AS BIGINT) AS parent
+      FROM customer WHERE c_custkey > 1
+    ),
+    walk(node, anc, depth) AS (
+      SELECT c_custkey, c_custkey, 0 FROM customer
+      UNION ALL
+      SELECT w.node, e.parent, w.depth + 1
+      FROM walk w JOIN edges e ON w.anc = e.child
+    ),
+    node_depth AS (
+      SELECT node, CAST(MAX(depth) AS BIGINT) AS depth FROM walk GROUP BY node
+    )
+    SELECT depth,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(MIN(node) AS BIGINT) AS min_custkey
+    FROM node_depth GROUP BY depth ORDER BY depth
+    """,
+    doc=(
+        "Variable-depth hierarchy traversal via Spark 4 recursive CTE "
+        "with a JOIN in the recursive step (the BOM/org-chart shape the "
+        "fixed date-spine recursion can't express): each customer walks "
+        "a synthetic binary-tree parent edge list to the root, then the "
+        "walk collapses to a per-depth census — identical ANSI text on "
+        "both engines; depth is data-dependent (log2 of the key space), "
+        "not a constant join count"
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
 # Spark 4 SQL-surface: GROUP BY ALL + ordered LISTAGG
 # ---------------------------------------------------------------------------
 # The one sql_api query whose text differs per engine: Spark 4 spells
