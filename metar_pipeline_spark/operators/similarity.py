@@ -285,6 +285,104 @@ def ivf_topk(
     )
 
 
+def semdedup_verdicts(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    threshold: float,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication inside coarse-quantizer cells.
+
+    1. assign every vector to its nearest deterministic centroid
+       (corpus ids < ``n_centroids`` — same coarse quantizer as
+       ``ivf_assignments``, so the oracle replays it exactly), keeping
+       the centroid cosine ``csim``;
+    2. within each cell, a vector is DROPPED iff some other vector of
+       the same cell has cosine ≥ ``threshold`` with it AND precedes it
+       in keep order. Keep order is (csim ASC, id ASC): the paper keeps
+       the example FARTHEST from the centroid of each near-dup
+       neighborhood (preserves diversity; near-centroid copies are the
+       redundant ones). No transitive closure needed — the rule is a
+       per-vector EXISTS, deterministic under the rounded csim + id
+       tiebreak.
+
+    Scale shape: candidate pairs are generated per cell only (the
+    IVF-style blocking every ANN path here uses) — Σ|cell|² work, never
+    corpus²; at 100 TB raise ``n_centroids`` so cells stay bounded and
+    persist the assignment ``partitionBy(cid)`` like the IVF stores.
+    Output: (id, cid, csim, is_kept) — one row per corpus vector.
+    """
+    cents = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("centvec"),
+        norm2(F.col(vec_col)).alias("centnorm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm2(F.col(vec_col)).alias("vnorm"),
+    )
+    cscore = F.round(
+        dot(F.col("vec"), F.col("centvec"))
+        / (F.col("vnorm") * F.col("centnorm")),
+        6,
+    )
+    assigned = (
+        c.join(F.broadcast(cents))
+        .select("id", "vec", "vnorm", "cid", cscore.alias("csim"))
+        .groupBy("id")
+        .agg(
+            F.max_by(
+                F.struct("cid", "csim", "vec", "vnorm"),
+                F.struct(F.col("csim"), -F.col("cid")),
+            ).alias("_a")
+        )
+        .select("id", "_a.cid", "_a.csim", "_a.vec", "_a.vnorm")
+    )
+    a = assigned.select(
+        "cid",
+        F.col("id").alias("id_a"),
+        F.col("csim").alias("csim_a"),
+        F.col("vec").alias("vec_a"),
+        F.col("vnorm").alias("norm_a"),
+    )
+    b = assigned.select(
+        "cid",
+        F.col("id").alias("id_b"),
+        F.col("csim").alias("csim_b"),
+        F.col("vec").alias("vec_b"),
+        F.col("vnorm").alias("norm_b"),
+    )
+    pair_cos = F.round(
+        dot(F.col("vec_a"), F.col("vec_b"))
+        / (F.col("norm_a") * F.col("norm_b")),
+        6,
+    )
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(
+            (F.col("csim_a") < F.col("csim_b"))
+            | (
+                (F.col("csim_a") == F.col("csim_b"))
+                & (F.col("id_a") < F.col("id_b"))
+            )
+        )
+        .filter(pair_cos >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, "id", "left")
+        .select(
+            "id", "cid", "csim", F.col("_dropped").isNull().alias("is_kept")
+        )
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     id_col: str,

@@ -415,6 +415,58 @@ def embedding_neardup_pairs(spark, sf_dir):
     return sim.cosine_neardup_pairs(emb, "vec_id", "embedding", "label", 0.3)
 
 
+_DUCK_SEMDEDUP = f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS centvec
+      FROM embeddings WHERE vec_id < 8
+    ),
+    assigned AS (
+      SELECT id, cid, csim, vec FROM (
+        SELECT e.vec_id AS id, c.cid, e.embedding AS vec,
+               round({_DUCK_COS.format(a="e.embedding", b="c.centvec")}, 6) AS csim,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round({_DUCK_COS.format(a="e.embedding", b="c.centvec")}, 6) DESC, c.cid
+               ) AS arn
+        FROM embeddings e, cents c
+      ) WHERE arn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT b.id
+      FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.id <> b.id
+      WHERE (a.csim < b.csim OR (a.csim = b.csim AND a.id < b.id))
+        AND round({_DUCK_COS.format(a="a.vec", b="b.vec")}, 6) >= 0.25
+    )
+    SELECT a.id AS vec_id, a.cid AS cell, a.csim AS centroid_sim,
+           (d.id IS NULL) AS is_kept
+    FROM assigned a LEFT JOIN dropped d ON a.id = d.id
+"""
+
+
+@register(
+    "semantic_dedup_cells",
+    _DUCK_SEMDEDUP,
+    doc=(
+        "SemDeDup (Abbas et al. 2023): per-vector keep/drop verdicts "
+        "from within-cell cosine neighborhoods — 8-cell deterministic "
+        "coarse quantizer, τ=0.25, keep order (centroid_sim ASC, id) "
+        "so the survivor of each near-dup set is the one farthest from "
+        "its centroid (operators/similarity.py:semdedup_verdicts)"
+    ),
+)
+def semantic_dedup_cells(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.semdedup_verdicts(
+        emb, "vec_id", "embedding", n_centroids=8, threshold=0.25
+    )
+    return out.select(
+        F.col("id").alias("vec_id"),
+        F.col("cid").alias("cell"),
+        F.col("csim").alias("centroid_sim"),
+        "is_kept",
+    )
+
+
 _DUCK_IVF = f"""
     WITH cents AS (
       SELECT vec_id AS cid, embedding AS centvec FROM embeddings WHERE vec_id < 8
