@@ -159,13 +159,22 @@ def ivf_assignments(
     id_col: str,
     vec_col: str,
     n_centroids: int,
+    centroid_source: DataFrame | None = None,
 ) -> DataFrame:
     """The IVF INDEX: (id, cid, cvec, cnorm) — each corpus vector's
     nearest deterministic centroid plus its precomputed norm. Build
     once, persist ``partitionBy("cid")`` (the inverted lists), and
     every probe becomes a partition-pruned read of the probed cells —
-    the corpus is never rescanned or re-assigned per query batch."""
-    cents = corpus.filter(F.col(id_col) < n_centroids).select(
+    the corpus is never rescanned or re-assigned per query batch.
+
+    ``centroid_source``: frame the centroids are taken from (ids <
+    ``n_centroids``); defaults to ``corpus`` itself. Pass the BASE
+    corpus when assigning an incremental batch, so new vectors join the
+    EXISTING quantizer's cells and the batch can be appended to the
+    partitioned store without touching (or re-reading) the base lists —
+    index maintenance is then O(batch), never O(corpus)."""
+    cents = (centroid_source if centroid_source is not None else corpus
+             ).filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("centvec"),
         norm2(F.col(vec_col)).alias("centnorm"),

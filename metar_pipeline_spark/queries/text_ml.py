@@ -517,6 +517,55 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+@register(
+    "ann_ivf_store_upsert",
+    _DUCK_IVF,
+    doc=(
+        "Incremental IVF index maintenance: base store (vec_id < 400) "
+        "written partitionBy(cid), then the new batch assigned against "
+        "the EXISTING quantizer (centroid_source=base) and APPENDED — "
+        "O(batch) work, base lists never re-read or rewritten. The "
+        "probe over the upserted store must equal the full inline "
+        "rebuild, which is exactly what the oracle replays "
+        "(operators/similarity.py:ivf_assignments centroid_source)"
+    ),
+)
+def ann_ivf_store_upsert(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 400)
+    batch = emb.filter(F.col("vec_id") >= 400)
+    out = tempfile.mkdtemp(prefix="ivf_upsert_")
+    store = os.path.join(out, "index")
+    try:
+        sim.ivf_assignments(
+            base, "vec_id", "embedding", n_centroids=8
+        ).repartition("cid").write.partitionBy("cid").mode(
+            "overwrite"
+        ).parquet(store)
+        # the upsert: batch-only assignment against the base quantizer,
+        # appended into the existing cell partitions
+        sim.ivf_assignments(
+            batch, "vec_id", "embedding", n_centroids=8,
+            centroid_source=base,
+        ).repartition("cid").write.partitionBy("cid").mode(
+            "append"
+        ).parquet(store)
+        index = spark.read.parquet(store)
+        q = emb.filter(F.col("vec_id") < 5)
+        res = sim.ivf_topk(
+            emb, q, "vec_id", "embedding", "vec_id",
+            k=10, n_centroids=8, nprobe=2, assignments=index,
+        )
+        result = res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return result
+
+
 _DUCK_IVF_Q8 = f"""
     WITH qd AS (
       SELECT vec_id,

@@ -611,6 +611,67 @@ def test_ivf_probe_from_persisted_index(spark, tmp_path):
     assert "cid" in spark.read.parquet(store).columns
 
 
+def test_ivf_store_upsert_is_incremental(spark, tmp_path):
+    """Index-maintenance contract: appending a new batch (assigned
+    against the BASE quantizer via centroid_source) must leave every
+    base data file byte-identical, add files only in the batch's
+    cells, and make the upserted store probe-equal to a full inline
+    rebuild."""
+    import hashlib
+    import pathlib
+
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.io import load_table
+    from metar_pipeline_spark.operators import similarity as sim
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.filter(F.col("vec_id") < 40)
+    batch = emb.filter(F.col("vec_id") >= 40)
+    store = str(tmp_path / "ivf_upsert")
+    sim.ivf_assignments(base, "vec_id", "embedding", 8).repartition(
+        "cid"
+    ).write.partitionBy("cid").mode("overwrite").parquet(store)
+
+    def snapshot():
+        return {
+            str(p.relative_to(store)): hashlib.md5(p.read_bytes()).hexdigest()
+            for p in pathlib.Path(store).rglob("*.parquet")
+        }
+
+    before = snapshot()
+    batch_asg = sim.ivf_assignments(
+        batch, "vec_id", "embedding", 8, centroid_source=base
+    )
+    batch_cells = {r["cid"] for r in batch_asg.select("cid").distinct().collect()}
+    batch_asg.repartition("cid").write.partitionBy("cid").mode(
+        "append"
+    ).parquet(store)
+    after = snapshot()
+    # base files untouched, byte for byte
+    assert all(after[f] == h for f, h in before.items())
+    # new files confined to the batch's cells
+    new_files = set(after) - set(before)
+    assert new_files
+    for f in new_files:
+        cid = int(f.split("cid=")[1].split("/")[0])
+        assert cid in batch_cells
+    # probe parity: upserted store ≡ full inline rebuild
+    q = emb.filter(F.col("vec_id") < 5)
+    inline = sim.ivf_topk(
+        emb, q, "vec_id", "embedding", "vec_id",
+        k=10, n_centroids=8, nprobe=2,
+    )
+    stored = sim.ivf_topk(
+        emb, q, "vec_id", "embedding", "vec_id",
+        k=10, n_centroids=8, nprobe=2,
+        assignments=spark.read.parquet(store),
+    )
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, stored.collect())
+    )
+
+
 def test_ivf_quantized_store_probe_and_pruning(spark, tmp_path):
     """The full 100 TB serving shape: int8-quantized IVF index persisted
     partitionBy(cid); (a) probing the store equals probing the inline
