@@ -1665,3 +1665,55 @@ def skyline_price_date_frontier(spark, sf_dir):
         ).alias("improvement"),
         "n_orders",
     )
+
+
+@register(
+    "record_linkage_parts",
+    """
+    WITH t AS (
+      SELECT p_partkey, p_brand,
+             CAST(floor(p_size / 10) AS BIGINT) AS szb,
+             p_type, p_size, p_retailprice,
+             list_distinct(string_split(p_name, ' ')) AS toks
+      FROM part
+    )
+    SELECT id_a, id_b, name_jaccard,
+           round(4.0 * name_jaccard + te + se + pe, 6) AS score
+    FROM (
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+             round(len(list_intersect(a.toks, b.toks))
+                   / greatest(len(a.toks) + len(b.toks)
+                              - len(list_intersect(a.toks, b.toks)), 1),
+                   6) AS name_jaccard,
+             CASE WHEN a.p_type = b.p_type THEN 2.0 ELSE 0.0 END AS te,
+             CASE WHEN abs(a.p_size - b.p_size) <= 2 THEN 1.0 ELSE 0.0 END AS se,
+             CASE WHEN abs(a.p_retailprice - b.p_retailprice) <= 1.0
+                  THEN 1.0 ELSE 0.0 END AS pe
+      FROM t a JOIN t b
+        ON a.p_brand = b.p_brand AND a.szb = b.szb
+       AND a.p_partkey < b.p_partkey
+    )
+    WHERE round(4.0 * name_jaccard + te + se + pe, 6) >= 5.0
+    """,
+    doc=(
+        "Fellegi-Sunter record linkage over the part catalog: blocked "
+        "on (brand, size decade), scored on name-token Jaccard (w=4) + "
+        "type equality (w=2) + size/price tolerance (w=1 each), "
+        "threshold 5.0 — the structured-record sibling of document "
+        "near-dup (operators/linkage.py)"
+    ),
+)
+def record_linkage_parts(spark, sf_dir):
+    from metar_pipeline_spark.operators.linkage import record_linkage_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    return record_linkage_pairs(
+        part,
+        "p_partkey",
+        ["p_brand", F.floor(F.col("p_size") / 10).cast("bigint")],
+        "p_name",
+        name_weight=4.0,
+        exact_cols=[("p_type", 2.0)],
+        numeric_cols=[("p_size", 2.0, 1.0), ("p_retailprice", 1.0, 1.0)],
+        min_score=5.0,
+    )
