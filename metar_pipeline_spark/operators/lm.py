@@ -158,3 +158,71 @@ def score_docs_nll(
         "mean_nll",
         F.round(F.exp(F.col("mean_nll")), round_to).alias("perplexity"),
     )
+
+
+def dsir_logratio_scores(
+    docs: DataFrame,
+    target,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    floor_logp: float = -13.815510557964274,
+    doc_counts: DataFrame | None = None,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    per-document mean log p_target(x) − log p_raw(x) under two char-
+    bigram models — one trained on the ``target`` subset (the domain
+    you want more of), one on the whole corpus.
+
+    ``target`` is a boolean Column over ``docs``. Bigrams the target
+    model never saw score ``floor_logp`` (≈ ln(1e-6), spelled as the
+    exact double literal so both engines add the identical number —
+    an ln() call could differ in the last ulp across libms).
+
+    Scale shape: ONE generator pass (``doc_bigram_counts``, shared via
+    ``doc_counts``/localCheckpoint) feeds both model trainings and the
+    scoring join; both models are charset²-bounded broadcasts, so the
+    corpus never shuffles — same contract as the perplexity scorer.
+    Output: (id, n_bigrams, avg_logratio) — feed a deterministic
+    weighted sampler (Gumbel top-k) to get the DSIR resample.
+    """
+    dc = (
+        doc_counts
+        if doc_counts is not None
+        else doc_bigram_counts(docs, id_col, text_col).localCheckpoint()
+    )
+    raw = train_char_bigram_lm(docs, text_col, id_col, doc_counts=dc)
+    target_ids = docs.filter(target).select(id_col)
+    tdc = dc.join(target_ids, id_col, "left_semi")
+    tgt = train_char_bigram_lm(docs, text_col, id_col, doc_counts=tdc)
+    return (
+        dc.join(F.broadcast(raw), "bg")
+        .join(
+            F.broadcast(tgt.withColumnRenamed("logp", "tlogp")).withColumnRenamed(
+                "bg", "tbg"
+            ),
+            F.col("bg") == F.col("tbg"),
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            F.col("cnt"),
+            (
+                F.coalesce(F.col("tlogp"), F.lit(floor_logp))
+                - F.col("logp")
+            ).alias("_delta"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            # decimal(28,18) * decimal(8,0): exact within precision 38
+            # (see score_docs_nll for the overflow rationale)
+            F.round(
+                F.sum(
+                    F.col("_delta").cast("decimal(28,18)")
+                    * F.col("cnt").cast("decimal(8,0)")
+                ).cast("double")
+                / F.sum("cnt"),
+                6,
+            ).alias("avg_logratio"),
+        )
+    )

@@ -2054,3 +2054,97 @@ def bm25_keyword_search(spark, sf_dir):
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= 20)
     )
+
+
+@register(
+    "dsir_importance_resample",
+    """
+    WITH d AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, length(t) - 1),
+                                   i -> substring(t, i, 2))) AS bg
+      FROM d
+    ),
+    counts AS (SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg),
+    prefix AS (SELECT substring(bg, 1, 1) AS c1, SUM(c) AS pn
+               FROM counts GROUP BY 1),
+    raw_model AS (
+      SELECT bg, ln(CAST(c AS DOUBLE) / pn) AS logp
+      FROM counts JOIN prefix ON substring(counts.bg, 1, 1) = prefix.c1
+    ),
+    tcounts AS (
+      SELECT b.bg, COUNT(*) AS c
+      FROM bg b JOIN d USING (doc_id) WHERE d.lang = 'en'
+      GROUP BY b.bg
+    ),
+    tprefix AS (SELECT substring(bg, 1, 1) AS c1, SUM(c) AS pn
+                FROM tcounts GROUP BY 1),
+    t_model AS (
+      SELECT bg, ln(CAST(c AS DOUBLE) / pn) AS logp
+      FROM tcounts JOIN tprefix ON substring(tcounts.bg, 1, 1) = tprefix.c1
+    ),
+    scored AS (
+      SELECT b.doc_id, COUNT(*) AS n_bigrams,
+             round(CAST(SUM(CAST(
+                     COALESCE(t.logp, -13.815510557964274) - r.logp
+                   AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*), 6) AS avg_logratio
+      FROM bg b
+      JOIN raw_model r USING (bg)
+      LEFT JOIN t_model t ON b.bg = t.bg
+      GROUP BY b.doc_id
+    ),
+    keyed AS (
+      SELECT s.doc_id, d2.lang, s.avg_logratio,
+             s.avg_logratio
+               - ln(-ln(((s.doc_id * 2654435761) % 4294967296 + 0.5)
+                        / 4294967296.0)) AS skey
+      FROM scored s JOIN documents d2 USING (doc_id)
+    )
+    SELECT doc_id, lang, avg_logratio, round(skey, 10) AS sample_key,
+           CAST(ROW_NUMBER() OVER (ORDER BY skey DESC, doc_id)
+                AS INTEGER) AS rank
+    FROM keyed
+    QUALIFY rank <= 50
+    """,
+    doc=(
+        "DSIR importance resampling (Xie et al. 2023): per-doc mean "
+        "log p_target/p_raw under two char-bigram LMs (target = "
+        "lang='en'), then a derandomized Gumbel top-50 — the standard "
+        "recipe for tilting a raw corpus toward a target domain; both "
+        "models are charset²-bounded broadcasts off ONE generator pass "
+        "(operators/lm.py:dsir_logratio_scores)"
+    ),
+)
+def dsir_importance_resample(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from metar_pipeline_spark.operators.lm import dsir_logratio_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = dsir_logratio_scores(docs, F.col("lang") == "en")
+    u = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    keyed = scores.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        "avg_logratio",
+        # Gumbel(0,1) noise from the derandomized uniform: the A-ES
+        # trick's exponential-race sibling — same sample on any
+        # engine/partitioning/rerun
+        (F.col("avg_logratio") - F.log(-F.log(u))).alias("skey"),
+    )
+    w = Window.orderBy(F.desc("skey"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .select(
+            "doc_id",
+            "lang",
+            "avg_logratio",
+            F.round("skey", 10).alias("sample_key"),
+            "rank",
+        )
+    )
