@@ -346,6 +346,31 @@ def test_curation_funnel_bounded_scans(plans):
     assert "SortMergeJoin" not in p
 
 
+def test_semdedup_pairs_cell_blocked(plans):
+    """SemDeDup's pair generation must be an equi-join on the cell id
+    (Σ|cell|² work), never a cartesian; the centroid table (n_centroids
+    rows) must broadcast into the assignment step."""
+    p = plans("semantic_dedup_cells")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    # the within-cell self-join keys on cid
+    assert "cid" in p
+
+
+def test_record_linkage_blocked_join(plans):
+    """Record linkage candidates come from the blocking equi-join —
+    the plan must join on the block keys, not cross-compare records."""
+    p = plans("record_linkage_parts")
+    assert "CartesianProduct" not in p
+    assert "__blk0" in p  # blocking key is the join key
+
+
+# (ann_ivf_store_upsert intentionally has no plan pin here: the query
+# returns a localCheckpoint of the probe — its visible plan is an
+# opaque checkpoint scan. Its store/probe scale shape is pinned by
+# test_scale_ops.py::test_ivf_store_upsert_is_incremental instead.)
+
+
 def test_registry_wide_plan_lint(spark):
     """Sweeping scale-hygiene lint over EVERY registered query's
     physical plan at sf0.001: no CartesianProduct (an unbounded
