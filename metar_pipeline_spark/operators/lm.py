@@ -179,38 +179,55 @@ def dsir_logratio_scores(
     an ln() call could differ in the last ulp across libms).
 
     Scale shape: ONE generator pass (``doc_bigram_counts``, shared via
-    ``doc_counts``/localCheckpoint) feeds both model trainings and the
-    scoring join; both models are charset²-bounded broadcasts, so the
-    corpus never shuffles — same contract as the perplexity scorer.
-    Output: (id, n_bigrams, avg_logratio) — feed a deterministic
-    weighted sampler (Gumbel top-k) to get the DSIR resample.
+    ``doc_counts``/localCheckpoint) feeds ONE flagged aggregate that
+    trains BOTH models together (per-bigram total and target-subset
+    counts in the same HashAggregate — the target model is a free
+    conditional sum, not a second counting chain), and the combined
+    model is a single charset²-bounded broadcast back onto the scoring
+    join; the corpus never shuffles — same contract as the perplexity
+    scorer. Output: (id, n_bigrams, avg_logratio) — feed a
+    deterministic weighted sampler (Gumbel top-k) for the resample.
     """
     dc = (
         doc_counts
         if doc_counts is not None
         else doc_bigram_counts(docs, id_col, text_col).localCheckpoint()
     )
-    raw = train_char_bigram_lm(docs, text_col, id_col, doc_counts=dc)
     target_ids = docs.filter(target).select(id_col)
-    tdc = dc.join(target_ids, id_col, "left_semi")
-    tgt = train_char_bigram_lm(docs, text_col, id_col, doc_counts=tdc)
-    return (
-        dc.join(F.broadcast(raw), "bg")
-        .join(
-            F.broadcast(tgt.withColumnRenamed("logp", "tlogp")).withColumnRenamed(
-                "bg", "tbg"
-            ),
-            F.col("bg") == F.col("tbg"),
-            "left",
+    flagged = dc.join(
+        target_ids.withColumn("_tgt", F.lit(True)), id_col, "left"
+    )
+    counts = flagged.groupBy("bg").agg(
+        F.sum("cnt").alias("c"),
+        F.sum(F.when(F.col("_tgt"), F.col("cnt")).otherwise(F.lit(0))).alias(
+            "ct"
+        ),
+    )
+    prefix = counts.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
+        F.sum("c").alias("pn"), F.sum("ct").alias("ptn")
+    )
+    # logp_raw = ln(c/pn); logp_target = ln(ct/ptn) where the target
+    # saw the bigram, else the floor — identical values to training
+    # two separate models (the conditional sums ARE the target counts)
+    model = (
+        counts.join(
+            F.broadcast(prefix),
+            F.substring(counts["bg"], 1, 1) == prefix["c1"],
         )
         .select(
-            F.col(id_col),
-            F.col("cnt"),
+            "bg",
             (
-                F.coalesce(F.col("tlogp"), F.lit(floor_logp))
-                - F.col("logp")
+                F.when(
+                    F.col("ct") > 0,
+                    F.log(F.col("ct").cast("double") / F.col("ptn")),
+                ).otherwise(F.lit(floor_logp))
+                - F.log(F.col("c").cast("double") / F.col("pn"))
             ).alias("_delta"),
         )
+    )
+    return (
+        dc.join(F.broadcast(model), "bg")
+        .select(F.col(id_col), F.col("cnt"), F.col("_delta"))
         .groupBy(id_col)
         .agg(
             F.sum("cnt").alias("n_bigrams"),
