@@ -408,6 +408,82 @@ def stream_attribution_join(spark, sf_dir):
 
 
 @register(
+    "stream_attribution_left_outer",
+    """
+    WITH wm AS (
+      SELECT least(
+        (SELECT max(ts) FROM events WHERE event_type = 'click'),
+        (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+      ) AS t
+    )
+    SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+           p.value AS purchase_value, c.event_id AS click_id, c.ts AS click_ts
+    FROM events p
+    LEFT JOIN events c
+      ON c.event_type = 'click' AND p.user_id = c.user_id
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+    CROSS JOIN wm
+    WHERE p.event_type = 'purchase'
+      AND (c.event_id IS NOT NULL OR p.ts < wm.t)
+    """,
+    doc=(
+        "Stream-stream LEFT OUTER interval join (availableNow): every "
+        "purchase emits — matched, or with NULL click columns once the "
+        "watermark proves no click can still arrive. The oracle "
+        "encodes the eviction rule exactly: an unmatched purchase "
+        "appears iff purchase_ts < min(max click ts, max purchase ts) "
+        "— the terminal watermark across both inputs — with the "
+        "STRICT inequality verified empirically at two scales "
+        "(a purchase AT the watermark stays buffered). State is keys "
+        "x 1h either way; null emission is what distinguishes the "
+        "outer form."
+    ),
+)
+def stream_attribution_left_outer(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from metar_pipeline_spark.streaming.pipeline import (
+        attribution_join_stream_outer,
+    )
+
+    cstream, cts = _event_file_stream(spark, sf_dir)
+    pstream, pts = _event_file_stream(spark, sf_dir)
+    clicks = cstream.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", cts.alias("ts")
+    )
+    purchases = pstream.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "value", pts.alias("ts")
+    )
+    joined = attribution_join_stream_outer(clicks, purchases, max_gap="1 hour")
+    out_dir = tempfile.mkdtemp(prefix="stream_attr_outer_")
+    ckpt = os.path.join(out_dir, "_ckpt")
+    data = os.path.join(out_dir, "data")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", data)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        result = (
+            spark.read.schema(joined.schema)
+            .parquet(data)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return result
+
+
+@register(
     "stream_dedup_watermark",
     """
     SELECT user_id, event_id, ts, value FROM events

@@ -223,3 +223,64 @@ def attribution_join_stream(
         "click_id",
         "click_ts",
     )
+
+
+def attribution_join_stream_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    max_gap: str = "1 hour",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: every purchase emits —
+    matched to preceding-``max_gap`` clicks of its key, or with NULL
+    click columns once the watermark proves no match can still arrive.
+
+    The semantic difference from the inner form is WHEN the null row
+    can be emitted: a buffered unmatched purchase is released only
+    after the watermark passes the latest click time that could match
+    it (here click_ts ≤ purchase_ts, so after purchase_ts itself).
+    State stays keys × max_gap like the inner join; the null emission
+    is what makes outer stream-stream joins the canonical "eventual
+    completeness" exhibit. On bounded availableNow input the final
+    no-data micro-batch flushes state against the terminal watermark,
+    so purchases at the stream's maximum event time may remain
+    unemitted — callers bound the input accordingly (see the
+    registered query, which excludes the terminal instant on both
+    engines).
+    """
+    c = (
+        clicks.withWatermark(ts_col, watermark)
+        .select(
+            F.col(key).alias("c_key"),
+            F.col(ts_col).alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    p = (
+        purchases.withWatermark(ts_col, watermark)
+        .select(
+            F.col(key).alias("p_key"),
+            F.col(ts_col).alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return p.join(
+        c,
+        (F.col("p_key") == F.col("c_key"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_gap}")
+        ),
+        "leftOuter",
+    ).select(
+        F.col("p_key").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+    )
