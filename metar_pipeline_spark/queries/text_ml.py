@@ -2148,3 +2148,101 @@ def dsir_importance_resample(spark, sf_dir):
             "rank",
         )
     )
+
+
+@register(
+    "cluster_silhouette_audit",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS centvec
+      FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+      SELECT e.vec_id AS id, c.cid,
+             round({_DUCK_COS.format(a="e.embedding", b="c.centvec")}, 6) AS cs,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round({_DUCK_COS.format(a="e.embedding", b="c.centvec")}, 6) DESC, c.cid
+             ) AS rn
+      FROM embeddings e, cents c
+    ),
+    tops AS (
+      SELECT a.id, a.cid AS cell, a.cs AS cs1, b.cs AS cs2
+      FROM scored a JOIN scored b ON a.id = b.id AND a.rn = 1 AND b.rn = 2
+    ),
+    sil AS (
+      SELECT id, cell,
+             round(CASE WHEN cs2 >= 1 THEN 0
+                        ELSE (cs1 - cs2) / (1 - cs2) END, 6) AS s
+      FROM tops
+    )
+    SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           round(CAST(SUM(CAST(s AS DECIMAL(28,18))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_silhouette
+    FROM sil GROUP BY cell ORDER BY cell
+    """,
+    doc=(
+        "Simplified silhouette (Hruschka et al.) over the coarse "
+        "quantizer: a(i)=dist to own centroid, b(i)=dist to the "
+        "nearest OTHER centroid, s=(b-a)/max(a,b) — per-vector O(k) "
+        "against broadcast centroids (never a pair join); the audit "
+        "that says whether IVF cells / SemDeDup neighborhoods are "
+        "tight enough to trust"
+    ),
+)
+def cluster_silhouette_audit(spark, sf_dir):
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("centvec"),
+        sim.norm2(F.col("embedding")).alias("centnorm"),
+    )
+    v = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vec"),
+        sim.norm2(F.col("embedding")).alias("vnorm"),
+    )
+    cs = F.round(
+        sim.dot(F.col("vec"), F.col("centvec"))
+        / (F.col("vnorm") * F.col("centnorm")),
+        6,
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cs"), F.asc("cid"))
+    scored = (
+        v.join(F.broadcast(cents))
+        .select("id", "cid", cs.alias("cs"))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    tops = (
+        scored.filter(F.col("rn") == 1)
+        .select("id", F.col("cid").alias("cell"), F.col("cs").alias("cs1"))
+        .join(
+            scored.filter(F.col("rn") == 2).select(
+                "id", F.col("cs").alias("cs2")
+            ),
+            "id",
+        )
+    )
+    sil = tops.select(
+        "cell",
+        F.round(
+            F.when(F.col("cs2") >= 1, F.lit(0.0)).otherwise(
+                (F.col("cs1") - F.col("cs2")) / (F.lit(1.0) - F.col("cs2"))
+            ),
+            6,
+        ).alias("s"),
+    )
+    return (
+        sil.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(
+                F.sum(F.col("s").cast("decimal(28,18)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("cell")
+    )
