@@ -1074,3 +1074,108 @@ def test_skew_report_matches_salting_contract(spark):
     for r in rows:
         want = math.ceil(r["n_rows"] * r["n_keys"] / r["total_rows"])
         assert r["recommended_salts"] == want
+
+
+def test_semdedup_keep_drop_invariants(spark):
+    """SemDeDup verdict properties on a planted geometry: (1) a kept
+    vector has NO preceding (lower centroid-sim, id) neighbor with
+    cos ≥ τ in its cell; (2) every dropped vector HAS a preceding
+    neighbor; (3) near-identical planted vectors collapse to exactly
+    one survivor."""
+    import math
+
+    from metar_pipeline_spark.operators import similarity as sim
+
+    # cell geometry in 2D: centroids 0=(1,0), 1=(0,1); near-dup trio
+    # around (1, 0.05..0.07); one isolated vector near (0.1, 1)
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (10, [1.0, 0.05]),
+        (11, [1.0, 0.06]),
+        (12, [1.0, 0.07]),
+        (20, [0.1, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {
+        r["id"]: r
+        for r in sim.semdedup_verdicts(
+            df, "vec_id", "embedding", n_centroids=2, threshold=0.999
+        ).collect()
+    }
+    assert len(out) == 6
+    trio = [out[i] for i in (10, 11, 12)]
+    assert sum(r["is_kept"] for r in trio) == 1
+    # survivor is the trio member farthest from its centroid
+    kept = [r for r in trio if r["is_kept"]][0]
+    assert kept["csim"] == min(r["csim"] for r in trio) or kept["id"] == min(
+        r["id"] for r in trio if r["csim"] == kept["csim"]
+    )
+    # isolated vectors survive
+    assert out[20]["is_kept"] and out[0]["is_kept"] and out[1]["is_kept"]
+    # exhaustive invariant check against brute-force cosines
+    vecs = dict(rows)
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(num / (na * nb), 6)
+
+    for vid, r in out.items():
+        peers = [
+            (out[o]["csim"], o)
+            for o in out
+            if o != vid
+            and out[o]["cid"] == r["cid"]
+            and cos(vecs[o], vecs[vid]) >= 0.999
+        ]
+        preceding = [p for p in peers if p < (r["csim"], vid)]
+        assert bool(preceding) == (not r["is_kept"]), vid
+
+
+def test_record_linkage_identical_records_max_score(spark):
+    """Two records identical on every compared field must surface with
+    the maximum possible score; records in different blocks are never
+    compared regardless of similarity."""
+    from metar_pipeline_spark.operators.linkage import record_linkage_pairs
+
+    rows = [
+        (1, "alpha beta", "B1", "T1", 10, 5.0),
+        (2, "alpha beta", "B1", "T1", 10, 5.0),   # identical twin
+        (3, "alpha beta", "B2", "T1", 10, 5.0),   # other block
+        (4, "gamma delta", "B1", "T2", 40, 90.0), # same block, no match
+    ]
+    df = spark.createDataFrame(
+        rows, "pid bigint, name string, brand string, typ string, size int, price double"
+    )
+    out = record_linkage_pairs(
+        df, "pid", ["brand"], "name",
+        name_weight=4.0, exact_cols=[("typ", 2.0)],
+        numeric_cols=[("size", 2.0, 1.0), ("price", 1.0, 1.0)],
+        min_score=5.0,
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["score"]) for r in out] == [(1, 2, 8.0)]
+
+
+def test_dsir_scores_tilt_toward_target(spark):
+    """Docs drawn from the target distribution must average a higher
+    log-ratio than clearly off-distribution docs, and off-distribution
+    bigrams must hit the floor (large negative)."""
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.operators.lm import dsir_logratio_scores
+
+    rows = [(i, "abab" * 10, "t") for i in range(10)] + [
+        (100 + i, "zqzq" * 10, "r") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, grp string")
+    scores = {
+        r["doc_id"]: r["avg_logratio"]
+        for r in dsir_logratio_scores(df, F.col("grp") == "t").collect()
+    }
+    t_mean = sum(scores[i] for i in range(10)) / 10
+    r_mean = sum(scores[100 + i] for i in range(10)) / 10
+    assert t_mean > r_mean
+    # 'zq'-family bigrams are unseen by the target model → floored
+    assert r_mean < -5.0
