@@ -2246,3 +2246,145 @@ def cluster_silhouette_audit(spark, sf_dir):
         )
         .orderBy("cell")
     )
+
+
+@register(
+    "stream_ingest_dedup",
+    f"""
+    WITH staged AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id % 5 = 0 THEN 1
+                  WHEN doc_id % 5 = 1 THEN 2
+                  ELSE 0 END AS stage
+      FROM documents
+    ),
+    toksrc AS (SELECT doc_id, stage, {_DUCK_TOKS} AS toks FROM staged),
+    shs AS (SELECT doc_id, stage, list_distinct({_DUCK_SHINGLE3}) AS sh FROM toksrc),
+    hs AS (
+      SELECT doc_id, stage, sh,
+             list_transform(sh, s -> [md5('0:' || s), md5('1:' || s), md5('2:' || s)]) AS hs
+      FROM shs WHERE len(sh) > 0
+    ),
+    sig AS (
+      SELECT doc_id, stage,
+             list_transform(generate_series(0, 11), i ->
+               list_min(list_transform(hs, h -> substr(h[(i // 4) + 1], (i % 4) * 8 + 1, 8)))) AS sig
+      FROM hs
+    ),
+    expanded AS (SELECT doc_id, stage, sig, unnest(generate_series(0, 5)) AS band FROM sig),
+    buckets AS (
+      SELECT doc_id, stage, band,
+             md5(array_to_string(list_slice(sig, band * 2 + 1, band * 2 + 2), '|')) AS bucket
+      FROM expanded
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket
+       AND a.stage >= 1 AND a.doc_id <> b.doc_id
+       AND (b.stage < a.stage OR (b.stage = a.stage AND b.doc_id < a.doc_id))
+    ),
+    sets AS (SELECT doc_id, sh AS s FROM shs),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             round(len(list_intersect(x.s, y.s))
+                   / greatest(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)), 1), 6) AS jaccard
+      FROM cands c JOIN sets x ON x.doc_id = c.id_a JOIN sets y ON y.doc_id = c.id_b
+    ),
+    best AS (
+      SELECT id_a, id_b, jaccard,
+             ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY jaccard DESC, id_b) AS rn
+      FROM scored WHERE jaccard >= 0.5
+    )
+    SELECT n.doc_id, b.id_b AS matched_id, b.jaccard,
+           b.id_b IS NOT NULL AS is_duplicate
+    FROM (SELECT doc_id FROM staged WHERE stage >= 1) n
+    LEFT JOIN best b ON b.id_a = n.doc_id AND b.rn = 1
+    """,
+    doc=(
+        "Dedup-at-ingest as a real streaming query: two document file "
+        "drops (doc_id%5=0 then %5=1) arrive as separate micro-batches "
+        "(maxFilesPerTrigger=1); foreachBatch checks each batch against "
+        "the persisted SIGNATURE STORE (corpus band-buckets parquet), "
+        "then appends the batch's signatures + text so the next batch "
+        "sees it — the corpus is never re-paired with itself and its "
+        "text is only joined by id for candidate pairs. Oracle replays "
+        "the stage ordering: a doc's match pool is every lower-stage "
+        "doc plus earlier-id docs of its own batch."
+    ),
+)
+def stream_ingest_dedup(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from metar_pipeline_spark.operators.dedup import (
+        band_buckets,
+        incremental_dedup_verdicts,
+        minhash_signature,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def buckets_of(d):
+        sigs = minhash_signature(d, "doc_id", "text", 12, 3)
+        return band_buckets(sigs, "doc_id", 6, 2)
+
+    root = tempfile.mkdtemp(prefix="ingest_dedup_")
+    src = os.path.join(root, "src")
+    store = os.path.join(root, "sig_store")
+    corpus_txt = os.path.join(root, "corpus_text")
+    outp = os.path.join(root, "verdicts")
+    ckpt = os.path.join(root, "_ckpt")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        corpus = docs.filter(F.col("doc_id") % 5 >= 2)
+        buckets_of(corpus).write.parquet(store)
+        corpus.write.parquet(corpus_txt)
+        # two ordered file drops = two micro-batches
+        docs.filter(F.col("doc_id") % 5 == 0).coalesce(1).write.parquet(
+            os.path.join(src, "b1")
+        )
+        docs.filter(F.col("doc_id") % 5 == 1).coalesce(1).write.parquet(
+            os.path.join(src, "b2")
+        )
+
+        def ingest(batch_df, batch_id):
+            sp = batch_df.sparkSession
+            prior_buckets = sp.read.parquet(store).select(
+                "id", "band", "bucket"
+            )
+            prior_text = sp.read.parquet(corpus_txt)
+            verdicts = incremental_dedup_verdicts(
+                batch_df, prior_text, "doc_id", "text",
+                num_hashes=12, bands=6, shingle_n=3, threshold=0.5,
+                corpus_buckets=prior_buckets,
+            )
+            verdicts.write.mode("append").parquet(outp)
+            # grow the store AFTER the verdicts: next batch sees us
+            buckets_of(batch_df).write.mode("append").parquet(store)
+            batch_df.write.mode("append").parquet(corpus_txt)
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        result = (
+            spark.read.parquet(outp)
+            .select("doc_id", "matched_id", "jaccard", "is_duplicate")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(root, ignore_errors=True)
+    return result
