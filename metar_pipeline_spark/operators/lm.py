@@ -243,3 +243,54 @@ def dsir_logratio_scores(
             ).alias("avg_logratio"),
         )
     )
+
+
+def platt_calibrated_scores(
+    scores: DataFrame,
+    id_col: str,
+    score_col: str,
+    label_col: str,
+    steps: int = 2,
+    lr: float = 1.0,
+) -> DataFrame:
+    """Platt scaling (Platt 1999): calibrate a raw discriminant score
+    (e.g. the DSIR log-ratio) into a probability with a 1-feature
+    logistic model, trained by ``steps`` full-batch gradient-descent
+    rounds — the distributed form of the classifier-calibration step a
+    CCNet/DCLM-style curation pipeline runs on LM features.
+
+    Each step is ONE partial+final aggregate over the scores: per-row
+    gradient contributions (y−σ(w0+w1·s)) and (y−σ(·))·s are rounded
+    to 12 decimals (absorbing any last-ulp libm difference in exp),
+    summed exactly in DECIMAL, divided by n once, and the weight
+    update is re-rounded — so every engine walks the identical weight
+    trajectory and the oracle can unroll the steps as CTEs. The
+    per-step weight read is a one-row aggregate (the same scalar class
+    as the incremental high-watermark reads), never a data collect.
+
+    Returns ``scores`` + ``prob`` (σ of the final calibrated logit,
+    rounded 6).
+    """
+    y = F.col(label_col).cast("double")
+    s = F.col(score_col)
+    w0, w1 = 0.0, 0.0
+    for _ in range(steps):
+        z = F.round(F.lit(w0) + F.lit(w1) * s, 12)
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        g0c = F.round(y - p, 12).cast("decimal(28,18)")
+        g1c = F.round((y - p) * s, 12).cast("decimal(28,18)")
+        row = scores.agg(
+            F.round(
+                (F.sum(g0c).cast("double") / F.count(F.lit(1))), 12
+            ).alias("g0"),
+            F.round(
+                (F.sum(g1c).cast("double") / F.count(F.lit(1))), 12
+            ).alias("g1"),
+        ).first()
+        w0 = round(w0 + lr * row["g0"], 12)
+        w1 = round(w1 + lr * row["g1"], 12)
+    zf = F.round(F.lit(w0) + F.lit(w1) * s, 12)
+    return scores.select(
+        "*",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-zf)), 6).alias("prob"),
+    )

@@ -2388,3 +2388,119 @@ def stream_ingest_dedup(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(root, ignore_errors=True)
     return result
+
+
+_DUCK_DSIR_SCORED = f"""
+    WITH d AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, length(t) - 1),
+                                   i -> substring(t, i, 2))) AS bg
+      FROM d
+    ),
+    counts AS (SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg),
+    prefix AS (SELECT substring(bg, 1, 1) AS c1, SUM(c) AS pn
+               FROM counts GROUP BY 1),
+    raw_model AS (
+      SELECT bg, ln(CAST(c AS DOUBLE) / pn) AS logp
+      FROM counts JOIN prefix ON substring(counts.bg, 1, 1) = prefix.c1
+    ),
+    tcounts AS (
+      SELECT b.bg, COUNT(*) AS c
+      FROM bg b JOIN d USING (doc_id) WHERE d.lang = 'en'
+      GROUP BY b.bg
+    ),
+    tprefix AS (SELECT substring(bg, 1, 1) AS c1, SUM(c) AS pn
+                FROM tcounts GROUP BY 1),
+    t_model AS (
+      SELECT bg, ln(CAST(c AS DOUBLE) / pn) AS logp
+      FROM tcounts JOIN tprefix ON substring(tcounts.bg, 1, 1) = tprefix.c1
+    ),
+    scored AS (
+      SELECT b.doc_id,
+             round(CAST(SUM(CAST(
+                     COALESCE(t.logp, -13.815510557964274) - r.logp
+                   AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*), 6) AS avg_logratio
+      FROM bg b
+      JOIN raw_model r USING (bg)
+      LEFT JOIN t_model t ON b.bg = t.bg
+      GROUP BY b.doc_id
+    )
+"""
+
+
+@register(
+    "quality_classifier_platt",
+    _DUCK_DSIR_SCORED + """
+    , labeled AS (
+      SELECT s.doc_id, d2.lang, s.avg_logratio AS sc,
+             CASE WHEN d2.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      FROM scored s JOIN documents d2 USING (doc_id)
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM labeled),
+    -- step 1: w = (0,0) so sigma(z) = 0.5 exactly for every row
+    w1 AS (
+      SELECT round(CAST(SUM(CAST(round(y - 0.5, 12) AS DECIMAL(28,18)))
+                   AS DOUBLE) / nn.n, 12) AS w0,
+             round(CAST(SUM(CAST(round((y - 0.5) * sc, 12) AS DECIMAL(28,18)))
+                   AS DOUBLE) / nn.n, 12) AS w1
+      FROM labeled, nn GROUP BY nn.n
+    ),
+    w2 AS (
+      SELECT round(w1.w0 +
+               round(CAST(SUM(CAST(round(
+                 l.y - 1.0 / (1.0 + exp(-round(w1.w0 + w1.w1 * l.sc, 12))),
+               12) AS DECIMAL(28,18))) AS DOUBLE) / nn.n, 12), 12) AS w0,
+             round(w1.w1 +
+               round(CAST(SUM(CAST(round(
+                 (l.y - 1.0 / (1.0 + exp(-round(w1.w0 + w1.w1 * l.sc, 12)))) * l.sc,
+               12) AS DECIMAL(28,18))) AS DOUBLE) / nn.n, 12), 12) AS w1
+      FROM labeled l, w1, nn GROUP BY nn.n, w1.w0, w1.w1
+    )
+    SELECT l.doc_id, l.lang, l.sc AS avg_logratio,
+           round(1.0 / (1.0 + exp(-round(w2.w0 + w2.w1 * l.sc, 12))), 6) AS prob,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY round(1.0 / (1.0 + exp(-round(w2.w0 + w2.w1 * l.sc, 12))), 6) DESC,
+                      l.doc_id) AS INTEGER) AS rank
+    FROM labeled l, w2
+    QUALIFY rank <= 20
+    """,
+    doc=(
+        "Classifier-based quality/domain filtering, trained "
+        "distributed: Platt-calibrate the DSIR log-ratio into P(target "
+        "domain) with 2 full-batch logistic gradient steps — each step "
+        "one partial+final aggregate, per-row gradients rounded then "
+        "DECIMAL-summed so both engines walk the identical weight "
+        "trajectory (the oracle unrolls the steps as CTEs); top-20 by "
+        "calibrated probability (operators/lm.py:platt_calibrated_scores)"
+    ),
+)
+def quality_classifier_platt(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from metar_pipeline_spark.operators.lm import (
+        dsir_logratio_scores,
+        platt_calibrated_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = (
+        dsir_logratio_scores(docs, F.col("lang") == "en")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "avg_logratio",
+            (F.col("lang") == "en").cast("double").alias("y"),
+        )
+        .localCheckpoint()
+    )
+    calibrated = platt_calibrated_scores(
+        scores, "doc_id", "avg_logratio", "y", steps=2, lr=1.0
+    )
+    w = Window.orderBy(F.desc("prob"), F.asc("doc_id"))
+    return (
+        calibrated.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("doc_id", "lang", "avg_logratio", "prob", "rank")
+    )
