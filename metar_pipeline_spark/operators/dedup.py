@@ -404,6 +404,7 @@ def incremental_dedup_verdicts(
     shingle_n: int = 3,
     threshold: float = 0.5,
     corpus_buckets: DataFrame | None = None,
+    new_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch against an existing corpus without re-pairing
     the corpus with itself — the shape a continuously-ingesting pipeline
@@ -422,6 +423,12 @@ def incremental_dedup_verdicts(
     Returns one verdict row per new doc: (id, matched_id, jaccard,
     is_duplicate) with the best match chosen by (rounded jaccard desc,
     id asc) — deterministic on both engines.
+
+    ``new_buckets``: precomputed band-buckets of the NEW batch
+    ((id, band, bucket) from the same minhash formulation) — pass it
+    when the caller also persists the batch's signatures (the
+    dedup-at-ingest stream), so the batch text is exploded once, not
+    twice.
     """
     rows_per_band = num_hashes // bands
 
@@ -431,7 +438,12 @@ def incremental_dedup_verdicts(
             "is_corpus", F.lit(tag)
         )
 
-    new_b = buckets_of(new_docs, 0).cache()
+    if new_buckets is not None:
+        new_b = new_buckets.select("id", "band", "bucket").withColumn(
+            "is_corpus", F.lit(0)
+        ).cache()
+    else:
+        new_b = buckets_of(new_docs, 0).cache()
     if corpus_buckets is not None:
         corpus_b = corpus_buckets.select("id", "band", "bucket").withColumn(
             "is_corpus", F.lit(1)

@@ -2356,14 +2356,17 @@ def stream_ingest_dedup(spark, sf_dir):
                 "id", "band", "bucket"
             )
             prior_text = sp.read.parquet(corpus_txt)
+            # one signature pass per batch: the same buckets feed the
+            # verdict join AND the store append
+            batch_b = buckets_of(batch_df).localCheckpoint(eager=True)
             verdicts = incremental_dedup_verdicts(
                 batch_df, prior_text, "doc_id", "text",
                 num_hashes=12, bands=6, shingle_n=3, threshold=0.5,
-                corpus_buckets=prior_buckets,
+                corpus_buckets=prior_buckets, new_buckets=batch_b,
             )
             verdicts.write.mode("append").parquet(outp)
             # grow the store AFTER the verdicts: next batch sees us
-            buckets_of(batch_df).write.mode("append").parquet(store)
+            batch_b.write.mode("append").parquet(store)
             batch_df.write.mode("append").parquet(corpus_txt)
 
         stream = (
