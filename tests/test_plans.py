@@ -365,6 +365,25 @@ def test_record_linkage_blocked_join(plans):
     assert "__blk0" in p  # blocking key is the join key
 
 
+def test_dsir_model_broadcast_and_bounded_topk(plans):
+    """DSIR: the combined (raw+target) LM must come back as a
+    broadcast join — the corpus-side bigram counts never reshuffle for
+    scoring — and the Gumbel top-50 must plan as a bounded top-k
+    (TakeOrderedAndProject), not a global sort."""
+    p = plans("dsir_importance_resample")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_platt_gradient_is_partial_final_agg(plans):
+    """Each Platt gradient step is one partial+final aggregate over
+    the scores (map-side combine); scoring joins stay broadcast."""
+    p = plans("quality_classifier_platt")
+    assert p.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in p
+
+
 # (ann_ivf_store_upsert intentionally has no plan pin here: the query
 # returns a localCheckpoint of the probe — its visible plan is an
 # opaque checkpoint scan. Its store/probe scale shape is pinned by

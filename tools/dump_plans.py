@@ -127,6 +127,21 @@ SHOWCASE = [
         "the frontier test is one strict running-min window over the "
         "calendar-bounded day table.",
     ),
+    (
+        "semantic_dedup_cells",
+        "SemDeDup: centroids broadcast into the assignment argmax "
+        "(max_by partial agg), the near-dup pair join keys on the "
+        "cell id — Σ|cell|² candidate work, never corpus²; no "
+        "CartesianProduct.",
+    ),
+    (
+        "dsir_importance_resample",
+        "DSIR: ONE bigram generator pass feeds one flagged aggregate "
+        "training BOTH LMs (conditional sums in the same "
+        "HashAggregate); the combined model returns as a single "
+        "BroadcastHashJoin; the Gumbel top-k is a bounded "
+        "WindowGroupLimit, not a global sort.",
+    ),
 ]
 
 # Static epilogue: measured plan decisions that are not a single
