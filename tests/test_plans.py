@@ -376,12 +376,16 @@ def test_dsir_model_broadcast_and_bounded_topk(plans):
     assert "CartesianProduct" not in p
 
 
-def test_platt_gradient_is_partial_final_agg(plans):
-    """Each Platt gradient step is one partial+final aggregate over
-    the scores (map-side combine); scoring joins stay broadcast."""
+def test_platt_final_plan_scores_with_literal_weights(plans):
+    """Platt training collapses to two scalars per step (one-row
+    aggregate reads) — the returned plan must be pure scoring: the
+    learned weights appear as inlined LITERALS in a projection over
+    the checkpointed scores, the top-20 is a bounded
+    TakeOrderedAndProject, and no data-sized collect or join remains."""
     p = plans("quality_classifier_platt")
-    assert p.count("HashAggregate") >= 2
-    assert "CartesianProduct" not in p
+    assert "EXP(-round(" in p  # sigmoid over a literal-weight logit
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
 
 
 # (ann_ivf_store_upsert intentionally has no plan pin here: the query
