@@ -62,7 +62,14 @@ def pagerank(
     # dangling mass is then a FILTER + one-row aggregate over ranks —
     # no anti-join shuffle inside the loop (one less exchange per
     # iteration; bit-identical ranks, verified against the join form).
+    from pyspark.sql import Observation
+
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # Scalar node count rides the checkpoint materialization as an
+    # observed metric (same fusion as dedup.connected_components) — no
+    # separate count job, and still an aggregated single number, not a
+    # data collect.
+    obs = Observation()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -73,11 +80,10 @@ def pagerank(
             "left",
         )
         .withColumn("dangling", F.col("deg").isNull())
+        .observe(obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    # Scalar node count: an aggregated single number (same class as the
-    # incremental watermark reads) — not a data collect.
-    n = nodes.count()
+    n = obs.get["n"]
     if n == 0:
         return nodes.select(
             F.col("node"), F.lit(None).cast("double").alias("rank")
