@@ -20,7 +20,7 @@ from metar_pipeline_spark.io import load_table
 from metar_pipeline_spark.operators import dedup as dd
 from metar_pipeline_spark.operators import similarity as sim
 from metar_pipeline_spark.operators import textops as tx
-from metar_pipeline_spark.queries import register
+from metar_pipeline_spark.queries import REGISTRY, register
 
 # Shared DuckDB SQL fragments (oracle side)
 _DUCK_TOKS = (
@@ -2506,4 +2506,72 @@ def quality_classifier_platt(spark, sf_dir):
         calibrated.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 20)
         .select("doc_id", "lang", "avg_logratio", "prob", "rank")
+    )
+
+
+@register(
+    "hybrid_search_rrf",
+    f"""
+    WITH bm AS (
+      SELECT doc_id, rank FROM ({REGISTRY["bm25_keyword_search"].oracle})
+    ),
+    ann AS (
+      SELECT id AS doc_id, rank
+      FROM ({REGISTRY["ann_bruteforce_topk"].oracle})
+      WHERE query_id = 0
+    ),
+    fused AS (
+      SELECT COALESCE(bm.doc_id, ann.doc_id) AS doc_id,
+             round(COALESCE(1.0 / (60 + bm.rank), 0.0)
+                   + COALESCE(1.0 / (60 + ann.rank), 0.0), 6) AS rrf_score,
+             bm.rank AS bm25_rank, ann.rank AS ann_rank
+      FROM bm FULL OUTER JOIN ann ON bm.doc_id = ann.doc_id
+    )
+    SELECT doc_id, rrf_score, bm25_rank, ann_rank,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id)
+                AS INTEGER) AS rank
+    FROM fused
+    QUALIFY rank <= 10
+    """,
+    doc=(
+        "Hybrid retrieval via reciprocal-rank fusion (k=60): the BM25 "
+        "keyword top-20 and the embedding cosine top-10 (query vector "
+        "= vec 0) fused as Σ 1/(k+rank) — the standard lexical+dense "
+        "combination; one full-outer join of two bounded rank lists, "
+        "so fusion cost is independent of corpus size"
+    ),
+)
+def hybrid_search_rrf(spark, sf_dir):
+    from pyspark.sql import Window
+
+    bm = bm25_keyword_search(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("bm25_rank")
+    )
+    ann = (
+        ann_bruteforce_topk(spark, sf_dir)
+        .filter(F.col("query_id") == 0)
+        .select(F.col("id").alias("doc_id"), F.col("rank").alias("ann_rank"))
+    )
+    fused = (
+        bm.join(ann, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(60) + F.col("bm25_rank")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(60) + F.col("ann_rank")), F.lit(0.0)
+                ),
+                6,
+            ).alias("rrf_score"),
+            "bm25_rank",
+            "ann_rank",
+        )
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "rrf_score", "bm25_rank", "ann_rank", "rank")
     )
