@@ -602,3 +602,101 @@ def test_chunking_covers_tokens_with_exact_overlap(spark, docs, chunk, overlap):
         for k, c in enumerate(chunks):
             want = toks[k * stride : k * stride + chunk]
             assert c.n_tokens == len(want)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 operators: record linkage & SemDeDup laws
+# ---------------------------------------------------------------------------
+
+_link_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),        # id (dedup below)
+        st.sampled_from(["a b", "a c", "b c", "d e"]),  # name
+        st.sampled_from(["B1", "B2"]),                  # block
+        st.sampled_from(["T1", "T2"]),                  # type
+        st.integers(min_value=0, max_value=6),          # size
+    ),
+    min_size=0,
+    max_size=14,
+)
+
+
+@SETTINGS
+@given(_link_rows)
+def test_record_linkage_laws(spark, data):
+    """For ANY record set: (1) pairs are canonical (id_a < id_b) and
+    unique; (2) scores stay within [min_score, max possible weight];
+    (3) every pair shares a block; (4) identical-on-all-fields records
+    in one block always link at max score."""
+    from metar_pipeline_spark.operators.linkage import record_linkage_pairs
+
+    uniq = {}
+    for (i, n, b, t, sz) in data:
+        uniq[i] = (i, n, b, t, sz)
+    recs = list(uniq.values())
+    df = spark.createDataFrame(
+        recs or [(0, "x y", "B1", "T1", 0)],
+        "pid bigint, name string, brand string, typ string, size int",
+    )
+    if not recs:
+        df = df.limit(0)
+    out = record_linkage_pairs(
+        df, "pid", ["brand"], "name",
+        name_weight=4.0, exact_cols=[("typ", 2.0)],
+        numeric_cols=[("size", 1.0, 1.0)],
+        min_score=4.0,
+    ).collect()
+    seen = set()
+    by_id = {r[0]: r for r in recs}
+    for row in out:
+        assert row["id_a"] < row["id_b"]
+        key = (row["id_a"], row["id_b"])
+        assert key not in seen
+        seen.add(key)
+        assert 4.0 <= row["score"] <= 7.0
+        assert by_id[row["id_a"]][2] == by_id[row["id_b"]][2]  # same block
+    # completeness: identical records must link at the ceiling
+    for a in recs:
+        for b in recs:
+            if a[0] < b[0] and a[1:] == b[1:]:
+                assert (a[0], b[0]) in seen
+                row = next(r for r in out if (r["id_a"], r["id_b"]) == (a[0], b[0]))
+                assert row["score"] == 7.0
+
+
+_vec_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=2, max_value=25),
+        st.sampled_from([(1.0, 0.0), (0.0, 1.0), (1.0, 0.1), (0.1, 1.0)]),
+    ),
+    min_size=0,
+    max_size=10,
+)
+
+
+@SETTINGS
+@given(_vec_rows)
+def test_semdedup_verdict_laws(spark, data):
+    """For ANY vector set over the 2-centroid plane: exactly one row
+    per vector, every cell's drops are justified by a kept-order
+    predecessor, and per cell at least one vector survives (a
+    non-empty near-dup neighborhood can never drop ALL its members —
+    its minimal element has no predecessor)."""
+    from metar_pipeline_spark.operators import similarity as sim
+
+    uniq = {}
+    for (i, v) in data:
+        uniq[i] = v
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0])] + [
+        (i, [x, y]) for i, (x, y) in uniq.items()
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = sim.semdedup_verdicts(
+        df, "vec_id", "embedding", n_centroids=2, threshold=0.999
+    ).collect()
+    assert len(out) == len(rows)
+    cells = {}
+    for r in out:
+        cells.setdefault(r["cid"], []).append(r)
+    for members in cells.values():
+        assert any(m["is_kept"] for m in members)
