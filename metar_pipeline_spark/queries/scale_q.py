@@ -982,3 +982,59 @@ def skew_key_report(spark, sf_dir):
 
     events = load_table(spark, sf_dir, "events")
     return rpt(events, "event_type", top_n=5)
+
+
+@register(
+    "zorder_locality_audit",
+    """
+    WITH k AS (
+      SELECT (user_id % 256) AS a,
+             ((CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 256) AS b
+      FROM events
+    ),
+    z AS (
+      SELECT a, b,
+             CAST(list_sum(list_transform(generate_series(0, 7), i ->
+               (((a >> i) & 1) * (1 << (2 * i)))
+               + (((b >> i) & 1) * (1 << (2 * i + 1)))
+             )) AS BIGINT) AS zv
+      FROM k
+    )
+    SELECT CAST(zv // 4096 AS INTEGER) AS zrange,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(a) AS BIGINT) AS a_min, CAST(MAX(a) AS BIGINT) AS a_max,
+           CAST(MIN(b) AS BIGINT) AS b_min, CAST(MAX(b) AS BIGINT) AS b_max
+    FROM z GROUP BY 1 ORDER BY 1
+    """,
+    doc=(
+        "Z-order (Morton) locality audit: events keyed by "
+        "(user_id, epoch-day) on an 8-bit grid, z-codes bucketed into "
+        "4096-code ranges — each range is an ALIGNED 64x64 tile, so "
+        "BOTH dimension spans are <= 63 inside every range (asserted in "
+        "test_layout.py); the property that makes a z-laid-out table "
+        "skip files for two-dimensional box predicates, where a "
+        "single-key sort bounds only one dimension "
+        "(sources/layout.py:morton_interleave — pure JVM bit math)"
+    ),
+)
+def zorder_locality_audit(spark, sf_dir):
+    from metar_pipeline_spark.sources.layout import morton_interleave
+
+    events = load_table(spark, sf_dir, "events")
+    e = F.col("ts").cast("timestamp").cast("long")
+    keyed = events.select(
+        (F.col("user_id") % 256).cast("bigint").alias("a"),
+        (F.floor(e / 86400) % 256).cast("bigint").alias("b"),
+    )
+    z = keyed.withColumn("zv", morton_interleave(F.col("a"), F.col("b"), 8))
+    return (
+        z.groupBy(F.floor(F.col("zv") / 4096).cast("int").alias("zrange"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("a").alias("a_min"),
+            F.max("a").alias("a_max"),
+            F.min("b").alias("b_min"),
+            F.max("b").alias("b_max"),
+        )
+        .orderBy("zrange")
+    )
