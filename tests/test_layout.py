@@ -103,3 +103,21 @@ def test_zorder_layout_shared_locality(spark, tmp_path):
     # allow generous slack for bucket-boundary straddling.
     assert mean_area <= domain / 3
     assert spark.read.parquet(out).count() == n * n
+
+
+def test_zorder_ranges_are_aligned_tiles(spark):
+    """Every 4096-code range of the 8-bit Morton curve is an aligned
+    64x64 tile: within any range, BOTH dimension spans are <= 63 —
+    the property that lets a z-laid-out table prune files for 2-D box
+    predicates (a single-key sort bounds only one dimension)."""
+    from metar_pipeline_spark.queries.scale_q import zorder_locality_audit
+    from tests.conftest import SF_SMOKE
+
+    rows = zorder_locality_audit(spark, SF_SMOKE).collect()
+    assert rows, "no ranges produced"
+    for r in rows:
+        assert 0 <= r["a_max"] - r["a_min"] <= 63, r
+        assert 0 <= r["b_max"] - r["b_min"] <= 63, r
+        # and the tile is ALIGNED: both mins share the range's quadrant
+        assert r["a_min"] // 64 == r["a_max"] // 64, r
+        assert r["b_min"] // 64 == r["b_max"] // 64, r
