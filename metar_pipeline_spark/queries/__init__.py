@@ -53,15 +53,14 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # the auto-boost catches direct query/oracle edits and one-hop operator
 # module edits, but not deeper transitive changes).
 VERIFY_FIRST: list[str] = [
-    # Empty (round 6): the round-5 gate cleared the entire backlog —
-    # every registered query with an oracle is driver-green (189/192;
-    # the 3 sketch queries are rows-only by design and re-verify every
-    # round as category 1). The round-5 deviation set
-    # (table_fingerprint_orders, partition_fingerprints_events,
-    # try_function_surface, hour_of_week_profile — all four changed
-    # output semantics in r5) went through the r5 window and is green,
-    # so nothing needs a manual boost; the AST-based auto-boost below
-    # re-gates any query this round's edits touch.
+    # Empty (round 6): the round-5 gate cleared the entire backlog
+    # (189/192 driver-green; the 3 sketch queries are rows-only by
+    # design and re-verify every round as category 1), so no manual
+    # boost is needed. Round 6 added 12 new queries (category 1) and
+    # its operator-module edits drifted ~31 green ones (category 2) —
+    # the AST-based auto-boost puts all of them inside the 50-slot
+    # window (46/50 used), every one locally verified at sf0.01 via
+    # `tools/check_oracle.py --drifted --pending` before round end.
 ]
 
 
