@@ -287,6 +287,8 @@ def platt_calibrated_scores(
                 (F.sum(g1c).cast("double") / F.count(F.lit(1))), 12
             ).alias("g1"),
         ).first()
+        if row["g0"] is None:  # empty input: SUM is NULL — weights stay 0
+            break
         w0 = round(w0 + lr * row["g0"], 12)
         w1 = round(w1 + lr * row["g1"], 12)
     zf = F.round(F.lit(w0) + F.lit(w1) * s, 12)

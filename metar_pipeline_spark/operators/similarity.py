@@ -160,6 +160,7 @@ def ivf_assignments(
     vec_col: str,
     n_centroids: int,
     centroid_source: DataFrame | None = None,
+    keep_cscore: bool = False,
 ) -> DataFrame:
     """The IVF INDEX: (id, cid, cvec, cnorm) — each corpus vector's
     nearest deterministic centroid plus its precomputed norm. Build
@@ -172,7 +173,10 @@ def ivf_assignments(
     corpus when assigning an incremental batch, so new vectors join the
     EXISTING quantizer's cells and the batch can be appended to the
     partitioned store without touching (or re-reading) the base lists —
-    index maintenance is then O(batch), never O(corpus)."""
+    index maintenance is then O(batch), never O(corpus).
+
+    ``keep_cscore``: also emit ``cscore`` (rounded cosine to the
+    winning centroid) — SemDeDup's keep-order key."""
     cents = (centroid_source if centroid_source is not None else corpus
              ).filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cid"),
@@ -189,17 +193,20 @@ def ivf_assignments(
         / (F.col("cnorm") * F.col("centnorm")),
         6,
     )
+    carried = ["cid", "cscore", "cvec", "cnorm"] if keep_cscore else [
+        "cid", "cvec", "cnorm"
+    ]
     return (
         c.join(F.broadcast(cents))
         .select("id", "cvec", "cnorm", "cid", cscore.alias("cscore"))
         .groupBy("id")
         .agg(
             F.max_by(
-                F.struct("cid", "cvec", "cnorm"),
+                F.struct(*carried),
                 F.struct(F.col("cscore"), -F.col("cid")),
             ).alias("_a")
         )
-        .select("id", "_a.cid", "_a.cvec", "_a.cnorm")
+        .select("id", *[f"_a.{f}" for f in carried])
     )
 
 
@@ -323,32 +330,23 @@ def semdedup_verdicts(
     persist the assignment ``partitionBy(cid)`` like the IVF stores.
     Output: (id, cid, csim, is_kept) — one row per corpus vector.
     """
-    cents = corpus.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"),
-        F.col(vec_col).alias("centvec"),
-        norm2(F.col(vec_col)).alias("centnorm"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        norm2(F.col(vec_col)).alias("vnorm"),
-    )
-    cscore = F.round(
-        dot(F.col("vec"), F.col("centvec"))
-        / (F.col("vnorm") * F.col("centnorm")),
-        6,
-    )
+    # The coarse quantizer IS ivf_assignments (keep_cscore exposes the
+    # keep-order key); localCheckpoint the assignment because three
+    # consumers read it (a-side, b-side, final verdict join) — without
+    # it only the shuffle exchange is reused and the max_by final
+    # aggregate re-executes per consumer on every action.
     assigned = (
-        c.join(F.broadcast(cents))
-        .select("id", "vec", "vnorm", "cid", cscore.alias("csim"))
-        .groupBy("id")
-        .agg(
-            F.max_by(
-                F.struct("cid", "csim", "vec", "vnorm"),
-                F.struct(F.col("csim"), -F.col("cid")),
-            ).alias("_a")
+        ivf_assignments(
+            corpus, id_col, vec_col, n_centroids, keep_cscore=True
         )
-        .select("id", "_a.cid", "_a.csim", "_a.vec", "_a.vnorm")
+        .select(
+            "id",
+            "cid",
+            F.col("cscore").alias("csim"),
+            F.col("cvec").alias("vec"),
+            F.col("cnorm").alias("vnorm"),
+        )
+        .localCheckpoint(eager=True)
     )
     a = assigned.select(
         "cid",

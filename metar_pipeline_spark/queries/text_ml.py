@@ -2215,14 +2215,24 @@ def cluster_silhouette_audit(spark, sf_dir):
         .select("id", "cid", cs.alias("cs"))
         .withColumn("rn", F.row_number().over(w))
     )
+    # ONE window evaluation: rn<=2 then a conditional-max pivot per id
+    # (a self-join of rn==1 × rn==2 would run the corpus×centroids
+    # window twice — WindowExec is not exchange-reused). The groupBy
+    # reuses the window's hash-by-id partitioning: no extra shuffle.
     tops = (
-        scored.filter(F.col("rn") == 1)
-        .select("id", F.col("cid").alias("cell"), F.col("cs").alias("cs1"))
-        .join(
-            scored.filter(F.col("rn") == 2).select(
-                "id", F.col("cs").alias("cs2")
-            ),
+        scored.filter(F.col("rn") <= 2)
+        .groupBy("id")
+        .agg(
+            F.max(
+                F.when(F.col("rn") == 1, F.struct("cid", "cs"))
+            ).alias("_t1"),
+            F.max(F.when(F.col("rn") == 2, F.col("cs"))).alias("cs2"),
+        )
+        .select(
             "id",
+            F.col("_t1.cid").alias("cell"),
+            F.col("_t1.cs").alias("cs1"),
+            "cs2",
         )
     )
     sil = tops.select(
@@ -2349,6 +2359,17 @@ def stream_ingest_dedup(spark, sf_dir):
         docs.filter(F.col("doc_id") % 5 == 1).coalesce(1).write.parquet(
             os.path.join(src, "b2")
         )
+        # FileStreamSource orders files by mtime, with listing-order
+        # (readdir hash order) tiebreak — both writes can land in one
+        # mtime tick, so pin distinct mtimes to make b1-before-b2
+        # deterministic (the oracle replays exactly that stage order).
+        import time as _t
+
+        now = _t.time()
+        for sub, mt in (("b1", now - 20), ("b2", now - 10)):
+            d = os.path.join(src, sub)
+            for fn in os.listdir(d):
+                os.utime(os.path.join(d, fn), (mt, mt))
 
         def ingest(batch_df, batch_id):
             sp = batch_df.sparkSession

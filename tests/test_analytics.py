@@ -278,6 +278,19 @@ class TestBigramLM:
         out = score_docs_nll(docs, train_char_bigram_lm(docs)).collect()
         assert {r["doc_id"] for r in out} == {1}
 
+    def test_platt_empty_scores_no_crash(self, spark):
+        # every doc shorter than one bigram → dsir scores are empty;
+        # the gradient SUM is NULL and the weight update must not
+        # TypeError — weights stay at 0 and the result is empty
+        from metar_pipeline_spark.operators.lm import platt_calibrated_scores
+
+        empty = spark.createDataFrame(
+            [], "doc_id bigint, score double, label int"
+        )
+        out = platt_calibrated_scores(empty, "doc_id", "score", "label")
+        assert out.columns == ["doc_id", "score", "label", "prob"]
+        assert out.count() == 0
+
 
 class TestTriangleCensus:
     def test_k4_and_canonicalization(self, spark):

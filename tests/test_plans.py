@@ -346,15 +346,31 @@ def test_curation_funnel_bounded_scans(plans):
     assert "SortMergeJoin" not in p
 
 
-def test_semdedup_pairs_cell_blocked(plans):
+def test_semdedup_pairs_cell_blocked(plans, spark):
     """SemDeDup's pair generation must be an equi-join on the cell id
-    (Σ|cell|² work), never a cartesian; the centroid table (n_centroids
-    rows) must broadcast into the assignment step."""
+    (Σ|cell|² work), never a cartesian. The shared assignment is
+    localCheckpoint-ed (three consumers), so the assignment-broadcast
+    pin targets ivf_assignments directly (opaque-plan protocol)."""
     p = plans("semantic_dedup_cells")
     assert "CartesianProduct" not in p
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     # the within-cell self-join keys on cid
     assert "cid" in p
+    # assignment step: centroid table (n_centroids rows) broadcasts
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.operators import similarity as sim
+
+    emb = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[(F.col("id") % (i + 3)).cast("float") for i in range(4)]
+        ).alias("embedding"),
+    )
+    ap = plan_str(
+        sim.ivf_assignments(emb, "vec_id", "embedding", 8, keep_cscore=True)
+    )
+    assert "BroadcastHashJoin" in ap or "BroadcastNestedLoopJoin" in ap
+    assert "CartesianProduct" not in ap
 
 
 def test_record_linkage_blocked_join(plans):

@@ -102,10 +102,22 @@ def main():
               f"{' (drifted)' if drifted_only else ''}"
               f"{' (pending)' if pending_only else ''}")
     if only:
-        unknown = only - set(specs)
-        if unknown and not (drifted_only or pending_only):
+        # Validate names against the FULL registry even under
+        # --drifted/--pending: a typo'd name must never silently
+        # verify nothing and exit green (r6 review).
+        unknown = only - set(all_queries())
+        if unknown:
             sys.exit(f"unknown query names: {sorted(unknown)}")
+        skipped = only - set(specs)
+        if skipped:
+            print(f"not in {'drifted' if drifted_only else ''}"
+                  f"{'+' if drifted_only and pending_only else ''}"
+                  f"{'pending' if pending_only else ''} set "
+                  f"(unchanged since last green): {sorted(skipped)}")
         specs = {k: v for k, v in specs.items() if k in only}
+        if not specs:
+            sys.exit("none of the named queries selected — "
+                     "nothing verified")
     if not specs and not (drifted_only or pending_only):
         # --drifted/--pending legitimately select zero (count printed
         # above); an empty plain run means a selection typo — fail loud.
