@@ -269,8 +269,10 @@ def jaccard_on_pairs(
     arrays; similarity = |A∩B| / |A∪B| via array_intersect sizes — all
     JVM-side. Output: (id_a, id_b, jaccard) with jaccard rounded to 6.
     """
-    # cache: the shingle-set table is joined twice (id_a and id_b side);
-    # the candidate set is small, so broadcast it against the sets scan.
+    # cache: the shingle-set table is joined twice (id_a and id_b side).
+    # No broadcast hint on the candidate set: post-LSH candidates are
+    # O(corpus × dup-rate) — unbounded at scale — so let AQE broadcast
+    # only when the runtime size actually fits.
     sets_df = (
         docs.select(
             F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")
@@ -285,7 +287,7 @@ def jaccard_on_pairs(
     )
     out = (
         sets_df.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a")
-        .join(F.broadcast(pairs), "id_a")
+        .join(pairs, "id_a")
         .join(
             sets_df.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"),
             "id_b",
@@ -647,7 +649,10 @@ def winnow_span_pairs(
             .filter(F.col("_n") <= max_bucket)
             .select("fp")
         )
-        fp_rows = fp_rows.join(F.broadcast(w_ok), "fp")
+        # w_ok is O(distinct fingerprints) — nearly all of them pass
+        # the stop-list, so never force a broadcast; AQE picks one
+        # only when the survivor set is actually small
+        fp_rows = fp_rows.join(w_ok, "fp")
     a, b = fp_rows.alias("a"), fp_rows.alias("b")
     return (
         a.join(

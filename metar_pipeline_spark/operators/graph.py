@@ -74,8 +74,11 @@ def pagerank(
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        # no broadcast hint: outdeg is O(nodes) — at graph scale it is
+        # NOT broadcastable, and this one-time shuffle join amortizes
+        # over all iterations (AQE still broadcasts it when small)
         .join(
-            F.broadcast(outdeg.select(F.col("src").alias("node"), "deg")),
+            outdeg.select(F.col("src").alias("node"), "deg"),
             "node",
             "left",
         )
