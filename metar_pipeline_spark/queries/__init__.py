@@ -57,10 +57,13 @@ VERIFY_FIRST: list[str] = [
     # (189/192 driver-green; the 3 sketch queries are rows-only by
     # design and re-verify every round as category 1), so no manual
     # boost is needed. Round 6 added 12 new queries (category 1) and
-    # its operator-module edits drifted ~31 green ones (category 2) —
-    # the AST-based auto-boost puts all of them inside the 50-slot
-    # window (46/50 used), every one locally verified at sf0.01 via
-    # `tools/check_oracle.py --drifted --pending` before round end.
+    # its operator-module edits drifted green ones (category 2); the
+    # post-review scale fixes (broadcast-hint removal on unbounded
+    # sides, TakeOrderedAndProject top-k in bm25/zipf/weighted-sample)
+    # drifted 3 more — the AST-based auto-boost puts all of them
+    # inside the 50-slot window (49/50 used), every one locally
+    # verified at sf0.01 via `tools/check_oracle.py --drifted
+    # --pending` plus the full-matrix sweeps before round end.
 ]
 
 

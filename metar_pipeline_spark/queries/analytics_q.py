@@ -540,10 +540,14 @@ def weighted_sample_docs(spark, sf_dir):
     keyed = docs.select(
         "doc_id", "n_chars", (F.log(u) / F.col("n_chars")).alias("skey")
     )
+    # top-50 via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heaps over the corpus-sized keyed frame); the rank window orders
+    # only the 50 survivors — row-identical under the total-order keys
     w = Window.orderBy(F.desc("skey"), F.asc("doc_id"))
     return (
-        keyed.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 50)
+        keyed.orderBy(F.desc("skey"), F.asc("doc_id"))
+        .limit(50)
+        .withColumn("rank", F.row_number().over(w))
         .select(
             "doc_id",
             "n_chars",

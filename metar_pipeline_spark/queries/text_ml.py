@@ -1607,10 +1607,13 @@ def vocab_zipf_fit(spark, sf_dir):
         .cast("bigint")
         .alias("hapax_count"),
     )
+    # top-1000 via orderBy+limit (TakeOrderedAndProject) — the vocab is
+    # token-grain, so never rank it with a one-partition global window
     w = Window.orderBy(F.desc("f"), F.asc("t"))
     top = (
-        freqs.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 1000)
+        freqs.orderBy(F.desc("f"), F.asc("t"))
+        .limit(1000)
+        .withColumn("rk", F.row_number().over(w))
     )
     fit = grouped_ols(
         top,
@@ -2049,10 +2052,14 @@ def bm25_keyword_search(spark, sf_dir):
         F.round(per_term[0] + per_term[1] + per_term[2], 6).alias("bm25"),
         F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
     )
+    # top-20 via orderBy+limit (distributed TakeOrderedAndProject —
+    # the scored set is corpus-sized at scale, never one-partition
+    # sortable); the rank window then orders only the 20 survivors
     w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 20)
+        scored.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
     )
 
 
@@ -2136,10 +2143,15 @@ def dsir_importance_resample(spark, sf_dir):
         # engine/partitioning/rerun
         (F.col("avg_logratio") - F.log(-F.log(u))).alias("skey"),
     )
+    # top-50 via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heaps, never a one-partition sort of the corpus); the rank window
+    # then orders only the 50 survivors — total-order keys make the
+    # two-step form row-identical to a global row_number
     w = Window.orderBy(F.desc("skey"), F.asc("doc_id"))
     return (
-        keyed.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 50)
+        keyed.orderBy(F.desc("skey"), F.asc("doc_id"))
+        .limit(50)
+        .withColumn("rank", F.row_number().over(w))
         .select(
             "doc_id",
             "lang",
@@ -2522,10 +2534,13 @@ def quality_classifier_platt(spark, sf_dir):
     calibrated = platt_calibrated_scores(
         scores, "doc_id", "avg_logratio", "y", steps=2, lr=1.0
     )
+    # top-20 via orderBy+limit (distributed TakeOrderedAndProject),
+    # rank window over the 20 survivors only — see dsir resample
     w = Window.orderBy(F.desc("prob"), F.asc("doc_id"))
     return (
-        calibrated.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
+        calibrated.orderBy(F.desc("prob"), F.asc("doc_id"))
+        .limit(20)
+        .withColumn("rank", F.row_number().over(w))
         .select("doc_id", "lang", "avg_logratio", "prob", "rank")
     )
 
