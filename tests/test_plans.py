@@ -404,6 +404,22 @@ def test_platt_final_plan_scores_with_literal_weights(plans):
     assert "CartesianProduct" not in p and "BatchEvalPython" not in p
 
 
+def test_corpus_topk_queries_plan_bounded(plans):
+    """Every corpus-scale top-k (bm25 top-20, Zipf top-1000, Gumbel
+    sample top-50) must plan as TakeOrderedAndProject (per-partition
+    heaps), never a one-partition global sort of the scored frame.
+    The source spells orderBy+limit explicitly rather than relying on
+    LimitPushDownThroughWindow to rewrite a rank filter."""
+    for name in (
+        "bm25_keyword_search",
+        "vocab_zipf_fit",
+        "weighted_sample_docs",
+    ):
+        p = plans(name)
+        assert "TakeOrderedAndProject" in p, name
+        assert "CartesianProduct" not in p, name
+
+
 # (ann_ivf_store_upsert intentionally has no plan pin here: the query
 # returns a localCheckpoint of the probe — its visible plan is an
 # opaque checkpoint scan. Its store/probe scale shape is pinned by
