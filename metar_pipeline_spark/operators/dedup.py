@@ -475,7 +475,24 @@ def incremental_dedup_verdicts(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    all_docs = new_docs.unionByName(corpus_docs)
+    # Enforce the contract above: corpus TEXT is shingled only for
+    # candidate ids. Without this semi-join, jaccard_on_pairs builds
+    # (and caches) shingle sets for EVERY corpus doc — O(corpus) work
+    # per cycle, which at 100 TB means re-tokenizing the whole corpus
+    # every micro-batch. Candidates are O(batch × dup-rate), so the
+    # semi-join side is tiny. localCheckpoint (not cache) because cands
+    # feeds two downstream branches of ONE job — a cache can be raced
+    # by parallel stages before it populates — and the materialized
+    # size lets the planner broadcast the semi-join side.
+    cands = cands.localCheckpoint(eager=True)
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .unionByName(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    all_docs = new_docs.unionByName(corpus_docs).join(
+        cand_ids, id_col, "semi"
+    )
     sims = jaccard_on_pairs(cands, all_docs, id_col, text_col, shingle_n)
     # Best match per new doc by (jaccard desc, id_b asc) via row_number —
     # works for ANY orderable id type (string ids included), unlike a
