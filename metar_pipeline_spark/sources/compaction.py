@@ -73,6 +73,73 @@ def compact_parquet_dir(
     return new_n
 
 
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    target_file_bytes: int = DEFAULT_TARGET_BYTES,
+    min_files_to_compact: int = 4,
+    *,
+    dry_run: bool = False,
+) -> dict[str, tuple[int, int]]:
+    """Per-partition small-file compaction for a Hive-layout table —
+    the maintenance op the append-only stores here need (the IVF
+    serving store and the ingest-dedup signature store gain one file
+    per partition per upsert batch).
+
+    ``compact_parquet_dir`` must NOT be used on those stores: it reads
+    the table whole and rewrites it UNPARTITIONED, destroying the
+    ``{partition_col}=`` layout that partition pruning (and the
+    store-probe plan pins) depend on. This form keeps the layout and
+    touches only partitions whose file count reached
+    ``min_files_to_compact`` — maintenance cost is proportional to the
+    HOT partitions of the table, never its total size, which is what
+    makes scheduled compaction viable at 100 TB. Lakehouse twins:
+    Delta ``OPTIMIZE WHERE``, Iceberg rewrite_data_files with a
+    partition filter.
+
+    Each selected partition directory is read on its own (its files do
+    not carry ``partition_col`` — the value lives in the dir name, so
+    the rewrite round-trips without touching it), repartitioned to
+    ``ceil(bytes / target_file_bytes)`` files, staged under a
+    dot-prefixed sibling (invisible to Spark's listing), then swapped
+    via delete + rename — same single-writer contract as
+    ``compact_parquet_dir`` / ``sources/merge.upsert_parquet``.
+
+    Returns ``{decoded_partition_value: (files_before, files_after)}``
+    for every partition that was (or with ``dry_run=True``, would be)
+    compacted; ``files_after`` is the planned count under dry_run.
+    """
+    import math
+    from urllib.parse import unquote
+
+    fs, hpath, _ = _hadoop_fs(spark, path)
+    prefix = f"{partition_col}="
+    out: dict[str, tuple[int, int]] = {}
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith(prefix)):
+            continue
+        part_path = st.getPath().toString()
+        n_files, total = dir_stats(spark, part_path)
+        n_target = max(1, math.ceil(total / target_file_bytes))
+        if n_files < min_files_to_compact or n_target >= n_files:
+            continue
+        value = unquote(name[len(prefix):])
+        if dry_run:
+            out[value] = (n_files, n_target)
+            continue
+        df = spark.read.parquet(part_path)
+        staging = f"{path.rstrip('/')}/.{name}.__compact__"
+        df.repartition(n_target).write.mode("overwrite").parquet(staging)
+        _, ppath, _ = _hadoop_fs(spark, part_path)
+        _, spath, _ = _hadoop_fs(spark, staging)
+        fs.delete(ppath, True)
+        fs.rename(spath, ppath)
+        out[value] = (n_files, dir_stats(spark, part_path)[0])
+    return out
+
+
 _ISO_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
 
 

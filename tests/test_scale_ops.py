@@ -351,6 +351,76 @@ def test_compact_parquet_dir(spark, tmp_path):
     assert compact_parquet_dir(spark, path, target_file_bytes=total) == new_n
 
 
+def test_compact_partitions_preserves_layout_and_skips_cold(spark, tmp_path):
+    """Per-partition compaction: only partitions at/over the file-count
+    threshold are rewritten, cold partitions stay byte-identical, the
+    Hive layout (and thus partition pruning) survives, no row changes,
+    and dry_run plans without touching anything."""
+    import hashlib
+    import pathlib
+
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.operators import similarity as sim
+    from metar_pipeline_spark.sources.compaction import compact_partitions
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    store = str(tmp_path / "ivf_store")
+    base = sim.ivf_assignments(emb, "vec_id", "embedding", 4)
+    base.repartition("cid").write.partitionBy("cid").parquet(store)
+    # fragment ONE partition with per-batch appends, as upsert does
+    hot = base.filter(F.col("cid") == 0)
+    for _ in range(5):
+        hot.repartition(2).write.partitionBy("cid").mode("append").parquet(
+            store
+        )
+    root = pathlib.Path(store)
+
+    def files_of(cid):
+        return sorted(
+            p
+            for p in (root / f"cid={cid}").glob("*.parquet")
+            if not p.name.startswith(("_", "."))
+        )
+
+    def md5s(cid):
+        return {p.name: hashlib.md5(p.read_bytes()).hexdigest()
+                for p in files_of(cid)}
+
+    assert len(files_of(0)) >= 6
+    cold_before = {c: md5s(c) for c in (1, 2, 3)}
+    rows_before = sorted(
+        map(tuple, spark.read.parquet(store).collect())
+    )
+
+    plan = compact_partitions(
+        spark, store, "cid", min_files_to_compact=4, dry_run=True
+    )
+    assert set(plan) == {"0"} and len(files_of(0)) >= 6  # planned only
+
+    done = compact_partitions(spark, store, "cid", min_files_to_compact=4)
+    assert set(done) == {"0"}
+    n_before, n_after = done["0"]
+    assert n_before >= 6 and n_after < n_before
+    assert len(files_of(0)) == n_after
+    # cold partitions untouched, byte for byte
+    assert {c: md5s(c) for c in (1, 2, 3)} == cold_before
+    # layout intact: rows identical and pruning still reads cid=2 only
+    assert rows_before == sorted(
+        map(tuple, spark.read.parquet(store).collect())
+    )
+    from tests.test_plans import plan_str
+
+    pruned = spark.read.parquet(store).filter(F.col("cid") == 2)
+    p = plan_str(pruned)
+    assert "PartitionFilters" in p
+    assert "cid" in p.split("PartitionFilters:")[1].split("\n")[0]
+    # idempotent: nothing left at/over threshold
+    assert compact_partitions(
+        spark, store, "cid", min_files_to_compact=4
+    ) == {}
+
+
 def test_runtime_bloom_filter_join_pruning(spark):
     """A selective dim-side filter injects a runtime bloom filter
     (might_contain) into the fact-side scan when the join cannot be
