@@ -2345,6 +2345,9 @@ def stream_ingest_dedup(spark, sf_dir):
         incremental_dedup_verdicts,
         minhash_signature,
     )
+    from metar_pipeline_spark.streaming.pipeline import (
+        idempotent_batch_append,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
@@ -2362,8 +2365,11 @@ def stream_ingest_dedup(spark, sf_dir):
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         corpus = docs.filter(F.col("doc_id") % 5 >= 2)
-        buckets_of(corpus).write.parquet(store)
-        corpus.write.parquet(corpus_txt)
+        # seed through the same batch-keyed sink the stream uses (a
+        # bare write at the root would break partition discovery once
+        # _batch=N dirs appear beside it)
+        idempotent_batch_append(buckets_of(corpus), store, -1)
+        idempotent_batch_append(corpus, corpus_txt, -1)
         # two ordered file drops = two micro-batches
         docs.filter(F.col("doc_id") % 5 == 0).coalesce(1).write.parquet(
             os.path.join(src, "b1")
@@ -2388,7 +2394,9 @@ def stream_ingest_dedup(spark, sf_dir):
             prior_buckets = sp.read.parquet(store).select(
                 "id", "band", "bucket"
             )
-            prior_text = sp.read.parquet(corpus_txt)
+            prior_text = sp.read.parquet(corpus_txt).select(
+                "doc_id", "text"
+            )
             # one signature pass per batch: the same buckets feed the
             # verdict join AND the store append
             batch_b = buckets_of(batch_df).localCheckpoint(eager=True)
@@ -2397,10 +2405,14 @@ def stream_ingest_dedup(spark, sf_dir):
                 num_hashes=12, bands=6, shingle_n=3, threshold=0.5,
                 corpus_buckets=prior_buckets, new_buckets=batch_b,
             )
-            verdicts.write.mode("append").parquet(outp)
+            # batch-keyed dynamic-overwrite sinks: foreachBatch is
+            # at-least-once, so a post-crash REPLAY of this batch_id
+            # must rewrite its own _batch=N partitions, never append a
+            # second copy of the signatures/text/verdicts
+            idempotent_batch_append(verdicts, outp, batch_id)
             # grow the store AFTER the verdicts: next batch sees us
-            batch_b.write.mode("append").parquet(store)
-            batch_df.write.mode("append").parquet(corpus_txt)
+            idempotent_batch_append(batch_b, store, batch_id)
+            idempotent_batch_append(batch_df, corpus_txt, batch_id)
 
         stream = (
             spark.readStream.schema(docs.schema)

@@ -42,6 +42,40 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 )
 
 
+def idempotent_batch_append(
+    df: DataFrame,
+    path: str,
+    batch_id: int,
+    batch_col: str = "_batch",
+) -> None:
+    """Exactly-once append sink for ``foreachBatch``.
+
+    foreachBatch delivers AT-LEAST-ONCE: if the query dies between the
+    sink write and the checkpoint commit, the restart REPLAYS the last
+    batch_id, and a plain ``mode("append")`` then duplicates every row
+    of that batch. Keying the write by batch_id and overwriting ONLY
+    that partition (dynamic partitionOverwriteMode) makes a replay
+    rewrite the same ``{batch_col}=N`` directory instead of appending a
+    second copy — the sink is idempotent per batch, which combined with
+    the checkpoint's monotone batch numbering yields effective
+    exactly-once output. (Delta/Iceberg get this from txn log commits;
+    this is the plain-parquet form.)
+
+    Readers see ``batch_col`` as an extra partition column: select the
+    data columns explicitly. Seed/bootstrap data written OUTSIDE the
+    stream must also go through this helper (any negative batch_id) —
+    mixing bare files and partition directories under one root breaks
+    parquet partition discovery.
+    """
+    (
+        df.withColumn(batch_col, F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(batch_col)
+        .parquet(path)
+    )
+
+
 def read_event_stream(
     spark: SparkSession, source_dir: str, schema: T.StructType | None = None
 ) -> DataFrame:

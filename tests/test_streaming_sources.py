@@ -443,3 +443,45 @@ def test_daily_rollup_processing_time_trigger(spark, tmp_path, events_halves):
     got = spark.read.parquet(out)
     assert got.count() > 0
     assert "observed_date" in got.columns
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once foreachBatch sink: batch replay must not duplicate
+# ---------------------------------------------------------------------------
+def test_idempotent_batch_append_replay_safe(spark, tmp_path):
+    """foreachBatch is at-least-once: after a crash between sink write
+    and checkpoint commit the last batch_id REPLAYS. The batch-keyed
+    dynamic-overwrite sink must make that replay rewrite its own
+    partition (same rows, no duplicates), leave other batches
+    untouched, and keep appending new batch ids."""
+    from metar_pipeline_spark.streaming.pipeline import (
+        idempotent_batch_append,
+    )
+
+    path = str(tmp_path / "sink")
+    b0 = spark.range(0, 10).withColumnRenamed("id", "k")
+    b1 = spark.range(10, 15).withColumnRenamed("id", "k")
+
+    idempotent_batch_append(b0, path, -1)  # seed/bootstrap form
+    idempotent_batch_append(b1, path, 0)
+    assert spark.read.parquet(path).count() == 15
+
+    # replay batch 0 (same content): rowcount unchanged, rows identical
+    idempotent_batch_append(b1, path, 0)
+    got = spark.read.parquet(path).select("k")
+    assert got.count() == 15
+    assert got.groupBy("k").count().filter("count > 1").count() == 0
+
+    # replay with corrected content: the batch's partition is REPLACED
+    idempotent_batch_append(
+        spark.range(10, 12).withColumnRenamed("id", "k"), path, 0
+    )
+    assert sorted(
+        r.k for r in spark.read.parquet(path).select("k").collect()
+    ) == list(range(12))
+
+    # a new batch id appends beside the others
+    idempotent_batch_append(
+        spark.range(20, 22).withColumnRenamed("id", "k"), path, 1
+    )
+    assert spark.read.parquet(path).count() == 14
