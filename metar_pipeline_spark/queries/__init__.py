@@ -56,14 +56,15 @@ VERIFY_FIRST: list[str] = [
     # Empty (round 6): the round-5 gate cleared the entire backlog
     # (189/192 driver-green; the 3 sketch queries are rows-only by
     # design and re-verify every round as category 1), so no manual
-    # boost is needed. Round 6 added 12 new queries (category 1) and
+    # boost is needed. Round 6 added 13 new queries (category 1) and
     # its operator-module edits drifted green ones (category 2); the
     # post-review scale fixes (broadcast-hint removal on unbounded
     # sides, TakeOrderedAndProject top-k in bm25/zipf/weighted-sample)
     # drifted 3 more — the AST-based auto-boost puts all of them
-    # inside the 50-slot window (49/50 used), every one locally
-    # verified at sf0.01 via `tools/check_oracle.py --drifted
-    # --pending` plus the full-matrix sweeps before round end.
+    # inside the 50-slot window (EXACTLY 50/50 used; registry growth
+    # frozen for the rest of the round), every one locally verified at
+    # sf0.01 via `tools/check_oracle.py --drifted --pending` plus the
+    # full four-axis matrix sweeps before round end.
 ]
 
 

@@ -415,6 +415,85 @@ def embedding_neardup_pairs(spark, sf_dir):
     return sim.cosine_neardup_pairs(emb, "vec_id", "embedding", "label", 0.3)
 
 
+@register(
+    "decontaminate_embedding_cosine",
+    f"""
+    WITH ev AS (
+      SELECT vec_id AS eid, embedding AS evec
+      FROM embeddings WHERE vec_id < 10
+    ),
+    scored AS (
+      SELECT e.vec_id AS id, ev.eid,
+             round({_DUCK_COS.format(a="e.embedding", b="ev.evec")}, 6)
+               AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round({_DUCK_COS.format(a="e.embedding",
+                                                b="ev.evec")}, 6) DESC,
+                        ev.eid
+             ) AS rn
+      FROM embeddings e, ev WHERE e.vec_id >= 10
+    )
+    SELECT id, eid AS nearest_eval_id, cos_sim AS max_cos,
+           cos_sim >= 0.3 AS is_contaminated
+    FROM scored WHERE rn = 1
+    """,
+    doc=(
+        "Embedding-based benchmark decontamination (the dense sibling "
+        "of decontaminate_ngram_overlap): a training vector is "
+        "contaminated when its cosine to ANY eval-set vector (ids <10 "
+        "here; the held-out benchmark in production) reaches 0.3. The "
+        "eval set is small BY DEFINITION, so it broadcasts and the "
+        "check is one corpus scan + one map-side-combinable max_by "
+        "aggregate — no window, no shuffle of vectors, corpus never "
+        "paired with itself. Ties for the nearest eval id break to the "
+        "smallest id on the ROUNDED cosine, so both engines agree."
+    ),
+)
+def decontaminate_embedding_cosine(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("eid"),
+        F.col("embedding").alias("evec"),
+        sim.norm2(F.col("embedding")).alias("enorm"),
+    )
+    train = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vec"),
+        sim.norm2(F.col("embedding")).alias("vnorm"),
+    )
+    cos = F.round(
+        sim.dot(F.col("vec"), F.col("evec"))
+        / (F.col("vnorm") * F.col("enorm")),
+        6,
+    )
+    scored = train.join(F.broadcast(ev)).select(
+        "id", "eid", cos.alias("cos_sim")
+    )
+    # (cos desc, eid asc) encoded as ONE long key: cos is rounded to 6
+    # decimals so cos*1e6 is integral, and eid < 2^20 keeps the shifted
+    # key exact in 64 bits. A struct ordering key would force
+    # SortAggregate (struct buffers aren't hash-aggregable); the scalar
+    # key keeps the whole reduction a map-side-combined HashAggregate.
+    ordkey = (
+        F.round(F.col("cos_sim") * 1e6).cast("long") * (1 << 20)
+        - F.col("eid")
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.max_by(F.col("eid"), ordkey).alias("nearest_eval_id"),
+            F.max("cos_sim").alias("max_cos"),
+        )
+        .select(
+            "id",
+            "nearest_eval_id",
+            "max_cos",
+            (F.col("max_cos") >= 0.3).alias("is_contaminated"),
+        )
+    )
+
+
 _DUCK_SEMDEDUP = f"""
     WITH cents AS (
       SELECT vec_id AS cid, embedding AS centvec

@@ -461,3 +461,15 @@ def test_registry_wide_plan_lint(spark):
         if "BatchEvalPython" in residual:
             offenders[name] = "BatchEvalPython"
     assert not offenders, offenders
+
+
+def test_embedding_decontamination_broadcasts_eval_set(plans):
+    """Eval-set decontamination must be one corpus scan probing a
+    BROADCAST eval set (small by definition) and reduce with a hash
+    aggregate — no window over the corpus, no vector shuffle, no
+    cartesian."""
+    p = plans("decontaminate_embedding_cosine")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    assert "Window" not in p
+    assert "HashAggregate" in p
