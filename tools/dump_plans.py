@@ -142,6 +142,15 @@ SHOWCASE = [
         "BroadcastHashJoin; the Gumbel top-k is a bounded "
         "WindowGroupLimit, not a global sort.",
     ),
+    (
+        "decontaminate_embedding_cosine",
+        "Embedding decontamination: the eval set broadcasts into one "
+        "corpus scan; the per-vector nearest-eval reduction stays a "
+        "map-side-combined HashAggregate because the (cos, eid) "
+        "ordering is packed into one long key (a struct max_by key "
+        "would fall back to SortAggregate). No window, no vector "
+        "shuffle.",
+    ),
 ]
 
 # Static epilogue: measured plan decisions that are not a single
