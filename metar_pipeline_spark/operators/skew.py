@@ -120,10 +120,23 @@ def skew_key_report(
         F.sum("n_rows").alias("total_rows"),
         F.count(F.lit(1)).alias("n_keys"),
     )
-    w = Window.orderBy(F.desc("n_rows"), F.asc("key"))
+    # top-N via orderBy+limit → TakeOrderedAndProject (per-partition
+    # heaps, merged on the driver) — the counts frame is key-grain,
+    # which at 100 TB can be 10⁸⁺ rows; a global row_number window
+    # would sort it in ONE task. The rank window below orders only the
+    # ≤top_n survivors (partitioned on a constant: one tiny partition
+    # by construction, no unbounded single-partition window).
     top = (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_n)
+        counts.orderBy(F.desc("n_rows"), F.asc("key"))
+        .limit(top_n)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy(F.lit(1)).orderBy(
+                    F.desc("n_rows"), F.asc("key")
+                )
+            ),
+        )
     )
     amplified = F.col("n_rows") * F.col("n_keys")
     return (

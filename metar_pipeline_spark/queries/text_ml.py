@@ -2470,11 +2470,22 @@ def stream_ingest_dedup(spark, sf_dir):
 
         def ingest(batch_df, batch_id):
             sp = batch_df.sparkSession
-            prior_buckets = sp.read.parquet(store).select(
-                "id", "band", "bucket"
+            # Replay determinism: read only STRICTLY-EARLIER batches
+            # (partition-pruned on the _batch key). Without this, a
+            # crash after the store appends but before the checkpoint
+            # commit would make the REPLAY of this batch_id see its
+            # own signatures as corpus, enlarging the candidate pool
+            # and rewriting _batch=N with different verdict values —
+            # exactly-once would hold for row counts but not content.
+            prior_buckets = (
+                sp.read.parquet(store)
+                .filter(F.col("_batch") < batch_id)
+                .select("id", "band", "bucket")
             )
-            prior_text = sp.read.parquet(corpus_txt).select(
-                "doc_id", "text"
+            prior_text = (
+                sp.read.parquet(corpus_txt)
+                .filter(F.col("_batch") < batch_id)
+                .select("doc_id", "text")
             )
             # one signature pass per batch: the same buckets feed the
             # verdict join AND the store append

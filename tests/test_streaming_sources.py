@@ -548,3 +548,131 @@ def test_idempotent_sink_survives_real_checkpoint_replay(spark, tmp_path):
     got = spark.read.parquet(sink).select("id")
     assert got.count() == 20
     assert got.groupBy("id").count().filter("count > 1").count() == 0
+
+
+def test_ingest_dedup_replay_is_value_deterministic(spark, tmp_path):
+    """Replay must reproduce the SAME VERDICT CONTENT, not just the
+    same row count. Crash window: a batch's signatures/text are already
+    appended to the store but its checkpoint commit is missing — the
+    replay then reads the store WITH its own rows present. If the
+    ingest loop did not filter to strictly-earlier batches, the replay
+    would see its own batch as corpus: a doc could suddenly match a
+    HIGHER-id doc of its own batch through the corpus quadrant,
+    flipping matched_id/jaccard in the rewritten _batch=N partition.
+
+    Fixture: batch2 holds two identical docs (ids 100 < 101) with no
+    match anywhere else. First run: 101 matches 100 (earlier-id same
+    batch); 100 matches nothing. A wrongly-enlarged replay pool would
+    make 100 match 101 too."""
+    import os
+
+    from metar_pipeline_spark.operators.dedup import (
+        band_buckets,
+        incremental_dedup_verdicts,
+        minhash_signature,
+    )
+    from metar_pipeline_spark.streaming.pipeline import (
+        idempotent_batch_append,
+    )
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "sig_store")
+    corpus_txt = str(tmp_path / "corpus_text")
+    outp = str(tmp_path / "verdicts")
+    ckpt = str(tmp_path / "ckpt")
+
+    dup_text = "the quick brown fox jumps over the lazy dog again and again"
+
+    def docs_df(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def buckets_of(d):
+        sigs = minhash_signature(d, "doc_id", "text", 12, 3)
+        return band_buckets(sigs, "doc_id", 6, 2)
+
+    corpus = docs_df([(1, "completely unrelated corpus document body"),
+                      (2, "another corpus text with different words")])
+    idempotent_batch_append(buckets_of(corpus), store, -1)
+    idempotent_batch_append(corpus, corpus_txt, -1)
+
+    b1 = docs_df([(50, "first stream drop with its own vocabulary")])
+    b2 = docs_df([(100, dup_text), (101, dup_text)])
+    b1.coalesce(1).write.parquet(os.path.join(src, "b1"))
+    b2.coalesce(1).write.parquet(os.path.join(src, "b2"))
+    import time as _t
+
+    now = _t.time()
+    for sub, mt in (("b1", now - 20), ("b2", now - 10)):
+        d = os.path.join(src, sub)
+        for fn in os.listdir(d):
+            os.utime(os.path.join(d, fn), (mt, mt))
+
+    def ingest(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        prior_buckets = (
+            sp.read.parquet(store)
+            .filter(F.col("_batch") < batch_id)
+            .select("id", "band", "bucket")
+        )
+        prior_text = (
+            sp.read.parquet(corpus_txt)
+            .filter(F.col("_batch") < batch_id)
+            .select("doc_id", "text")
+        )
+        batch_b = buckets_of(batch_df).localCheckpoint(eager=True)
+        verdicts = incremental_dedup_verdicts(
+            batch_df, prior_text, "doc_id", "text",
+            num_hashes=12, bands=6, shingle_n=3, threshold=0.5,
+            corpus_buckets=prior_buckets, new_buckets=batch_b,
+        )
+        idempotent_batch_append(verdicts, outp, batch_id)
+        idempotent_batch_append(batch_b, store, batch_id)
+        idempotent_batch_append(batch_df, corpus_txt, batch_id)
+
+    def run():
+        stream = (
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+
+    def verdict_rows():
+        return sorted(
+            (r.doc_id, r.matched_id, r.jaccard, r.is_duplicate)
+            for r in spark.read.parquet(outp)
+            .select("doc_id", "matched_id", "jaccard", "is_duplicate")
+            .collect()
+        )
+
+    first = verdict_rows()
+    # sanity: the earlier-id doc of the dup pair is NOT a duplicate,
+    # the later-id one matched it
+    by_id = {r[0]: r for r in first}
+    assert by_id[100][3] is False
+    assert by_id[101][1] == 100 and by_id[101][3] is True
+
+    # crash window: drop the last batch's commit marker (its store
+    # appends already landed) and restart — the batch replays against
+    # a store that now CONTAINS its own signatures
+    last = max(
+        int(c)
+        for c in os.listdir(os.path.join(ckpt, "commits"))
+        if not c.startswith(".")
+    )
+    os.remove(os.path.join(ckpt, "commits", str(last)))
+    crc = os.path.join(ckpt, "commits", f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    run()
+    assert verdict_rows() == first
