@@ -369,17 +369,32 @@ def length_bucket_padding(
     doc count, min/max/total tokens, and padding_frac — the fraction
     of a max-padded bucket that would be pad tokens.
 
-    Scale shape: ntile needs a total order over n_tokens — a single
-    global sort, which is exactly one range-partitioned exchange
-    (rangepartitioning survives 100 TB; it is what ORDER BY costs).
-    The per-bucket aggregate then combines map-side. For a truly
-    sort-free variant at extreme scale, bucket on approx quantile
-    boundaries (percentile_approx) and broadcast them instead.
+    Scale shape: NTILE needs a total order over n_tokens, but an
+    unpartitioned ntile window would sort the ENTIRE corpus-grain
+    frame in one task. Instead the bucket comes from
+    ``distributed_rank`` (range exchange + per-partition offsets + a
+    partitioned window — the parallel cost of a distributed ORDER BY)
+    and the closed-form ``ntile_from_rank``, which is bit-identical to
+    the window NTILE over the same total order — the oracle's NTILE
+    semantics are preserved exactly. The per-bucket aggregate then
+    combines map-side.
     """
-    w = Window.orderBy(F.col("_len"), F.col(id_col))
-    t = docs.select(
-        F.col(id_col), len_col.cast("bigint").alias("_len")
-    ).withColumn("bucket", F.ntile(n_buckets).over(w))
+    from metar_pipeline_spark.operators.ranking import (
+        distributed_rank,
+        ntile_from_rank,
+    )
+
+    s = docs.select(F.col(id_col), len_col.cast("bigint").alias("_len"))
+    n = s.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    t = (
+        distributed_rank(
+            s, [F.asc("_len"), F.asc(id_col)], rank_col="__r"
+        )
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "bucket", ntile_from_rank(F.col("__r"), F.col("__n"), n_buckets)
+        )
+    )
     return (
         t.groupBy("bucket")
         .agg(

@@ -106,11 +106,12 @@ def top_k_frequent(
     Output: (item, est_count, rank) — re-ranked with an item tiebreak
     so the result has a total order.
     """
-    from pyspark.sql import Window
+    from metar_pipeline_spark.operators.ranking import rank_bounded
 
     # over-fetch from the sketch, then cut deterministically: ties at
     # the boundary are resolved by (count desc, item asc), which the
-    # sketch's own internal order does not promise
+    # sketch's own internal order does not promise. The exploded sketch
+    # is ≤fetch rows — rank_bounded orders it window-free.
     fetch = max(4 * k, 64)
     sk = df.select(item_col.alias("__item")).agg(
         F.expr(
@@ -121,8 +122,6 @@ def top_k_frequent(
         F.col("e.item").alias("item"),
         F.col("e.count").alias("est_count"),
     )
-    w = Window.orderBy(F.desc("est_count"), F.asc("item"))
-    return (
-        flat.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    return rank_bounded(
+        flat, [-F.col("est_count"), F.col("item")], n=k
     )

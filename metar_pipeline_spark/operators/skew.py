@@ -123,20 +123,13 @@ def skew_key_report(
     # top-N via orderBy+limit → TakeOrderedAndProject (per-partition
     # heaps, merged on the driver) — the counts frame is key-grain,
     # which at 100 TB can be 10⁸⁺ rows; a global row_number window
-    # would sort it in ONE task. The rank window below orders only the
-    # ≤top_n survivors (partitioned on a constant: one tiny partition
-    # by construction, no unbounded single-partition window).
-    top = (
-        counts.orderBy(F.desc("n_rows"), F.asc("key"))
-        .limit(top_n)
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                Window.partitionBy(F.lit(1)).orderBy(
-                    F.desc("n_rows"), F.asc("key")
-                )
-            ),
-        )
+    # would sort it in ONE task. rank_bounded then ranks only the
+    # ≤top_n survivors, window-free.
+    from metar_pipeline_spark.operators.ranking import rank_bounded
+
+    top = rank_bounded(
+        counts.orderBy(F.desc("n_rows"), F.asc("key")).limit(top_n),
+        [-F.col("n_rows"), F.col("key")],
     )
     amplified = F.col("n_rows") * F.col("n_keys")
     return (

@@ -528,7 +528,7 @@ def m4_downsample_value(spark, sf_dir):
     ),
 )
 def weighted_sample_docs(spark, sf_dir):
-    from pyspark.sql import Window
+    from metar_pipeline_spark.operators.ranking import rank_bounded
 
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("n_chars") > 0
@@ -541,13 +541,13 @@ def weighted_sample_docs(spark, sf_dir):
         "doc_id", "n_chars", (F.log(u) / F.col("n_chars")).alias("skey")
     )
     # top-50 via orderBy+limit (TakeOrderedAndProject: per-partition
-    # heaps over the corpus-sized keyed frame); the rank window orders
-    # only the 50 survivors — row-identical under the total-order keys
-    w = Window.orderBy(F.desc("skey"), F.asc("doc_id"))
+    # heaps over the corpus-sized keyed frame); rank_bounded orders
+    # only the 50 survivors — row-identical, window-free
     return (
-        keyed.orderBy(F.desc("skey"), F.asc("doc_id"))
-        .limit(50)
-        .withColumn("rank", F.row_number().over(w))
+        rank_bounded(
+            keyed.orderBy(F.desc("skey"), F.asc("doc_id")).limit(50),
+            [-F.col("skey"), F.col("doc_id")],
+        )
         .select(
             "doc_id",
             "n_chars",
@@ -1402,17 +1402,18 @@ def partition_fingerprints_events(spark, sf_dir):
     ),
 )
 def activity_gini_coefficient(spark, sf_dir):
-    from pyspark.sql import Window
+    from metar_pipeline_spark.operators.ranking import distributed_rank
 
     events = load_table(spark, sf_dir, "events")
     c = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy("n", "user_id")
-    # rank + total-count windows over the USER-grain frame (|users|
-    # rows — the global window is fine at this grain; the event table
-    # is never globally sorted)
-    r = c.withColumn("i", F.row_number().over(w)).withColumn(
-        "k", F.count(F.lit(1)).over(Window.partitionBy())
-    )
+    # exact global rank over the USER-grain frame via distributed_rank
+    # (range exchange + partitioned window) — user grain is 10⁸–10⁹
+    # rows at 100 TB, so no unpartitioned window anywhere; the total
+    # count rides in on a broadcast single-row aggregate
+    kdf = c.agg(F.count(F.lit(1)).alias("k"))
+    r = distributed_rank(
+        c, [F.asc("n"), F.asc("user_id")], rank_col="i"
+    ).crossJoin(F.broadcast(kdf))
     return r.agg(
         F.max("k").cast("bigint").alias("n_users"),
         F.sum("n").cast("bigint").alias("n_events"),
@@ -1563,7 +1564,10 @@ def conversion_time_percentiles(spark, sf_dir):
     ),
 )
 def value_decile_concentration(spark, sf_dir):
-    from pyspark.sql import Window
+    from metar_pipeline_spark.operators.ranking import (
+        distributed_rank,
+        ntile_from_rank,
+    )
 
     events = load_table(spark, sf_dir, "events")
     u = events.groupBy("user_id").agg(
@@ -1571,13 +1575,25 @@ def value_decile_concentration(spark, sf_dir):
         .cast("double")
         .alias("total")
     )
-    w = Window.orderBy(F.desc("total"), F.asc("user_id"))
-    d = u.withColumn("decile", F.ntile(10).over(w))
+    # NTILE over the user-grain frame without an unpartitioned window:
+    # exact distributed rank + the closed-form ntile (bit-identical to
+    # the window NTILE the oracle runs)
     t = u.agg(
         F.sum(F.col("total").cast("decimal(38,10)"))
         .cast("double")
-        .alias("grand")
+        .alias("grand"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
     )
+    d = (
+        distributed_rank(
+            u, [F.desc("total"), F.asc("user_id")], rank_col="__r"
+        )
+        .crossJoin(F.broadcast(t.select("__n")))
+        .withColumn(
+            "decile", ntile_from_rank(F.col("__r"), F.col("__n"), 10)
+        )
+    )
+    t = t.select("grand")
     return (
         d.crossJoin(F.broadcast(t))
         .groupBy("decile", "grand")

@@ -1670,7 +1670,6 @@ def dedup_winnow_span_pairs(spark, sf_dir):
     ),
 )
 def vocab_zipf_fit(spark, sf_dir):
-    from pyspark.sql import Window
 
     from metar_pipeline_spark.operators.regression import grouped_ols
 
@@ -1687,12 +1686,14 @@ def vocab_zipf_fit(spark, sf_dir):
         .alias("hapax_count"),
     )
     # top-1000 via orderBy+limit (TakeOrderedAndProject) — the vocab is
-    # token-grain, so never rank it with a one-partition global window
-    w = Window.orderBy(F.desc("f"), F.asc("t"))
-    top = (
-        freqs.orderBy(F.desc("f"), F.asc("t"))
-        .limit(1000)
-        .withColumn("rk", F.row_number().over(w))
+    # token-grain, so never rank it with a one-partition global window;
+    # rank_bounded orders the 1000 survivors window-free
+    from metar_pipeline_spark.operators.ranking import rank_bounded
+
+    top = rank_bounded(
+        freqs.orderBy(F.desc("f"), F.asc("t")).limit(1000),
+        [-F.col("f"), F.col("t")],
+        rank_col="rk",
     )
     fit = grouped_ols(
         top,
@@ -2133,12 +2134,12 @@ def bm25_keyword_search(spark, sf_dir):
     )
     # top-20 via orderBy+limit (distributed TakeOrderedAndProject —
     # the scored set is corpus-sized at scale, never one-partition
-    # sortable); the rank window then orders only the 20 survivors
-    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
-    return (
-        scored.orderBy(F.desc("bm25"), F.asc("doc_id"))
-        .limit(20)
-        .withColumn("rank", F.row_number().over(w).cast("int"))
+    # sortable); rank_bounded orders only the 20 survivors window-free
+    from metar_pipeline_spark.operators.ranking import rank_bounded
+
+    return rank_bounded(
+        scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20),
+        [-F.col("bm25"), F.col("doc_id")],
     )
 
 
@@ -2203,7 +2204,6 @@ def bm25_keyword_search(spark, sf_dir):
     ),
 )
 def dsir_importance_resample(spark, sf_dir):
-    from pyspark.sql import Window
 
     from metar_pipeline_spark.operators.lm import dsir_logratio_scores
 
@@ -2223,14 +2223,16 @@ def dsir_importance_resample(spark, sf_dir):
         (F.col("avg_logratio") - F.log(-F.log(u))).alias("skey"),
     )
     # top-50 via orderBy+limit (TakeOrderedAndProject: per-partition
-    # heaps, never a one-partition sort of the corpus); the rank window
+    # heaps, never a one-partition sort of the corpus); rank_bounded
     # then orders only the 50 survivors — total-order keys make the
-    # two-step form row-identical to a global row_number
-    w = Window.orderBy(F.desc("skey"), F.asc("doc_id"))
+    # two-step form row-identical to a global row_number, window-free
+    from metar_pipeline_spark.operators.ranking import rank_bounded
+
     return (
-        keyed.orderBy(F.desc("skey"), F.asc("doc_id"))
-        .limit(50)
-        .withColumn("rank", F.row_number().over(w))
+        rank_bounded(
+            keyed.orderBy(F.desc("skey"), F.asc("doc_id")).limit(50),
+            [-F.col("skey"), F.col("doc_id")],
+        )
         .select(
             "doc_id",
             "lang",
@@ -2614,7 +2616,6 @@ _DUCK_DSIR_SCORED = f"""
     ),
 )
 def quality_classifier_platt(spark, sf_dir):
-    from pyspark.sql import Window
 
     from metar_pipeline_spark.operators.lm import (
         dsir_logratio_scores,
@@ -2637,14 +2638,13 @@ def quality_classifier_platt(spark, sf_dir):
         scores, "doc_id", "avg_logratio", "y", steps=2, lr=1.0
     )
     # top-20 via orderBy+limit (distributed TakeOrderedAndProject),
-    # rank window over the 20 survivors only — see dsir resample
-    w = Window.orderBy(F.desc("prob"), F.asc("doc_id"))
-    return (
-        calibrated.orderBy(F.desc("prob"), F.asc("doc_id"))
-        .limit(20)
-        .withColumn("rank", F.row_number().over(w))
-        .select("doc_id", "lang", "avg_logratio", "prob", "rank")
-    )
+    # rank_bounded over the 20 survivors only — see dsir resample
+    from metar_pipeline_spark.operators.ranking import rank_bounded
+
+    return rank_bounded(
+        calibrated.orderBy(F.desc("prob"), F.asc("doc_id")).limit(20),
+        [-F.col("prob"), F.col("doc_id")],
+    ).select("doc_id", "lang", "avg_logratio", "prob", "rank")
 
 
 @register(
@@ -2680,7 +2680,6 @@ def quality_classifier_platt(spark, sf_dir):
     ),
 )
 def hybrid_search_rrf(spark, sf_dir):
-    from pyspark.sql import Window
 
     bm = bm25_keyword_search(spark, sf_dir).select(
         "doc_id", F.col("rank").alias("bm25_rank")
@@ -2707,9 +2706,10 @@ def hybrid_search_rrf(spark, sf_dir):
             "ann_rank",
         )
     )
-    w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
-    return (
-        fused.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("doc_id", "rrf_score", "bm25_rank", "ann_rank", "rank")
-    )
+    # the fused frame is the union of two bounded top-k lists (≤30
+    # candidates) — rank_bounded orders it window-free
+    from metar_pipeline_spark.operators.ranking import rank_bounded
+
+    return rank_bounded(
+        fused, [-F.col("rrf_score"), F.col("doc_id")], n=10
+    ).select("doc_id", "rrf_score", "bm25_rank", "ann_rank", "rank")
