@@ -48,6 +48,62 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm2(a) * norm2(b))
 
 
+def centroid_argmax(
+    rows: DataFrame,
+    cents: DataFrame,
+    vec_col: str,
+    *,
+    norm_col: str | None = None,
+    score_col: str | None = None,
+) -> DataFrame:
+    """ZERO-EXCHANGE nearest-centroid assignment: adds ``cid`` (and
+    optionally ``score_col``, the rounded cosine to the winner) to
+    ``rows`` as a pure per-row PROJECTION.
+
+    The tiny centroid set (``cid``, ``centvec``[, ``centnorm``]) is
+    packed into ONE row (``collect_list`` aggregate — the only exchange
+    in the plan, over k rows) and broadcast; each corpus row then scores
+    all k centroids with a codegen'd ``transform`` and picks the winner
+    with ``array_max`` over ``struct(score, -cid)`` — exactly the
+    (score DESC, cid ASC) tie rule of the ``groupBy(id)``/``max_by``
+    formulation this replaces, which exchanged the corpus at FULL WIDTH
+    (one row per vector carrying the embedding). Here the corpus never
+    moves: scan → broadcast-append centroid array → project. Every IVF
+    build, SemDeDup pass, and k-means iteration sits on this path, so
+    the exchange it saves is corpus-sized × iterations.
+
+    ``norm_col``: a precomputed row-norm column (computed once here
+    otherwise — never inside the per-centroid lambda, which would
+    re-evaluate it k times per row).
+    """
+    if "centnorm" not in cents.columns:
+        cents = cents.withColumn("centnorm", norm2(F.col("centvec")))
+    packed = cents.select(
+        F.struct("cid", "centvec", "centnorm").alias("__c")
+    ).agg(F.collect_list("__c").alias("__cents"))
+    vnorm = (
+        F.col(norm_col) if norm_col is not None else norm2(F.col(vec_col))
+    )
+    out = rows.crossJoin(F.broadcast(packed)).withColumn("__vn", vnorm)
+    scored = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            F.round(
+                dot(F.col(vec_col), c["centvec"])
+                / (F.col("__vn") * c["centnorm"]),
+                6,
+            ).alias("s"),
+            (-c["cid"]).alias("__nc"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    out = out.withColumn("__best", F.array_max(scored))
+    result = out.withColumn("cid", F.col("__best.cid"))
+    if score_col is not None:
+        result = result.withColumn(score_col, F.col("__best.s"))
+    return result.drop("__vn", "__cents", "__best")
+
+
 def sign_bucket(vec: Column, bits: int) -> Column:
     """b-bit bucket key from the signs of vec[0..b-1] (axis-aligned
     hyperplane LSH). Bit i set ⇔ vec[i] >= 0."""
@@ -188,26 +244,17 @@ def ivf_assignments(
         F.col(vec_col).alias("cvec"),
         norm2(F.col(vec_col)).alias("cnorm"),
     )
-    cscore = F.round(
-        dot(F.col("cvec"), F.col("centvec"))
-        / (F.col("cnorm") * F.col("centnorm")),
-        6,
+    # assignment is a zero-exchange projection (centroid_argmax): the
+    # corpus is scanned once and never shuffled — the old
+    # groupBy(id)/max_by form exchanged one full-width row per vector
+    assigned = centroid_argmax(
+        c, cents, "cvec", norm_col="cnorm",
+        score_col="cscore" if keep_cscore else None,
     )
     carried = ["cid", "cscore", "cvec", "cnorm"] if keep_cscore else [
         "cid", "cvec", "cnorm"
     ]
-    return (
-        c.join(F.broadcast(cents))
-        .select("id", "cvec", "cnorm", "cid", cscore.alias("cscore"))
-        .groupBy("id")
-        .agg(
-            F.max_by(
-                F.struct(*carried),
-                F.struct(F.col("cscore"), -F.col("cid")),
-            ).alias("_a")
-        )
-        .select("id", *[f"_a.{f}" for f in carried])
-    )
+    return assigned.select("id", *carried)
 
 
 def ivf_topk(
@@ -229,9 +276,9 @@ def ivf_topk(
     deterministic coarse quantizer (k-means init without iterations), so
     the oracle can reproduce the exact same cells. Structure:
 
-    1. assignment: corpus × broadcast(centroids) → per-vector argmax
-       cosine (max_by aggregate; the ``n_centroids``-fold row
-       amplification happens map-side, never shuffled);
+    1. assignment: per-vector argmax cosine against the broadcast
+       centroid array — a zero-exchange projection (centroid_argmax);
+       the corpus is scanned once and never shuffled;
     2. the inverted lists are the assignment keyed by cell — at 100 TB
        the corpus is written ``partitionBy(cell)`` so a probe is a
        partition-pruned scan (same layout contract as sign-LSH);
@@ -333,8 +380,8 @@ def semdedup_verdicts(
     # The coarse quantizer IS ivf_assignments (keep_cscore exposes the
     # keep-order key); localCheckpoint the assignment because three
     # consumers read it (a-side, b-side, final verdict join) — without
-    # it only the shuffle exchange is reused and the max_by final
-    # aggregate re-executes per consumer on every action.
+    # it the zero-exchange projection re-scans the corpus and re-scores
+    # every centroid per consumer on every action.
     assigned = (
         ivf_assignments(
             corpus, id_col, vec_col, n_centroids, keep_cscore=True
@@ -476,22 +523,10 @@ def ivf_quantized_index(
         F.col("_rv").alias("centvec"),
         F.col("_rn").alias("centnorm"),
     )
-    cscore = F.round(
-        dot(F.col("_rv"), F.col("centvec"))
-        / (F.col("_rn") * F.col("centnorm")),
-        6,
-    )
-    return (
-        rec.join(F.broadcast(cents))
-        .select("id", "codes", "scale", "cid", cscore.alias("_cs"))
-        .groupBy("id")
-        .agg(
-            F.max_by(
-                F.struct("cid", "codes", "scale"),
-                F.struct(F.col("_cs"), -F.col("cid")),
-            ).alias("_a")
-        )
-        .select("id", "_a.cid", "_a.codes", "_a.scale")
+    # zero-exchange assignment on the reconstructed vectors (see
+    # centroid_argmax): scan → broadcast → project, no corpus shuffle
+    return centroid_argmax(rec, cents, "_rv", norm_col="_rn").select(
+        "id", "cid", "codes", "scale"
     )
 
 
@@ -652,8 +687,9 @@ def kmeans_refine(
     Starts from the engine's deterministic init (vectors with
     id < n_centroids — the same cells ivf_topk uses), then per
     iteration: (1) assign every vector to its argmax-cosine centroid —
-    corpus × broadcast(tiny centroid set), aggregated map-side by
-    max_by, never shuffled at corpus width; (2) recompute each centroid
+    a ZERO-EXCHANGE projection against the broadcast centroid array
+    (centroid_argmax; the corpus truly never shuffles, at any width);
+    (2) recompute each centroid
     as the elementwise mean of its members via posexplode →
     (cid, pos) partial-agg → array re-assembly — the shuffle carries
     (cid, pos, sum, count) tuples, i.e. O(k × dim), not vectors.
@@ -677,22 +713,10 @@ def kmeans_refine(
         F.col("id").alias("cid"), F.col("v").alias("centvec")
     )
     for _ in range(iters):
-        score = F.round(
-            dot(F.col("v"), F.col("centvec"))
-            / (norm2(F.col("v")) * norm2(F.col("centvec"))),
-            6,
-        )
-        assigned = (
-            c.join(F.broadcast(cents))
-            .select("id", "v", "cid", score.alias("_s"))
-            .groupBy("id")
-            .agg(
-                F.max_by(
-                    F.struct("cid", "v"), F.struct(F.col("_s"), -F.col("cid"))
-                ).alias("_a")
-            )
-            .select(F.col("_a.cid").alias("cid"), F.col("_a.v").alias("v"))
-        )
+        # zero-exchange assignment (centroid_argmax): each iteration's
+        # corpus pass is scan → broadcast centroid array → project;
+        # only the O(k×dim) means recompute below shuffles anything
+        assigned = centroid_argmax(c, cents, "v").select("cid", "v")
         means = (
             assigned.select("cid", F.posexplode("v").alias("pos", "val"))
             .groupBy("cid", "pos")
@@ -731,19 +755,9 @@ def kmeans_cells(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    score = F.round(
-        dot(F.col("v"), F.col("centvec"))
-        / (norm2(F.col("v")) * norm2(F.col("centvec"))),
-        6,
-    )
-    final = (
-        c.join(F.broadcast(cents))
-        .select("id", "cid", score.alias("_s"))
-        .groupBy("id")
-        .agg(
-            F.max_by("cid", F.struct(F.col("_s"), -F.col("cid"))).alias("cid")
-        )
-    )
+    # zero-exchange assignment (centroid_argmax), then a map-side
+    # combined count per cell — the corpus is scanned once, unshuffled
+    final = centroid_argmax(c, cents, "v").select("id", "cid")
     norms = cents.select(
         "cid", F.round(norm2(F.col("centvec")), 6).alias("centroid_norm")
     )

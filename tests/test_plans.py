@@ -323,11 +323,25 @@ def test_winnow_no_generate_filter_blowup(plans):
 
 
 def test_length_bucket_padding_single_sort(plans):
-    # ntile needs one global range exchange; the bucket agg combines
-    # map-side — nothing else may shuffle
+    # NTILE now comes from distributed_rank (range exchange inside the
+    # localCheckpoint) + closed-form bucket: the visible plan must show
+    # a PARTITIONED window (by __pid) — never an unpartitioned one that
+    # would single-task the corpus — and a map-side-combined bucket agg
     p = plans("length_bucket_padding_stats")
-    assert _nodes(p, "Exchange") <= 3
     assert "CartesianProduct" not in p
+    for line in p.splitlines():
+        if "windowspecdefinition" in line:
+            first_arg = line.split("windowspecdefinition(", 1)[1].split(
+                ",", 1
+            )[0]
+            assert " ASC" not in first_arg and " DESC" not in first_arg, (
+                "unpartitioned window:\n" + line
+            )
+    assert "partial_count" in p and "partial_sum" in p  # map-side combine
+    # exactly one corpus-grain hash exchange survives outside the
+    # checkpoint: the pid-window one; the bucket agg exchanges only
+    # bucket-grain partials
+    assert "hashpartitioning(__pid" in p
 
 
 def test_curation_funnel_bounded_scans(plans):
@@ -371,6 +385,11 @@ def test_semdedup_pairs_cell_blocked(plans, spark):
     )
     assert "BroadcastHashJoin" in ap or "BroadcastNestedLoopJoin" in ap
     assert "CartesianProduct" not in ap
+    # assignment is a ZERO-EXCHANGE projection: the corpus side must
+    # show no hash exchange at all (the only exchange is the
+    # single-row centroid pack) and no groupBy(id)/max_by re-aggregate
+    assert "hashpartitioning(" not in ap
+    assert "max_by" not in ap
 
 
 def test_record_linkage_blocked_join(plans):
