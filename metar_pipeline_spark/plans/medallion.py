@@ -71,6 +71,21 @@ def stg_stage(
     )
     upsert_parquet(spark, fresh, path, keys=["id"], order_col="inserted_at")
     _append_batch_metrics(spark, base_dir, "stg", obs.get)
+    # elementary.schema_changes twin: snapshot this batch's (column,
+    # type) schema beside the profile metrics; schema_drift.detect_drift
+    # diffs the two newest runs (added/removed/retyped columns)
+    from metar_pipeline_spark.quality.schema_drift import (
+        record_schema_snapshot,
+    )
+
+    snap_store = os.path.join(base_dir, "_schema_snapshots")
+    try:
+        run_id = sum(
+            1 for d in os.listdir(snap_store) if d.startswith("_run=")
+        )
+    except FileNotFoundError:
+        run_id = 0
+    record_schema_snapshot(normalized, snap_store, run_id)
 
 
 def _append_batch_metrics(

@@ -389,6 +389,70 @@ def profile_stats_events(spark, sf_dir):
 
 
 @register(
+    "schema_drift_report",
+    """
+    WITH a AS (
+      SELECT column_name,
+             CASE column_type WHEN 'BIGINT' THEN 'bigint'
+                  WHEN 'VARCHAR' THEN 'string'
+                  WHEN 'DOUBLE' THEN 'double'
+                  WHEN 'TIMESTAMP' THEN 'timestamp'
+                  ELSE lower(column_type) END AS from_type
+      FROM (DESCRIBE SELECT event_id, ts, user_id, event_type, value
+            FROM events)
+    ), b AS (
+      SELECT column_name,
+             CASE column_type WHEN 'BIGINT' THEN 'bigint'
+                  WHEN 'VARCHAR' THEN 'string'
+                  WHEN 'DOUBLE' THEN 'double'
+                  WHEN 'TIMESTAMP' THEN 'timestamp'
+                  ELSE lower(column_type) END AS to_type
+      FROM (DESCRIBE SELECT event_id, ts, user_id,
+                            CAST(value AS VARCHAR) AS value, props
+            FROM events)
+    )
+    SELECT coalesce(a.column_name, b.column_name) AS column_name,
+           CASE WHEN a.column_name IS NULL THEN 'added'
+                WHEN b.column_name IS NULL THEN 'removed'
+                WHEN from_type <> to_type THEN 'type_changed'
+           END AS change_type,
+           from_type, to_type
+    FROM a FULL OUTER JOIN b ON a.column_name = b.column_name
+    WHERE a.column_name IS NULL OR b.column_name IS NULL
+       OR from_type <> to_type
+    """,
+    doc=(
+        "Schema-drift report (Q6, elementary.schema_changes — reference "
+        "dbt/models/stg/schema.yml:9): two bronze generations of the "
+        "events feed (the second drops event_type, adds props, retypes "
+        "value to string) are snapshotted to (column, canonical type) "
+        "rows and full-outer-joined on column name; one verdict row per "
+        "added/removed/type_changed column. Both engines derive the "
+        "schemas themselves (Spark simpleString vs DESCRIBE, mapped to "
+        "one vocabulary). Column-grain frames — broadcastable at any "
+        "scale; the persisted-store form is "
+        "quality/schema_drift.py:detect_drift."
+    ),
+)
+def schema_drift_report(spark, sf_dir):
+    from metar_pipeline_spark.quality.schema_drift import (
+        schema_drift_report as drift,
+        snapshot_schema,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    gen1 = ev.select("event_id", "ts", "user_id", "event_type", "value")
+    gen2 = ev.select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.col("value").cast("string").alias("value"),
+        "props",
+    )
+    return drift(snapshot_schema(gen1), snapshot_schema(gen2))
+
+
+@register(
     "event_value_percentiles",
     """
     SELECT event_type,

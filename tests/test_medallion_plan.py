@@ -104,3 +104,47 @@ def test_medallion_batch_metrics_observe(spark, tmp_path):
     assert all(r["null_observed"] == 0 and r["null_icao"] == 0 for r in rows)
     assert rows[0]["min_observed"].day == 1
     assert rows[1]["max_observed"].day == 2
+
+
+def test_medallion_schema_snapshots_and_drift(spark, tmp_path):
+    """Each stg run snapshots the batch schema (elementary.schema_changes
+    twin); identical runs report no drift, an evolved batch reports the
+    exact added/removed/retyped rows."""
+    import os
+
+    from metar_pipeline_spark.quality.schema_drift import detect_drift
+
+    base = str(tmp_path / "lake_s")
+    icaos = ["UUEE", "ULLI"]
+    run_medallion(spark, _normalized(spark, _docs(icaos, 1, -5.0)), base)
+    run_medallion(spark, _normalized(spark, _docs(icaos, 2, 3.0)), base)
+
+    store = os.path.join(base, "_schema_snapshots")
+    runs = {d for d in os.listdir(store) if d.startswith("_run=")}
+    assert runs == {"_run=0", "_run=1"}
+    # same normalization schema both runs → empty report
+    assert detect_drift(spark, store).count() == 0
+
+    # an evolved third batch: drop wind_speed_kt, retype temperature_c,
+    # add a new column — drift must name each change
+    n3 = _normalized(spark, _docs(icaos, 3, 1.0))
+    evolved = n3.drop("wind_speed_kt").withColumn(
+        "temperature_c", F.col("temperature_c").cast("string")
+    ).withColumn("station_kind", F.lit("intl"))
+    from metar_pipeline_spark.quality.schema_drift import (
+        record_schema_snapshot,
+    )
+
+    record_schema_snapshot(evolved, store, 2)
+    got = {
+        (r.column_name, r.change_type, r.from_type, r.to_type)
+        for r in detect_drift(spark, store).collect()
+    }
+    assert ("wind_speed_kt", "removed", "double", None) in got
+    assert ("station_kind", "added", None, "string") in got
+    assert ("temperature_c", "type_changed", "double", "string") in got
+    assert len(got) == 3
+
+    # idempotent re-record of the same run (replay) does not duplicate
+    record_schema_snapshot(evolved, store, 2)
+    assert detect_drift(spark, store).count() == 3
