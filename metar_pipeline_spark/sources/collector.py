@@ -109,6 +109,53 @@ def collect_once(
     return normalize_bronze(raw_to_bronze(spark, docs))
 
 
+def http_fetcher(
+    base_url: str | None = None,
+    api_key: str | None = None,
+    timeout_s: float = 15.0,
+    session=None,
+) -> Fetcher:
+    """Concrete HTTP ``Fetcher`` — the runnable twin of the reference's
+    ``fetch_metar_decoded`` (/root/reference/src/collector/main.py:53-69):
+    one GET of ``{base_url}/{icao_csv}/decoded`` with the ``X-API-Key``
+    header, a 15 s timeout, and ``raise_for_status`` (a fetch error
+    FAILS the batch — the module docstring's deliberate deviation from
+    the reference's swallow-and-exit-0). Returns the decoded documents
+    of ``payload["data"]`` re-serialized to JSON strings, the Fetcher
+    contract raw_to_bronze consumes.
+
+    Config mirrors the reference's env surface: ``CHECKWX_BASE_URL``
+    (default the public CheckWX endpoint, main.py:13) and
+    ``CHECKWX_API_KEY`` (required, main.py:19-20). ``session`` injects
+    a requests-compatible object for tests; the import is deferred so
+    offline deployments never need the dependency.
+    """
+    import os
+
+    base = base_url or os.getenv(
+        "CHECKWX_BASE_URL", "https://api.checkwx.com/metar"
+    )
+    key = api_key or os.getenv("CHECKWX_API_KEY")
+    if not key:
+        raise RuntimeError("CHECKWX_API_KEY not configured")
+
+    def fetch(icaos: Iterable[str]) -> list[str]:
+        http = session
+        if http is None:
+            import requests  # deferred: only the live path needs it
+
+            http = requests
+        url = f"{base}/{','.join(icaos)}/decoded"
+        resp = http.get(
+            url, headers={"X-API-Key": key}, timeout=timeout_s
+        )
+        resp.raise_for_status()
+        payload = resp.json()
+        return [json.dumps(d) for d in payload.get("data", [])]
+
+    return fetch
+
+
 def fake_fetcher(seed_docs: list[dict]) -> Fetcher:
     """Deterministic fetcher for tests: serves the given nested docs."""
 

@@ -103,8 +103,11 @@ def compact_partitions(
     the rewrite round-trips without touching it), repartitioned to
     ``ceil(bytes / target_file_bytes)`` files, staged under a
     dot-prefixed sibling (invisible to Spark's listing), then swapped
-    via delete + rename — same single-writer contract as
-    ``compact_parquet_dir`` / ``sources/merge.upsert_parquet``.
+    by renaming the live dir aside → staging into place → dropping the
+    aside: the partition is visible (old or new) at every instant, so
+    a crash can never leave it absent from a serving table. Same
+    single-writer contract as ``compact_parquet_dir`` /
+    ``sources/merge.upsert_parquet``.
 
     Returns ``{decoded_partition_value: (files_before, files_after)}``
     for every partition that was (or with ``dry_run=True``, would be)
@@ -134,8 +137,18 @@ def compact_partitions(
         df.repartition(n_target).write.mode("overwrite").parquet(staging)
         _, ppath, _ = _hadoop_fs(spark, part_path)
         _, spath, _ = _hadoop_fs(spark, staging)
-        fs.delete(ppath, True)
+        # crash-safe swap for a LIVE serving partition: rename the old
+        # dir ASIDE (dot-prefixed → invisible to listings), rename
+        # staging into place, THEN drop the aside. A crash between any
+        # two steps leaves either the old or the new files visible —
+        # the partition is never absent from the table (the old
+        # delete-then-rename order had a window where a reader saw the
+        # partition vanish and the data stranded in the staging dir).
+        _, aside, _ = _hadoop_fs(spark, f"{path.rstrip('/')}/.{name}.__old__")
+        fs.delete(aside, True)  # clear any prior crashed attempt
+        fs.rename(ppath, aside)
         fs.rename(spath, ppath)
+        fs.delete(aside, True)
         out[value] = (n_files, dir_stats(spark, part_path)[0])
     return out
 

@@ -420,6 +420,28 @@ def test_compact_partitions_preserves_layout_and_skips_cold(spark, tmp_path):
         spark, store, "cid", min_files_to_compact=4
     ) == {}
 
+    # crash-recovery: a leftover rename-aside dir from a crashed swap
+    # must be cleared by the next attempt, with rows intact and no
+    # aside/staging residue (the swap order keeps the partition visible
+    # at every instant — old dir is renamed aside, never deleted first)
+    for _ in range(5):
+        hot.repartition(2).write.partitionBy("cid").mode("append").parquet(
+            store
+        )
+    rows_refragged = sorted(
+        map(tuple, spark.read.parquet(store).collect())
+    )
+    aside = root / ".cid=0.__old__"
+    aside.mkdir()
+    (aside / "junk").write_text("stale")
+    done2 = compact_partitions(spark, store, "cid", min_files_to_compact=4)
+    assert set(done2) == {"0"}
+    assert not aside.exists()
+    assert not any(p.name.startswith(".cid=") for p in root.iterdir())
+    assert rows_refragged == sorted(
+        map(tuple, spark.read.parquet(store).collect())
+    )
+
 
 def test_runtime_bloom_filter_join_pruning(spark):
     """A selective dim-side filter injects a runtime bloom filter

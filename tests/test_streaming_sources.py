@@ -676,3 +676,146 @@ def test_ingest_dedup_replay_is_value_deterministic(spark, tmp_path):
 
     run()
     assert verdict_rows() == first
+
+
+# ---------------------------------------------------------------------------
+# S1: concrete HTTP fetcher (reference src/collector/main.py:53-69)
+# ---------------------------------------------------------------------------
+def test_http_fetcher_request_contract(spark):
+    """Offline twin: the fetcher must GET {base}/{csv}/decoded with the
+    X-API-Key header and 15 s timeout, raise on HTTP errors, and yield
+    payload['data'] re-serialized for raw_to_bronze."""
+    from metar_pipeline_spark.sources.collector import (
+        collect_once,
+        http_fetcher,
+    )
+
+    calls = {}
+
+    class FakeResp:
+        def __init__(self, status, data):
+            self.status = status
+            self._data = data
+
+        def raise_for_status(self):
+            if self.status >= 400:
+                raise RuntimeError(f"http {self.status}")
+
+        def json(self):
+            return {"data": self._data}
+
+    class FakeSession:
+        def __init__(self, status=200):
+            self.status = status
+
+        def get(self, url, headers=None, timeout=None):
+            calls.update(url=url, headers=headers, timeout=timeout)
+            return FakeResp(
+                self.status,
+                [
+                    {"icao": "UUEE", "observed": "2024-02-01T06:00:00",
+                     "temperature": {"celsius": -5.0}},
+                    {"icao": "ULLI", "observed": "2024-02-01T06:00:00",
+                     "temperature": {"celsius": -3.0}},
+                ],
+            )
+
+    f = http_fetcher(
+        base_url="https://example.invalid/metar",
+        api_key="k123",
+        session=FakeSession(),
+    )
+    df = collect_once(spark, f, ["UUEE", "ULLI"])
+    assert calls["url"] == "https://example.invalid/metar/UUEE,ULLI/decoded"
+    assert calls["headers"] == {"X-API-Key": "k123"}
+    assert calls["timeout"] == 15.0
+    rows = {r.icao: r for r in df.collect()}
+    assert set(rows) == {"UUEE", "ULLI"}
+    assert rows["UUEE"].temperature_c == -5.0
+
+    # HTTP errors FAIL the batch (deviation from the reference's
+    # swallow-and-exit-0, documented in the module docstring)
+    bad = http_fetcher(
+        base_url="https://example.invalid/metar",
+        api_key="k123",
+        session=FakeSession(status=503),
+    )
+    with pytest.raises(RuntimeError):
+        bad(["UUEE"])
+
+    # missing API key is a hard config error (reference main.py:19-20)
+    import os
+
+    assert "CHECKWX_API_KEY" not in os.environ
+    with pytest.raises(RuntimeError):
+        http_fetcher(base_url="https://example.invalid/metar")
+
+
+@pytest.mark.skipif(
+    "CHECKWX_API_KEY" not in __import__("os").environ,
+    reason="live CheckWX integration needs CHECKWX_API_KEY + network",
+)
+def test_http_fetcher_live(spark):
+    from metar_pipeline_spark.sources.collector import (
+        collect_once,
+        http_fetcher,
+    )
+
+    df = collect_once(spark, http_fetcher(), ["UUEE"])
+    assert df.count() >= 0  # a valid (possibly empty) normalized frame
+
+
+def test_attribution_outer_boundary_at_terminal_watermark(spark, tmp_path):
+    """Pins the state-eviction boundary the registered query's oracle
+    hardcodes: an unmatched purchase is null-emitted iff its timestamp
+    is STRICTLY below the terminal watermark (min of the two inputs'
+    max event times); a purchase exactly AT the watermark stays
+    buffered. If a Spark upgrade ever flips this inequality, this test
+    fails loudly in pytest rather than at the external gate."""
+    import os
+
+    from metar_pipeline_spark.streaming.pipeline import (
+        attribution_join_stream_outer,
+    )
+
+    def drop(rows, schema, name):
+        path = str(tmp_path / name)
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(path)
+        return path
+
+    cschema = "user_id long, event_id long, ts timestamp"
+    pschema = "user_id long, event_id long, value double, ts timestamp"
+    import datetime as dt
+
+    T = dt.datetime(2024, 3, 1, 10, 0, 0)
+    H = dt.timedelta(hours=1)
+    cpath = drop([(1, 100, T)], cschema, "clicks")
+    ppath = drop(
+        [
+            (1, 200, 5.0, T + dt.timedelta(minutes=30)),  # matched
+            (2, 201, 6.0, T - 2 * H),  # unmatched, < watermark → null row
+            (3, 202, 7.0, T),  # unmatched, AT watermark → buffered
+        ],
+        pschema,
+        "purchases",
+    )
+    clicks = spark.readStream.schema(cschema).parquet(cpath)
+    purchases = spark.readStream.schema(pschema).parquet(ppath)
+    joined = attribution_join_stream_outer(
+        clicks, purchases, max_gap="1 hour"
+    )
+    out = str(tmp_path / "out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        r.purchase_id: (r.click_id,)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rows == {200: (100,), 201: (None,)}, rows

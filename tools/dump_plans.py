@@ -139,8 +139,10 @@ SHOWCASE = [
         "DSIR: ONE bigram generator pass feeds one flagged aggregate "
         "training BOTH LMs (conditional sums in the same "
         "HashAggregate); the combined model returns as a single "
-        "BroadcastHashJoin; the Gumbel top-k is a bounded "
-        "WindowGroupLimit, not a global sort.",
+        "BroadcastHashJoin; the Gumbel top-k is a "
+        "TakeOrderedAndProject (per-partition heaps merged on the "
+        "driver), not a global sort — and the survivor rank is "
+        "window-free (rank_bounded).",
     ),
     (
         "decontaminate_embedding_cosine",
