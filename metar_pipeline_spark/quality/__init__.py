@@ -4,6 +4,7 @@ from metar_pipeline_spark.quality.assertions import (
     Assertion,
     accepted_values,
     not_null,
+    quarantine_violations,
     relationships,
     run_assertions,
     singular,
@@ -18,4 +19,5 @@ __all__ = [
     "relationships",
     "singular",
     "run_assertions",
+    "quarantine_violations",
 ]

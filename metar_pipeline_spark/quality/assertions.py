@@ -101,6 +101,50 @@ def run_assertions(assertions: list[Assertion]) -> list[dict]:
     return results
 
 
+def quarantine_violations(
+    assertions: list[Assertion], store_path: str, run_id: int
+) -> list[dict]:
+    """``run_assertions`` + dead-letter persistence: each failing
+    assertion's VIOLATING ROWS are written to
+    ``{store}/{assertion_name}/_run={run_id}`` — the way dbt's
+    ``store_failures`` materializes a relationships/unique test's
+    failing keys (reference surfaces them per dwh/schema.yml:19-22) so
+    an operator can inspect, replay, or backfill the quarantined rows
+    instead of just reading a count.
+
+    Per-assertion subdirectories keep heterogeneous violation schemas
+    apart; the ``_run`` partition key makes a re-run of the same
+    ``run_id`` idempotent (dynamic partition overwrite, the same
+    exactly-once contract as the streaming sinks). Violation frames are
+    assertion outputs (small by contract — a healthy pipeline
+    quarantines ~0 rows), so the count-then-write double evaluation is
+    the affordable form of dbt's CTAS-then-count."""
+    import os
+
+    results = []
+    for a in assertions:
+        v = a.violations()
+        n = v.count()
+        if n:
+            (
+                v.withColumn("_severity", F.lit(a.severity))
+                .withColumn("_run", F.lit(int(run_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_run")
+                .parquet(os.path.join(store_path, a.name))
+            )
+        results.append(
+            {
+                "name": a.name,
+                "severity": a.severity,
+                "violations": n,
+                "passed": n == 0,
+            }
+        )
+    return results
+
+
 def profile(df: DataFrame, cols: list[str]) -> DataFrame:
     """Per-column batch profile (count / null-rate / min / max) — the
     engine's approximation of elementary.column_anomalies (Q6,

@@ -219,3 +219,46 @@ def test_cross_join(spark):
     a = spark.createDataFrame([(1,), (2,)], "x int")
     b = spark.createDataFrame([(10,), (20,), (30,)], "y int")
     assert a.crossJoin(b).count() == 6
+
+
+def test_quarantine_violations_dead_letter_store(spark, tmp_path):
+    """Failing assertions persist their VIOLATING ROWS (dbt
+    store_failures twin): per-assertion subdir, _run partition,
+    idempotent on re-run; passing assertions write nothing."""
+    import os
+
+    from metar_pipeline_spark.quality import (
+        not_null,
+        quarantine_violations,
+        relationships,
+    )
+
+    child = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "ZZ"), (4, None), (5, "YY")],
+        "id long, fk string",
+    )
+    parent = spark.createDataFrame([("A",), ("B",)], "pk string")
+    store = str(tmp_path / "quarantine")
+    suite = [
+        relationships(child, parent, "fk", "pk"),
+        not_null(child, "id"),  # passes → no dead-letter dir
+    ]
+    res = {r["name"]: r for r in quarantine_violations(suite, store, 0)}
+    assert res["relationships_fk"]["violations"] == 2
+    assert res["not_null_id"]["passed"] is True
+
+    q = spark.read.parquet(os.path.join(store, "relationships_fk"))
+    assert sorted(r.fk for r in q.collect()) == ["YY", "ZZ"]
+    assert set(q.columns) == {"id", "fk", "_severity", "_run"}
+    assert not os.path.exists(os.path.join(store, "not_null_id"))
+
+    # replay of the same run_id overwrites, never duplicates
+    quarantine_violations(suite, store, 0)
+    assert spark.read.parquet(
+        os.path.join(store, "relationships_fk")
+    ).count() == 2
+    # a later run appends beside it
+    quarantine_violations(suite, store, 1)
+    assert spark.read.parquet(
+        os.path.join(store, "relationships_fk")
+    ).count() == 4
