@@ -94,19 +94,25 @@ def detect_drift(spark: SparkSession, store_path: str) -> DataFrame:
     :func:`record_schema_snapshot`. Returns an empty report when fewer
     than two runs exist. The store read is partition-pruned to the two
     newest ``_run`` partitions."""
-    runs = sorted(
-        r._run
-        for r in spark.read.parquet(store_path).select("_run").distinct()
-        .collect()
+    store = spark.read.parquet(store_path)
+    # scalar reads off aggregated partition-column-only scans (the
+    # package's permitted driver-side access pattern): newest run, then
+    # newest strictly-older run
+    curr_run = store.agg(F.max("_run").alias("m")).first().m
+    prev_run = (
+        store.filter(F.col("_run") < curr_run)
+        .agg(F.max("_run").alias("m"))
+        .first()
+        .m
+        if curr_run is not None
+        else None
     )
-    if len(runs) < 2:
+    if prev_run is None:
         return spark.createDataFrame(
             [],
             "column_name string, change_type string, "
             "from_type string, to_type string",
         )
-    prev_run, curr_run = runs[-2], runs[-1]
-    store = spark.read.parquet(store_path)
     return schema_drift_report(
         store.filter(F.col("_run") == prev_run),
         store.filter(F.col("_run") == curr_run),

@@ -492,3 +492,50 @@ def test_embedding_decontamination_broadcasts_eval_set(plans):
     assert "CartesianProduct" not in p
     assert "Window" not in p
     assert "HashAggregate" in p
+
+
+def test_window_sweep_calendar_allowlist_and_fixed_families(spark):
+    """The unpartitioned-window sweep contract (tools/sweep_windows.py;
+    the full-registry run gates PLANS.md regeneration each round):
+
+    1. every allow-listed query's unpartitioned windows really do
+       order by the DAY column — calendar-bounded frames only;
+    2. the families round 7 converted to distributed_rank/rank_bounded
+       stay window-free (regression guard at test speed)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(
+        0, str(Path(__file__).resolve().parent.parent / "tools")
+    )
+    from sweep_windows import (
+        ALLOWED_CALENDAR_GRAIN,
+        sweep,
+        unpartitioned_windows,
+    )
+
+    specs = all_queries()
+    assert set(ALLOWED_CALENDAR_GRAIN) <= set(specs)
+    for name in ALLOWED_CALENDAR_GRAIN:
+        p = specs[name].spark_fn(spark, SF_DIR)
+        plan = p._jdf.queryExecution().executedPlan().toString()
+        hits = unpartitioned_windows(plan)
+        assert hits, f"{name} no longer needs its allow-list entry"
+        for line in hits:
+            first = line.split("windowspecdefinition(", 1)[1].split(
+                ",", 1
+            )[0]
+            assert first.startswith("day#"), (name, line[:160])
+
+    fixed = {
+        "activity_gini_coefficient",
+        "value_decile_concentration",
+        "length_bucket_padding_stats",
+        "skew_key_report",
+        "weighted_sample_docs",
+        "bm25_keyword_search",
+        "quality_classifier_platt",
+        "hybrid_search_rrf",
+        "freq_tokens_sketch_topk",
+    }
+    assert sweep(spark, SF_DIR, only=fixed) == {}

@@ -25,7 +25,33 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 # Queries whose plans legitimately contain an unpartitioned window:
 # every entry must be a rolling/cumulative frame over a DAY-grain (or
 # coarser) aggregate — bounded by the calendar, never by data volume.
-ALLOWED_CALENDAR_GRAIN: dict[str, str] = {}
+# (test_plans.py verifies each listed query's offending windows really
+# do order by the day column.)
+ALLOWED_CALENDAR_GRAIN: dict[str, str] = {
+    "anomaly_daily_event_spikes": (
+        "trailing-7-day mean/stddev over the daily-count aggregate; "
+        "frame = days elapsed"
+    ),
+    "daily_value_max_drawdown": (
+        "running cumulative sum + running max over daily totals; "
+        "frame = days elapsed"
+    ),
+    "order_backlog_sweepline": (
+        "sweep-line running sum of per-day net order flow; "
+        "frame = distinct days"
+    ),
+    "seasonal_decompose_daily": (
+        "centered ±3-day moving average over the daily series; "
+        "frame = days elapsed"
+    ),
+    "skyline_price_date_frontier": (
+        "strict running min over the per-day best price; "
+        "frame = days elapsed"
+    ),
+    "user_growth_curve": (
+        "cumulative sum of per-day new-user counts; frame = days elapsed"
+    ),
+}
 
 
 def unpartitioned_windows(plan: str) -> list[str]:
