@@ -53,18 +53,19 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # the auto-boost catches direct query/oracle edits and one-hop operator
 # module edits, but not deeper transitive changes).
 VERIFY_FIRST: list[str] = [
-    # Empty (round 6): the round-5 gate cleared the entire backlog
-    # (189/192 driver-green; the 3 sketch queries are rows-only by
-    # design and re-verify every round as category 1), so no manual
-    # boost is needed. Round 6 added 13 new queries (category 1) and
-    # its operator-module edits drifted green ones (category 2); the
-    # post-review scale fixes (broadcast-hint removal on unbounded
-    # sides, TakeOrderedAndProject top-k in bm25/zipf/weighted-sample)
-    # drifted 3 more — the AST-based auto-boost puts all of them
-    # inside the 50-slot window (EXACTLY 50/50 used; registry growth
-    # frozen for the rest of the round), every one locally verified at
-    # sf0.01 via `tools/check_oracle.py --drifted --pending` plus the
-    # full four-axis matrix sweeps before round end.
+    # Empty (round 7): the round-6 gate verified all 50 windowed
+    # queries green (202/205 cumulative; the 3 sketch queries are
+    # rows-only by design and re-verify every round as category 1).
+    # Round 7's window-hygiene rework (operators/ranking.py replacing
+    # every data-grain unpartitioned window; similarity.centroid_argmax
+    # replacing the max_by assignment) drifted the curation/similarity/
+    # sketch families plus the individually-edited rank queries — 42
+    # drifted + 1 new (schema_drift_report) = 44/50 window slots; all
+    # outputs are bit-identical by construction (distributed_rank ≡
+    # row_number, ntile_from_rank ≡ NTILE, rank_bounded ≡ rank over
+    # survivors) and every drifted+pending query re-verified locally at
+    # sf0.01 (`tools/check_oracle.py --drifted --pending`: 43/43
+    # match). Registry growth frozen at 206 for the round.
 ]
 
 
