@@ -119,7 +119,14 @@ def distributed_rank(
     with_pid = ranged.withColumn(
         "__pid", F.spark_partition_id()
     ).localCheckpoint(eager=True)
-    counts = with_pid.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    # pin the tiny per-partition counts too: the prefix-sum join below
+    # references it twice (a/b sides) — without the pin each side would
+    # re-aggregate the full checkpointed frame, two extra corpus passes
+    counts = (
+        with_pid.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=True)
+    )
     a, b = counts.alias("a"), counts.alias("b")
     offsets = (
         a.join(b, F.col("b.__pid") < F.col("a.__pid"), "left")
