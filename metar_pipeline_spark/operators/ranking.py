@@ -17,10 +17,10 @@ the engine uses instead:
   set): pack into one array, ``array_sort``, ``posexplode`` back with a
   1-based position. No WindowExec node appears in the plan at all.
 
-Reference parity: the reference's warehouse models rank inside Postgres
-(`ROW_NUMBER() OVER` in dbt models); these operators re-express the
-same total-order semantics in shapes that survive a 1000-executor
-cluster.
+Reference parity: the reference ranks inside Postgres
+(`ROW_NUMBER() OVER` — /root/reference/dbt/models/int/int_metar_latest.sql:12);
+these operators re-express the same total-order semantics in shapes
+that survive a 1000-executor cluster.
 """
 
 from __future__ import annotations
