@@ -700,3 +700,71 @@ def test_semdedup_verdict_laws(spark, data):
         cells.setdefault(r["cid"], []).append(r)
     for members in cells.values():
         assert any(m["is_kept"] for m in members)
+
+
+# ---------------------------------------------------------------------------
+# ranking laws: distributed_rank ≡ global row_number; ntile_from_rank ≡ NTILE
+# ---------------------------------------------------------------------------
+@SETTINGS
+@given(data=rows, nparts=st.integers(min_value=1, max_value=6))
+def test_distributed_rank_law_matches_row_number(spark, data, nparts):
+    """For ANY frame (ties, duplicates, empty) and ANY partition count,
+    distributed_rank over (value, ts, id) equals the unpartitioned
+    row_number — the law that let every converted query keep its
+    oracle."""
+    from pyspark.sql import Window
+
+    from metar_pipeline_spark.operators.ranking import distributed_rank
+
+    df = _df(spark, data)
+    # make the order total: id alone may repeat in the generated data,
+    # so dedupe to one row per id (the operators' call sites always
+    # rank frames with a unique tiebreak)
+    df = df.groupBy("id").agg(
+        F.max("value").alias("value"), F.max("ts").alias("ts")
+    )
+    order = [F.asc("value"), F.desc("ts"), F.asc("id")]
+    want = sorted(
+        (r.id, r.rank)
+        for r in df.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(*order)).cast("long"),
+        ).collect()
+    )
+    got = sorted(
+        (r.id, r.rank)
+        for r in distributed_rank(
+            df, order, num_partitions=nparts
+        ).collect()
+    )
+    assert got == want
+
+
+@SETTINGS
+@given(
+    n=st.integers(min_value=0, max_value=40),
+    k=st.integers(min_value=1, max_value=12),
+)
+def test_ntile_from_rank_law(spark, n, k):
+    """Closed-form ntile equals the window NTILE for every (n, k) —
+    including n < k, n = 0, and non-divisible sizes."""
+    from pyspark.sql import Window
+
+    from metar_pipeline_spark.operators.ranking import ntile_from_rank
+
+    if n == 0:
+        return
+    df = spark.range(1, n + 1).withColumnRenamed("id", "r")
+    want = sorted(
+        (r.r, r.b)
+        for r in df.withColumn(
+            "b", F.ntile(k).over(Window.orderBy("r"))
+        ).collect()
+    )
+    got = sorted(
+        (r.r, r.b)
+        for r in df.withColumn(
+            "b", ntile_from_rank(F.col("r"), F.lit(n).cast("long"), k)
+        ).collect()
+    )
+    assert got == want
