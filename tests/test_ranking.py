@@ -122,3 +122,68 @@ def test_rank_bounded_matches_row_number_and_cuts_topn(spark):
     assert "WindowExec" not in (
         got_df._jdf.queryExecution().executedPlan().toString()
     )
+
+
+def test_centroid_argmax_tie_rule_and_parity(spark):
+    """centroid_argmax must reproduce the (score desc, cid asc) winner
+    of the old groupBy/max_by formulation — including exact-tie
+    geometries (equidistant centroids -> LOWEST cid wins) — while
+    keeping the corpus unshuffled."""
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.operators.similarity import (
+        centroid_argmax,
+        dot,
+        norm2,
+    )
+
+    # centroids: 0=(1,0), 1=(0,1), 2=(1,1)/sqrt2-direction
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0])],
+        "cid long, centvec array<double>",
+    )
+    rows = spark.createDataFrame(
+        [
+            (10, [2.0, 0.1]),   # clearly cid 0
+            (11, [0.1, 3.0]),   # clearly cid 1
+            (12, [1.0, 1.0]),   # exact tie with cid 2 (cos=1) -> cid 2
+            (13, [5.0, 5.0]),   # parallel to cid 2 -> cid 2
+            (14, [1.0, 0.0]),   # ties cids 0 (cos=1) and 2? no: cos(0)=1 wins -> 0
+        ],
+        "id long, v array<double>",
+    )
+    got = {
+        r.id: (r.cid, r.s)
+        for r in centroid_argmax(rows, cents, "v", score_col="s").collect()
+    }
+    # max_by reference formulation (the pre-round-7 shape)
+    ref = (
+        rows.join(F.broadcast(cents))
+        .select(
+            "id",
+            "cid",
+            F.round(
+                dot(F.col("v"), F.col("centvec"))
+                / (norm2(F.col("v")) * norm2(F.col("centvec"))),
+                6,
+            ).alias("s"),
+        )
+        .groupBy("id")
+        .agg(
+            F.max_by(
+                F.struct("cid", "s"), F.struct(F.col("s"), -F.col("cid"))
+            ).alias("a")
+        )
+        .select("id", "a.cid", "a.s")
+    )
+    want = {r.id: (r.cid, r.s) for r in ref.collect()}
+    assert got == want
+    assert got[12][0] == 2 and got[13][0] == 2 and got[14][0] == 0
+    # zero-exchange: no hash exchange anywhere in the assignment plan
+    plan = (
+        centroid_argmax(rows, cents, "v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(" not in plan
