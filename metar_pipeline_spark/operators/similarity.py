@@ -98,7 +98,15 @@ def centroid_argmax(
         ),
     )
     out = out.withColumn("__best", F.array_max(scored))
-    result = out.withColumn("cid", F.col("__best.cid"))
+    # cid is NON-NULL by construction (−1 iff the centroid set is
+    # empty, which no caller produces): downstream equi-joins on cid
+    # then cannot infer an isnotnull(cid) filter — which Catalyst would
+    # inline as isnotnull(array_max(transform(...))), silently
+    # DUPLICATING the whole per-row argmax into the join condition
+    # (measured 2× the corpus pass before this guard).
+    result = out.withColumn(
+        "cid", F.coalesce(F.col("__best.cid"), F.lit(-1))
+    )
     if score_col is not None:
         result = result.withColumn(score_col, F.col("__best.s"))
     return result.drop("__vn", "__cents", "__best")
@@ -761,10 +769,15 @@ def kmeans_cells(
     norms = cents.select(
         "cid", F.round(norm2(F.col("centvec")), 6).alias("centroid_norm")
     )
+    # LEFT join on purpose: an INNER join's null-filter on cid gets
+    # inferred down into the assignment projection as
+    # isnotnull(array_max(...)) — duplicating the whole per-row argmax
+    # into the join condition (2× the corpus pass). Every assigned cid
+    # exists in the centroid set, so the left form is row-identical.
     return (
         final.groupBy("cid")
         .agg(F.count(F.lit(1)).alias("n_members"))
-        .join(F.broadcast(norms), "cid")
+        .join(F.broadcast(norms), "cid", "left")
         .select("cid", "n_members", "centroid_norm")
     )
 

@@ -153,6 +153,30 @@ SHOWCASE = [
         "would fall back to SortAggregate). No window, no vector "
         "shuffle.",
     ),
+    (
+        "length_bucket_padding_stats",
+        "NTILE without a single-partition window (round 7): "
+        "distributed_rank's range exchange lives inside the "
+        "localCheckpoint; the visible plan is a __pid-PARTITIONED "
+        "row_number + tiny BNL prefix-offset join + closed-form bucket "
+        "projection, then a map-side-combined bucket aggregate — "
+        "bit-identical to the ntile window the oracle runs.",
+    ),
+    (
+        "kmeans_refined_cells",
+        "Zero-exchange centroid assignment (round 7): each Lloyd "
+        "iteration scores the broadcast packed-centroid array per row "
+        "(transform + array_max) — no groupBy(id)/max_by, no corpus "
+        "exchange at vector width; only the O(k×dim) means recompute "
+        "shuffles (cid, pos) partials.",
+    ),
+    (
+        "activity_gini_coefficient",
+        "User-grain exact rank via distributed_rank (round 7): the "
+        "sorted-rank Gini formula over a parallel global rank — the "
+        "user frame (10⁸–10⁹ rows at 100 TB) never passes through a "
+        "one-task window.",
+    ),
 ]
 
 # Static epilogue: measured plan decisions that are not a single
