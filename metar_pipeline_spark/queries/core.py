@@ -314,6 +314,67 @@ def fk_violations_events_supplier(spark, sf_dir):
     )
 
 
+@register(
+    "quarantine_fk_rows",
+    """
+    SELECT event_id, user_id, 'error' AS severity, 0 AS run_id
+    FROM events e
+    WHERE e.event_type = 'signup' AND e.user_id < 200
+      AND NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = e.user_id)
+    """,
+    doc=(
+        "Dead-letter quarantine end-to-end (dbt store_failures, the "
+        "surface behind dwh/schema.yml:19-22's relationships test): a "
+        "scoped FK audit (signup events in a bounded id range vs the "
+        "supplier keys) persists its VIOLATING ROWS through "
+        "quality.quarantine_violations — per-assertion subdir, "
+        "_run-partitioned idempotent overwrite — and the query returns "
+        "the store read-back, proving the quarantined rows round-trip. "
+        "Violation frames are small by contract (a healthy pipeline "
+        "quarantines ~0 rows); the anti-join itself broadcasts the "
+        "parent keys."
+    ),
+)
+def quarantine_fk_rows(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from metar_pipeline_spark.quality import (
+        quarantine_violations,
+        relationships,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    supplier = load_table(spark, sf_dir, "supplier")
+    child = events.filter(
+        (F.col("event_type") == "signup") & (F.col("user_id") < 200)
+    ).select("event_id", "user_id")
+    a = relationships(child, supplier, "user_id", "s_suppkey")
+    root = tempfile.mkdtemp(prefix="quarantine_fk_")
+    try:
+        res = quarantine_violations([a], root, 0)
+        if res[0]["passed"]:  # zero violations → nothing was persisted
+            return spark.createDataFrame(
+                [],
+                "event_id long, user_id long, severity string, "
+                "run_id int",
+            )
+        out = (
+            spark.read.parquet(os.path.join(root, a.name))
+            .select(
+                "event_id",
+                "user_id",
+                F.col("_severity").alias("severity"),
+                F.col("_run").cast("int").alias("run_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-style core: scan→filter→agg and multi-join plans
 # ---------------------------------------------------------------------------
