@@ -198,6 +198,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from metar_pipeline_spark.queries import (  # noqa: F401
         analytics_q,
         core,
+        corpus_q,
         curation_q,
         extended,
         geo_q,
