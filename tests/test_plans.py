@@ -539,3 +539,58 @@ def test_window_sweep_calendar_allowlist_and_fixed_families(spark):
         "freq_tokens_sketch_topk",
     }
     assert sweep(spark, SF_DIR, only=fixed) == {}
+
+
+def test_corpus_dup_spans_one_pass_gram_window(plans):
+    # duplicated_span_stats: ONE generator pass over documents, the
+    # corpus-wide occurrence count as a gram-PARTITIONED window (the
+    # groupBy+join-back form scans/explodes twice — measured 2.4x
+    # slower at sf0.1), then the per-doc rollup. No join anywhere.
+    p = plans("substring_dup_spans")
+    assert _nodes(p, "Scan parquet") == 1, p
+    assert _nodes(p, "Window") == 1
+    assert "Join" not in p
+    # the window is keyed on the gram, never unpartitioned
+    assert "windowspecdefinition(gram" in p
+
+
+def test_corpus_pmi_checkpointed_single_explode(plans):
+    # pmi_collocations: the (doc, distinct-token) frame is
+    # materialized once (localCheckpoint) and reused by all four
+    # consumers — the final plan must contain NO parquet re-scan of
+    # documents, and top-k must be per-partition heaps
+    p = plans("cooccurrence_pmi")
+    assert _nodes(p, "Scan parquet") == 0, p
+    assert _nodes(p, "TakeOrderedAndProject") == 1
+    assert "CartesianProduct" not in p
+
+
+def test_corpus_jsd_checkpointed_vocab_grain(plans):
+    # unigram_js_divergence: vocab-grain counts checkpointed, so the
+    # corpus explode runs once; the totals row comes back as a
+    # broadcast nested-loop (1-row) cross join, never a cartesian
+    p = plans("corpus_js_divergence")
+    assert _nodes(p, "Scan parquet") == 0, p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_snapshot_diff_narrow_fingerprint_join(plans):
+    # snapshot_diff: both snapshots reduce to (key, md5 fingerprint)
+    # BEFORE the full-outer join — the join carries two narrow frames
+    p = plans("table_snapshot_diff")
+    assert _nodes(p, "SortMergeJoin") == 1
+    assert "FullOuter" in p
+    assert "md5" in p
+    assert "CartesianProduct" not in p
+
+
+def test_event_funnel_no_cartesian(plans):
+    # strict-order funnel: user-grain min-agg chain; the three summary
+    # counts cross back as 1-row broadcasts
+    p = plans("event_funnel_conversion")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p  # user-key joins broadcast at this
+    # scale via AQE; at 100 TB they become co-partitioned SMJs, which
+    # is also fine — the pin is about the 1-row summary joins never
+    # degenerating. Guarded loosely on purpose.
