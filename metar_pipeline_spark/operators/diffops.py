@@ -89,3 +89,83 @@ def diff_summary(diff: DataFrame, key_col: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum(F.col(key_col)).alias("key_checksum"),
     )
+
+def partition_fingerprints(
+    df: DataFrame,
+    part_col: str,
+    key_col: str,
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Order-independent per-partition rollup of row fingerprints.
+
+    Each row's (key + compare columns) md5 is truncated to 60 bits and
+    SUMMED per partition in DECIMAL(38,0) — commutative, so partition-
+    internal row order can never change the rollup, and exact, so no
+    two runs of the same data disagree. Two partitions with equal
+    (n_rows, fp_sum) are byte-equal for diff purposes (a forged
+    collision needs ~2^30 adversarial rows per Birthday bound on the
+    60-bit truncation — an audit, not a cryptographic, guarantee; the
+    row-level pass confirms every partition the rollup flags).
+    """
+    fp = row_fingerprint(
+        [F.col(key_col)] + [F.col(c) for c in compare_cols]
+    )
+    fp60 = F.conv(F.substring(fp, 1, 15), 16, 10).cast("decimal(38,0)")
+    return df.groupBy(F.col(part_col)).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(fp60).alias("fp_sum"),
+    )
+
+
+def snapshot_diff_pruned(
+    v_old: DataFrame,
+    v_new: DataFrame,
+    part_col: str,
+    key_col: str,
+    compare_cols: Sequence[str],
+) -> tuple[DataFrame, list]:
+    """The 100-TB diff shape: skip identical partitions entirely.
+
+    Pass 1 rolls each side up to one (n_rows, fp_sum) row per
+    PARTITION (map-side-combined aggregate — the full scan, but the
+    shuffle is partition-grain). Partitions whose rollups match on
+    both sides cannot contain any inserted/deleted/updated key and are
+    excluded from pass 2; the changed-partition list is collected to
+    the driver (partition-grain — thousands of values, never rows) and
+    pushed back as an ``isin`` filter so the row-level
+    :func:`snapshot_diff` re-reads ONLY changed partitions — with a
+    Hive-partitioned store the filter becomes ``PartitionFilters`` and
+    the unchanged partitions' files are never opened (pinned in
+    tests/test_corpus_ops.py).
+
+    Returns ``(row_diff, changed_partitions)``; keys in unchanged
+    partitions are omitted from ``row_diff`` (they are all
+    'unchanged' by construction).
+    """
+    fps_old = partition_fingerprints(v_old, part_col, key_col, compare_cols)
+    fps_new = partition_fingerprints(v_new, part_col, key_col, compare_cols)
+    o = fps_old.alias("o")
+    n = fps_new.alias("n")
+    changed_rows = (
+        o.join(n, F.col(f"o.{part_col}") == F.col(f"n.{part_col}"), "full_outer")
+        .filter(
+            F.col("o.n_rows").isNull()
+            | F.col("n.n_rows").isNull()
+            | (F.col("o.n_rows") != F.col("n.n_rows"))
+            | (F.col("o.fp_sum") != F.col("n.fp_sum"))
+        )
+        .select(
+            F.coalesce(F.col(f"o.{part_col}"), F.col(f"n.{part_col}")).alias(
+                part_col
+            )
+        )
+        .collect()
+    )
+    changed = sorted(r[0] for r in changed_rows)
+    diff = snapshot_diff(
+        v_old.filter(F.col(part_col).isin(changed)),
+        v_new.filter(F.col(part_col).isin(changed)),
+        key_col,
+        compare_cols,
+    )
+    return diff, changed

@@ -187,3 +187,76 @@ class TestSnapshotDiff:
             (fp_ab != fp_ba).alias("diff")
         ).collect()[0]
         assert row.diff
+
+
+class TestSnapshotDiffPruned:
+    def _write(self, spark, path, rows):
+        df = spark.createDataFrame(rows, "k long, p int, v string")
+        df.write.mode("overwrite").partitionBy("p").parquet(path)
+        return path
+
+    def test_prunes_identical_partitions(self, spark, tmp_path):
+        from metar_pipeline_spark.operators.diffops import (
+            snapshot_diff_pruned,
+        )
+
+        old_rows = [(i, i % 5, f"v{i}") for i in range(100)]
+        # p=2: one update (k=12); p=4: one insert (k=999); others equal
+        new_rows = [
+            (k, p, "CHANGED" if k == 12 else v) for k, p, v in old_rows
+        ] + [(999, 4, "new")]
+        po = self._write(spark, str(tmp_path / "old"), old_rows)
+        pn = self._write(spark, str(tmp_path / "new"), new_rows)
+        old = spark.read.parquet(po)
+        new = spark.read.parquet(pn)
+
+        diff, changed = snapshot_diff_pruned(old, new, "p", "k", ["v"])
+        assert changed == [2, 4]
+        got = {
+            r.k: r.change_type
+            for r in diff.filter(
+                diff.change_type != "unchanged"
+            ).collect()
+        }
+        assert got == {12: "updated", 999: "inserted"}
+        # every key the row pass touches lives in a changed partition
+        assert diff.count() == 41  # 20 rows in p=2 + 21 in p=4
+
+        # the pass-2 scan must PARTITION-prune: unchanged partitions'
+        # files never open (inputFiles() ignores pruning — assert via
+        # the plan's PartitionFilters, per the r6 gotcha)
+        plan = diff._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "p#" in plan
+        import re
+
+        pf = re.findall(r"PartitionFilters: \[[^\]]*\]", plan)
+        assert pf and all("p" in f for f in pf)
+        assert any("2" in f and "4" in f for f in pf)
+
+    def test_no_changes_empty_diff(self, spark, tmp_path):
+        from metar_pipeline_spark.operators.diffops import (
+            snapshot_diff_pruned,
+        )
+
+        rows = [(i, i % 3, f"v{i}") for i in range(30)]
+        po = self._write(spark, str(tmp_path / "a"), rows)
+        pn = self._write(spark, str(tmp_path / "b"), rows)
+        diff, changed = snapshot_diff_pruned(
+            spark.read.parquet(po), spark.read.parquet(pn), "p", "k", ["v"]
+        )
+        assert changed == []
+        assert diff.count() == 0
+
+    def test_rollup_is_row_order_independent(self, spark):
+        from metar_pipeline_spark.operators.diffops import (
+            partition_fingerprints,
+        )
+
+        rows = [(i, 0, f"v{i}") for i in range(50)]
+        a = spark.createDataFrame(rows, "k long, p int, v string")
+        b = spark.createDataFrame(
+            list(reversed(rows)), "k long, p int, v string"
+        ).repartition(7)
+        fa = partition_fingerprints(a, "p", "k", ["v"]).collect()[0]
+        fb = partition_fingerprints(b, "p", "k", ["v"]).collect()[0]
+        assert (fa.n_rows, fa.fp_sum) == (fb.n_rows, fb.fp_sum)
