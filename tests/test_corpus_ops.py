@@ -260,3 +260,83 @@ class TestSnapshotDiffPruned:
         fa = partition_fingerprints(a, "p", "k", ["v"]).collect()[0]
         fb = partition_fingerprints(b, "p", "k", ["v"]).collect()[0]
         assert (fa.n_rows, fa.fp_sum) == (fb.n_rows, fb.fp_sum)
+
+
+# ---------------------------------------------------------------------------
+# Property tests: brute-force Python twins on random tiny corpora
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+
+# 4-letter vocabulary on purpose: gram collisions and shared vocab are
+# where the corpus laws can break
+_word = st.sampled_from(["a", "b", "c", "d"])
+_doc = st.lists(_word, min_size=0, max_size=8).map(" ".join)
+_corpus = st.lists(_doc, min_size=1, max_size=8)
+
+
+class TestCorpusProperties:
+    @_SETTINGS
+    @given(_corpus)
+    def test_dup_spans_match_bruteforce(self, docs):
+        from collections import Counter
+
+        spark = _shared_spark()
+        k = 2
+        df = _docs(spark, list(enumerate(docs)))
+        got = {
+            r.doc_id: (r.n_grams, r.dup_grams)
+            for r in duplicated_span_stats(df, k=k).collect()
+        }
+        occ = Counter()
+        per_doc = {}
+        for i, d in enumerate(docs):
+            toks = d.split()
+            grams = [
+                " ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)
+            ]
+            if grams:
+                per_doc[i] = grams
+                occ.update(grams)
+        want = {
+            i: (len(g), sum(1 for x in g if occ[x] > 1))
+            for i, g in per_doc.items()
+        }
+        assert got == want
+
+    @_SETTINGS
+    @given(_corpus, _corpus)
+    def test_jsd_bounded_and_symmetric(self, p_docs, q_docs):
+        spark = _shared_spark()
+        both = [(i, d) for i, d in enumerate(p_docs)] + [
+            (1000 + i, d) for i, d in enumerate(q_docs)
+        ]
+        # need at least one token on each side for the distributions
+        if not any(d.strip() for d in p_docs) or not any(
+            d.strip() for d in q_docs
+        ):
+            return
+        df = _docs(spark, both)
+        flag = F.col("doc_id") < 1000
+        a = unigram_js_divergence(df, flag).collect()[0].jsd_nats
+        b = unigram_js_divergence(df, ~flag).collect()[0].jsd_nats
+        assert a == b  # symmetric
+        assert 0.0 <= a <= math.log(2.0) + 1e-9  # bounded
+
+
+_SPARK_REF = []
+
+
+def _shared_spark():
+    # hypothesis @given cannot take pytest fixtures; reuse the live
+    # session the conftest fixture already built for this process
+    from pyspark.sql import SparkSession
+
+    return SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
