@@ -123,30 +123,36 @@ def snapshot_diff_pruned(
     part_col: str,
     key_col: str,
     compare_cols: Sequence[str],
-) -> tuple[DataFrame, list]:
+) -> tuple[DataFrame, DataFrame]:
     """The 100-TB diff shape: skip identical partitions entirely.
 
     Pass 1 rolls each side up to one (n_rows, fp_sum) row per
     PARTITION (map-side-combined aggregate — the full scan, but the
     shuffle is partition-grain). Partitions whose rollups match on
     both sides cannot contain any inserted/deleted/updated key and are
-    excluded from pass 2; the changed-partition list is collected to
-    the driver (partition-grain — thousands of values, never rows) and
-    pushed back as an ``isin`` filter so the row-level
-    :func:`snapshot_diff` re-reads ONLY changed partitions — with a
-    Hive-partitioned store the filter becomes ``PartitionFilters`` and
-    the unchanged partitions' files are never opened (pinned in
-    tests/test_corpus_ops.py).
+    excluded from pass 2: the changed-partition frame (partition-grain,
+    checkpointed once — two branches consume it) inner-joins both
+    sides, and with a Hive-partitioned store DYNAMIC PARTITION PRUNING
+    pushes it into the scans (``dynamicpruningexpression`` under
+    ``PartitionFilters``) so unchanged partitions' files are never
+    opened (pinned in tests/test_corpus_ops.py). Everything stays
+    distributed — no changed-partition list ever rides the driver.
 
-    Returns ``(row_diff, changed_partitions)``; keys in unchanged
-    partitions are omitted from ``row_diff`` (they are all
-    'unchanged' by construction).
+    The ``_dpp_tag`` filter exists for the planner, not the data:
+    DPP's ``hasSelectivePredicate`` heuristic only inserts a pruning
+    subquery when the dim side carries a selective predicate — a bare
+    (checkpointed) table scan is assumed unselective (same device as
+    test_scale_ops.py::test_dynamic_partition_pruning_on_day_partitioned_fact).
+
+    Returns ``(row_diff, changed_partitions)`` — the second a
+    one-column DataFrame; keys in unchanged partitions are omitted
+    from ``row_diff`` (they are all 'unchanged' by construction).
     """
     fps_old = partition_fingerprints(v_old, part_col, key_col, compare_cols)
     fps_new = partition_fingerprints(v_new, part_col, key_col, compare_cols)
     o = fps_old.alias("o")
     n = fps_new.alias("n")
-    changed_rows = (
+    changed = (
         o.join(n, F.col(f"o.{part_col}") == F.col(f"n.{part_col}"), "full_outer")
         .filter(
             F.col("o.n_rows").isNull()
@@ -157,15 +163,16 @@ def snapshot_diff_pruned(
         .select(
             F.coalesce(F.col(f"o.{part_col}"), F.col(f"n.{part_col}")).alias(
                 part_col
-            )
+            ),
+            F.lit("changed").alias("_dpp_tag"),
         )
-        .collect()
+        .localCheckpoint(eager=True)
     )
-    changed = sorted(r[0] for r in changed_rows)
+    dim = changed.filter(F.col("_dpp_tag") == "changed").select(part_col)
     diff = snapshot_diff(
-        v_old.filter(F.col(part_col).isin(changed)),
-        v_new.filter(F.col(part_col).isin(changed)),
+        v_old.join(F.broadcast(dim), part_col),
+        v_new.join(F.broadcast(dim), part_col),
         key_col,
         compare_cols,
     )
-    return diff, changed
+    return diff, changed.select(part_col)

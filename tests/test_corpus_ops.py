@@ -211,7 +211,7 @@ class TestSnapshotDiffPruned:
         new = spark.read.parquet(pn)
 
         diff, changed = snapshot_diff_pruned(old, new, "p", "k", ["v"])
-        assert changed == [2, 4]
+        assert sorted(r.p for r in changed.collect()) == [2, 4]
         got = {
             r.k: r.change_type
             for r in diff.filter(
@@ -222,16 +222,12 @@ class TestSnapshotDiffPruned:
         # every key the row pass touches lives in a changed partition
         assert diff.count() == 41  # 20 rows in p=2 + 21 in p=4
 
-        # the pass-2 scan must PARTITION-prune: unchanged partitions'
-        # files never open (inputFiles() ignores pruning — assert via
-        # the plan's PartitionFilters, per the r6 gotcha)
+        # the pass-2 scans must prune at RUNTIME: the changed-partition
+        # frame is runtime content, so the pin is a dynamicpruning
+        # subquery under the scans' PartitionFilters (inputFiles()
+        # ignores pruning — assert via the plan, per the r6 gotcha)
         plan = diff._jdf.queryExecution().executedPlan().toString()
-        assert "PartitionFilters" in plan and "p#" in plan
-        import re
-
-        pf = re.findall(r"PartitionFilters: \[[^\]]*\]", plan)
-        assert pf and all("p" in f for f in pf)
-        assert any("2" in f and "4" in f for f in pf)
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
 
     def test_no_changes_empty_diff(self, spark, tmp_path):
         from metar_pipeline_spark.operators.diffops import (
@@ -244,7 +240,7 @@ class TestSnapshotDiffPruned:
         diff, changed = snapshot_diff_pruned(
             spark.read.parquet(po), spark.read.parquet(pn), "p", "k", ["v"]
         )
-        assert changed == []
+        assert changed.count() == 0
         assert diff.count() == 0
 
     def test_rollup_is_row_order_independent(self, spark):
