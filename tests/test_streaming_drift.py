@@ -1,0 +1,96 @@
+"""streaming/drift.py — per-micro-batch unigram JSD against a broadcast
+reference: zero on an identical batch, positive on a shifted one, one
+idempotent metrics row per batch, zero streaming state."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from metar_pipeline_spark.streaming.drift import (
+    batch_jsd,
+    reference_unigrams,
+    run_drift_monitor,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_identical_batch_scores_zero(spark):
+    docs = _docs(spark, [(1, "a a b c"), (2, "b c d")])
+    ref = reference_unigrams(docs)
+    row = batch_jsd(docs, ref).collect()[0]
+    assert row.jsd_nats == 0.0
+    assert row.n_tokens == 7 and row.vocab == 4
+
+
+def test_disjoint_batch_scores_ln2(spark):
+    ref = reference_unigrams(_docs(spark, [(1, "a b c")]))
+    row = batch_jsd(_docs(spark, [(2, "x y z")]), ref).collect()[0]
+    assert row.jsd_nats == pytest.approx(math.log(2.0), abs=1e-6)
+
+
+def test_matches_batch_twin(spark):
+    # the streaming scorer against reference P must equal the batch
+    # operator's JSD over the two slices
+    from metar_pipeline_spark.operators.corpus_ops import (
+        unigram_js_divergence,
+    )
+
+    p_rows = [(1, "a a b"), (2, "c d a")]
+    q_rows = [(100, "a b b b"), (101, "d d e")]
+    ref = reference_unigrams(_docs(spark, p_rows))
+    got = batch_jsd(_docs(spark, q_rows), ref).collect()[0].jsd_nats
+    both = _docs(spark, p_rows + q_rows)
+    want = (
+        unigram_js_divergence(both, F.col("doc_id") < 100)
+        .collect()[0]
+        .jsd_nats
+    )
+    assert got == pytest.approx(want, abs=1e-6)
+
+
+def test_top_v_truncation_renormalizes(spark):
+    ref = reference_unigrams(
+        _docs(spark, [(1, "a a a b b c")]), top_v=2
+    )
+    rows = {r.w: r.p_ref for r in ref.collect()}
+    # keeps a (3) and b (2), renormalized over 5
+    assert rows == {"a": pytest.approx(0.6), "b": pytest.approx(0.4)}
+
+
+def test_stream_lands_one_idempotent_row_per_batch(spark, tmp_path):
+    docs = _docs(spark, [(i, "a b c" if i % 2 else "a a a") for i in range(20)])
+    src = str(tmp_path / "src")
+    docs.write.parquet(src)
+    ref = reference_unigrams(docs)
+    metrics = str(tmp_path / "metrics")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_drift_monitor(
+        spark, src, ref, metrics, ckpt, schema=docs.schema
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(metrics)
+    rows = out.collect()
+    assert len(rows) == 1  # availableNow over one dir = one batch
+    assert rows[0].jsd_nats == 0.0  # the stream IS the reference corpus
+    assert rows[0].n_tokens == 60 - 10 * 0  # 10 odd docs*3 + 10 even*3
+    # no state operator: the scorer is stateless per batch
+    assert (q.lastProgress.get("stateOperators") or []) == []
+    # replay the same batch id -> same single row (partition overwrite)
+    from metar_pipeline_spark.streaming.pipeline import (
+        idempotent_batch_append,
+    )
+
+    idempotent_batch_append(
+        batch_jsd(docs, ref).withColumn(
+            "batch_id", F.lit(0).cast("long")
+        ),
+        metrics,
+        0,
+    )
+    assert spark.read.parquet(metrics).count() == 1
