@@ -11,7 +11,10 @@ query's values depended on partition count or shuffle order (float
 reduction order, undeterministic tiebreaks, rand(seed)), it
 hash-mismatches there first.
 
-Usage: python tools/validate_matrix.py
+Usage: python tools/validate_matrix.py [axis ...]
+Axis names: sf0.001 sf0.01 sf0.1 sf0.01@sp7 (default: all four).
+The full matrix runs ~25 min on this host — when driving it from a
+harness with a 10-minute command cap, run one axis per command.
 """
 
 from __future__ import annotations
@@ -38,8 +41,13 @@ AXES = [
 
 
 def main() -> int:
+    wanted = set(sys.argv[1:])
+    unknown = wanted - {a[0] for a in AXES}
+    if unknown:
+        sys.exit(f"unknown axes: {sorted(unknown)}")
+    axes = [a for a in AXES if not wanted or a[0] in wanted]
     failed = []
-    for name, sf_dir, env_extra in AXES:
+    for name, sf_dir, env_extra in axes:
         env = dict(os.environ, **env_extra)
         t0 = time.time()
         proc = subprocess.run(
