@@ -34,6 +34,27 @@ from metar_pipeline_spark.operators import textops as tx
 from metar_pipeline_spark.streaming.pipeline import idempotent_batch_append
 
 
+def unigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w, c) token counts — one explode pass, map-side combined."""
+    return (
+        docs.select(F.explode(tx.tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def counts_to_distribution(counts: DataFrame) -> DataFrame:
+    """Normalize a (w, c) counts frame to (w, p_ref) with Σ p_ref = 1.
+
+    The counts frame is checkpointed (two consumers: the totals row
+    and the normalized output) — vocab grain, sublinear in corpus."""
+    cc = counts.localCheckpoint(eager=True)
+    total = cc.agg(F.sum("c").alias("t"))
+    return cc.crossJoin(F.broadcast(total)).select(
+        "w", (F.col("c").cast("double") / F.col("t")).alias("p_ref")
+    )
+
+
 def reference_unigrams(
     docs: DataFrame, text_col: str = "text", top_v: int | None = None
 ) -> DataFrame:
@@ -44,31 +65,17 @@ def reference_unigrams(
     the dropped tail then shows up as batch mass on unmatched words,
     which the scorer counts against m correctly.
     """
-    counts = (
-        docs.select(F.explode(tx.tokens(F.col(text_col))).alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("c"))
-    )
+    counts = unigram_counts(docs, text_col)
     if top_v is not None:
         counts = counts.orderBy(F.desc("c"), F.asc("w")).limit(top_v)
-    counts = counts.localCheckpoint(eager=True)  # consumed twice below
-    total = counts.agg(F.sum("c").alias("t"))
-    return (
-        counts.crossJoin(F.broadcast(total))
-        .select("w", (F.col("c").cast("double") / F.col("t")).alias("p_ref"))
-    )
+    return counts_to_distribution(counts)
 
 
-def batch_jsd(batch: DataFrame, reference: DataFrame, text_col: str = "text") -> DataFrame:
-    """One-row frame: (n_tokens, vocab, jsd_nats) of ``batch`` vs the
-    reference distribution (full-outer at vocab grain: words on either
-    side only still contribute their term)."""
-    q = (
-        batch.select(F.explode(tx.tokens(F.col(text_col))).alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("cq"))
-        .localCheckpoint(eager=True)
-    )
+def _jsd_of_counts_vs_ref(q: DataFrame, reference: DataFrame) -> DataFrame:
+    """One-row (n_tokens, vocab, jsd_nats): batch counts ``q`` (w, cq —
+    already checkpointed by the caller; two consumers) against a
+    (w, p_ref) distribution, full-outer at vocab grain so words on
+    either side only still contribute their term."""
     tq = q.agg(F.sum("cq").alias("tq"))
     joined = (
         q.join(F.broadcast(reference), "w", "full_outer")
@@ -98,6 +105,19 @@ def batch_jsd(batch: DataFrame, reference: DataFrame, text_col: str = "text") ->
     )
 
 
+def batch_jsd(
+    batch: DataFrame, reference: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """One-row frame: (n_tokens, vocab, jsd_nats) of ``batch``'s text
+    against a fixed (w, p_ref) reference distribution."""
+    q = (
+        unigram_counts(batch, text_col)
+        .select("w", F.col("c").alias("cq"))
+        .localCheckpoint(eager=True)
+    )
+    return _jsd_of_counts_vs_ref(q, reference)
+
+
 def run_drift_monitor(
     spark: SparkSession,
     source_dir: str,
@@ -124,6 +144,78 @@ def run_drift_monitor(
         idempotent_batch_append(row, metrics_dir, batch_id)
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream.writeStream.foreachBatch(score)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+def run_trailing_drift_monitor(
+    spark: SparkSession,
+    source_dir: str,
+    counts_dir: str,
+    metrics_dir: str,
+    checkpoint_dir: str,
+    schema,
+    text_col: str = "text",
+    max_files_per_trigger: int = 1,
+):
+    """Drift vs HISTORY: score each micro-batch against the unigram
+    distribution of all STRICTLY-EARLIER batches, then fold the batch's
+    own counts into the store.
+
+    The trailing store is (w, c) partitioned by ``_batch`` — each
+    batch appends its vocab-grain counts once; the reference for batch
+    N aggregates partitions ``_batch < N`` (the same strictly-earlier
+    contract stream_ingest_dedup uses), so a crash-replay of batch N
+    sees exactly the state the first attempt saw and lands identical
+    metric VALUES, not just identical row counts. Batch 0 has no
+    reference and lands ``jsd_nats = NULL`` (the documented cold-start
+    row) — its counts still seed the store.
+
+    Per batch: one explode + vocab hash-agg (checkpointed — feeds both
+    the score and the store append), one partition-pruned store read
+    aggregated to vocab grain, the broadcast full-outer JSD join. No
+    streaming state operator; the store IS the state, replay-safe.
+    """
+    def score(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        if batch.isEmpty():
+            return
+        bc = unigram_counts(batch, text_col).localCheckpoint(eager=True)
+        try:
+            prior = (
+                sp.read.parquet(counts_dir)
+                .filter(F.col("_batch") < batch_id)
+                .groupBy("w")
+                .agg(F.sum("c").alias("c"))
+            )
+            have_prior = not prior.isEmpty()
+        except Exception:  # noqa: BLE001 — store absent: first batch
+            have_prior = False
+        if have_prior:
+            ref = counts_to_distribution(prior)
+            # bc is already checkpointed — the rename projection on top
+            # of it re-reads checkpoint blocks, never the source
+            q = bc.select("w", F.col("c").alias("cq"))
+            row = _jsd_of_counts_vs_ref(q, ref)
+        else:
+            row = bc.agg(
+                F.sum("c").alias("n_tokens"),
+                F.count("*").alias("vocab"),
+                F.lit(None).cast("double").alias("jsd_nats"),
+            )
+        row = row.withColumn("batch_id", F.lit(batch_id).cast("long"))
+        idempotent_batch_append(row, metrics_dir, batch_id)
+        idempotent_batch_append(bc, counts_dir, batch_id)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .option("recursiveFileLookup", "true")
+        .parquet(source_dir)
+    )
     return (
         stream.writeStream.foreachBatch(score)
         .option("checkpointLocation", checkpoint_dir)

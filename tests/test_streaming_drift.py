@@ -94,3 +94,56 @@ def test_stream_lands_one_idempotent_row_per_batch(spark, tmp_path):
         0,
     )
     assert spark.read.parquet(metrics).count() == 1
+
+
+def test_trailing_monitor_two_batches(spark, tmp_path):
+    """Two ordered micro-batches: batch 0 is the cold-start NULL row,
+    batch 1 scores against batch 0's distribution exactly as the
+    batch-twin math says; the counts store holds one partition per
+    batch."""
+    import os
+    import time as _t
+
+    from metar_pipeline_spark.streaming.drift import (
+        run_trailing_drift_monitor,
+    )
+
+    b1 = _docs(spark, [(1, "a a b"), (2, "c d a")])
+    b2 = _docs(spark, [(100, "a b b b"), (101, "d d e")])
+    src = str(tmp_path / "src")
+    b1.coalesce(1).write.parquet(os.path.join(src, "b1"))
+    b2.coalesce(1).write.parquet(os.path.join(src, "b2"))
+    # pin distinct mtimes so b1-before-b2 ordering is deterministic
+    now = _t.time()
+    for sub, mt in (("b1", now - 20), ("b2", now - 10)):
+        d = os.path.join(src, sub)
+        for fn in os.listdir(d):
+            os.utime(os.path.join(d, fn), (mt, mt))
+
+    counts = str(tmp_path / "counts")
+    metrics = str(tmp_path / "metrics")
+    q = run_trailing_drift_monitor(
+        spark,
+        src,
+        counts,
+        metrics,
+        str(tmp_path / "ckpt"),
+        schema=b1.schema,
+    )
+    q.awaitTermination()
+
+    got = {
+        r.batch_id: r for r in spark.read.parquet(metrics).collect()
+    }
+    assert set(got) == {0, 1}
+    assert got[0].jsd_nats is None  # cold start: no reference yet
+    assert got[0].n_tokens == 6
+    want = batch_jsd(b2, reference_unigrams(b1)).collect()[0].jsd_nats
+    assert got[1].jsd_nats == pytest.approx(want, abs=1e-6)
+    # the store holds one _batch partition per batch, at vocab grain
+    store = spark.read.parquet(counts)
+    assert {r["_batch"] for r in store.select("_batch").collect()} == {0, 1}
+    assert (
+        store.groupBy("_batch", "w").count().filter("count > 1").count()
+        == 0
+    )
