@@ -5,10 +5,14 @@ The batch twin (``operators/corpus_ops.unigram_js_divergence``) diffs
 two corpus slices after the fact; an ingest pipeline wants the drift
 signal AS BATCHES ARRIVE — "this hour's crawl shard looks nothing like
 the curated reference" is an alert, not a retrospective. This module
-scores each document micro-batch against a fixed reference unigram
-distribution and appends one (batch_id, n_tokens, vocab, jsd_nats)
-row per batch to a metrics store — the same land-a-row-per-batch shape
-as streaming/monitor.py, but content drift instead of throughput.
+scores each document micro-batch against a unigram reference — either
+FIXED (``run_drift_monitor``: a curated target distribution) or
+TRAILING (``run_trailing_drift_monitor``: everything ingested before
+this batch, via a ``_batch``-partitioned counts store read with the
+strictly-earlier contract) — and appends one (batch_id, n_tokens,
+vocab, jsd_nats) row per batch to a metrics store — the same
+land-a-row-per-batch shape as streaming/monitor.py, but content drift
+instead of throughput.
 
 Scale shape: the reference distribution is vocab-grain (sublinear;
 optionally truncated to its top-V mass) and BROADCAST; each micro-batch
