@@ -1,0 +1,138 @@
+"""Vocabulary induction and cross-slice vocabulary comparison.
+
+Two corpus-grain text-ML shapes the tokenizer-training stage of a
+data pipeline needs:
+
+- ``bpe_merge_candidates``: the first round of byte-pair-encoding
+  vocabulary induction (Sennrich et al. 2016) — count every adjacent
+  character pair inside every word, weighted by corpus word frequency,
+  and surface the top merge candidates. The scale shape collapses the
+  corpus to the WORD-VOCAB grain first (one hash agg at word grain —
+  Zipf makes this frame tiny relative to the token stream), then
+  explodes character pairs off the vocab frame only: the per-pair agg
+  never sees corpus-width data. Top-k via orderBy().limit() →
+  TakeOrderedAndProject (per-partition heaps), ranked window-free by
+  ranking.rank_bounded on the ≤k survivors.
+
+- ``source_vocab_jaccard``: pairwise Jaccard similarity of the
+  DISTINCT-token vocabularies of two corpus slices (source × source
+  here; any grouping column works). The classic "how similar are two
+  data sources / crawl snapshots" audit. Shape: one distinct at
+  (slice, token) grain, one self-equi-join ON TOKEN (never a cross
+  join — the pair frame is Σ per-token slice-count², bounded by the
+  slice count, not the corpus), one hash agg at (slice, slice) grain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from metar_pipeline_spark.operators.ranking import rank_bounded
+
+_WS = r"\s+"
+
+
+def word_vocab(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(word, n) corpus word frequencies; lowercase, whitespace split."""
+    return (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), _WS)
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def bpe_merge_candidates(
+    docs: DataFrame, text_col: str = "text", k: int = 20
+) -> DataFrame:
+    """Top-k adjacent-character merge candidates: (pair, total, rank).
+
+    Words shorter than 2 chars carry no pair (filtered BEFORE the
+    sequence() generator on both engines: Spark's sequence(1, 0) counts
+    DOWN — it would fabricate indices — while DuckDB's generate_series
+    returns empty; the filter keeps the two texts equivalent).
+    Ties break on the pair string ascending; total order, so the top-k
+    frontier is deterministic.
+    """
+    vocab = word_vocab(docs, text_col).filter(F.length("word") >= 2)
+    pairs = vocab.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+        F.col("n"),
+    )
+    totals = (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").alias("total"))
+        .orderBy(F.desc("total"), F.asc("pair"))
+        .limit(k)
+    )
+    return rank_bounded(
+        totals, [(-F.col("total")).alias("nt"), F.col("pair")], n=k
+    ).select("pair", "total", F.col("rank").cast("int").alias("rank"))
+
+
+def source_vocab_jaccard(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between slices of ``group_col``.
+
+    Returns (slice_a, slice_b, n_a, n_b, n_common, jaccard) for every
+    unordered pair slice_a < slice_b that shares at least one token.
+    """
+    toks = (
+        docs.select(
+            F.col(group_col).alias("g"),
+            F.explode(
+                F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), _WS)
+            ).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    sizes = toks.groupBy("g").agg(F.count("*").alias("n_vocab"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    common = (
+        a.join(b, on="word")
+        .filter(F.col("a.g") < F.col("b.g"))
+        .groupBy(
+            F.col("a.g").alias("slice_a"), F.col("b.g").alias("slice_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("g").alias("slice_a"), F.col("n_vocab").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("g").alias("slice_b"), F.col("n_vocab").alias("n_b")
+    )
+    return (
+        common.join(sa, "slice_a")
+        .join(sb, "slice_b")
+        .select(
+            "slice_a",
+            "slice_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                ndigits,
+            ).alias("jaccard"),
+        )
+    )
