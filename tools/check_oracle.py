@@ -65,7 +65,8 @@ def main():
     args = sys.argv[1:]
     drifted_only = "--drifted" in args
     pending_only = "--pending" in args
-    args = [a for a in args if a not in ("--drifted", "--pending")]
+    staged_only = "--staged" in args
+    args = [a for a in args if a not in ("--drifted", "--pending", "--staged")]
     # the sf_dir positional is optional: `--drifted some_query` must
     # treat some_query as a query name, not a data directory
     if args and os.path.isdir(args[0]):
@@ -78,7 +79,16 @@ def main():
     if pathlike:
         sys.exit(f"not a directory (typo in sf_dir?): {pathlike}")
 
-    specs = all_queries()
+    if staged_only:
+        # --staged: the gate-staged specs (queries/staged.py) — finished
+        # but deliberately NOT registered while the verification window
+        # is full. Same comparison, same determinism bar.
+        from metar_pipeline_spark.queries.staged import STAGED
+
+        specs = dict(STAGED)
+        print(f"selected {len(specs)} STAGED (unregistered) queries")
+    else:
+        specs = all_queries()
     if drifted_only or pending_only:
         # --drifted: driver-green queries whose source/oracle hash no
         # longer matches the verified snapshot (the set the auto-boost
@@ -104,8 +114,11 @@ def main():
     if only:
         # Validate names against the FULL registry even under
         # --drifted/--pending: a typo'd name must never silently
-        # verify nothing and exit green (r6 review).
-        unknown = only - set(all_queries())
+        # verify nothing and exit green (r6 review). Under --staged the
+        # staged set IS the full namespace.
+        unknown = only - (
+            set(specs) if staged_only else set(all_queries())
+        )
         if unknown:
             sys.exit(f"unknown query names: {sorted(unknown)}")
         skipped = only - set(specs)
