@@ -13,16 +13,26 @@ Contents (SURVEY.md round-7 additions table):
 - jl_random_projection — operators/projection.py (JL sign projection)
 - bpe_merge_candidates — operators/vocab.py (BPE round-1 vocab merge)
 - source_vocab_jaccard — operators/vocab.py (slice vocabulary overlap)
+- hits_supply_graph — operators/linkanalysis.py (HITS hubs/authorities)
+- source_centroid_affinity — operators/affinity.py (dense slice affinity)
 """
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from metar_pipeline_spark.io import load_table
+from metar_pipeline_spark.operators.affinity import (
+    centroid_affinity,
+    slice_centroids,
+)
+from metar_pipeline_spark.operators.linkanalysis import hits_bipartite
 from metar_pipeline_spark.operators.projection import (
     jl_project_long,
     jl_scale,
     jl_sign_rows,
 )
+from metar_pipeline_spark.operators.ranking import rank_bounded
 from metar_pipeline_spark.operators.vocab import (
     bpe_merge_candidates as _bpe,
     source_vocab_jaccard as _jacc,
@@ -140,3 +150,129 @@ def bpe_merge_candidates(spark, sf_dir):
 def source_vocab_jaccard(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return _jacc(docs, group_col="source")
+
+
+@register_staged(
+    "hits_supply_graph",
+    """
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    a1 AS (SELECT supp, COUNT(*) AS s FROM e GROUP BY 1),
+    h1 AS (SELECT cust, CAST(SUM(s) AS BIGINT) AS s
+           FROM e JOIN a1 USING (supp) GROUP BY 1),
+    a2 AS (SELECT supp, CAST(SUM(s) AS BIGINT) AS s
+           FROM e JOIN h1 USING (cust) GROUP BY 1),
+    h2 AS (SELECT cust, CAST(SUM(s) AS BIGINT) AS s
+           FROM e JOIN a2 USING (supp) GROUP BY 1),
+    th AS (SELECT 'hub' AS node_type, cust AS node_key, s AS score
+           FROM h2 ORDER BY s DESC, cust LIMIT 25),
+    ta AS (SELECT 'authority' AS node_type, supp AS node_key, s AS score
+           FROM a2 ORDER BY s DESC, supp LIMIT 25)
+    SELECT node_type, node_key, score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY node_type
+                                   ORDER BY score DESC, node_key)
+                AS INTEGER) AS rank
+    FROM (SELECT * FROM th UNION ALL SELECT * FROM ta)
+    """,
+    doc=(
+        "HITS hubs/authorities on the customer-supplier bipartite "
+        "graph (2 authority rounds, exact integer scores): one "
+        "equi-join + hash agg per half-step, the PageRank-approved "
+        "iteration shape; top-25 per side via TakeOrderedAndProject, "
+        "window-free rank on the bounded survivors"
+    ),
+)
+def hits_supply_graph(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_suppkey").alias("supp"),
+        )
+        .distinct()
+    )
+    hubs, auths = hits_bipartite(edges, "cust", "supp", iters=2)
+    th = hubs.orderBy(F.desc("score"), F.asc("cust")).limit(25)
+    ta = auths.orderBy(F.desc("score"), F.asc("supp")).limit(25)
+    rh = rank_bounded(
+        th, [(-F.col("score")).alias("ns"), F.col("cust")], n=25
+    ).select(
+        F.lit("hub").alias("node_type"),
+        F.col("cust").alias("node_key"),
+        "score",
+        F.col("rank").cast("int").alias("rank"),
+    )
+    ra = rank_bounded(
+        ta, [(-F.col("score")).alias("ns"), F.col("supp")], n=25
+    ).select(
+        F.lit("authority").alias("node_type"),
+        F.col("supp").alias("node_key"),
+        "score",
+        F.col("rank").cast("int").alias("rank"),
+    )
+    return rh.unionByName(ra)
+
+
+@register_staged(
+    "source_centroid_affinity",
+    """
+    WITH v AS (
+      SELECT d.source AS slice, e.embedding
+      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    ),
+    dims AS (
+      SELECT slice,
+             unnest(generate_series(1, len(embedding))) - 1 AS dim,
+             unnest(embedding) AS e
+      FROM v
+    ),
+    cent AS (
+      SELECT slice, dim,
+             CAST(SUM(CAST(CAST(e AS DOUBLE) AS DECIMAL(38,10)))
+                  AS DOUBLE) / COUNT(*) AS c
+      FROM dims GROUP BY 1, 2
+    ),
+    nrm AS (
+      SELECT slice,
+             sqrt(CAST(SUM(CAST(c * c AS DECIMAL(38,18))) AS DOUBLE))
+               AS nrm
+      FROM cent GROUP BY 1
+    ),
+    dots AS (
+      SELECT a.slice AS source_a, b.slice AS source_b,
+             CAST(SUM(CAST(a.c * b.c AS DECIMAL(38,18))) AS DOUBLE)
+               AS dot
+      FROM cent a JOIN cent b USING (dim)
+      WHERE a.slice < b.slice
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b,
+           round(dot / (na.nrm * nb.nrm), 6) + 0.0 AS cosine
+    FROM dots
+    JOIN nrm na ON na.slice = dots.source_a
+    JOIN nrm nb ON nb.slice = dots.source_b
+    """,
+    doc=(
+        "Pairwise cosine between per-source embedding CENTROIDS — the "
+        "dense sibling of source_vocab_jaccard and the redundancy "
+        "measurement behind domain-mixture weights. One corpus pass to "
+        "(slice, dim) grain with exact DECIMAL accumulation; every "
+        "pairwise op runs on the |slices|x(dim) centroid frame"
+    ),
+)
+def source_centroid_affinity(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    v = emb.join(
+        docs.select(F.col("doc_id").alias("vec_id"), "source"), "vec_id"
+    )
+    cent = slice_centroids(v, "source")
+    return centroid_affinity(cent).select(
+        F.col("slice_a").alias("source_a"),
+        F.col("slice_b").alias("source_b"),
+        (F.col("cosine") + F.lit(0.0)).alias("cosine"),
+    )

@@ -1,0 +1,64 @@
+"""operators/linkanalysis.py — integer HITS on a hand-computed
+bipartite graph, iteration semantics, input contracts."""
+
+from __future__ import annotations
+
+import pytest
+
+from metar_pipeline_spark.operators.linkanalysis import hits_bipartite
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "hub long, auth long")
+
+
+# Hand graph: hubs {1,2,3}, auths {10, 20}
+#   1 -> 10;  2 -> 10, 20;  3 -> 20
+# a1 (in-degree):        a(10)=2, a(20)=2
+# h1 = sum a over edges: h(1)=2, h(2)=4, h(3)=2
+# a2 = sum h1:           a(10)=h1+h2=6, a(20)=h2+h3=6
+# h2 = sum a2:           h(1)=6, h(2)=12, h(3)=6
+GRAPH = [(1, 10), (2, 10), (2, 20), (3, 20)]
+
+
+def test_hits_one_round(spark):
+    h, a = hits_bipartite(_edges(spark, GRAPH), "hub", "auth", iters=1)
+    assert {r.auth: r.score for r in a.collect()} == {10: 2, 20: 2}
+    assert {r.hub: r.score for r in h.collect()} == {1: 2, 2: 4, 3: 2}
+
+
+def test_hits_two_rounds_hand_computed(spark):
+    h, a = hits_bipartite(_edges(spark, GRAPH), "hub", "auth", iters=2)
+    assert {r.auth: r.score for r in a.collect()} == {10: 6, 20: 6}
+    assert {r.hub: r.score for r in h.collect()} == {1: 6, 2: 12, 3: 6}
+
+
+def test_hits_asymmetric_star(spark):
+    # star: every hub points at auth 99; hub 1 also points at 50
+    edges = [(i, 99) for i in range(1, 5)] + [(1, 50)]
+    h, a = hits_bipartite(_edges(spark, edges), "hub", "auth", iters=2)
+    auth = {r.auth: r.score for r in a.collect()}
+    hub = {r.hub: r.score for r in h.collect()}
+    # a1: 99->4, 50->1; h1: hub1=5, hubs2-4=4
+    # a2: 99 = 5+4+4+4 = 17, 50 = 5
+    assert auth == {99: 17, 50: 5}
+    # h2: hub1 = 17+5 = 22, others = 17
+    assert hub == {1: 22, 2: 17, 3: 17, 4: 17}
+
+
+def test_hits_rejects_zero_iters(spark):
+    with pytest.raises(ValueError):
+        hits_bipartite(_edges(spark, GRAPH), "hub", "auth", iters=0)
+
+
+def test_hits_partition_invariance(spark):
+    e = _edges(spark, [(i % 7, (i * 3) % 5 + 100) for i in range(60)])
+    e = e.distinct()
+    h1, a1 = hits_bipartite(e, "hub", "auth", iters=3)
+    h2, a2 = hits_bipartite(e.repartition(7), "hub", "auth", iters=3)
+    assert sorted(map(tuple, h1.collect())) == sorted(
+        map(tuple, h2.collect())
+    )
+    assert sorted(map(tuple, a1.collect())) == sorted(
+        map(tuple, a2.collect())
+    )
