@@ -393,3 +393,47 @@ def mixture_temperature_weights(spark, sf_dir):
             "w_quarter"
         ),
     )
+
+
+from metar_pipeline_spark.operators.temporal_split import (  # noqa: E402
+    embargo_split,
+)
+
+
+@register_staged(
+    "temporal_embargo_split",
+    """
+    WITH e AS (
+      SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ep
+      FROM events
+    ),
+    q AS (SELECT quantile_cont(ep, 0.7) AS cutoff FROM e)
+    SELECT CASE WHEN ep <= cutoff THEN 'train'
+                WHEN ep <= cutoff + 259200.0 THEN 'embargo'
+                ELSE 'test' END AS split,
+           event_type,
+           COUNT(*) AS n_events,
+           MIN(ep) AS min_ep,
+           MAX(ep) AS max_ep
+    FROM e, q
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Purged temporal split with a 3-day embargo (de Prado 2018): "
+        "train <= exact 0.7 epoch percentile < embargo band < test, so "
+        "min(test) - max(train) > embargo by construction — the "
+        "autocorrelation-leakage guard beside the hash and "
+        "near-dup-cluster splits. One-row boundary broadcast; "
+        "integer-epoch convention shared by both engines"
+    ),
+)
+def temporal_embargo_split(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    s = embargo_split(ev, "ts", train_frac=0.7, embargo_s=3 * 86400)
+    return s.groupBy("split", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.min("ep").alias("min_ep"),
+        F.max("ep").alias("max_ep"),
+    )
