@@ -62,3 +62,29 @@ def test_staged_query_matches_oracle(spark, duck, name):
     assert cs == co, f"{name}: {ndiff} rows differ; first: " + str(
         next(((a, b) for a, b in zip(cs, co) if a != b), None)
     )
+
+
+def test_staged_plan_lint(spark):
+    """The registry-wide scale-hygiene lint, applied to the STAGED set:
+    no CartesianProduct, no row-at-a-time Python eval, and no
+    unpartitioned data-grain window (the round-7 class the rewrites
+    eliminated — staged queries must not reintroduce it; rank_bounded
+    packs bounded survivor sets without a WindowExec)."""
+    from tools.sweep_windows import unpartitioned_windows
+
+    offenders = {}
+    for name, spec in STAGED.items():
+        p = (
+            spec.spark_fn(spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        if "CartesianProduct" in p:
+            offenders[name] = "CartesianProduct"
+        if "BatchEvalPython" in p:
+            offenders[name] = "BatchEvalPython"
+        hits = unpartitioned_windows(p)
+        if hits:
+            offenders[name] = f"unpartitioned window: {hits[:1]}"
+    assert not offenders, offenders
