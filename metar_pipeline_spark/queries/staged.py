@@ -437,3 +437,56 @@ def temporal_embargo_split(spark, sf_dir):
         F.min("ep").alias("min_ep"),
         F.max("ep").alias("max_ep"),
     )
+
+
+from metar_pipeline_spark.operators.prefix import plan_shards  # noqa: E402
+
+
+@register_staged(
+    "shard_plan_manifest",
+    """
+    WITH c AS (
+      SELECT doc_id, n_chars,
+             SUM(n_chars) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cs
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n_chars,
+             CAST(floor((cs - n_chars) / 20000.0) AS INTEGER) AS shard_id
+      FROM c
+    )
+    SELECT shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM s
+    GROUP BY 1
+    """,
+    doc=(
+        "Token-budget shard manifest: docs walk doc_id order into "
+        "~20k-char shards via a DISTRIBUTED weighted prefix sum "
+        "(range exchange → per-partition sums → broadcast offsets → "
+        "pid-partitioned running window) — the weighted generalization "
+        "of distributed_rank; never a single-partition cumsum window. "
+        "The oracle IS the unpartitioned window, proving bit-equality"
+    ),
+)
+def shard_plan_manifest(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = plan_shards(
+        docs.select("doc_id", "n_chars"),
+        [F.asc("doc_id")],
+        "n_chars",
+        budget=20_000,
+    )
+    return s.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
