@@ -1,0 +1,148 @@
+"""Distributed PCA for embedding columns (Gram-matrix route).
+
+The QUALITY dimensionality reduction beside the cheap one
+(operators/projection.py's JL sign matrix): JL needs no data pass and
+preserves distances in expectation; PCA spends one corpus pass to
+find the directions that actually carry the variance — the standard
+pre-reduction before IVF/PQ when recall matters.
+
+Scale shape (the MLlib RowMatrix.computeGramianMatrix idea expressed
+in DataFrame ops): the d×d Gram matrix Σ vvᵀ is a hash aggregate over
+per-row (i, j, vᵢ·vⱼ) upper-triangle terms — the explode costs the
+honest O(n·d²) Gram arithmetic, while MAP-SIDE partial aggregation
+bounds the shuffle at (d² × map tasks) rows regardless of corpus
+size. Accumulation is exact DECIMAL, so the Gram matrix — and
+therefore the eigenbasis — is partition-invariant. The d×d
+eigendecomposition is driver-side numpy (d is the embedding width,
+never the corpus), and the projection back over the data is a
+ZERO-EXCHANGE pure projection against the literal component matrix,
+exactly like jl_project.
+
+Mean-centering is deliberately optional (center=False default): ANN
+pipelines usually reduce raw vectors; pass center=True for the
+covariance eigenbasis instead (costs one extra tiny agg: the per-dim
+DECIMAL mean, broadcast back as literals).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from metar_pipeline_spark.operators.similarity import dot
+
+_DEC = "decimal(38,12)"
+
+
+def gram_cells(
+    df: DataFrame, vec_col: str, dim: int, center: bool = False
+) -> DataFrame:
+    """The aggregated upper-triangle Gram frame: (i, j, g) with
+    0-based i ≤ j — d×(d+1)/2 rows total, exact DECIMAL partials cast
+    to double once. This is the distributed piece; fitting collects
+    it, and the gate query exposes it directly (the Gram agg is
+    SQL-expressible even though the eigensolve is not)."""
+    vec = F.col(vec_col)
+    if center:
+        means_rows = (
+            df.select(F.posexplode(vec).alias("i", "e"))
+            .groupBy("i")
+            .agg(
+                (
+                    F.sum(F.col("e").cast("double").cast(_DEC)).cast(
+                        "double"
+                    )
+                    / F.count("*")
+                ).alias("m")
+            )
+            .collect()
+        )
+        mu = [0.0] * dim
+        for r in means_rows:
+            mu[r.i] = r.m
+        vec = F.zip_with(
+            vec, F.array(*[F.lit(v) for v in mu]), lambda x, m: x - m
+        )
+    # per row: explode i, carry the (bound) vector, second explode j>=i
+    # over the per-i product slice; decimal partials keep the agg exact
+    staged = df.select(vec.alias("__v")).select(
+        F.posexplode("__v").alias("i", "__vi"), F.col("__v")
+    )
+    pairs = staged.select(
+        "i",
+        F.posexplode(
+            F.slice(
+                F.transform(
+                    "__v",
+                    lambda x: (F.col("__vi").cast("double") * x.cast("double")).cast(
+                        _DEC
+                    ),
+                ),
+                F.col("i") + 1,
+                F.lit(dim),
+            )
+        ).alias("__joff", "__p"),
+    )
+    return pairs.groupBy(
+        "i", (F.col("i") + F.col("__joff")).alias("j")
+    ).agg(F.sum("__p").cast("double").alias("g"))
+
+
+def gram_matrix(
+    df: DataFrame, vec_col: str, dim: int, center: bool = False
+) -> "list[list[float]]":
+    """Collect the exact d×d Gram (or covariance, center=True) matrix.
+
+    Only the d×(d+1)/2 aggregated upper-triangle rows are collected —
+    never data rows.
+    """
+    cells = gram_cells(df, vec_col, dim, center=center).collect()
+    G = [[0.0] * dim for _ in range(dim)]
+    for r in cells:
+        G[r.i][r.j] = r.g
+        G[r.j][r.i] = r.g
+    return G
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    k: int,
+    center: bool = False,
+) -> "tuple[list[list[float]], list[float]]":
+    """Top-k principal directions of the (optionally centered) Gram.
+
+    Returns (components, eigenvalues): k rows of length dim, ordered
+    by eigenvalue descending, each sign-fixed so its largest-magnitude
+    entry is positive (eigenvectors are sign-ambiguous; the convention
+    makes results reproducible).
+    """
+    import numpy as np
+
+    G = np.array(gram_matrix(df, vec_col, dim, center=center))
+    vals, vecs = np.linalg.eigh(G)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for idx in order:
+        v = vecs[:, idx]
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    return comps, [float(vals[i]) for i in order]
+
+
+def pca_project(
+    df: DataFrame,
+    components: "list[list[float]]",
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+) -> DataFrame:
+    """Zero-exchange projection onto the fitted components (literal
+    matrix, sequential-fold dots — the jl_project plan shape)."""
+    vec = F.col(vec_col)
+    cols = [
+        dot(vec, F.array(*[F.lit(v) for v in row])) for row in components
+    ]
+    return df.withColumn(out_col, F.array(*cols))

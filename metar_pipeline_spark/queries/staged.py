@@ -490,3 +490,39 @@ def shard_plan_manifest(spark, sf_dir):
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+from metar_pipeline_spark.operators.pca import gram_cells  # noqa: E402
+
+
+@register_staged(
+    "embedding_gram_matrix",
+    """
+    SELECT (p).i - 1 AS i, (p).j - 1 AS j,
+           round(CAST(SUM(CAST((p).v AS DECIMAL(38,12))) AS DOUBLE), 6)
+             + 0.0 AS g
+    FROM (
+      SELECT unnest(flatten(list_transform(
+               generate_series(1, len(embedding)), i ->
+                 list_transform(generate_series(i, len(embedding)), j ->
+                   {'i': i, 'j': j,
+                    'v': embedding[i]::DOUBLE * embedding[j]::DOUBLE}))))
+             AS p
+      FROM embeddings)
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "The exact d x d embedding Gram matrix (upper triangle, 2080 "
+        "cells at d=64) — the distributed piece of PCA "
+        "(operators/pca.py): per-row pair products, DECIMAL partials, "
+        "map-side combine bounds the shuffle at d^2 x tasks regardless "
+        "of corpus size; the d x d eigensolve is driver-side numpy "
+        "(not SQL-expressible), so the GATE checks the Gram agg"
+    ),
+)
+def embedding_gram_matrix(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = gram_cells(emb, "embedding", 64)
+    return cells.select(
+        "i", "j", (F.round("g", 6) + F.lit(0.0)).alias("g")
+    )

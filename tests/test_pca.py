@@ -1,0 +1,88 @@
+"""operators/pca.py — Gram matrix exactness and partition invariance,
+eigenbasis properties, numpy agreement, zero-exchange projection."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+
+from metar_pipeline_spark.operators.pca import (
+    gram_matrix,
+    pca_fit,
+    pca_project,
+)
+
+
+def _vecs(spark, rows, parts=1):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rows)],
+        "id long, embedding array<double>",
+    )
+    return df.repartition(parts) if parts > 1 else df
+
+
+def _rand(n, d, seed=0):
+    rng = random.Random(seed)
+    return [[rng.gauss(0, 1) for _ in range(d)] for _ in range(n)]
+
+
+def test_gram_matches_numpy_and_partition_invariant(spark):
+    X = _rand(80, 6, seed=1)
+    g1 = gram_matrix(_vecs(spark, X, 3), "embedding", 6)
+    g2 = gram_matrix(_vecs(spark, X, 13), "embedding", 6)
+    want = np.array(X).T @ np.array(X)
+    assert np.allclose(np.array(g1), want, atol=1e-8)
+    assert g1 == g2  # DECIMAL accumulation: exact, not just close
+
+
+def test_centered_gram_is_scatter_matrix(spark):
+    X = _rand(60, 4, seed=2)
+    g = gram_matrix(_vecs(spark, X, 5), "embedding", 4, center=True)
+    Xc = np.array(X) - np.array(X).mean(axis=0)
+    assert np.allclose(np.array(g), Xc.T @ Xc, atol=1e-6)
+
+
+def test_fit_matches_numpy_pca(spark):
+    X = _rand(100, 8, seed=3)
+    comps, vals = pca_fit(_vecs(spark, X, 7), "embedding", 8, k=3)
+    want_vals, want_vecs = np.linalg.eigh(np.array(X).T @ np.array(X))
+    order = np.argsort(want_vals)[::-1][:3]
+    assert np.allclose(vals, want_vals[order], atol=1e-6)
+    for row, idx in zip(comps, order):
+        v = want_vecs[:, idx]
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        assert np.allclose(row, v, atol=1e-6)
+    # eigenvalues descending, components unit-norm and orthogonal
+    assert vals == sorted(vals, reverse=True)
+    C = np.array(comps)
+    assert np.allclose(C @ C.T, np.eye(3), atol=1e-9)
+
+
+def test_projection_zero_exchange_and_values(spark):
+    X = _rand(40, 6, seed=4)
+    df = _vecs(spark, X)
+    comps, _ = pca_fit(df, "embedding", 6, k=2)
+    out = pca_project(df, comps)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    got = {r.id: r.proj for r in out.collect()}
+    C = np.array(comps)
+    for i, v in enumerate(X):
+        assert np.allclose(got[i], C @ np.array(v), atol=1e-9)
+
+
+def test_reconstruction_improves_with_k(spark):
+    X = _rand(120, 8, seed=5)
+    df = _vecs(spark, X, 4)
+    errs = []
+    for k in (2, 4, 8):
+        comps, _ = pca_fit(df, "embedding", 8, k=k)
+        C = np.array(comps)
+        Xn = np.array(X)
+        rec = Xn @ C.T @ C
+        errs.append(float(((Xn - rec) ** 2).sum()))
+    assert errs[0] > errs[1] > errs[2]
+    assert errs[2] < 1e-12  # k = d reconstructs exactly
