@@ -526,3 +526,77 @@ def embedding_gram_matrix(spark, sf_dir):
     return cells.select(
         "i", "j", (F.round("g", 6) + F.lit(0.0)).alias("g")
     )
+
+
+@register_staged(
+    "split_balance_chi2",
+    """
+    WITH assigned AS (
+      SELECT source,
+             CASE WHEN u < 0.8 THEN 'train'
+                  WHEN u < 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT source,
+               ((doc_id * 2654435761) % 4294967296 + 0.5)
+                 / 4294967296.0 AS u
+        FROM documents)
+    ),
+    cells AS (
+      SELECT split, source, COUNT(*) AS observed
+      FROM assigned GROUP BY 1, 2
+    ),
+    bs AS (SELECT split, CAST(SUM(observed) AS BIGINT) AS ns
+           FROM cells GROUP BY 1),
+    bc AS (SELECT source, CAST(SUM(observed) AS BIGINT) AS nc
+           FROM cells GROUP BY 1),
+    t AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM cells)
+    SELECT c.split, c.source, c.observed,
+           round(bs.ns * bc.nc / t.n, 6) AS expected,
+           round((c.observed - bs.ns * bc.nc / t.n)
+                 * (c.observed - bs.ns * bc.nc / t.n)
+                 / (bs.ns * bc.nc / t.n), 6) AS chi2_term
+    FROM cells c
+    JOIN bs USING (split)
+    JOIN bc USING (source)
+    CROSS JOIN t
+    """,
+    doc=(
+        "Split-balance audit: observed vs expected (independence) "
+        "counts per (split, source) cell of the REAL hash splitter, "
+        "with per-cell chi-square contributions — the stratification "
+        "QA a mixture designer reads before trusting a split. One "
+        "corpus-width agg at cell grain; every marginal derives from "
+        "the 60-cell frame (empty cells are absent identically on "
+        "both engines)"
+    ),
+)
+def split_balance_chi2(spark, sf_dir):
+    from metar_pipeline_spark.operators.curation import (
+        train_val_test_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        train_val_test_split(docs)
+        .groupBy("split", "source")
+        .agg(F.count("*").alias("observed"))
+    )
+    bs = cells.groupBy("split").agg(F.sum("observed").alias("ns"))
+    bc = cells.groupBy("source").agg(F.sum("observed").alias("nc"))
+    t = cells.agg(F.sum("observed").alias("n"))
+    e = F.col("ns") * F.col("nc") / F.col("n")
+    return (
+        cells.join(bs, "split")
+        .join(bc, "source")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "split",
+            "source",
+            "observed",
+            F.round(e, 6).alias("expected"),
+            F.round(
+                (F.col("observed") - e) * (F.col("observed") - e) / e, 6
+            ).alias("chi2_term"),
+        )
+    )
