@@ -2713,3 +2713,67 @@ def hybrid_search_rrf(spark, sf_dir):
     return rank_bounded(
         fused, [-F.col("rrf_score"), F.col("doc_id")], n=10
     ).select("doc_id", "rrf_score", "bm25_rank", "ann_rank", "rank")
+
+
+@register(
+    "dedup_containment_pairs",
+    f"""
+    WITH toksrc AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    shs AS (SELECT doc_id, list_distinct({_DUCK_SHINGLE3}) AS sh FROM toksrc),
+    hs AS (
+      SELECT doc_id, sh,
+             list_transform(sh, s -> [md5('0:' || s), md5('1:' || s), md5('2:' || s)]) AS hs
+      FROM shs WHERE len(sh) > 0
+    ),
+    sig AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 11), i ->
+               list_min(list_transform(hs, h -> substr(h[(i // 4) + 1], (i % 4) * 8 + 1, 8)))) AS sig
+      FROM hs
+    ),
+    expanded AS (SELECT doc_id, sig, unnest(generate_series(0, 5)) AS band FROM sig),
+    buckets AS (
+      SELECT doc_id, band,
+             md5(array_to_string(list_slice(sig, band * 2 + 1, band * 2 + 2), '|')) AS bucket
+      FROM expanded
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    sets AS (SELECT doc_id, sh AS s FROM shs),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             round(len(list_intersect(x.s, y.s))
+                   / greatest(len(x.s), 1), 6) AS c_a_in_b,
+             round(len(list_intersect(x.s, y.s))
+                   / greatest(len(y.s), 1), 6) AS c_b_in_a
+      FROM cands c
+      JOIN sets x ON x.doc_id = c.id_a
+      JOIN sets y ON y.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, c_a_in_b, c_b_in_a
+    FROM scored
+    WHERE greatest(c_a_in_b, c_b_in_a) >= 0.6
+    """,
+    doc=(
+        "Asymmetric near-dup via DIRECTIONAL shingle containment "
+        "(Broder 1997): same MinHash(12)+LSH(6x2) candidate path as "
+        "dedup_minhash_lsh_pairs, scored |A∩B|/|A| and |A∩B|/|B| — "
+        "catches quote-inclusion / truncation pairs whose symmetric "
+        "Jaccard stays under the dedup threshold "
+        "(operators/containment.py; promoted from queries/staged.py "
+        "into the round-7 gate's one free window slot)"
+    ),
+)
+def dedup_containment_pairs(spark, sf_dir):
+    from metar_pipeline_spark.operators.containment import (
+        lsh_containment_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_containment_pairs(
+        docs, "doc_id", "text",
+        num_hashes=12, bands=6, shingle_n=3, threshold=0.6,
+    )
