@@ -55,7 +55,7 @@ def gram_cells(
                     / F.count("*")
                 ).alias("m")
             )
-            .collect()
+            .collect()  # bounded-collect: d aggregated per-dim means
         )
         mu = [0.0] * dim
         for r in means_rows:
@@ -96,7 +96,12 @@ def gram_matrix(
     Only the d×(d+1)/2 aggregated upper-triangle rows are collected —
     never data rows.
     """
-    cells = gram_cells(df, vec_col, dim, center=center).collect()
+    # bounded-collect: d*(d+1)/2 aggregated cells (embedding width²,
+    # config-bounded, never data rows) — the driver-side eigensolve
+    # needs the matrix, exactly like MLlib computeGramianMatrix
+    cells = gram_cells(
+        df, vec_col, dim, center=center
+    ).collect()  # bounded-collect: dim-grain
     G = [[0.0] * dim for _ in range(dim)]
     for r in cells:
         G[r.i][r.j] = r.g

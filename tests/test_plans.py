@@ -199,11 +199,24 @@ def test_package_has_no_driver_side_materialization():
     from pathlib import Path
 
     pkg = Path(__file__).resolve().parent.parent / "metar_pipeline_spark"
+    # Scoped allowance: a `.collect()` tagged `# bounded-collect:` in an
+    # ALLOWLISTED file reads a dimension-grain aggregated frame (pca.py
+    # collects the d per-dim means and the d*(d+1)/2 Gram cells for the
+    # driver-side eigensolve — bounded by embedding width, never data;
+    # the MLlib computeGramianMatrix shape). Both conditions are
+    # required, so an untagged collect anywhere — or a tagged one in
+    # any other file — still fails the lint.
+    bounded_collect_files = {"pca.py"}
     offenders = []
     for f in sorted(pkg.rglob("*.py")):
         text = f.read_text()
         for i, line in enumerate(text.splitlines(), 1):
             if re.search(r"\.collect\(|\.toPandas\(|\.toLocalIterator\(", line):
+                if (
+                    f.name in bounded_collect_files
+                    and "bounded-collect:" in line
+                ):
+                    continue
                 offenders.append(f"{f.name}:{i}: {line.strip()}")
             if ".first()" in line:
                 # scalar-read allowance: the expression must aggregate
