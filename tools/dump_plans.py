@@ -45,6 +45,13 @@ SHOWCASE = [
         "CartesianProduct / BroadcastNestedLoopJoin anywhere.",
     ),
     (
+        "dedup_containment_pairs",
+        "Directional containment rides the SAME banded candidate plan "
+        "as the Jaccard query (shared band_buckets path) — the only "
+        "delta is the per-pair score projection, so the asymmetric "
+        "dedup costs no extra shuffle over the symmetric one.",
+    ),
+    (
         "decontaminate_ngram_overlap",
         "Eval-set n-gram digests broadcast against the corpus gram "
         "stream; the corpus side is never reshuffled for the probe.",
