@@ -136,3 +136,53 @@ def source_vocab_jaccard(
             ).alias("jaccard"),
         )
     )
+
+
+def gram_novelty_by_slice(
+    docs: DataFrame,
+    slice_col: str = "source",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Marginal-contribution curve: per slice, how many of its distinct
+    word-``shingle_n``-grams appear in NO earlier slice (slices ordered
+    by ``slice_col`` ascending — the caller picks a column whose order
+    IS the ingestion order).
+
+    The data-collection diminishing-returns audit: a source whose
+    novelty_rate ≈ 0 re-crawls what the corpus already holds. Shape:
+    one (slice, gram) distinct, one gram-grain MIN agg (first slice to
+    contribute each gram — map-side combinable), two slice-grain
+    rollups; the shuffle carries only grams, never documents.
+
+    Output: (slice, n_grams, new_grams, novelty_rate).
+    """
+    from metar_pipeline_spark.operators.textops import (
+        tokens as _tokens,
+        word_shingles as _shingles,
+    )
+
+    g = (
+        docs.select(
+            F.col(slice_col).alias("slice"),
+            _tokens(F.col(text_col)).alias("_t"),
+        )
+        .select(
+            "slice",
+            F.explode(
+                F.array_distinct(_shingles(F.col("_t"), shingle_n))
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    first = g.groupBy("gram").agg(F.min("slice").alias("slice"))
+    new = first.groupBy("slice").agg(F.count("*").alias("new_grams"))
+    tot = g.groupBy("slice").agg(F.count("*").alias("n_grams"))
+    return tot.join(new, "slice", "left").select(
+        "slice",
+        "n_grams",
+        F.coalesce(F.col("new_grams"), F.lit(0)).alias("new_grams"),
+        F.round(
+            F.coalesce(F.col("new_grams"), F.lit(0)) / F.col("n_grams"), 6
+        ).alias("novelty_rate"),
+    )

@@ -539,3 +539,45 @@ def split_balance_chi2(spark, sf_dir):
             ).alias("chi2_term"),
         )
     )
+
+
+from metar_pipeline_spark.operators.vocab import (  # noqa: E402
+    gram_novelty_by_slice,
+)
+
+# Shared tokenizer/shingle SQL fragments (single source of truth with
+# the registered dedup family's oracles).
+from metar_pipeline_spark.queries.text_ml import (  # noqa: E402
+    _DUCK_SHINGLE3,
+    _DUCK_TOKS,
+)
+
+
+@register_staged(
+    "source_novelty_curve",
+    f"""
+    WITH tk AS (SELECT source, {_DUCK_TOKS} AS toks FROM documents),
+    g AS (
+      SELECT DISTINCT source AS slice, gram FROM (
+        SELECT source,
+               unnest(list_distinct({_DUCK_SHINGLE3})) AS gram
+        FROM tk)
+    ),
+    first AS (SELECT gram, MIN(slice) AS slice FROM g GROUP BY 1),
+    new AS (SELECT slice, COUNT(*) AS new_grams FROM first GROUP BY 1),
+    tot AS (SELECT slice, COUNT(*) AS n_grams FROM g GROUP BY 1)
+    SELECT t.slice, t.n_grams,
+           COALESCE(n.new_grams, 0) AS new_grams,
+           round(COALESCE(n.new_grams, 0) / t.n_grams, 6) AS novelty_rate
+    FROM tot t LEFT JOIN new n ON n.slice = t.slice
+    """,
+    doc=(
+        "Data-collection diminishing-returns curve: per source (in "
+        "ingestion order), the count and rate of word-3-grams no "
+        "earlier source contributed — gram-grain MIN agg, shuffle "
+        "carries grams only, never documents"
+    ),
+)
+def source_novelty_curve(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return gram_novelty_by_slice(docs, "source", "text", shingle_n=3)

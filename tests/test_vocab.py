@@ -84,3 +84,57 @@ def test_jaccard_partition_invariance(spark):
         )
     )
     assert a == b
+
+
+def test_gram_novelty_first_slice_wins(spark):
+    from metar_pipeline_spark.operators.vocab import gram_novelty_by_slice
+
+    # slices in lexical order: A then B. 2-grams:
+    # A: {x y, y z}; B doc1: {x y (old), q r (new)}
+    docs = spark.createDataFrame(
+        [
+            (1, "x y z", "A"),
+            (2, "x y", "B"),
+            (3, "q r", "B"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r.slice: r
+        for r in gram_novelty_by_slice(
+            docs, "source", "text", shingle_n=2
+        ).collect()
+    }
+    assert got["A"].n_grams == 2 and got["A"].new_grams == 2
+    assert got["A"].novelty_rate == 1.0
+    assert got["B"].n_grams == 2  # {x y, q r} distinct at slice grain
+    assert got["B"].new_grams == 1  # only "q r" is new
+    assert got["B"].novelty_rate == 0.5
+
+
+def test_gram_novelty_totals_partition_invariant(spark):
+    from metar_pipeline_spark.operators.vocab import gram_novelty_by_slice
+
+    rows = [
+        (i, " ".join(f"w{(i * 5 + j) % 9}" for j in range(6)), f"s{i % 4}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    a = sorted(map(tuple, gram_novelty_by_slice(df, "source").collect()))
+    b = sorted(
+        map(tuple, gram_novelty_by_slice(df.repartition(7), "source").collect())
+    )
+    assert a == b
+    # every gram is new in exactly one slice: Σ new == distinct grams
+    total_new = sum(r[2] for r in a)
+    import pyspark.sql.functions as F
+    from metar_pipeline_spark.operators.textops import tokens, word_shingles
+
+    n_grams = (
+        df.select(
+            F.explode(word_shingles(tokens(F.col("text")), 3)).alias("g")
+        )
+        .distinct()
+        .count()
+    )
+    assert total_new == n_grams
