@@ -94,3 +94,60 @@ def test_new_operator_plans_have_no_cartesian(spark):
     for name, df in plans.items():
         p = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in p, name
+
+
+def test_projection_shortlist_quality_laws(spark):
+    """The production use of a projection is filter-then-rerank:
+    shortlist by projected-space cosine, rerank at full width. The
+    testdata embeddings are NEAR-ISOTROPIC (the top-8 eigenvalues of
+    the Gram carry only ~20% of total variance vs the 12.5% uniform
+    floor — measured), so no 8-dim view can shortlist perfectly here;
+    the laws that must hold regardless of spectrum shape are
+    (a) shortlist recall improves monotonically with the projection
+    width, and (b) PCA at width k never does materially worse than JL
+    at width k (PCA picks the TOP-variance directions; JL picks random
+    ones)."""
+    import numpy as np
+
+    from metar_pipeline_spark.operators.pca import pca_fit, pca_project
+    from metar_pipeline_spark.operators.projection import jl_project
+
+    emb = load_table(spark, SF, "embeddings")
+    base = emb.select("vec_id", "embedding")
+    X = np.array(
+        [r.embedding for r in base.orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+
+    def recall(P, shortlist=50):
+        Pn = P / np.maximum(
+            np.linalg.norm(P, axis=1, keepdims=True), 1e-12
+        )
+        rs = []
+        for q in range(5):
+            full = Xn @ Xn[q]
+            proj = Pn @ Pn[q]
+            full[q] = -2.0
+            proj[q] = -2.0
+            t = set(np.argsort(full)[::-1][:10])
+            s = set(np.argsort(proj)[::-1][:shortlist])
+            rs.append(len(t & s) / 10)
+        return sum(rs) / len(rs)
+
+    def jl_mat(k):
+        rows = (
+            jl_project(base, 64, k, seed=7)
+            .orderBy("vec_id")
+            .collect()
+        )
+        return np.array([r.proj for r in rows])
+
+    r8, r16, r32 = (recall(jl_mat(k)) for k in (8, 16, 32))
+    assert r8 < r16 < r32, (r8, r16, r32)  # (a) width monotonicity
+    assert r32 >= 0.5  # half-width JL already a usable shortlist
+
+    comps, _ = pca_fit(base, "embedding", 64, k=8)
+    rows = pca_project(base, comps).orderBy("vec_id").collect()
+    r_pca8 = recall(np.array([r.proj for r in rows]))
+    assert r_pca8 >= r8 - 0.05, (r_pca8, r8)  # (b) PCA ≥ JL at k
