@@ -85,8 +85,12 @@ def plan_shards(
     standard greedy manifest rule; deterministic given the order).
     """
     ps = distributed_prefix_sum(df, sort_cols, weight_col)
-    start = F.col("cumsum") - F.col(weight_col)
+    # `div` = exact LONG integer division: a double floor(x / budget)
+    # silently goes off-by-one once the running total passes 2^53
+    # (a petabyte-scale corpus in char weights) — integer div never does.
     return ps.withColumn(
         shard_col,
-        F.floor(start / F.lit(float(budget))).cast("int"),
+        F.expr(
+            f"(cumsum - `{weight_col}`) div {int(budget)}"
+        ).cast("int"),
     )
