@@ -41,7 +41,16 @@ def hits_bipartite(
     """
     if iters < 1:
         raise ValueError("iters >= 1")
-    e = edges.select(hub_col, auth_col)
+    # The edge list is consumed by 2×iters joins; without a pin each
+    # half-step re-derives the caller's whole edge lineage (an
+    # orders⋈lineitem distinct in the supply query — 4 re-joins
+    # observed). cache(), NOT localCheckpoint: the checkpoint's
+    # ExistingRDD hides size statistics and every score join fell back
+    # to SortMergeJoin (measured 3.0 s warm at sf0.1); the cached
+    # relation keeps stats, every join plans Broadcast, 2.2 s warm
+    # (2.9 s unpinned). The cache-race gotcha doesn't bite here: the
+    # joins consume `e` sequentially within one chained job.
+    e = edges.select(hub_col, auth_col).cache()
     # a¹ = in-degree (h⁰ = 1 for every hub)
     a = e.groupBy(auth_col).agg(F.count("*").alias("score"))
     for _ in range(iters - 1):
