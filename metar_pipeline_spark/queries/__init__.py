@@ -53,19 +53,14 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # the auto-boost catches direct query/oracle edits and one-hop operator
 # module edits, but not deeper transitive changes).
 VERIFY_FIRST: list[str] = [
-    # Empty (round 7): the round-6 gate verified all 50 windowed
-    # queries green (202/205 cumulative; the 3 sketch queries are
-    # rows-only by design and re-verify every round as category 1).
-    # Round 7's window-hygiene rework (operators/ranking.py replacing
-    # every data-grain unpartitioned window; similarity.centroid_argmax
-    # replacing the max_by assignment) drifted the curation/similarity/
-    # sketch families plus the individually-edited rank queries — 42
-    # drifted + 1 new (schema_drift_report) = 44/50 window slots; all
-    # outputs are bit-identical by construction (distributed_rank ≡
-    # row_number, ntile_from_rank ≡ NTILE, rank_bounded ≡ rank over
-    # survivors) and every drifted+pending query re-verified locally at
-    # sf0.01 (`tools/check_oracle.py --drifted --pending`: 43/43
-    # match). Registry growth frozen at 206 for the round.
+    # Empty (round 8): round 7 closed fully green — all 50 windowed
+    # queries verified (210/213 cumulative green; the 3 sketch queries
+    # are rows-only by design and re-verify every round as category 1).
+    # Round-8 window load comes from registration, not drift: the 11
+    # round-7-staged specs (queries/staged.py) are now dual-registered
+    # and enter as category-1 never-green entries, alongside this
+    # round's new queries. All were re-verified locally at sf0.01
+    # before registration (`tools/check_oracle.py --pending`).
 ]
 
 
@@ -206,6 +201,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline_q,
         scale_q,
         sql_api,
+        staged,
         text_ml,
         timeseries_q,
         tpch_more,
