@@ -320,6 +320,34 @@ def chunk_documents(
     )
 
 
+_HASH_MULT = 2654435761  # Knuth multiplicative constant (mod 2^32)
+
+
+def hash_unit_01(col) -> Column:
+    """Deterministic id → [0, 1): ``((id * 2654435761) mod 2^32 + 0.5)
+    / 2^32`` computed overflow-safely for ANY nonnegative 64-bit id.
+
+    The naive ``col * 2654435761`` wraps negative in (non-ANSI) Spark
+    once ``col`` ≥ ~2^33 — and ``%`` keeps the sign, so every such id
+    mapped below 0 (always "train" in a split). DuckDB instead promotes
+    to INT128, silently breaking engine parity. This form reduces the
+    id to 32 bits first (``pmod``), then does the 32×32→mod-2^32
+    multiply in two 16-bit halves so no intermediate exceeds ~2^48:
+    exact on any engine's int64, bit-identical to the naive formula for
+    all ids in [0, 2^32) — which is why the registered oracles that
+    spell the naive formula in SQL over small test ids still match.
+    """
+    y = F.pmod(col.cast("long"), F.lit(4294967296))
+    hi = F.shiftright(y, 16)  # y < 2^32 ⇒ exact high half
+    lo = y - hi * F.lit(65536)
+    m = F.pmod(
+        F.pmod(hi * F.lit(_HASH_MULT), F.lit(65536)) * F.lit(65536)
+        + lo * F.lit(_HASH_MULT),
+        F.lit(4294967296),
+    )
+    return (m + F.lit(0.5)) / F.lit(4294967296.0)
+
+
 def train_val_test_split(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -336,10 +364,7 @@ def train_val_test_split(
     each split is a partition-pruned read, and the write pays the one
     pass; nothing is re-derived at training time.
     """
-    u = (
-        (F.col(id_col) * F.lit(2654435761)) % F.lit(4294967296)
-        + F.lit(0.5)
-    ) / F.lit(4294967296.0)
+    u = hash_unit_01(F.col(id_col))
     train_f, val_f = fractions
     split = (
         F.when(u < F.lit(train_f), F.lit("train"))

@@ -33,10 +33,15 @@ from metar_pipeline_spark.operators.dedup import connected_components
 
 def _hash_unit(col) -> F.Column:
     # the multiplicative integer hash train_val_test_split uses —
-    # shared so cluster-grain and doc-grain splits are comparable
-    return (
-        (col * F.lit(2654435761)) % F.lit(4294967296) + F.lit(0.5)
-    ) / F.lit(4294967296.0)
+    # shared (one implementation) so cluster-grain and doc-grain splits
+    # are comparable. Component ids here are min-node labels, so at
+    # 100 TB they inherit the full 64-bit doc-id range — the shared
+    # helper's overflow-safe reduction (curation.hash_unit_01) is what
+    # keeps u in [0, 1) for ids ≥ 2^33 (the naive multiply wrapped
+    # negative and sent every such cluster to "train").
+    from metar_pipeline_spark.operators.curation import hash_unit_01
+
+    return hash_unit_01(col)
 
 
 def leakage_safe_split(

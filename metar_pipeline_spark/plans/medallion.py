@@ -41,7 +41,10 @@ def _read_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
 
 
 def stg_stage(
-    spark: SparkSession, normalized: DataFrame, base_dir: str
+    spark: SparkSession,
+    normalized: DataFrame,
+    base_dir: str,
+    run_id: int | None = None,
 ) -> None:
     """stg: typed observations, strict watermark, merge by id.
 
@@ -79,12 +82,25 @@ def stg_stage(
     )
 
     snap_store = os.path.join(base_dir, "_schema_snapshots")
-    try:
-        run_id = sum(
-            1 for d in os.listdir(snap_store) if d.startswith("_run=")
-        )
-    except FileNotFoundError:
-        run_id = 0
+    metrics = obs.get
+    if run_id is None:
+        # Batch-identity run id (NOT a directory count): the batch's
+        # own high-watermark boundary in epoch seconds, read off the
+        # observe metrics the merge scan already computed. Re-running
+        # the same stg batch reproduces the same run_id, so the
+        # dynamic-partition overwrite in record_schema_snapshot
+        # idempotently replaces its OWN snapshot (a dir-count id
+        # allocated a fresh partition per retry, making detect_drift
+        # diff a rerun against its first attempt — and assumed a local
+        # fs). Monotone across watermark-advancing batches, so
+        # detect_drift's newest-two ordering stays chronological.
+        hw = metrics.get("max_observed")
+        if hw is None:
+            # Empty batch (everything behind the watermark): no fresh
+            # data, nothing to snapshot — and no stable identity to
+            # key an overwrite on.
+            return
+        run_id = int(hw.timestamp())
     record_schema_snapshot(normalized, snap_store, run_id)
 
 
@@ -213,12 +229,17 @@ def dwh_stage(spark: SparkSession, base_dir: str) -> None:
 
 
 def run_medallion(
-    spark: SparkSession, normalized: DataFrame, base_dir: str
+    spark: SparkSession,
+    normalized: DataFrame,
+    base_dir: str,
+    run_id: int | None = None,
 ) -> dict[str, DataFrame]:
     """One pipeline run (≡ one dbt build): stg → {ods, int} → dwh.
     Call repeatedly with new batches for incremental behavior; first
-    call is the L3 full refresh."""
-    stg_stage(spark, normalized, base_dir)
+    call is the L3 full refresh. ``run_id`` (optional) keys the schema
+    snapshot; when omitted it derives from the batch's own watermark
+    boundary so reruns are idempotent."""
+    stg_stage(spark, normalized, base_dir, run_id=run_id)
     ods_stage(spark, base_dir)
     int_stage(spark, base_dir)
     dwh_stage(spark, base_dir)

@@ -134,6 +134,21 @@ def quarantine_violations(
                 .partitionBy("_run")
                 .parquet(os.path.join(store_path, a.name))
             )
+        else:
+            # Pass-transition idempotency: a rerun of run_id whose
+            # violations dropped to zero must not leave the previous
+            # attempt's _run=N partition behind (the store would show
+            # stale quarantined rows for a run the results list
+            # reports as passed). Drop that one partition if present.
+            spark = v.sparkSession
+            part = os.path.join(
+                store_path, a.name, f"_run={int(run_id)}"
+            )
+            jvm = spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(part)
+            fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.exists(hpath):
+                fs.delete(hpath, True)
         results.append(
             {
                 "name": a.name,

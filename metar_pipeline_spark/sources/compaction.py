@@ -104,10 +104,13 @@ def compact_partitions(
     ``ceil(bytes / target_file_bytes)`` files, staged under a
     dot-prefixed sibling (invisible to Spark's listing), then swapped
     by renaming the live dir aside → staging into place → dropping the
-    aside: the partition is visible (old or new) at every instant, so
-    a crash can never leave it absent from a serving table. Same
-    single-writer contract as ``compact_parquet_dir`` /
-    ``sources/merge.upsert_parquet``.
+    aside: old data is never destroyed before the new data is in
+    place. A crash in the narrow window between the two renames leaves
+    the live path briefly absent — the next ``compact_partitions`` run
+    repairs it first thing (see the recovery sweep below), restoring
+    the aside copy, so no data is ever lost and the gap never outlives
+    one maintenance cycle. Same single-writer contract as
+    ``compact_parquet_dir`` / ``sources/merge.upsert_parquet``.
 
     Returns ``{decoded_partition_value: (files_before, files_after)}``
     for every partition that was (or with ``dry_run=True``, would be)
@@ -118,6 +121,26 @@ def compact_partitions(
 
     fs, hpath, _ = _hadoop_fs(spark, path)
     prefix = f"{partition_col}="
+    # Recovery sweep: a crash between rename(live→aside) and
+    # rename(staging→live) leaves the partition's data stranded in a
+    # `.{name}.__old__` dir with no live dir (and the live-dir listing
+    # below would silently skip it). Restore any such aside whose live
+    # path is absent; drop asides whose live path exists (crash after
+    # the second rename — the new data already won).
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if not (
+            st.isDirectory()
+            and name.startswith(f".{prefix}")
+            and name.endswith(".__old__")
+        ):
+            continue
+        live_name = name[1:-len(".__old__")]
+        _, live, _ = _hadoop_fs(spark, f"{path.rstrip('/')}/{live_name}")
+        if fs.exists(live):
+            fs.delete(st.getPath(), True)
+        else:
+            fs.rename(st.getPath(), live)
     out: dict[str, tuple[int, int]] = {}
     for st in fs.listStatus(hpath):
         name = st.getPath().getName()

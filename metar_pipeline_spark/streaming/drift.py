@@ -188,7 +188,19 @@ def run_trailing_drift_monitor(
         if batch.isEmpty():
             return
         bc = unigram_counts(batch, text_col).localCheckpoint(eager=True)
-        try:
+        # Cold start is decided by explicit store-path existence, NOT
+        # by catching read errors: a transient IO failure or corrupt
+        # store masked as "first batch" would land a NULL-jsd row for
+        # batch N>0, and a later replay of that batch (store readable
+        # again) would land DIFFERENT values — violating this module's
+        # replay-identical-values contract. Real read errors must fail
+        # the batch so the checkpoint retries it.
+        jvm_path = sp._jvm.org.apache.hadoop.fs.Path(counts_dir)
+        fs = jvm_path.getFileSystem(
+            sp._jsc.hadoopConfiguration()
+        )
+        have_prior = False
+        if fs.exists(jvm_path):
             prior = (
                 sp.read.parquet(counts_dir)
                 .filter(F.col("_batch") < batch_id)
@@ -196,8 +208,6 @@ def run_trailing_drift_monitor(
                 .agg(F.sum("c").alias("c"))
             )
             have_prior = not prior.isEmpty()
-        except Exception:  # noqa: BLE001 — store absent: first batch
-            have_prior = False
         if have_prior:
             ref = counts_to_distribution(prior)
             # bc is already checkpointed — the rename projection on top

@@ -105,3 +105,52 @@ def test_fractions_roughly_hold(spark):
     assert 0.7 < got["train"] / 2000 < 0.9
     assert 0.05 < got["val"] / 2000 < 0.15
     assert 0.05 < got["test"] / 2000 < 0.15
+
+
+def test_hash_unit_overflow_safe_for_huge_ids(spark):
+    """Ids ≥ 2^33 (the 100-TB doc-id range; component ids inherit it)
+    must still map into [0, 1) — the naive `id * 2654435761` wrapped
+    negative in non-ANSI Spark and sent every such cluster to 'train'.
+    For ids < 2^32 the overflow-safe form is bit-identical to the
+    naive formula (what the registered oracles spell in SQL)."""
+    from metar_pipeline_spark.operators.curation import hash_unit_01
+
+    small = list(range(0, 2000, 7)) + [2**31 - 1]
+    # the naive multiply already overflows at id ≈ 2^31.8; everything
+    # from there up is the regression range
+    huge = [2**32 - 1, 2**33 + 1, 2**40 + 123, 2**52 + 5, 2**62 + 17]
+    # under this session's ANSI mode the naive multiply THROWS on huge
+    # ids (non-ANSI clusters wrap negative instead) — either way the
+    # operator must not use it; compare against naive on small ids only
+    sm = spark.createDataFrame([(i,) for i in small], "id long")
+    got = sm.select(
+        "id",
+        hash_unit_01(F.col("id")).alias("u"),
+        (
+            ((F.col("id") * F.lit(2654435761)) % F.lit(4294967296)
+             + F.lit(0.5)) / F.lit(4294967296.0)
+        ).alias("naive"),
+    ).collect()
+    for r in got:
+        assert r.u == r.naive, r.id
+        assert 0.0 < r.u < 1.0
+    hg = spark.createDataFrame([(i,) for i in huge], "id long")
+    by_id = {
+        r.id: r.u for r in hg.select("id", hash_unit_01(F.col("id")).alias("u")).collect()
+    }
+    for i in huge:
+        assert 0.0 < by_id[i] < 1.0, (i, by_id[i])
+        # true mathematical value, engine-independent
+        expect = ((i * 2654435761) % 4294967296 + 0.5) / 4294967296.0
+        assert abs(by_id[i] - expect) < 1e-12, i
+
+    # a split over huge-id docs lands a MIX of splits, never all-train
+    docs = spark.createDataFrame(
+        [(2**33 + i,) for i in range(500)], "doc_id long"
+    )
+    empty = spark.createDataFrame([], "a long, b long")
+    splits = {
+        r.split
+        for r in leakage_safe_split(docs, empty).select("split").distinct().collect()
+    }
+    assert splits == {"train", "val", "test"}

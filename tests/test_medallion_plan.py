@@ -120,9 +120,27 @@ def test_medallion_schema_snapshots_and_drift(spark, tmp_path):
     run_medallion(spark, _normalized(spark, _docs(icaos, 2, 3.0)), base)
 
     store = os.path.join(base, "_schema_snapshots")
-    runs = {d for d in os.listdir(store) if d.startswith("_run=")}
-    assert runs == {"_run=0", "_run=1"}
+
+    def _runs():
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(store)
+            if d.startswith("_run=")
+        )
+
+    # run_id = the batch's own watermark boundary (epoch seconds):
+    # batch identity, not a directory count — two batches, two runs,
+    # chronologically ordered
+    runs = _runs()
+    assert len(runs) == 2 and runs[0] < runs[1]
     # same normalization schema both runs → empty report
+    assert detect_drift(spark, store).count() == 0
+
+    # replaying batch 2 (all rows now behind the stg watermark → empty
+    # fresh set) must NOT allocate a new snapshot run: the rerun has no
+    # fresh data and no batch identity of its own
+    run_medallion(spark, _normalized(spark, _docs(icaos, 2, 3.0)), base)
+    assert _runs() == runs
     assert detect_drift(spark, store).count() == 0
 
     # an evolved third batch: drop wind_speed_kt, retype temperature_c,
@@ -135,7 +153,10 @@ def test_medallion_schema_snapshots_and_drift(spark, tmp_path):
         record_schema_snapshot,
     )
 
-    record_schema_snapshot(evolved, store, 2)
+    # a caller-passed run id newer than the epoch-derived ones: the
+    # evolved batch's snapshot must become the detect_drift "current"
+    evolved_run = _runs()[-1] + 60
+    record_schema_snapshot(evolved, store, evolved_run)
     got = {
         (r.column_name, r.change_type, r.from_type, r.to_type)
         for r in detect_drift(spark, store).collect()
@@ -146,5 +167,5 @@ def test_medallion_schema_snapshots_and_drift(spark, tmp_path):
     assert len(got) == 3
 
     # idempotent re-record of the same run (replay) does not duplicate
-    record_schema_snapshot(evolved, store, 2)
+    record_schema_snapshot(evolved, store, evolved_run)
     assert detect_drift(spark, store).count() == 3

@@ -262,3 +262,14 @@ def test_quarantine_violations_dead_letter_store(spark, tmp_path):
     assert spark.read.parquet(
         os.path.join(store, "relationships_fk")
     ).count() == 4
+
+    # pass-transition idempotency: replaying run 1 after the data was
+    # fixed (violations now zero) must DROP run 1's stale partition —
+    # the store must not show quarantined rows for a passing run
+    fixed_child = child.filter(F.col("fk").isin("A", "B") | F.col("fk").isNull())
+    fixed_suite = [relationships(fixed_child, parent, "fk", "pk")]
+    res2 = quarantine_violations(fixed_suite, store, 1)
+    assert res2[0]["passed"] is True
+    remaining = spark.read.parquet(os.path.join(store, "relationships_fk"))
+    assert remaining.count() == 2
+    assert [r._run for r in remaining.select("_run").distinct().collect()] == [0]

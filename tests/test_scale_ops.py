@@ -442,6 +442,22 @@ def test_compact_partitions_preserves_layout_and_skips_cold(spark, tmp_path):
         map(tuple, spark.read.parquet(store).collect())
     )
 
+    # crash WINDOW recovery: between rename(live→aside) and
+    # rename(staging→live) the live path is briefly absent; simulate
+    # that exact crash (live dir moved aside, nothing in its place) —
+    # the next compact_partitions run must restore the aside FIRST so
+    # the partition re-enters the table with all rows intact
+    rows_all = sorted(map(tuple, spark.read.parquet(store).collect()))
+    live = root / "cid=1"
+    live.rename(root / ".cid=1.__old__")
+    assert not live.exists()
+    compact_partitions(spark, store, "cid", min_files_to_compact=4)
+    assert live.exists()
+    assert not (root / ".cid=1.__old__").exists()
+    assert rows_all == sorted(
+        map(tuple, spark.read.parquet(store).collect())
+    )
+
 
 def test_runtime_bloom_filter_join_pruning(spark):
     """A selective dim-side filter injects a runtime bloom filter

@@ -147,3 +147,42 @@ def test_trailing_monitor_two_batches(spark, tmp_path):
         store.groupBy("_batch", "w").count().filter("count > 1").count()
         == 0
     )
+
+
+def test_trailing_monitor_corrupt_store_fails_not_cold_start(
+    spark, tmp_path
+):
+    """A readable-path failure on the counts store must FAIL the batch
+    (checkpoint retries it) — never masquerade as cold start: a NULL-jsd
+    row for batch N>0 would land different values than a later replay,
+    breaking the replay-identical-values contract."""
+    import os
+
+    from metar_pipeline_spark.streaming.drift import (
+        run_trailing_drift_monitor,
+    )
+
+    b1 = _docs(spark, [(1, "a a b"), (2, "c d a")])
+    src = str(tmp_path / "src")
+    b1.coalesce(1).write.parquet(os.path.join(src, "b1"))
+
+    # counts store EXISTS but is unreadable garbage — not a cold start
+    counts = str(tmp_path / "counts")
+    os.makedirs(os.path.join(counts, "_batch=0"))
+    with open(
+        os.path.join(counts, "_batch=0", "part-junk.parquet"), "wb"
+    ) as f:
+        f.write(b"this is not parquet")
+
+    q = run_trailing_drift_monitor(
+        spark,
+        src,
+        counts,
+        str(tmp_path / "metrics"),
+        str(tmp_path / "ckpt"),
+        schema=b1.schema,
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination()
+    # and no metrics row was committed for the failed batch
+    assert not os.path.exists(str(tmp_path / "metrics"))
