@@ -158,3 +158,70 @@ def pca_project(
         dot(vec, F.array(*[F.lit(v) for v in row])) for row in components
     ]
     return df.withColumn(out_col, F.array(*cols))
+
+
+def power_iteration_top(
+    cells: DataFrame, dim: int, iters: int = 8
+) -> DataFrame:
+    """``iters`` steps of POWER ITERATION toward the top principal
+    direction, over the aggregated Gram frame — the SQL-expressible
+    eigensolver (``pca_fit``'s numpy eigensolve is driver-side and thus
+    gate-unverifiable; this one unrolls as CTEs, so the external oracle
+    can replay it exactly). Convergence rate is (λ₂/λ₁)^iters — pick
+    ``iters`` for the spectrum at hand (a handful suffices when a
+    dominant direction exists; the synthetic near-degenerate test
+    embeddings would need ~100); the RESULT is deterministic at any
+    ``iters``, which is what the gate checks.
+
+    ``cells``: the (i, j, g) upper-triangle Gram frame (use the SAME
+    rounding as the caller's oracle — parity depends on both engines
+    iterating identical inputs). Returns (i, v): the unit top
+    eigenvector after ``iters`` matvec+normalize steps from the exact
+    start vector 1/8 (0.125 — exactly representable, so both engines
+    start bit-identical; the sign of the result is pinned by the start
+    vector, no sign-fix needed).
+
+    Determinism across engines: each matvec accumulates
+    ``DECIMAL(38,18)`` partials (order-independent) and rounds to 12
+    decimals per step — the pagerank iteration recipe; the norm uses
+    IEEE ``sqrt`` (correctly rounded on both engines, unlike ln/exp).
+    Scale: every frame in the loop is d- or d²-grain (never corpus);
+    the symmetrized Gram is localCheckpoint-ed once and reused, v is
+    checkpointed per step to keep lineage O(1).
+    """
+    full = cells.select("i", "j", "g").union(
+        cells.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), F.col("g")
+        )
+    ).localCheckpoint(eager=True)
+    v = full.select("i").distinct().select(
+        "i", F.lit(0.125).cast("double").alias("v")
+    )
+    for _ in range(iters):
+        w = (
+            full.join(
+                v.select(F.col("i").alias("j"), "v"), "j"
+            )
+            .groupBy("i")
+            .agg(
+                F.round(
+                    F.sum(
+                        (F.col("g") * F.col("v")).cast("decimal(38,18)")
+                    ).cast("double"),
+                    12,
+                ).alias("w")
+            )
+        )
+        nrm = w.agg(
+            F.sqrt(
+                F.sum(
+                    (F.col("w") * F.col("w")).cast("decimal(38,18)")
+                ).cast("double")
+            ).alias("nrm")
+        )
+        v = (
+            w.crossJoin(F.broadcast(nrm))
+            .select("i", F.round(F.col("w") / F.col("nrm"), 12).alias("v"))
+            .localCheckpoint(eager=True)
+        )
+    return v

@@ -186,3 +186,98 @@ def gram_novelty_by_slice(
             F.coalesce(F.col("new_grams"), F.lit(0)) / F.col("n_grams"), 6
         ).alias("novelty_rate"),
     )
+
+
+def bpe_vocab_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 6,
+) -> DataFrame:
+    """Iterative BPE vocabulary induction (Sennrich et al. 2016): mine
+    the first ``n_merges`` merge rules by repeatedly (1) counting
+    adjacent symbol pairs over the word-vocab frame weighted by corpus
+    word frequency, (2) picking the single most frequent pair
+    (ties → lexicographic (a, b) ascending, total order), (3) applying
+    that merge greedily left-to-right inside every word's symbol
+    sequence — the same single-pass non-overlapping replace the
+    reference algorithm's ``re.sub`` does.
+
+    Output: one row per round — (merge_round, sym_a, sym_b, merged,
+    total),
+    the merge TABLE a tokenizer trainer persists.
+
+    Scale shape (the k-means/PageRank iteration pattern): every round
+    operates on the word-VOCAB grain frame (Zipf-small relative to the
+    token stream — the corpus is scanned exactly once, by the initial
+    ``word_vocab`` hash agg). Per round: one vocab-grain explode + hash
+    agg + TakeOrderedAndProject(1) for the best pair, one broadcast
+    1-row cross join + fold to apply the merge. The symbol frame is
+    ``localCheckpoint``-ed each round so the fold chain's lineage stays
+    O(1) deep, and the winning pair is checkpointed too (1 row) so its
+    two consumers (the output union, the merge join) cannot re-race the
+    top-1. Words that shrink below 2 symbols stop contributing pairs
+    (filtered BEFORE the sequence() generator — Spark's
+    ``sequence(1, 0)`` counts DOWN and would fabricate indices).
+
+    If the corpus runs out of pairs early, later rounds emit no row
+    (the merge table is simply shorter than ``n_merges``).
+    """
+    from functools import reduce
+
+    vocab = word_vocab(docs, text_col).filter(F.length("word") >= 2)
+    syms = vocab.select(
+        "n",
+        F.expr(
+            "transform(sequence(1, length(word)),"
+            " i -> substring(word, i, 1))"
+        ).alias("syms"),
+    )
+    out = []
+    for r in range(1, n_merges + 1):
+        syms = syms.localCheckpoint(eager=True)
+        pairs = syms.filter(F.size("syms") >= 2).select(
+            "n",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(syms[i - 1] AS a, syms[i] AS b))"
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n").alias("total"))
+            .orderBy(F.desc("total"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        out.append(
+            best.select(
+                F.lit(r).cast("int").alias("merge_round"),
+                F.col("a").alias("sym_a"),
+                F.col("b").alias("sym_b"),
+                F.concat("a", "b").alias("merged"),
+                F.col("total"),
+            )
+        )
+        syms = (
+            syms.crossJoin(
+                F.broadcast(
+                    best.select(
+                        F.col("a").alias("_ma"), F.col("b").alias("_mb")
+                    )
+                )
+            )
+            .select(
+                "n",
+                F.expr(
+                    "aggregate(syms, cast(array() as array<string>),"
+                    " (acc, s) -> CASE WHEN size(acc) > 0"
+                    "   AND element_at(acc, -1) = _ma AND s = _mb"
+                    "  THEN concat(slice(acc, 1, size(acc) - 1),"
+                    "              array(concat(_ma, _mb)))"
+                    "  ELSE concat(acc, array(s)) END)"
+                ).alias("syms"),
+            )
+        )
+    return reduce(lambda x, y: x.unionByName(y), out)

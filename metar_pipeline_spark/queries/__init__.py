@@ -198,6 +198,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extended,
         geo_q,
         multimodal_q,
+        pca_q,
         pipeline_q,
         scale_q,
         sql_api,
@@ -205,6 +206,7 @@ def all_queries() -> dict[str, QuerySpec]:
         text_ml,
         timeseries_q,
         tpch_more,
+        vocab_q,
     )
 
     # Automatic rotation: VERIFY_FIRST names lead unconditionally (the

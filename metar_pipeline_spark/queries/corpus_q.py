@@ -296,3 +296,147 @@ def cooccurrence_pmi(spark, sf_dir):
         docs, "doc_id", "text", min_pair_docs=5, top_n=50,
         max_doc_vocab=512,
     )
+
+
+from metar_pipeline_spark.queries.text_ml import (  # noqa: E402
+    _DUCK_WINNOW_CTES,
+)
+
+_REMOVABLE_VERDICTS = """
+    , occ AS (SELECT fp, COUNT(DISTINCT doc_id) AS n_docs FROM e GROUP BY fp)
+    , cov AS (
+      SELECT e.doc_id,
+             round(CAST(SUM(CASE WHEN occ.n_docs > 1 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / COUNT(*), 6) AS dup_coverage
+      FROM e JOIN occ USING (fp) GROUP BY e.doc_id
+    )
+    , grams AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 7),
+                                   i -> array_to_string(toks[i:i+7], ' ')))
+               AS gram
+      FROM t
+    )
+    , gc AS (SELECT gram, COUNT(*) AS g_occ FROM grams GROUP BY 1)
+    , spans AS (
+      SELECT g.doc_id,
+             round(CAST(SUM(CASE WHEN gc.g_occ > 1 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / COUNT(*), 6) AS dup_frac
+      FROM grams g JOIN gc USING (gram) GROUP BY g.doc_id
+    )
+    , base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t)
+    , per_doc AS (
+      SELECT b.doc_id, b.n_tokens,
+             COALESCE(s.dup_frac, 0.0) AS dup_frac,
+             COALESCE(c.dup_coverage, 0.0) AS dup_coverage
+      FROM base b LEFT JOIN spans s USING (doc_id)
+                  LEFT JOIN cov c USING (doc_id)
+    )
+    , verdicts AS (
+      SELECT CASE WHEN dup_frac >= 0.8 AND dup_coverage >= 0.5 THEN 'drop'
+                  WHEN dup_frac >= 0.2 THEN 'trim'
+                  ELSE 'keep' END AS verdict,
+             n_tokens,
+             CASE WHEN dup_frac >= 0.8 AND dup_coverage >= 0.5
+                    THEN n_tokens
+                  WHEN dup_frac >= 0.2
+                    THEN CAST(floor(dup_frac * n_tokens) AS BIGINT)
+                  ELSE 0 END AS removable_tokens
+      FROM per_doc
+    )
+    , agg AS (
+      SELECT verdict,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(SUM(removable_tokens) AS BIGINT) AS removable_tokens
+      FROM verdicts GROUP BY 1
+    )
+    , tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS corpus_tokens
+              FROM base)
+    SELECT verdict, n_docs, n_tokens, removable_tokens,
+           round(CAST(removable_tokens AS DOUBLE) / tot.corpus_tokens, 6)
+             AS removable_pct
+    FROM agg CROSS JOIN tot
+"""
+
+
+@register(
+    "corpus_removable_span_report",
+    _DUCK_WINNOW_CTES + _REMOVABLE_VERDICTS,
+    doc=(
+        "The decision-grade end of the dedup pipeline (Lee et al. 2021 "
+        "headline): per drop/trim/keep verdict, how many documents and "
+        "tokens, and what fraction of the whole corpus is removable "
+        "span text. Composes the k-gram span profile "
+        "(duplicated_span_stats) with the winnowing cross-doc coverage "
+        "(dup_span_coverage) — drop = mostly-duplicated AND "
+        "cross-doc-shared, trim = partially duplicated. Both inputs "
+        "are the already-verified single-generator-pass shapes; the "
+        "composition adds only doc-grain left joins and a 3-row "
+        "rollup + one-row totals broadcast."
+    ),
+)
+def corpus_removable_span_report(spark, sf_dir):
+    from metar_pipeline_spark.operators import textops as tx
+    from metar_pipeline_spark.operators.corpus_ops import (
+        duplicated_span_stats,
+    )
+    from metar_pipeline_spark.queries.text_ml import dup_span_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.size(tx.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    spans = duplicated_span_stats(docs, "doc_id", "text", k=8).select(
+        "doc_id", "dup_frac"
+    )
+    # dup_span_coverage filters to n_shared > 0; the left-join default
+    # 0.0 below IS the true coverage for every filtered/absent doc
+    cov = dup_span_coverage(spark, sf_dir).select(
+        "doc_id", "dup_coverage"
+    )
+    per_doc = (
+        base.join(spans, "doc_id", "left")
+        .join(cov, "doc_id", "left")
+        .select(
+            "n_tokens",
+            F.coalesce("dup_frac", F.lit(0.0)).alias("dup_frac"),
+            F.coalesce("dup_coverage", F.lit(0.0)).alias("dup_coverage"),
+        )
+    )
+    is_drop = (F.col("dup_frac") >= 0.8) & (F.col("dup_coverage") >= 0.5)
+    is_trim = F.col("dup_frac") >= 0.2
+    verdicts = per_doc.select(
+        F.when(is_drop, F.lit("drop"))
+        .when(is_trim, F.lit("trim"))
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
+        "n_tokens",
+        F.when(is_drop, F.col("n_tokens"))
+        .when(
+            is_trim,
+            F.floor(F.col("dup_frac") * F.col("n_tokens")).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("removable_tokens"),
+    )
+    agg = verdicts.groupBy("verdict").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("removable_tokens").cast("bigint").alias("removable_tokens"),
+    )
+    tot = base.agg(
+        F.sum("n_tokens").cast("bigint").alias("corpus_tokens")
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "verdict",
+        "n_docs",
+        "n_tokens",
+        "removable_tokens",
+        F.round(
+            F.col("removable_tokens").cast("double")
+            / F.col("corpus_tokens"),
+            6,
+        ).alias("removable_pct"),
+    )

@@ -138,3 +138,67 @@ def test_gram_novelty_totals_partition_invariant(spark):
         .count()
     )
     assert total_new == n_grams
+
+
+def _py_bpe(words: dict[str, int], n_merges: int):
+    """Pure-Python reference: Sennrich count-and-greedy-replace."""
+    seqs = {w: [c for c in w] for w in words}
+    table = []
+    for r in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, n in words.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + n
+        if not counts:
+            break
+        (a, b), total = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        table.append((r, a, b, a + b, total))
+        for w, s in seqs.items():
+            out: list[str] = []
+            for tok in s:
+                if out and out[-1] == a and tok == b:
+                    out[-1] = a + b
+                else:
+                    out.append(tok)
+            seqs[w] = out
+    return table
+
+
+def test_bpe_vocab_merges_matches_reference(spark):
+    """The distributed multi-round loop reproduces the sequential
+    Sennrich algorithm exactly — counts, tie-breaks, and the greedy
+    left-to-right merge application (incl. overlap handling: 'aaaa'
+    under merge (a,a) → [aa, aa], never [aa, a, a])."""
+    from metar_pipeline_spark.operators.vocab import bpe_vocab_merges
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest wide wider",
+        "aaaa aaa new new low wide",
+        "banana bandana",
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    words: dict[str, int] = {}
+    for t in texts:
+        for w in t.lower().split():
+            if len(w) >= 2:
+                words[w] = words.get(w, 0) + 1
+    want = _py_bpe(words, 5)
+    got = sorted(
+        (r.merge_round, r.sym_a, r.sym_b, r.merged, r.total)
+        for r in bpe_vocab_merges(docs, n_merges=5).collect()
+    )
+    assert got == sorted(want)
+
+
+def test_bpe_vocab_merges_runs_out_of_pairs(spark):
+    """A corpus whose words collapse to single symbols stops emitting
+    rows instead of erroring (sequence(1,0) down-count guard)."""
+    from metar_pipeline_spark.operators.vocab import bpe_vocab_merges
+
+    docs = spark.createDataFrame([("ab ab",)], "text string")
+    rows = bpe_vocab_merges(docs, n_merges=4).collect()
+    assert [(r.merge_round, r.merged, r.total) for r in rows] == [(1, "ab", 2)]
