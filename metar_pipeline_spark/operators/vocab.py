@@ -224,6 +224,50 @@ def bpe_vocab_merges(
     """
     from functools import reduce
 
+    out, _ = _bpe_rounds(docs, text_col, n_merges)
+    return reduce(lambda x, y: x.unionByName(y), out)
+
+
+def bpe_compression_curve(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 6,
+) -> DataFrame:
+    """Diminishing-returns curve of the BPE loop: corpus token count
+    under the vocabulary after each merge round (round 0 = character
+    baseline) — the number a tokenizer-training run watches to decide
+    when to stop mining merges.
+
+    Output: (merge_round, corpus_tokens) for rounds 0..n_merges, where
+    corpus_tokens = Σ word_freq × |symbol sequence| over the word
+    vocab. Single-character words carry no mergeable pair and are
+    excluded on both engines (same ≥2-char vocab filter as the merge
+    miner), so successive rounds are directly comparable.
+
+    Cost: the same shared iteration as :func:`bpe_vocab_merges` plus
+    one tiny vocab-grain SUM per round off the already-checkpointed
+    symbol frames — nothing new shuffles.
+    """
+    from functools import reduce
+
+    _, stages = _bpe_rounds(docs, text_col, n_merges)
+    out = [
+        s.agg(
+            F.lit(r).cast("int").alias("merge_round"),
+            F.sum(F.col("n") * F.size("syms"))
+            .cast("bigint")
+            .alias("corpus_tokens"),
+        )
+        for r, s in enumerate(stages)
+    ]
+    return reduce(lambda x, y: x.unionByName(y), out)
+
+
+def _bpe_rounds(docs: DataFrame, text_col: str, n_merges: int):
+    """Shared BPE iteration: returns (merge_rows, stages) where
+    ``merge_rows[r-1]`` is round r's 1-row merge frame and
+    ``stages[r]`` the checkpointed symbol frame after r merges
+    (``stages[0]`` = the character baseline)."""
     vocab = word_vocab(docs, text_col).filter(F.length("word") >= 2)
     syms = vocab.select(
         "n",
@@ -233,8 +277,10 @@ def bpe_vocab_merges(
         ).alias("syms"),
     )
     out = []
+    stages = []
     for r in range(1, n_merges + 1):
         syms = syms.localCheckpoint(eager=True)
+        stages.append(syms)
         pairs = syms.filter(F.size("syms") >= 2).select(
             "n",
             F.explode(
@@ -280,4 +326,7 @@ def bpe_vocab_merges(
                 ).alias("syms"),
             )
         )
-    return reduce(lambda x, y: x.unionByName(y), out)
+    # final stage: single-consumer (the compression curve's one agg),
+    # depth-1 fold off the last checkpoint — no checkpoint needed
+    stages.append(syms)
+    return out, stages

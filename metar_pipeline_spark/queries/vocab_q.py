@@ -10,13 +10,16 @@ unrolled-CTE pattern as the ``pagerank_supply_graph`` oracle.
 from __future__ import annotations
 
 from metar_pipeline_spark.io import load_table
-from metar_pipeline_spark.operators.vocab import bpe_vocab_merges
+from metar_pipeline_spark.operators.vocab import (
+    bpe_compression_curve,
+    bpe_vocab_merges,
+)
 from metar_pipeline_spark.queries import register
 
 _N_MERGES = 6
 
 
-def _bpe_oracle(n_merges: int = _N_MERGES) -> str:
+def _bpe_ctes(n_merges: int = _N_MERGES) -> str:
     """Unrolled-CTE twin of operators/vocab.bpe_vocab_merges.
 
     Per round r: ``t{r}`` picks the top pair off the previous symbol
@@ -66,12 +69,25 @@ def _bpe_oracle(n_merges: int = _N_MERGES) -> str:
       FROM {p} s CROSS JOIN t{r} t
     )"""
         )
+    return head + "," + ",".join(steps)
+
+
+def _bpe_oracle(n_merges: int = _N_MERGES) -> str:
     finals = "\n    UNION ALL\n".join(
         f"    SELECT CAST({r} AS INTEGER) AS merge_round, a AS sym_a,"
         f" b AS sym_b, a || b AS merged, total FROM t{r}"
         for r in range(1, n_merges + 1)
     )
-    return head + "," + ",".join(steps) + "\n" + finals
+    return _bpe_ctes(n_merges) + "\n" + finals
+
+
+def _bpe_curve_oracle(n_merges: int = _N_MERGES) -> str:
+    finals = "\n    UNION ALL\n".join(
+        f"    SELECT CAST({r} AS INTEGER) AS merge_round,"
+        f" CAST(SUM(n * len(syms)) AS BIGINT) AS corpus_tokens FROM s{r}"
+        for r in range(0, n_merges + 1)
+    )
+    return _bpe_ctes(n_merges) + "\n" + finals
 
 
 @register(
@@ -88,3 +104,19 @@ def _bpe_oracle(n_merges: int = _N_MERGES) -> str:
 def bpe_vocab_merge_table(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return bpe_vocab_merges(docs, n_merges=_N_MERGES)
+
+
+@register(
+    "bpe_compression_curve",
+    _bpe_curve_oracle(),
+    doc=(
+        "Tokenizer-training stop rule: corpus token count under the "
+        "BPE vocab after each merge round (round 0 = character "
+        "baseline) — rides the SAME shared iteration as the merge "
+        "table, adding one vocab-grain SUM per checkpointed stage "
+        "(operators/vocab.bpe_compression_curve)"
+    ),
+)
+def bpe_compression_curve_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_compression_curve(docs, n_merges=_N_MERGES)

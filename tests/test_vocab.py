@@ -202,3 +202,36 @@ def test_bpe_vocab_merges_runs_out_of_pairs(spark):
     docs = spark.createDataFrame([("ab ab",)], "text string")
     rows = bpe_vocab_merges(docs, n_merges=4).collect()
     assert [(r.merge_round, r.merged, r.total) for r in rows] == [(1, "ab", 2)]
+
+
+def test_bpe_compression_curve_semantics(spark):
+    """Round 0 equals the character baseline (Σ freq × word length over
+    ≥2-char words); each merge round removes exactly merge-total tokens
+    (every applied merge replaces 2 symbols with 1), so the curve is
+    the baseline minus the cumulative merge totals."""
+    from metar_pipeline_spark.operators.vocab import (
+        bpe_compression_curve,
+        bpe_vocab_merges,
+    )
+
+    texts = ["low low lower lowest", "new newer newest wide wider"]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    base = sum(
+        len(w)
+        for t in texts
+        for w in t.lower().split()
+        if len(w) >= 2
+    )
+    curve = {
+        r.merge_round: r.corpus_tokens
+        for r in bpe_compression_curve(docs, n_merges=3).collect()
+    }
+    merges = {
+        r.merge_round: r.total
+        for r in bpe_vocab_merges(docs, n_merges=3).collect()
+    }
+    assert curve[0] == base
+    run = base
+    for r in (1, 2, 3):
+        run -= merges[r]
+        assert curve[r] == run
