@@ -2786,3 +2786,58 @@ def dedup_containment_pairs(spark, sf_dir):
         docs, "doc_id", "text",
         num_hashes=12, bands=6, shingle_n=3, threshold=0.6,
     )
+
+
+@register(
+    "ann_ivf_recall_at_10",
+    f"""
+    WITH brute AS (
+      SELECT query_id, id FROM ({REGISTRY["ann_bruteforce_topk"].oracle})
+    ),
+    approx AS (
+      SELECT query_id, id FROM ({REGISTRY["ann_ivf_topk"].oracle})
+    )
+    SELECT b.query_id,
+           CAST(COUNT(*) AS BIGINT) AS k_true,
+           CAST(SUM(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           round(SUM(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS recall_at_10
+    FROM brute b LEFT JOIN approx a
+      ON b.query_id = a.query_id AND b.id = a.id
+    GROUP BY b.query_id
+    """,
+    doc=(
+        "ANN index QA: per-query recall@10 of the IVF probe "
+        "(8 cells, nprobe=2) against the brute-force ground truth — "
+        "the acceptance number an index build publishes before serving "
+        "traffic. Composes two already-verified bounded top-k frames "
+        "with one left join at (query, id) grain; cost independent of "
+        "corpus size beyond the two retrievals themselves."
+    ),
+)
+def ann_ivf_recall_at_10(spark, sf_dir):
+    brute = ann_bruteforce_topk(spark, sf_dir).select("query_id", "id")
+    approx = (
+        ann_ivf_topk(spark, sf_dir)
+        .select("query_id", "id")
+        .withColumn("_hit", F.lit(1))
+    )
+    agg = (
+        brute.join(approx, ["query_id", "id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k_true"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+    )
+    return agg.select(
+        "query_id",
+        "k_true",
+        "n_hits",
+        F.round(
+            F.col("n_hits") / F.col("k_true").cast("double"), 6
+        ).alias("recall_at_10"),
+    )
