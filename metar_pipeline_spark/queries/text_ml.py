@@ -2841,3 +2841,90 @@ def ann_ivf_recall_at_10(spark, sf_dir):
             F.col("n_hits") / F.col("k_true").cast("double"), 6
         ).alias("recall_at_10"),
     )
+
+
+@register(
+    "split_leakage_audit_report",
+    _DUCK_CC_PREFIX
+    + """
+    , safe AS (
+      SELECT doc_id,
+             CASE WHEN u < 0.8 THEN 'train'
+                  WHEN u < 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   ((component_id * 2654435761) % 4294967296 + 0.5)
+                     / 4294967296.0 AS u
+            FROM comp)
+    ),
+    naive AS (
+      SELECT doc_id,
+             CASE WHEN u < 0.8 THEN 'train'
+                  WHEN u < 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   ((doc_id * 2654435761) % 4294967296 + 0.5)
+                     / 4294967296.0 AS u
+            FROM documents)
+    ),
+    audit_safe AS (
+      SELECT least(sa.split, sb.split) AS split_a,
+             greatest(sa.split, sb.split) AS split_b,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM pairs p JOIN safe sa ON p.id_a = sa.doc_id
+                   JOIN safe sb ON p.id_b = sb.doc_id
+      GROUP BY 1, 2
+    ),
+    audit_naive AS (
+      SELECT least(na.split, nb.split) AS split_a,
+             greatest(na.split, nb.split) AS split_b,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM pairs p JOIN naive na ON p.id_a = na.doc_id
+                   JOIN naive nb ON p.id_b = nb.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT 'cluster' AS policy, split_a, split_b, n_pairs FROM audit_safe
+    UNION ALL
+    SELECT 'per_doc' AS policy, split_a, split_b, n_pairs
+    FROM audit_naive
+    """,
+    doc=(
+        "Split-contamination audit, gate-verified: the near-dup pair "
+        "list (unigram-Jaccard ≥ 0.8) audited against BOTH split "
+        "policies — cluster-grain (operators/leakage.leakage_safe_split"
+        ": every component rides one side, so the audit is all-diagonal "
+        "by construction) and the naive per-doc hash split (off-"
+        "diagonal rows = the quantified train/test leakage). Two "
+        "narrow doc-key equi-joins per policy over the bounded pair "
+        "frame; the CC and split rules are the already-verified shapes."
+    ),
+)
+def split_leakage_audit_report(spark, sf_dir):
+    from metar_pipeline_spark.operators.curation import (
+        train_val_test_split,
+    )
+    from metar_pipeline_spark.operators.leakage import (
+        leakage_safe_split,
+        split_leakage_audit,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        dedup_unigram_jaccard_pairs(spark, sf_dir)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)  # consumed by CC + both audits
+    )
+    safe = leakage_safe_split(
+        docs.select("doc_id"), pairs,
+        id_col="doc_id", src_col="id_a", dst_col="id_b",
+    )
+    naive = train_val_test_split(docs.select("doc_id"), "doc_id")
+    a_safe = split_leakage_audit(
+        safe, pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
+    ).withColumn("policy", F.lit("cluster"))
+    a_naive = split_leakage_audit(
+        naive, pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
+    ).withColumn("policy", F.lit("per_doc"))
+    return a_safe.unionByName(a_naive).select(
+        "policy", "split_a", "split_b", F.col("n_pairs").cast("bigint").alias("n_pairs")
+    )
