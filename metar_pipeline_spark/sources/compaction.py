@@ -126,8 +126,10 @@ def compact_partitions(
     # `.{name}.__old__` dir with no live dir (and the live-dir listing
     # below would silently skip it). Restore any such aside whose live
     # path is absent; drop asides whose live path exists (crash after
-    # the second rename — the new data already won).
-    for st in fs.listStatus(hpath):
+    # the second rename — the new data already won). Skipped under
+    # dry_run — a plan-only call must not mutate the table (the
+    # repair happens on the next real run).
+    for st in [] if dry_run else fs.listStatus(hpath):
         name = st.getPath().getName()
         if not (
             st.isDirectory()
