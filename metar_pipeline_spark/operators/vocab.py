@@ -224,7 +224,7 @@ def bpe_vocab_merges(
     """
     from functools import reduce
 
-    out, _ = _bpe_rounds(docs, text_col, n_merges)
+    out, _, _ = _bpe_rounds(docs, text_col, n_merges)
     return reduce(lambda x, y: x.unionByName(y), out)
 
 
@@ -250,7 +250,7 @@ def bpe_compression_curve(
     """
     from functools import reduce
 
-    _, stages = _bpe_rounds(docs, text_col, n_merges)
+    _, stages, _ = _bpe_rounds(docs, text_col, n_merges)
     out = [
         s.agg(
             F.lit(r).cast("int").alias("merge_round"),
@@ -264,10 +264,12 @@ def bpe_compression_curve(
 
 
 def _bpe_rounds(docs: DataFrame, text_col: str, n_merges: int):
-    """Shared BPE iteration: returns (merge_rows, stages) where
-    ``merge_rows[r-1]`` is round r's 1-row merge frame and
+    """Shared BPE iteration: returns (merge_rows, stages, winners)
+    where ``merge_rows[r-1]`` is round r's renamed 1-row merge frame,
     ``stages[r]`` the checkpointed symbol frame after r merges
-    (``stages[0]`` = the character baseline)."""
+    (``stages[0]`` = the character baseline), and ``winners[r-1]`` the
+    raw checkpointed (a, b, total) winner — the form
+    :func:`bpe_apply_merges` replays onto other symbol frames."""
     vocab = word_vocab(docs, text_col).filter(F.length("word") >= 2)
     syms = vocab.select(
         "n",
@@ -278,6 +280,7 @@ def _bpe_rounds(docs: DataFrame, text_col: str, n_merges: int):
     )
     out = []
     stages = []
+    winners = []
     for r in range(1, n_merges + 1):
         syms = syms.localCheckpoint(eager=True)
         stages.append(syms)
@@ -297,6 +300,7 @@ def _bpe_rounds(docs: DataFrame, text_col: str, n_merges: int):
             .limit(1)
             .localCheckpoint(eager=True)
         )
+        winners.append(best)
         out.append(
             best.select(
                 F.lit(r).cast("int").alias("merge_round"),
@@ -314,19 +318,109 @@ def _bpe_rounds(docs: DataFrame, text_col: str, n_merges: int):
                     )
                 )
             )
-            .select(
-                "n",
-                F.expr(
-                    "aggregate(syms, cast(array() as array<string>),"
-                    " (acc, s) -> CASE WHEN size(acc) > 0"
-                    "   AND element_at(acc, -1) = _ma AND s = _mb"
-                    "  THEN concat(slice(acc, 1, size(acc) - 1),"
-                    "              array(concat(_ma, _mb)))"
-                    "  ELSE concat(acc, array(s)) END)"
-                ).alias("syms"),
-            )
+            .withColumn("syms", F.expr(_MERGE_FOLD))
+            .drop("_ma", "_mb")
         )
     # final stage: single-consumer (the compression curve's one agg),
     # depth-1 fold off the last checkpoint — no checkpoint needed
     stages.append(syms)
-    return out, stages
+    return out, stages, winners
+
+
+_MERGE_FOLD = (
+    "aggregate(syms, cast(array() as array<string>),"
+    " (acc, s) -> CASE WHEN size(acc) > 0"
+    "   AND element_at(acc, -1) = _ma AND s = _mb"
+    "  THEN concat(slice(acc, 1, size(acc) - 1),"
+    "              array(concat(_ma, _mb)))"
+    "  ELSE concat(acc, array(s)) END)"
+)
+
+
+def bpe_apply_merges(syms: DataFrame, winners: list) -> DataFrame:
+    """Replay an ordered merge table onto any symbol frame (the ENCODE
+    side of BPE): each 1-row winner is broadcast-crossed in and applied
+    with the same greedy left-to-right fold the miner used; the frame
+    is checkpointed per merge so lineage stays O(1). Extra columns
+    (grouping keys, weights) pass through untouched."""
+    for best in winners:
+        syms = (
+            syms.localCheckpoint(eager=True)
+            .crossJoin(
+                F.broadcast(
+                    best.select(
+                        F.col("a").alias("_ma"), F.col("b").alias("_mb")
+                    )
+                )
+            )
+            .withColumn("syms", F.expr(_MERGE_FOLD))
+            .drop("_ma", "_mb")
+        )
+    return syms
+
+
+def bpe_source_compression(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n_merges: int = 6,
+) -> DataFrame:
+    """Tokenizer-equity audit: per corpus slice, how well the
+    CORPUS-mined BPE vocabulary compresses that slice — the fertility
+    number that exposes under-served domains/languages (a slice whose
+    ratio stays near 1.0 gains nothing from the shared vocab).
+
+    Output: (group, char_tokens, bpe_tokens, compression_ratio) with
+    compression_ratio = bpe_tokens / char_tokens (lower = better
+    compressed). Same ≥2-char-word vocab convention as the miner.
+
+    Shape: the merge rules come from the shared corpus-wide iteration
+    (one corpus scan); the slice frame is (slice, word)-vocab grain
+    (Zipf-small per slice) and each merge is a broadcast 1-row fold —
+    nothing corpus-width moves after the two initial hash aggs.
+    """
+    _, _, winners = _bpe_rounds(docs, text_col, n_merges)
+    ws = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.explode(
+                F.split(
+                    F.lower(F.coalesce(F.col(text_col), F.lit(""))), _WS
+                )
+            ).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("grp", "word")
+        .agg(F.count("*").alias("n"))
+        .filter(F.length("word") >= 2)
+    )
+    ss = ws.select(
+        "grp",
+        "n",
+        F.length("word").alias("chars"),
+        F.expr(
+            "transform(sequence(1, length(word)),"
+            " i -> substring(word, i, 1))"
+        ).alias("syms"),
+    )
+    ss = bpe_apply_merges(ss, winners)
+    return (
+        ss.groupBy("grp")
+        .agg(
+            F.sum(F.col("n") * F.col("chars"))
+            .cast("bigint")
+            .alias("char_tokens"),
+            F.sum(F.col("n") * F.size("syms"))
+            .cast("bigint")
+            .alias("bpe_tokens"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "char_tokens",
+            "bpe_tokens",
+            F.round(
+                F.col("bpe_tokens").cast("double") / F.col("char_tokens"),
+                6,
+            ).alias("compression_ratio"),
+        )
+    )

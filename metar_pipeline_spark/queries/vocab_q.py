@@ -12,6 +12,7 @@ from __future__ import annotations
 from metar_pipeline_spark.io import load_table
 from metar_pipeline_spark.operators.vocab import (
     bpe_compression_curve,
+    bpe_source_compression,
     bpe_vocab_merges,
 )
 from metar_pipeline_spark.queries import register
@@ -120,3 +121,68 @@ def bpe_vocab_merge_table(spark, sf_dir):
 def bpe_compression_curve_q(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return bpe_compression_curve(docs, n_merges=_N_MERGES)
+
+
+def _bpe_source_oracle(n_merges: int = _N_MERGES) -> str:
+    """Source-grain twin: the corpus-wide t{r} winners (from _bpe_ctes)
+    replayed onto a (source, word)-vocab symbol chain ss{r}."""
+    head = r""",
+    ws AS (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT source,
+               unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                  x -> x <> '')) AS word
+        FROM documents)
+      GROUP BY 1, 2
+    ),
+    ss0 AS (
+      SELECT source, n, len(word) AS chars,
+             list_transform(generate_series(1, len(word)),
+                            i -> substr(word, i, 1)) AS syms
+      FROM ws WHERE len(word) >= 2
+    )"""
+    steps = []
+    for r in range(1, n_merges + 1):
+        steps.append(
+            f"""
+    ss{r} AS (
+      SELECT s.source, s.n, s.chars,
+             list_reduce(list_transform(s.syms, x -> [x]),
+               (acc, e) -> CASE WHEN acc[-1] = t.a AND e[1] = t.b
+                           THEN list_concat(
+                                  list_slice(acc, 1, len(acc) - 1),
+                                  [t.a || t.b])
+                           ELSE list_concat(acc, e) END) AS syms
+      FROM ss{r - 1} s CROSS JOIN t{r} t
+    )"""
+        )
+    return (
+        _bpe_ctes(n_merges)
+        + head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT source,
+           CAST(SUM(n * chars) AS BIGINT) AS char_tokens,
+           CAST(SUM(n * len(syms)) AS BIGINT) AS bpe_tokens,
+           round(CAST(SUM(n * len(syms)) AS DOUBLE)
+                 / CAST(SUM(n * chars) AS DOUBLE), 6) AS compression_ratio
+    FROM ss{n_merges} GROUP BY source"""
+    )
+
+
+@register(
+    "bpe_source_compression",
+    _bpe_source_oracle(),
+    doc=(
+        "Tokenizer-equity audit: per source, the compression the "
+        "CORPUS-mined BPE vocab achieves (bpe_tokens / char_tokens) — "
+        "the fertility number that exposes under-served domains. Merge "
+        "rules ride the shared corpus iteration; the slice frame is "
+        "(source, word)-vocab grain with broadcast 1-row merge folds "
+        "(operators/vocab.bpe_source_compression / bpe_apply_merges)"
+    ),
+)
+def bpe_source_compression_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_source_compression(docs, n_merges=_N_MERGES)

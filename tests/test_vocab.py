@@ -235,3 +235,33 @@ def test_bpe_compression_curve_semantics(spark):
     for r in (1, 2, 3):
         run -= merges[r]
         assert curve[r] == run
+
+
+def test_bpe_source_compression_partitions_the_corpus_curve(spark):
+    """Per-source totals partition the corpus totals exactly: a word's
+    final symbol sequence depends only on the word and the shared merge
+    table, so Σ_source char/bpe tokens equals the corpus curve's round-0
+    and round-N values; every ratio sits in (0, 1]."""
+    from metar_pipeline_spark.operators.vocab import (
+        bpe_compression_curve,
+        bpe_source_compression,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "low low lower lowest"),
+            ("a", "new newer newest"),
+            ("b", "wide wider lowest new"),
+            ("c", "banana bandana low"),
+        ],
+        "source string, text string",
+    )
+    per_src = bpe_source_compression(docs, n_merges=3).collect()
+    curve = {
+        r.merge_round: r.corpus_tokens
+        for r in bpe_compression_curve(docs, n_merges=3).collect()
+    }
+    assert sum(r.char_tokens for r in per_src) == curve[0]
+    assert sum(r.bpe_tokens for r in per_src) == curve[3]
+    for r in per_src:
+        assert 0.0 < r.compression_ratio <= 1.0
