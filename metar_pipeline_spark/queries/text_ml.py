@@ -2928,3 +2928,115 @@ def split_leakage_audit_report(spark, sf_dir):
     return a_safe.unionByName(a_naive).select(
         "policy", "split_a", "split_b", F.col("n_pairs").cast("bigint").alias("n_pairs")
     )
+
+
+@register(
+    "stream_trailing_drift_metrics",
+    f"""
+    WITH b0 AS (SELECT text FROM documents WHERE doc_id % 3 = 0),
+    b1 AS (SELECT text FROM documents WHERE doc_id % 3 = 1),
+    c0 AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT unnest({_DUCK_TOKS}) AS w FROM b0)
+      GROUP BY 1
+    ),
+    c1 AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT unnest({_DUCK_TOKS}) AS w FROM b1)
+      GROUP BY 1
+    ),
+    t0 AS (SELECT SUM(c) AS t FROM c0),
+    t1 AS (SELECT SUM(c) AS t FROM c1),
+    joined AS (
+      SELECT c1.c AS cq,
+             COALESCE(CAST(c0.c AS DOUBLE) / t0.t, 0.0) AS p,
+             COALESCE(CAST(c1.c AS DOUBLE), 0.0) / t1.t AS q
+      FROM c0 FULL OUTER JOIN c1 USING (w)
+      CROSS JOIN t0 CROSS JOIN t1
+    ),
+    terms AS (
+      SELECT cq,
+             CASE WHEN p > 0
+                  THEN 0.5 * p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END
+           + CASE WHEN q > 0
+                  THEN 0.5 * q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END
+               AS term
+      FROM joined
+    )
+    SELECT CAST(0 AS BIGINT) AS batch_id,
+           (SELECT CAST(SUM(c) AS BIGINT) FROM c0) AS n_tokens,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c0) AS vocab,
+           CAST(NULL AS DOUBLE) AS jsd_nats
+    UNION ALL
+    SELECT CAST(1 AS BIGINT),
+           CAST(SUM(CASE WHEN cq IS NOT NULL THEN cq ELSE 0 END)
+                AS BIGINT),
+           CAST(SUM(CASE WHEN cq IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           round(CAST(SUM(CAST(term AS DECIMAL(38,18))) AS DOUBLE), 6)
+    FROM terms
+    """,
+    doc=(
+        "The streaming drift monitor as a REAL two-micro-batch run "
+        "(streaming/drift.run_trailing_drift_monitor): batch 0 lands "
+        "the cold-start row (counts seed the trailing store, jsd NULL "
+        "by contract), batch 1 scores its unigram distribution against "
+        "the strictly-earlier store — one explode + vocab hash agg + "
+        "broadcast full-outer JSD per batch, ZERO streaming state, "
+        "replay-idempotent batch-keyed sinks. Oracle replays the exact "
+        "batch order and the monitor's float path (normalized "
+        "reference, 0·ln0:=0, DECIMAL term accumulation)."
+    ),
+)
+def stream_trailing_drift_metrics(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+    import time as _t
+
+    from metar_pipeline_spark.streaming.drift import (
+        run_trailing_drift_monitor,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="drift_metrics_")
+    src = os.path.join(root, "src")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        docs.filter(F.col("doc_id") % 3 == 0).coalesce(1).write.parquet(
+            os.path.join(src, "b0")
+        )
+        docs.filter(F.col("doc_id") % 3 == 1).coalesce(1).write.parquet(
+            os.path.join(src, "b1")
+        )
+        # pin distinct mtimes: FileStreamSource orders by mtime with
+        # readdir-hash tiebreak — the oracle replays exactly b0-then-b1
+        now = _t.time()
+        for sub, mt in (("b0", now - 20), ("b1", now - 10)):
+            d = os.path.join(src, sub)
+            for fn in os.listdir(d):
+                os.utime(os.path.join(d, fn), (mt, mt))
+        q = run_trailing_drift_monitor(
+            spark,
+            src,
+            os.path.join(root, "counts"),
+            os.path.join(root, "metrics"),
+            os.path.join(root, "_ckpt"),
+            schema=docs.schema,
+        )
+        q.awaitTermination()
+        result = (
+            spark.read.parquet(os.path.join(root, "metrics"))
+            .select(
+                "batch_id",
+                F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                F.col("vocab").cast("bigint").alias("vocab"),
+                "jsd_nats",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(root, ignore_errors=True)
+    return result
