@@ -53,14 +53,14 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # the auto-boost catches direct query/oracle edits and one-hop operator
 # module edits, but not deeper transitive changes).
 VERIFY_FIRST: list[str] = [
-    # Empty (round 8): round 7 closed fully green — all 50 windowed
-    # queries verified (210/213 cumulative green; the 3 sketch queries
-    # are rows-only by design and re-verify every round as category 1).
-    # Round-8 window load comes from registration, not drift: the 11
-    # round-7-staged specs (queries/staged.py) are now dual-registered
-    # and enter as category-1 never-green entries, alongside this
-    # round's new queries. All were re-verified locally at sf0.01
-    # before registration (`tools/check_oracle.py --pending`).
+    # Empty (round 8 final): registry closed the round at 232 queries,
+    # window 35/50 — 22 never-green (3 permanent rows-only sketches +
+    # the 11 registered r7-staged specs + 8 new round-8 queries) + 13
+    # drifted (the curation family off the hash_unit_01 edit, plus
+    # stream_ingest_dedup's doc-only drift). Every window entry
+    # re-verified locally at sf0.01 at round end (`check_oracle
+    # --pending` 22/22, `--drifted` 13/13); each new query also
+    # verified at sf0.001, sf0.1, and 7 shuffle partitions.
 ]
 
 
