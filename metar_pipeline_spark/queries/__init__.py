@@ -53,14 +53,7 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # the auto-boost catches direct query/oracle edits and one-hop operator
 # module edits, but not deeper transitive changes).
 VERIFY_FIRST: list[str] = [
-    # Empty (round 8 final): registry closed the round at 232 queries,
-    # window 35/50 — 22 never-green (3 permanent rows-only sketches +
-    # the 11 registered r7-staged specs + 8 new round-8 queries) + 13
-    # drifted (the curation family off the hash_unit_01 edit, plus
-    # stream_ingest_dedup's doc-only drift). Every window entry
-    # re-verified locally at sf0.01 at round end (`check_oracle
-    # --pending` 22/22, `--drifted` 13/13); each new query also
-    # verified at sf0.001, sf0.1, and 7 shuffle partitions.
+    # Round 9 in progress — names added as their semantics change.
 ]
 
 
