@@ -19,6 +19,7 @@ from metar_pipeline_spark.operators.corpus_ops import (
     unigram_js_divergence,
 )
 from metar_pipeline_spark.operators.diffops import diff_summary, snapshot_diff
+from metar_pipeline_spark.operators.textops import tokens as _tokens
 from metar_pipeline_spark.queries import register
 
 _DUCK_TOKS = (
@@ -439,4 +440,182 @@ def corpus_removable_span_report(spark, sf_dir):
             / F.col("corpus_tokens"),
             6,
         ).alias("removable_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pseudo-paragraph construction (round 9): the synthetic corpus has no
+# newline structure, so the intra-document and boilerplate operators are
+# exercised over DETERMINISTIC pseudo-paragraphs — fixed 2-token windows
+# of the whitespace tokenization, joined back with the operator's
+# separator (the chunk_documents construction, which has oracle
+# precedent). Both engines replay the identical construction, so the
+# oracle verifies the OPERATOR semantics (first-occurrence-kept /
+# df-threshold removal), not the synthetic split.
+
+_PSEUDO_P = 2  # tokens per pseudo-paragraph/line
+
+
+def _pseudo_split_text(docs, sep):
+    """doc_id + text rebuilt as ``sep``-joined 2-token windows."""
+    toked = docs.select(
+        "doc_id", _tokens(F.col("text")).alias("__toks")
+    )
+    nch = F.greatest(
+        F.ceil(F.size("__toks") / float(_PSEUDO_P)).cast("int"), F.lit(1)
+    )
+    paras = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), nch - F.lit(1)),
+            lambda i: F.array_join(
+                F.slice(F.col("__toks"), i * _PSEUDO_P + 1, _PSEUDO_P),
+                " ",
+            ),
+        ),
+        lambda p: p != F.lit(""),
+    )
+    return toked.select(
+        "doc_id", F.array_join(paras, sep).alias("text")
+    )
+
+
+_PSEUDO_SPLIT_SQL = f"""
+      SELECT doc_id,
+             unnest(generate_series(0,
+               CAST(greatest(ceil(len(toks) / {_PSEUDO_P}.0), 1) AS INT) - 1
+             )) AS pos,
+             toks
+      FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+"""
+
+
+@register(
+    "intradoc_paragraph_dedup",
+    f"""
+    WITH e AS ({_PSEUDO_SPLIT_SQL}),
+    p AS (
+      SELECT doc_id, pos,
+             array_to_string(list_slice(toks, pos * {_PSEUDO_P} + 1,
+                                        pos * {_PSEUDO_P} + {_PSEUDO_P}),
+                             ' ') AS para
+      FROM e
+    ),
+    k AS (
+      SELECT doc_id, pos, para,
+             row_number() OVER (PARTITION BY doc_id, para ORDER BY pos)
+               AS rn
+      FROM p WHERE para <> ''
+    ),
+    r AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_paragraphs,
+             CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+             md5(coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
+                                     repeat(chr(10), 2) ORDER BY pos),
+                          '')) AS clean_md5
+      FROM k GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(r.n_paragraphs, 0) AS BIGINT) AS n_paragraphs,
+           CAST(coalesce(r.n_dropped, 0) AS BIGINT) AS n_dropped,
+           coalesce(r.clean_md5, md5('')) AS clean_md5
+    FROM documents d LEFT JOIN r USING (doc_id)
+    """,
+    doc=(
+        "Intra-document paragraph dedup (CCNet stage) over deterministic "
+        f"{_PSEUDO_P}-token pseudo-paragraphs: first occurrence kept in "
+        "reading order, repeats dropped; per-doc counts + md5 of the "
+        "rebuilt text. The only shuffles are the (doc, digest) "
+        "first-occurrence window and the per-doc rebuild agg — both "
+        "keyed at or below document grain, scale-linear."
+    ),
+)
+def intradoc_paragraph_dedup(spark, sf_dir):
+    from metar_pipeline_spark.operators.intradoc import dedup_paragraphs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup_paragraphs(
+        _pseudo_split_text(docs, "\n\n"),
+        id_col="doc_id",
+        text_col="text",
+        sep="\n\n",
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_paragraphs").cast("bigint").alias("n_paragraphs"),
+        F.col("n_dropped").cast("bigint").alias("n_dropped"),
+        F.md5("text").alias("clean_md5"),
+    )
+
+
+_BOILER_MIN_DOCS = 20  # df threshold: ~top-11% of distinct lines at sf0.01
+
+
+@register(
+    "boilerplate_line_removal",
+    f"""
+    WITH e AS ({_PSEUDO_SPLIT_SQL}),
+    p AS (
+      SELECT doc_id, pos,
+             array_to_string(list_slice(toks, pos * {_PSEUDO_P} + 1,
+                                        pos * {_PSEUDO_P} + {_PSEUDO_P}),
+                             ' ') AS line
+      FROM e
+    ),
+    pl AS (SELECT doc_id, pos, line FROM p WHERE line <> ''),
+    df AS (
+      SELECT line, count(DISTINCT doc_id) AS df
+      FROM pl GROUP BY line
+    ),
+    fl AS (
+      SELECT pl.doc_id, pl.pos, pl.line,
+             (df.df >= {_BOILER_MIN_DOCS}) AS rm
+      FROM pl JOIN df USING (line)
+    ),
+    r AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+             md5(coalesce(string_agg(CASE WHEN NOT rm THEN line END,
+                                     chr(10) ORDER BY pos),
+                          '')) AS clean_md5
+      FROM fl GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(r.n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed,
+           coalesce(r.clean_md5, md5('')) AS clean_md5
+    FROM documents d LEFT JOIN r USING (doc_id)
+    """,
+    doc=(
+        "Corpus-wide boilerplate line removal (RefinedWeb stage) over "
+        f"deterministic {_PSEUDO_P}-token pseudo-lines: lines whose "
+        f"normalized form appears in >= {_BOILER_MIN_DOCS} distinct "
+        "documents are removed everywhere (first occurrences too); "
+        "per-doc counts + md5 of the rebuilt text. The corpus-width "
+        "shuffle carries only a 32-byte line digest; the blacklist is "
+        "bounded by total_lines/min_docs, so the membership join back "
+        "is broadcastable at any scale."
+    ),
+)
+def boilerplate_line_removal(spark, sf_dir):
+    from metar_pipeline_spark.operators.boilerplate import (
+        remove_boilerplate_lines,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = remove_boilerplate_lines(
+        _pseudo_split_text(docs, "\n"),
+        min_docs=_BOILER_MIN_DOCS,
+        id_col="doc_id",
+        text_col="text",
+        sep="\n",
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.col("n_removed").cast("bigint").alias("n_removed"),
+        F.md5("text").alias("clean_md5"),
     )
