@@ -225,3 +225,66 @@ def power_iteration_top(
             .localCheckpoint(eager=True)
         )
     return v
+
+
+def rayleigh_quotient(cells: DataFrame, v: DataFrame) -> DataFrame:
+    """One-row frame ``(lam)``: the Rayleigh quotient vᵀGv of a unit
+    vector over the upper-triangle Gram frame — the eigenvalue estimate
+    deflation needs. DECIMAL(38,18) accumulation + 12-decimal rounding
+    (the power-iteration determinism recipe), so both engines agree
+    bit-for-bit. All frames are d²-grain or smaller."""
+    full = cells.select("i", "j", "g").union(
+        cells.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), F.col("g")
+        )
+    )
+    return (
+        full.join(v.select(F.col("i"), F.col("v").alias("__vi")), "i")
+        .join(
+            v.select(F.col("i").alias("j"), F.col("v").alias("__vj")), "j"
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (
+                        F.col("g") * F.col("__vi") * F.col("__vj")
+                    ).cast("decimal(38,18)")
+                ).cast("double"),
+                12,
+            ).alias("lam")
+        )
+    )
+
+
+def deflate_top(
+    cells: DataFrame, v: DataFrame, round_to: int = 6
+) -> DataFrame:
+    """Hotelling deflation over the d²-grain frame: the upper-triangle
+    cells of G − λ·vvᵀ, where λ is the Rayleigh quotient of ``v``
+    (``rayleigh_quotient``). Plain per-cell arithmetic against the
+    broadcast one-row λ — no corpus pass, everything stays at Gram
+    grain — so a second ``power_iteration_top`` run on the result
+    yields the (deflated) next principal direction, keeping the whole
+    top-k eigensolve SQL-expressible/CTE-replayable. ``round_to``
+    matches the caller's Gram-cell rounding so both engines iterate
+    identical inputs."""
+    lam = rayleigh_quotient(cells, v)
+    return (
+        cells.join(v.select(F.col("i"), F.col("v").alias("__vi")), "i")
+        .join(
+            v.select(F.col("i").alias("j"), F.col("v").alias("__vj")), "j"
+        )
+        .crossJoin(F.broadcast(lam))
+        .select(
+            "i",
+            "j",
+            (
+                F.round(
+                    F.col("g")
+                    - F.col("lam") * F.col("__vi") * F.col("__vj"),
+                    round_to,
+                )
+                + F.lit(0.0)
+            ).alias("g"),
+        )
+    )

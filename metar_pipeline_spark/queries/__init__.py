@@ -54,6 +54,7 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # module edits, but not deeper transitive changes).
 VERIFY_FIRST: list[str] = [
     # Round 9 in progress — names added as their semantics change.
+    "pca_top_component_projection",  # iters 8 → 4 (oracle CTEs match)
 ]
 
 

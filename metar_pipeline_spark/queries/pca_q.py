@@ -1,4 +1,4 @@
-"""Round-8 PCA queries — the gate-verifiable eigensolve loop.
+"""PCA queries — the gate-verifiable eigensolve loop (rounds 8-9).
 
 ``pca_top_component_projection`` closes the loop the round-7 staged
 work opened: ``embedding_gram_matrix`` verified the distributed Gram
@@ -10,6 +10,15 @@ chain — Gram → top eigenvector → corpus projection — with a DuckDB
 oracle that unrolls every iteration as CTEs (the pagerank recipe:
 DECIMAL(38,18) matvec partials, 12-decimal per-step rounding, IEEE
 sqrt for the norm).
+
+``pca_top2_projection`` (round 9) extends the chain with Hotelling
+deflation: λ₁ from the Rayleigh quotient, G ← G − λ₁·v₁v₁ᵀ as plain
+d²-grain arithmetic, then a second power iteration — so top-k PCA is
+gate-verified end to end, not just the leading direction. Iteration
+count is 4 everywhere: the gate checks DETERMINISM (same steps on
+both engines), not convergence — the synthetic spectrum is
+near-degenerate (λ₂/λ₁ ≈ 0.93), so no realistic count converges and
+extra steps only buy fixed per-step checkpoint overhead.
 """
 
 from __future__ import annotations
@@ -17,14 +26,18 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from metar_pipeline_spark.io import load_table
-from metar_pipeline_spark.operators.pca import gram_cells, power_iteration_top
+from metar_pipeline_spark.operators.pca import (
+    deflate_top,
+    gram_cells,
+    power_iteration_top,
+)
 from metar_pipeline_spark.operators.similarity import dot
 from metar_pipeline_spark.queries import register
 
-_ITERS = 8
+_ITERS = 4
 
 _GRAM_CTE = """
-    gc AS (
+    gc AS MATERIALIZED (
       SELECT (p).i - 1 AS i, (p).j - 1 AS j,
              round(CAST(SUM(CAST((p).v AS DECIMAL(38,12))) AS DOUBLE), 6)
                + 0.0 AS g
@@ -38,7 +51,7 @@ _GRAM_CTE = """
         FROM embeddings)
       GROUP BY 1, 2
     ),
-    gf AS (
+    gf AS MATERIALIZED (
       SELECT i, j, g FROM gc
       UNION ALL
       SELECT j AS i, i AS j, g FROM gc WHERE i <> j
@@ -46,32 +59,39 @@ _GRAM_CTE = """
     v0 AS (SELECT DISTINCT i, CAST(0.125 AS DOUBLE) AS v FROM gf)"""
 
 
-def _pca_oracle(iters: int = _ITERS) -> str:
+def _power_steps(gram: str, vp: str, iters: int) -> str:
+    """The unrolled power-iteration CTE chain: ``iters`` rounds of
+    matvec (DECIMAL partials, round 12) + IEEE-sqrt normalize, reading
+    the symmetric Gram frame ``gram`` and the vector CTEs ``{vp}{t}``."""
     steps = []
     for t in range(1, iters + 1):
         steps.append(
             f"""
-    w{t} AS (
-      SELECT gf.i,
-             round(CAST(SUM(CAST(gf.g * v.v AS DECIMAL(38,18)))
+    {vp}w{t} AS (
+      SELECT g_.i,
+             round(CAST(SUM(CAST(g_.g * v.v AS DECIMAL(38,18)))
                         AS DOUBLE), 12) AS w
-      FROM gf JOIN v{t - 1} v ON gf.j = v.i
-      GROUP BY gf.i
+      FROM {gram} g_ JOIN {vp}{t - 1} v ON g_.j = v.i
+      GROUP BY g_.i
     ),
-    n{t} AS (
+    {vp}n{t} AS (
       SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,18))) AS DOUBLE))
                AS nrm
-      FROM w{t}
+      FROM {vp}w{t}
     ),
-    v{t} AS (
-      SELECT i, round(w / nrm, 12) AS v FROM w{t} CROSS JOIN n{t}
+    {vp}{t} AS (
+      SELECT i, round(w / nrm, 12) AS v FROM {vp}w{t} CROSS JOIN {vp}n{t}
     )"""
         )
+    return ",".join(steps)
+
+
+def _pca_oracle(iters: int = _ITERS) -> str:
     return (
         "\n    WITH"
         + _GRAM_CTE
         + ","
-        + ",".join(steps)
+        + _power_steps("gf", "v", iters)
         + f""",
     vl AS (SELECT list(v ORDER BY i) AS vl FROM v{iters})
     SELECT vec_id,
@@ -81,6 +101,65 @@ def _pca_oracle(iters: int = _ITERS) -> str:
                    (x, y) -> x + y), 6) + 0.0 AS pc1_score
     FROM embeddings CROSS JOIN vl"""
     )
+
+
+def _pca2_oracle(iters: int = _ITERS) -> str:
+    """Top-2 chain: first power iteration, Rayleigh λ₁, deflated Gram
+    (upper triangle, re-symmetrized), second power iteration, then one
+    zero-exchange projection onto both directions."""
+    return (
+        "\n    WITH"
+        + _GRAM_CTE
+        + ","
+        + _power_steps("gf", "v", iters)
+        + f""",
+    lam AS (
+      SELECT round(CAST(SUM(CAST(gf.g * a.v * b.v AS DECIMAL(38,18)))
+                        AS DOUBLE), 12) AS lam
+      FROM gf JOIN v{iters} a ON gf.i = a.i
+              JOIN v{iters} b ON gf.j = b.i
+    ),
+    gc2 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             round(c.g - lam.lam * a.v * b.v, 6) + 0.0 AS g
+      FROM gc c JOIN v{iters} a ON c.i = a.i
+                JOIN v{iters} b ON c.j = b.i
+                CROSS JOIN lam
+    ),
+    gf2 AS MATERIALIZED (
+      SELECT i, j, g FROM gc2
+      UNION ALL
+      SELECT j AS i, i AS j, g FROM gc2 WHERE i <> j
+    ),
+    u0 AS (SELECT DISTINCT i, CAST(0.125 AS DOUBLE) AS v FROM gf2),"""
+        + _power_steps("gf2", "u", iters)
+        + f""",
+    vl1 AS (SELECT list(v ORDER BY i) AS vl FROM v{iters}),
+    vl2 AS (SELECT list(v ORDER BY i) AS vl FROM u{iters})
+    SELECT vec_id,
+           round(list_reduce(
+                   list_transform(generate_series(1, len(embedding)),
+                                  k -> embedding[k]::DOUBLE * vl1.vl[k]),
+                   (x, y) -> x + y), 6) + 0.0 AS pc1_score,
+           round(list_reduce(
+                   list_transform(generate_series(1, len(embedding)),
+                                  k -> embedding[k]::DOUBLE * vl2.vl[k]),
+                   (x, y) -> x + y), 6) + 0.0 AS pc2_score
+    FROM embeddings CROSS JOIN vl1 CROSS JOIN vl2"""
+    )
+
+
+def _rounded_cells(emb):
+    return gram_cells(emb, "embedding", 64).select(
+        "i", "j", (F.round("g", 6) + F.lit(0.0)).alias("g")
+    )
+
+
+def _as_vector_array(v):
+    """(i, v) frame → one-row broadcastable array column ``vl``."""
+    return v.agg(
+        F.array_sort(F.collect_list(F.struct("i", "v"))).alias("s")
+    ).select(F.expr("transform(s, x -> x.v)").alias("vl"))
 
 
 @register(
@@ -97,16 +176,48 @@ def _pca_oracle(iters: int = _ITERS) -> str:
 )
 def pca_top_component_projection(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    cells = gram_cells(emb, "embedding", 64).select(
-        "i", "j", (F.round("g", 6) + F.lit(0.0)).alias("g")
-    )
-    v = power_iteration_top(cells, 64, iters=_ITERS)
-    v_arr = v.agg(
-        F.array_sort(F.collect_list(F.struct("i", "v"))).alias("s")
-    ).select(F.expr("transform(s, x -> x.v)").alias("vl"))
-    return emb.crossJoin(F.broadcast(v_arr)).select(
+    v = power_iteration_top(_rounded_cells(emb), 64, iters=_ITERS)
+    return emb.crossJoin(F.broadcast(_as_vector_array(v))).select(
         "vec_id",
         (
             F.round(dot(F.col("embedding"), F.col("vl")), 6) + F.lit(0.0)
         ).alias("pc1_score"),
+    )
+
+
+@register(
+    "pca_top2_projection",
+    _pca2_oracle(),
+    doc=(
+        "Top-2 PCA via Hotelling deflation, gate-verified end to end: "
+        f"{_ITERS}-step power iteration → Rayleigh λ₁ (DECIMAL "
+        "accumulation, round 12) → G − λ₁·v₁v₁ᵀ as plain d²-grain "
+        "arithmetic against the broadcast one-row λ — no second corpus "
+        "pass — → a second power iteration on the deflated Gram → "
+        "zero-exchange projection onto both directions. "
+        "operators/pca.deflate_top / rayleigh_quotient"
+    ),
+)
+def pca_top2_projection(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    # d²-grain; checkpointed because FOUR downstream consumers (the
+    # first iteration's symmetrize, the Rayleigh joins, the deflation
+    # base) would each replay the corpus Gram pass otherwise.
+    cells = _rounded_cells(emb).localCheckpoint(eager=True)
+    v1 = power_iteration_top(cells, 64, iters=_ITERS)
+    cells2 = deflate_top(cells, v1, round_to=6)
+    v2 = power_iteration_top(cells2, 64, iters=_ITERS)
+    basis = F.broadcast(
+        _as_vector_array(v1).crossJoin(
+            _as_vector_array(v2).withColumnRenamed("vl", "vl2")
+        )
+    )
+    return emb.crossJoin(basis).select(
+        "vec_id",
+        (
+            F.round(dot(F.col("embedding"), F.col("vl")), 6) + F.lit(0.0)
+        ).alias("pc1_score"),
+        (
+            F.round(dot(F.col("embedding"), F.col("vl2")), 6) + F.lit(0.0)
+        ).alias("pc2_score"),
     )
