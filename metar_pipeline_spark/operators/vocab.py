@@ -219,12 +219,20 @@ def bpe_vocab_merges(
     (filtered BEFORE the sequence() generator — Spark's
     ``sequence(1, 0)`` counts DOWN and would fabricate indices).
 
-    If the corpus runs out of pairs early, later rounds emit no row
-    (the merge table is simply shorter than ``n_merges``).
+    If the corpus runs out of pairs early, the loop STOPS at the
+    exhaustion round (no empty winner ever enters the merge chain) and
+    the merge table is simply shorter than ``n_merges`` — empty when
+    the corpus has no mergeable pair at all.
     """
     from functools import reduce
 
     out, _, _ = _bpe_rounds(docs, text_col, n_merges)
+    if not out:
+        return docs.sparkSession.createDataFrame(
+            [],
+            "merge_round int, sym_a string, sym_b string,"
+            " merged string, total bigint",
+        )
     return reduce(lambda x, y: x.unionByName(y), out)
 
 
@@ -247,6 +255,11 @@ def bpe_compression_curve(
     Cost: the same shared iteration as :func:`bpe_vocab_merges` plus
     one tiny vocab-grain SUM per round off the already-checkpointed
     symbol frames — nothing new shuffles.
+
+    Rounds past pair exhaustion are OMITTED (the curve is shorter than
+    ``n_merges + 1`` rows), and a vocabulary state that is empty
+    outright (no ≥2-char words) emits no row either — the curve never
+    contains NULL token counts.
     """
     from functools import reduce
 
@@ -260,7 +273,9 @@ def bpe_compression_curve(
         )
         for r, s in enumerate(stages)
     ]
-    return reduce(lambda x, y: x.unionByName(y), out)
+    return reduce(lambda x, y: x.unionByName(y), out).filter(
+        F.col("corpus_tokens").isNotNull()
+    )
 
 
 def _bpe_rounds(docs: DataFrame, text_col: str, n_merges: int):
@@ -281,6 +296,7 @@ def _bpe_rounds(docs: DataFrame, text_col: str, n_merges: int):
     out = []
     stages = []
     winners = []
+    exhausted = False
     for r in range(1, n_merges + 1):
         syms = syms.localCheckpoint(eager=True)
         stages.append(syms)
@@ -300,6 +316,14 @@ def _bpe_rounds(docs: DataFrame, text_col: str, n_merges: int):
             .limit(1)
             .localCheckpoint(eager=True)
         )
+        if not best.head(1):
+            # Pair exhaustion: every word is a single merged symbol.
+            # Stop BEFORE recording the empty winner — an empty 1-row
+            # frame cross-joined into the symbol chain would annihilate
+            # it (empty stages, NULL curve rows, empty equity reports).
+            # head(1) is a cheap driver read off the eager checkpoint.
+            exhausted = True
+            break
         winners.append(best)
         out.append(
             best.select(
@@ -322,8 +346,11 @@ def _bpe_rounds(docs: DataFrame, text_col: str, n_merges: int):
             .drop("_ma", "_mb")
         )
     # final stage: single-consumer (the compression curve's one agg),
-    # depth-1 fold off the last checkpoint — no checkpoint needed
-    stages.append(syms)
+    # depth-1 fold off the last checkpoint — no checkpoint needed. On
+    # exhaustion the pre-merge stage was already recorded and no merge
+    # was applied, so there is no new state to append.
+    if not exhausted:
+        stages.append(syms)
     return out, stages, winners
 
 
@@ -378,6 +405,11 @@ def bpe_source_compression(
     (one corpus scan); the slice frame is (slice, word)-vocab grain
     (Zipf-small per slice) and each merge is a broadcast 1-row fold —
     nothing corpus-width moves after the two initial hash aggs.
+
+    On early pair exhaustion the report is computed under the merges
+    actually mined (the loop stops; no empty winner ever annihilates
+    the slice frame), so the audit stays meaningful on small or
+    character-poor corpora.
     """
     _, _, winners = _bpe_rounds(docs, text_col, n_merges)
     ws = (

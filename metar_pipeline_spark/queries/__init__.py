@@ -55,6 +55,10 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 VERIFY_FIRST: list[str] = [
     # Round 9 in progress — names added as their semantics change.
     "pca_top_component_projection",  # iters 8 → 4 (oracle CTEs match)
+    # BPE exhaustion-break semantics (operator loop + oracle guards):
+    "bpe_vocab_merge_table",
+    "bpe_compression_curve",
+    "bpe_source_compression",
 ]
 
 

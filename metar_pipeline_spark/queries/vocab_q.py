@@ -83,9 +83,14 @@ def _bpe_oracle(n_merges: int = _N_MERGES) -> str:
 
 
 def _bpe_curve_oracle(n_merges: int = _N_MERGES) -> str:
+    # HAVING COUNT(*) > 0 mirrors the operator's exhaustion contract:
+    # rounds whose symbol frame annihilated (empty winner upstream)
+    # emit NO row — the Spark loop breaks there, and the curve never
+    # carries NULL token counts on either engine.
     finals = "\n    UNION ALL\n".join(
         f"    SELECT CAST({r} AS INTEGER) AS merge_round,"
         f" CAST(SUM(n * len(syms)) AS BIGINT) AS corpus_tokens FROM s{r}"
+        f" HAVING COUNT(*) > 0"
         for r in range(0, n_merges + 1)
     )
     return _bpe_ctes(n_merges) + "\n" + finals
@@ -147,13 +152,15 @@ def _bpe_source_oracle(n_merges: int = _N_MERGES) -> str:
             f"""
     ss{r} AS (
       SELECT s.source, s.n, s.chars,
-             list_reduce(list_transform(s.syms, x -> [x]),
-               (acc, e) -> CASE WHEN acc[-1] = t.a AND e[1] = t.b
-                           THEN list_concat(
-                                  list_slice(acc, 1, len(acc) - 1),
-                                  [t.a || t.b])
-                           ELSE list_concat(acc, e) END) AS syms
-      FROM ss{r - 1} s CROSS JOIN t{r} t
+             CASE WHEN t.a IS NULL THEN s.syms ELSE
+               list_reduce(list_transform(s.syms, x -> [x]),
+                 (acc, e) -> CASE WHEN acc[-1] = t.a AND e[1] = t.b
+                             THEN list_concat(
+                                    list_slice(acc, 1, len(acc) - 1),
+                                    [t.a || t.b])
+                             ELSE list_concat(acc, e) END)
+             END AS syms
+      FROM ss{r - 1} s LEFT JOIN t{r} t ON TRUE
     )"""
         )
     return (

@@ -265,3 +265,61 @@ def test_bpe_source_compression_partitions_the_corpus_curve(spark):
     assert sum(r.bpe_tokens for r in per_src) == curve[3]
     for r in per_src:
         assert 0.0 < r.compression_ratio <= 1.0
+
+
+def test_bpe_exhaustion_stops_loop_not_annihilates(spark):
+    """Round-9 ADVICE fix: when pairs run out before n_merges the loop
+    BREAKS — the curve stops at the exhaustion round (no NULL
+    corpus_tokens rows) and the equity report is computed under the
+    merges actually mined (non-empty), instead of an empty winner
+    cross-join annihilating the symbol chain."""
+    from metar_pipeline_spark.operators.vocab import (
+        bpe_compression_curve,
+        bpe_source_compression,
+        bpe_vocab_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [("s1", "ab ab"), ("s2", "ab")], "source string, text string"
+    )
+    # merge table: one rule, then exhausted
+    rows = bpe_vocab_merges(docs, n_merges=5).collect()
+    assert [(r.merge_round, r.merged, r.total) for r in rows] == [
+        (1, "ab", 3)
+    ]
+    # curve: rounds 0 and 1 only, no NULLs
+    curve = {
+        r.merge_round: r.corpus_tokens
+        for r in bpe_compression_curve(docs, n_merges=5).collect()
+    }
+    assert curve == {0: 6, 1: 3}
+    # equity report: computed under the one mined merge, not empty
+    per_src = {
+        r.source: (r.char_tokens, r.bpe_tokens)
+        for r in bpe_source_compression(
+            docs, group_col="source", n_merges=5
+        ).collect()
+    }
+    assert per_src == {"s1": (4, 2), "s2": (2, 1)}
+
+
+def test_bpe_no_pairs_at_all_yields_empty_table(spark):
+    """A corpus with no >=2-char words exhausts at round 1: empty merge
+    table with a stable schema, empty curve (the round-0 state is
+    itself empty)."""
+    from metar_pipeline_spark.operators.vocab import (
+        bpe_compression_curve,
+        bpe_vocab_merges,
+    )
+
+    docs = spark.createDataFrame([("a b c",)], "text string")
+    table = bpe_vocab_merges(docs, n_merges=3)
+    assert table.columns == [
+        "merge_round",
+        "sym_a",
+        "sym_b",
+        "merged",
+        "total",
+    ]
+    assert table.count() == 0
+    assert bpe_compression_curve(docs, n_merges=3).count() == 0
