@@ -155,6 +155,29 @@ def run_drift_monitor(
         .start()
     )
 
+def _store_has_data_files(fs, jvm_path) -> bool:
+    """True iff the store directory holds at least one DATA file —
+    Spark's own hidden-path rule (a segment starting with ``_`` and
+    not containing ``=``, or starting with ``.``, is invisible), so
+    ``_SUCCESS``, ``.crc`` sidecars, and ``_temporary`` leftovers of a
+    crashed write don't count, while ``_batch=N`` partition dirs do.
+    Only segments BELOW the store root are inspected (the root's own
+    ancestors may legitimately contain underscore names)."""
+    root = jvm_path.toUri().getPath().rstrip("/")
+    it = fs.listFiles(jvm_path, True)
+    while it.hasNext():
+        p = it.next().getPath().toUri().getPath()
+        rel = p[len(root):] if p.startswith(root) else p
+        hidden = any(
+            (s.startswith("_") and "=" not in s) or s.startswith(".")
+            for s in rel.split("/")
+            if s
+        )
+        if not hidden:
+            return True
+    return False
+
+
 def run_trailing_drift_monitor(
     spark: SparkSession,
     source_dir: str,
@@ -188,19 +211,25 @@ def run_trailing_drift_monitor(
         if batch.isEmpty():
             return
         bc = unigram_counts(batch, text_col).localCheckpoint(eager=True)
-        # Cold start is decided by explicit store-path existence, NOT
+        # Cold start is decided by explicit store-path inspection, NOT
         # by catching read errors: a transient IO failure or corrupt
         # store masked as "first batch" would land a NULL-jsd row for
         # batch N>0, and a later replay of that batch (store readable
         # again) would land DIFFERENT values — violating this module's
         # replay-identical-values contract. Real read errors must fail
-        # the batch so the checkpoint retries it.
+        # the batch so the checkpoint retries it. "Exists" alone is not
+        # enough (round-9 ADVICE): a crashed first-batch write can
+        # leave the dir holding only _temporary/_SUCCESS leftovers, and
+        # spark.read.parquet over a dataless dir throws on EVERY retry
+        # — a permanently poisoned batch. A store with no DATA files is
+        # therefore cold start too; only genuine read/corruption errors
+        # surface from the read below.
         jvm_path = sp._jvm.org.apache.hadoop.fs.Path(counts_dir)
         fs = jvm_path.getFileSystem(
             sp._jsc.hadoopConfiguration()
         )
         have_prior = False
-        if fs.exists(jvm_path):
+        if fs.exists(jvm_path) and _store_has_data_files(fs, jvm_path):
             prior = (
                 sp.read.parquet(counts_dir)
                 .filter(F.col("_batch") < batch_id)

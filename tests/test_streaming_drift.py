@@ -186,3 +186,49 @@ def test_trailing_monitor_corrupt_store_fails_not_cold_start(
         q.awaitTermination()
     # and no metrics row was committed for the failed batch
     assert not os.path.exists(str(tmp_path / "metrics"))
+
+
+def test_trailing_monitor_dataless_store_dir_is_cold_start(
+    spark, tmp_path
+):
+    """Round-9 ADVICE fix: a counts dir that EXISTS but holds no data
+    files (crashed first-batch write leaving only _temporary/_SUCCESS,
+    or an empty dir) is cold start — before, spark.read.parquet threw
+    on every retry, permanently poisoning the batch. Genuine corrupt
+    data still fails (the corrupt-store test above)."""
+    import os
+
+    from metar_pipeline_spark.streaming.drift import (
+        run_trailing_drift_monitor,
+    )
+
+    b1 = _docs(spark, [(1, "a a b"), (2, "c d a")])
+    src = str(tmp_path / "src")
+    b1.coalesce(1).write.parquet(os.path.join(src, "b1"))
+
+    # store dir exists with only write-machinery leftovers, zero data
+    counts = str(tmp_path / "counts")
+    os.makedirs(os.path.join(counts, "_temporary", "0"))
+    open(os.path.join(counts, "_SUCCESS"), "w").close()
+    open(
+        os.path.join(counts, "_temporary", "0", "part-0.parquet"), "wb"
+    ).close()
+
+    metrics = str(tmp_path / "metrics")
+    q = run_trailing_drift_monitor(
+        spark,
+        src,
+        counts,
+        metrics,
+        str(tmp_path / "ckpt"),
+        schema=b1.schema,
+    )
+    q.awaitTermination()
+
+    got = {r.batch_id: r for r in spark.read.parquet(metrics).collect()}
+    assert set(got) == {0}
+    assert got[0].jsd_nats is None  # treated as cold start
+    assert got[0].n_tokens == 6
+    # and the batch's counts seeded the store as a real partition
+    store = spark.read.parquet(counts)
+    assert {r["_batch"] for r in store.select("_batch").collect()} == {0}
