@@ -71,6 +71,13 @@ def stg_stage(
         F.sum(F.col("icao").isNull().cast("int")).alias("null_icao"),
         F.min("observed").alias("min_observed"),
         F.max("observed").alias("max_observed"),
+        # Engine-derived watermark epoch (round-9 ADVICE): the run id
+        # must not depend on the driver's timezone, and a collected
+        # TimestampType converts through PySpark's LOCAL-tz
+        # fromInternal — so the epoch is computed inside the engine
+        # (session tz is pinned UTC by load_table) where it is a pure
+        # function of the data.
+        F.unix_timestamp(F.max("observed")).alias("max_observed_epoch"),
     )
     upsert_parquet(spark, fresh, path, keys=["id"], order_col="inserted_at")
     _append_batch_metrics(spark, base_dir, "stg", obs.get)
@@ -94,13 +101,21 @@ def stg_stage(
         # diff a rerun against its first attempt — and assumed a local
         # fs). Monotone across watermark-advancing batches, so
         # detect_drift's newest-two ordering stays chronological.
-        hw = metrics.get("max_observed")
+        hw = metrics.get("max_observed_epoch")
         if hw is None:
             # Empty batch (everything behind the watermark): no fresh
             # data, nothing to snapshot — and no stable identity to
             # key an overwrite on.
             return
-        run_id = int(hw.timestamp())
+        # The epoch comes straight from the observe metrics (round-9
+        # ADVICE): a driver-side hw.timestamp() interpreted the naive
+        # collected datetime in the HOST'S local timezone, so a tz
+        # change between a run and its replay yielded a different
+        # run_id — defeating exactly the rerun idempotency this id
+        # exists for (and could make ids non-monotone across the
+        # change). unix_timestamp(max(observed)) is engine-derived: a
+        # pure function of the data under the UTC session tz.
+        run_id = int(hw)
     record_schema_snapshot(normalized, snap_store, run_id)
 
 
@@ -120,6 +135,7 @@ def _append_batch_metrics(
                 [
                     "layer string",
                     "max_observed timestamp",
+                    "max_observed_epoch long",
                     "min_observed timestamp",
                     "n_rows long",
                     "null_icao long",

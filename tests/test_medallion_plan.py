@@ -169,3 +169,26 @@ def test_medallion_schema_snapshots_and_drift(spark, tmp_path):
     # idempotent re-record of the same run (replay) does not duplicate
     record_schema_snapshot(evolved, store, evolved_run)
     assert detect_drift(spark, store).count() == 3
+
+
+def test_schema_snapshot_run_id_is_engine_utc_epoch(spark, tmp_path):
+    """Round-9 ADVICE fix: the snapshot run_id comes from
+    unix_timestamp(max(observed)) INSIDE the observe metrics — a pure
+    function of the data under the pinned UTC session tz — never from
+    a driver-side .timestamp() of a naive datetime, which interprets
+    the wall time in the host's local timezone and would change across
+    a tz switch between a run and its replay."""
+    import calendar
+    import os
+
+    base = str(tmp_path / "lake_tz")
+    run_medallion(spark, _normalized(spark, _docs(["UUEE", "ULLI"], 1, -5.0)), base)
+    store = os.path.join(base, "_schema_snapshots")
+    runs = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(store)
+        if d.startswith("_run=")
+    ]
+    # batch max observed = 2024-02-01T07:00:00 (second icao, i=1)
+    want = calendar.timegm((2024, 2, 1, 7, 0, 0))
+    assert runs == [want]
