@@ -32,6 +32,11 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 def register(name: str, oracle: Optional[str], doc: str = ""):
     def deco(fn):
+        # Fail loudly at import time on a duplicate name (round-9
+        # ADVICE): a silent REGISTRY overwrite would make which spec
+        # the driver verifies depend on module import order.
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query registration: {name!r}")
         REGISTRY[name] = QuerySpec(name, fn, oracle, doc)
         return fn
 

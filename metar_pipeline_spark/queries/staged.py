@@ -51,6 +51,11 @@ def register_staged(name: str, oracle: str, doc: str = ""):
     STAGED so the family stays addressable as a unit (--staged flag)."""
 
     def deco(fn):
+        # Same loud duplicate guard as register() (round-9 ADVICE): a
+        # staged name colliding with a normally-registered query must
+        # fail at import time, not silently win by import order.
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query registration: {name!r}")
         spec = QuerySpec(name, fn, oracle, doc)
         STAGED[name] = spec
         REGISTRY[name] = spec

@@ -115,21 +115,29 @@ def compact_partitions(
     Returns ``{decoded_partition_value: (files_before, files_after)}``
     for every partition that was (or with ``dry_run=True``, would be)
     compacted; ``files_after`` is the planned count under dry_run.
+    Under ``dry_run`` a partition whose data is stranded in a crashed
+    ``.{name}.__old__`` aside (live dir absent — currently INVISIBLE to
+    readers of the table) is reported as
+    ``(files_in_aside, -1)``: the sentinel ``-1`` (impossible as a real
+    planned count) marks NEEDS-RECOVERY — the next non-dry run restores
+    it first thing. A plan-only call stays mutation-free but never
+    hides the one state an operator most needs to see.
     """
     import math
     from urllib.parse import unquote
 
     fs, hpath, _ = _hadoop_fs(spark, path)
     prefix = f"{partition_col}="
+    out: dict[str, tuple[int, int]] = {}
     # Recovery sweep: a crash between rename(live→aside) and
     # rename(staging→live) leaves the partition's data stranded in a
     # `.{name}.__old__` dir with no live dir (and the live-dir listing
     # below would silently skip it). Restore any such aside whose live
     # path is absent; drop asides whose live path exists (crash after
-    # the second rename — the new data already won). Skipped under
-    # dry_run — a plan-only call must not mutate the table (the
-    # repair happens on the next real run).
-    for st in [] if dry_run else fs.listStatus(hpath):
+    # the second rename — the new data already won). Under dry_run the
+    # sweep is mutation-free: stranded asides are SURFACED in the
+    # report with the needs-recovery sentinel instead of repaired.
+    for st in fs.listStatus(hpath):
         name = st.getPath().getName()
         if not (
             st.isDirectory()
@@ -139,11 +147,18 @@ def compact_partitions(
             continue
         live_name = name[1:-len(".__old__")]
         _, live, _ = _hadoop_fs(spark, f"{path.rstrip('/')}/{live_name}")
+        if dry_run:
+            if not fs.exists(live):
+                value = unquote(live_name[len(prefix):])
+                n_files, _total = dir_stats(
+                    spark, st.getPath().toString()
+                )
+                out[value] = (n_files, -1)
+            continue
         if fs.exists(live):
             fs.delete(st.getPath(), True)
         else:
             fs.rename(st.getPath(), live)
-    out: dict[str, tuple[int, int]] = {}
     for st in fs.listStatus(hpath):
         name = st.getPath().getName()
         if not (st.isDirectory() and name.startswith(prefix)):

@@ -451,6 +451,17 @@ def test_compact_partitions_preserves_layout_and_skips_cold(spark, tmp_path):
     live = root / "cid=1"
     live.rename(root / ".cid=1.__old__")
     assert not live.exists()
+    # round-9 ADVICE: a dry_run over the crashed state stays
+    # mutation-free but SURFACES the stranded partition with the
+    # needs-recovery sentinel (files_after == -1) instead of silently
+    # omitting the one partition currently absent from the table
+    plan_crashed = compact_partitions(
+        spark, store, "cid", min_files_to_compact=4, dry_run=True
+    )
+    assert plan_crashed["1"][1] == -1
+    assert plan_crashed["1"][0] > 0  # the aside's real file count
+    assert not live.exists()  # dry_run did not repair
+    assert (root / ".cid=1.__old__").exists()
     compact_partitions(spark, store, "cid", min_files_to_compact=4)
     assert live.exists()
     assert not (root / ".cid=1.__old__").exists()
