@@ -16,6 +16,17 @@ per-query map from the LAST (warmest) run. A real regression shows in
 both runs; contention shows in one. The driver's per-round invocation
 stays single-run (default 1) so BENCH_r{N}.json timing stays
 comparable with earlier rounds.
+
+Noisy-host re-measure pass (round 9): in-bench per-query seconds can
+read 2-3× an isolated warm run (JVM/order state — r8's
+dedup_minhash_lsh_pairs read 4.8 s in a contended driver run vs 1.0 s
+isolated), so after the timed pass the SLOWEST
+$SPARK_GRAFT_BENCH_REMEASURE (default 15) queries are re-run once in
+slowest-first order and each reports min(first, second). The stdout
+"queries" map carries these minima (the regression-watch set); "value"
+stays the plain single-pass total for cross-round comparability, and
+"min_total" substitutes the minima into it. bench_details.json records
+both observations per re-measured query.
 """
 
 from __future__ import annotations
@@ -80,6 +91,36 @@ def main() -> None:
         run_totals.append(round(sum(timings.values()), 3))
 
     total = run_totals[-1]
+    # Re-measure pass: min-of-2 for the slowest K queries (module
+    # docstring). Order is slowest-first — deliberately different from
+    # registry order, so order-dependent JVM state can't inflate the
+    # same query twice.
+    n_remeasure = max(
+        0, int(os.environ.get("SPARK_GRAFT_BENCH_REMEASURE", "15"))
+    )
+    remeasured: dict[str, dict[str, float]] = {}
+    for name, _first in sorted(timings.items(), key=lambda kv: -kv[1])[
+        :n_remeasure
+    ]:
+        t0 = time.time()
+        try:
+            specs[name].spark_fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            second = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            continue
+        remeasured[name] = {
+            "first": timings[name],
+            "second": second,
+            "min": min(timings[name], second),
+        }
+    min_timings = {
+        name: remeasured[name]["min"] if name in remeasured else t
+        for name, t in timings.items()
+    }
+    min_total = round(sum(min_timings.values()), 3)
     # The harness that invokes us keeps only the LAST ~2000 chars of
     # output and parses the JSON line from there — a full 92-entry
     # per-query dict (~4 KB) therefore never parses (r1/r2 lesson:
@@ -97,14 +138,20 @@ def main() -> None:
         # two-run protocol (module docstring): both totals recorded so
         # one-run contention can't masquerade as a regression
         "run_totals": run_totals,
+        # noisy-host re-measure pass: both observations per query
+        "remeasured": remeasured,
+        "min_total": min_total,
     }
     if errors:
         detail["errors"] = errors
     detail_path = Path(__file__).resolve().parent / "bench_details.json"
     detail_path.write_text(json.dumps(detail, indent=1))
 
+    # the regression-watch set carries min-of-2 figures (contention-
+    # robust); "value"/"mean_sec" stay plain single-pass for
+    # cross-round comparability
     slowest = dict(
-        sorted(timings.items(), key=lambda kv: -kv[1])[:15]
+        sorted(min_timings.items(), key=lambda kv: -kv[1])[:15]
     )
     out = {
         "metric": "total_query_wall_seconds",
@@ -115,6 +162,8 @@ def main() -> None:
         # the count-stable comparison number
         "n_queries": len(timings),
         "mean_sec": round(total / max(len(timings), 1), 3),
+        "min_total": min_total,
+        "min_mean_sec": round(min_total / max(len(timings), 1), 3),
         "n_errors": len(errors),
         "queries": slowest,
         "detail": "bench_details.json",

@@ -118,7 +118,15 @@ def quarantine_violations(
     exactly-once contract as the streaming sinks). Violation frames are
     assertion outputs (small by contract — a healthy pipeline
     quarantines ~0 rows), so the count-then-write double evaluation is
-    the affordable form of dbt's CTAS-then-count."""
+    the affordable form of dbt's CTAS-then-count.
+
+    Cost attribution (round 9): the pass-transition cleanup below is
+    ONE fs.exists per passing assertion per run — already guarded (the
+    delete only fires when a stale ``_run=N`` partition actually
+    exists), µs-scale on any filesystem and independent of data size.
+    The r8 bench reading that suggested it doubled quarantine_fk_rows
+    did not reproduce isolated (~1.0 s warm at sf0.1, in line with the
+    r7 number — in-bench order effects, see README bench variance)."""
     import os
 
     results = []
