@@ -619,3 +619,122 @@ def boilerplate_line_removal(spark, sf_dir):
         F.col("n_removed").cast("bigint").alias("n_removed"),
         F.md5("text").alias("clean_md5"),
     )
+
+
+_RM_K = 5  # span gram width for the REMOVAL demo (k=8 finds only the
+# planted full-doc dups in the synthetic corpus; k=5 also catches the
+# chance-duplicated spans, so all three verdicts are exercised)
+_RM_DROP, _RM_TRIM = 0.95, 0.02
+
+
+@register(
+    "corpus_span_removal_audit",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    gpos AS MATERIALIZED (
+      SELECT doc_id, (p).i AS i, (p).g AS gram
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, len(toks) - {_RM_K - 1}),
+                 i -> {{'i': i,
+                       'g': array_to_string(toks[i:i+{_RM_K - 1}], ' ')}}))
+                 AS p
+        FROM t)
+    ),
+    gc AS MATERIALIZED (
+      SELECT gram, COUNT(*) AS occ FROM gpos GROUP BY 1
+    ),
+    spans AS (
+      SELECT g.doc_id,
+             round(CAST(SUM(CASE WHEN gc.occ > 1 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / COUNT(*), 6) AS dup_frac
+      FROM gpos g JOIN gc USING (gram) GROUP BY g.doc_id
+    ),
+    verd AS (
+      SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens_before,
+             CASE WHEN COALESCE(s.dup_frac, 0) >= {_RM_DROP} THEN 'drop'
+                  WHEN COALESCE(s.dup_frac, 0) >= {_RM_TRIM} THEN 'trim'
+                  ELSE 'keep' END AS verdict,
+             t.toks
+      FROM t LEFT JOIN spans s USING (doc_id)
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, pos FROM (
+        SELECT g.doc_id,
+               unnest(generate_series(g.i, g.i + {_RM_K - 1})) AS pos
+        FROM gpos g JOIN gc USING (gram)
+                    JOIN verd v ON v.doc_id = g.doc_id
+        WHERE gc.occ > 1 AND v.verdict = 'trim')
+    ),
+    tokpos AS (
+      SELECT doc_id, (x).j AS j, (x).tok AS tok FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks)),
+                                     j -> {{'j': j, 'tok': toks[j]}})) AS x
+        FROM verd WHERE verdict = 'trim')
+    ),
+    kept AS (
+      SELECT tp.doc_id, tp.j, tp.tok
+      FROM tokpos tp LEFT JOIN covered c
+        ON c.doc_id = tp.doc_id AND c.pos = tp.j
+      WHERE c.doc_id IS NULL
+    ),
+    rebuilt AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_after,
+             md5(string_agg(tok, ' ' ORDER BY j)) AS clean_md5
+      FROM kept GROUP BY doc_id
+    )
+    SELECT v.doc_id, v.verdict, v.n_tokens_before,
+           CASE WHEN v.verdict = 'keep' THEN v.n_tokens_before
+                ELSE COALESCE(r.n_after, 0) END AS n_tokens_after,
+           CASE WHEN v.verdict = 'keep'
+                THEN md5(array_to_string(v.toks, ' '))
+                ELSE COALESCE(r.clean_md5, md5('')) END AS clean_md5
+    FROM verd v LEFT JOIN rebuilt r USING (doc_id)
+    WHERE v.verdict <> 'drop'
+    """,
+    doc=(
+        "The ACTION end of exact-substring dedup (Lee et al. 2021 §4), "
+        "completing profile → decision → action: span-stat verdicts "
+        f"(k={_RM_K}: dup_frac ≥ {_RM_DROP} drop, ≥ {_RM_TRIM} trim) "
+        "applied by operators/corpus_ops.remove_duplicated_spans — "
+        "drop-docs excluded, trim-docs have every token covered by a "
+        "corpus-duplicated k-gram removed, keep-docs pass through; "
+        "emitted with before/after token counts and the md5 digest of "
+        "the trimmed text. One gram-window corpus pass + bounded "
+        "covered-position expansion + (doc,pos) anti-join + doc-grain "
+        "rebuild."
+    ),
+)
+def corpus_span_removal_audit(spark, sf_dir):
+    from metar_pipeline_spark.operators.corpus_ops import (
+        duplicated_span_stats,
+        remove_duplicated_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = duplicated_span_stats(docs, "doc_id", "text", k=_RM_K)
+    verdicts = docs.select("doc_id").join(
+        stats.select("doc_id", "dup_frac"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.when(
+            F.coalesce("dup_frac", F.lit(0.0)) >= _RM_DROP, F.lit("drop")
+        )
+        .when(
+            F.coalesce("dup_frac", F.lit(0.0)) >= _RM_TRIM, F.lit("trim")
+        )
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
+    )
+    out = remove_duplicated_spans(
+        docs, verdicts, id_col="doc_id", text_col="text", k=_RM_K
+    )
+    return out.select(
+        "doc_id",
+        "verdict",
+        "n_tokens_before",
+        "n_tokens_after",
+        F.md5("text").alias("clean_md5"),
+    )

@@ -336,3 +336,67 @@ def _shared_spark():
     from pyspark.sql import SparkSession
 
     return SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+
+
+def test_remove_duplicated_spans_hand_case(spark):
+    """The action operator: drop-docs excluded, keep-docs pass through
+    token-normalized, trim-docs lose exactly the tokens covered by any
+    corpus-duplicated k-gram (survivors close ranks in reading
+    order)."""
+    from metar_pipeline_spark.operators.corpus_ops import (
+        remove_duplicated_spans,
+    )
+
+    # k=2 grams; "x y" appears in docs 1 AND 2 → duplicated corpus-wide.
+    # doc 1 (trim): tokens [a x y b] — gram "x y" at pos 1 covers
+    #   positions 1-2 → kept [a b]
+    # doc 2 (drop): excluded from output (but its grams still counted)
+    # doc 3 (keep): untouched, re-emitted normalized
+    docs = spark.createDataFrame(
+        [
+            (1, "A x  y b"),
+            (2, "x y x y"),
+            (3, "Q r s"),
+        ],
+        "doc_id long, text string",
+    )
+    verdicts = spark.createDataFrame(
+        [(1, "trim"), (2, "drop"), (3, "keep")],
+        "doc_id long, verdict string",
+    )
+    got = {
+        r.doc_id: (
+            r.verdict,
+            r.n_tokens_before,
+            r.n_tokens_after,
+            r.text,
+        )
+        for r in remove_duplicated_spans(
+            docs, verdicts, k=2
+        ).collect()
+    }
+    assert set(got) == {1, 3}
+    assert got[1] == ("trim", 4, 2, "a b")
+    assert got[3] == ("keep", 3, 3, "q r s")
+
+
+def test_remove_duplicated_spans_fully_covered_trim_doc(spark):
+    """A trim document whose every position is covered emits the empty
+    string with n_tokens_after = 0 — it survives as a row (the caller
+    said trim, not drop)."""
+    from metar_pipeline_spark.operators.corpus_ops import (
+        remove_duplicated_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x y z"), (2, "x y z")], "doc_id long, text string"
+    )
+    verdicts = spark.createDataFrame(
+        [(1, "trim"), (2, "keep")], "doc_id long, verdict string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens_after, r.text)
+        for r in remove_duplicated_spans(docs, verdicts, k=2).collect()
+    }
+    assert got[1] == (0, "")
+    assert got[2] == (3, "x y z")
