@@ -738,3 +738,191 @@ def corpus_span_removal_audit(spark, sf_dir):
         "n_tokens_after",
         F.md5("text").alias("clean_md5"),
     )
+
+
+@register(
+    "source_scorecard",
+    f"""
+    WITH t AS (SELECT doc_id, source, text, {_DUCK_TOKS} AS toks
+               FROM documents),
+    card AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
+      FROM t GROUP BY source
+    ),
+    dup AS (
+      SELECT source,
+             round(SUM(CASE WHEN doc_id <> cmin THEN 1 ELSE 0 END)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS exact_dup_rate
+      FROM (SELECT source, doc_id,
+                   MIN(doc_id) OVER (PARTITION BY md5(text)) AS cmin
+            FROM documents)
+      GROUP BY source
+    ),
+    gsig AS (
+      SELECT source,
+             CAST(len(toks) AS INTEGER) AS n_tokens,
+             round(CASE WHEN len(toks) = 0 THEN 0
+                   ELSE list_reduce(list_transform(toks, x -> length(x)),
+                                    (x, y) -> x + y) END
+                   / greatest(len(toks), 1), 6) AS mean_word_len,
+             round(len(list_filter(toks,
+                                   x -> regexp_matches(x, '[A-Za-z]')))
+                   / greatest(len(toks), 1), 6) AS alpha_word_frac,
+             round(len(list_filter(toks, x -> x IN ('#', '...', '…')))
+                   / greatest(len(toks), 1), 6) AS symbol_ratio
+      FROM t
+    ),
+    gq AS (
+      SELECT source,
+             round(SUM(CASE WHEN n_tokens BETWEEN 20 AND 100000
+                             AND mean_word_len BETWEEN 2 AND 10
+                             AND alpha_word_frac >= 0.8
+                             AND symbol_ratio < 0.1
+                            THEN 1 ELSE 0 END)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS gopher_pass_rate
+      FROM gsig GROUP BY source
+    ),
+    ng AS (
+      SELECT DISTINCT source, gram FROM (
+        SELECT source,
+               unnest(list_distinct(list_transform(
+                 generate_series(1, len(toks) - 2),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+                 AS gram
+        FROM t)
+    ),
+    fi AS (SELECT gram, MIN(source) AS source FROM ng GROUP BY 1),
+    novn AS (SELECT source, COUNT(*) AS new_grams FROM fi GROUP BY 1),
+    novt AS (SELECT source, COUNT(*) AS n_grams FROM ng GROUP BY 1),
+    nov AS (
+      SELECT nt.source,
+             round(COALESCE(nn.new_grams, 0) / nt.n_grams, 6)
+               AS novelty_rate
+      FROM novt nt LEFT JOIN novn nn USING (source)
+    ),
+    ttr AS (
+      SELECT source,
+             round(CAST(SUM(CAST(
+                     round(len(list_distinct(toks[1:100]))
+                           / CAST(least(len(toks), 100) AS DOUBLE), 6)
+                   AS DECIMAL(38,10))) AS DOUBLE)
+                   / COUNT(*), 6) AS mean_ttr100
+      FROM t WHERE len(toks) >= 20 GROUP BY source
+    )
+    SELECT c.source, c.n_docs, c.n_tokens,
+           d.exact_dup_rate, g.gopher_pass_rate, n.novelty_rate,
+           tt.mean_ttr100,
+           round(g.gopher_pass_rate * n.novelty_rate
+                 * (1 - d.exact_dup_rate), 6) AS keep_score
+    FROM card c
+    JOIN dup d USING (source)
+    JOIN gq g USING (source)
+    JOIN nov n ON n.source = c.source
+    LEFT JOIN ttr tt ON tt.source = c.source
+    """,
+    doc=(
+        "Per-source acquisition scorecard — the decision table a "
+        "data-sourcing team reads: volume (docs/tokens), exact-dup "
+        "redundancy rate (corpus-wide md5 canonical, one window "
+        "exchange), Gopher quality pass rate (pure per-row column "
+        "math), marginal 3-gram novelty (gram-grain MIN agg), mean "
+        "TTR-100 lexical diversity, and a keep_score composite "
+        "(quality × novelty × uniqueness). Five source-grain frames "
+        "joined at dimension grain — every input shape is an "
+        "already-verified operator; the composite adds only "
+        "broadcastable joins."
+    ),
+)
+def source_scorecard(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from metar_pipeline_spark.operators.textops import (
+        gopher_passes,
+        gopher_signals,
+    )
+    from metar_pipeline_spark.operators.vocab import gram_novelty_by_slice
+
+    docs = load_table(spark, sf_dir, "documents")
+    card = (
+        docs.select("source", F.size(_tokens(F.col("text"))).alias("_nt"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_nt").cast("bigint").alias("n_tokens"),
+        )
+    )
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        F.min("doc_id")
+        .over(Window.partitionBy(F.md5("text")))
+        .alias("_cmin"),
+    )
+    dup = keyed.groupBy("source").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("doc_id") != F.col("_cmin"), 1).otherwise(0)
+            )
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("exact_dup_rate")
+    )
+    sig = gopher_signals(F.col("text"))
+    gq = (
+        docs.select(
+            "source", gopher_passes(sig).cast("int").alias("_p")
+        )
+        .groupBy("source")
+        .agg(
+            F.round(
+                F.sum("_p") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("gopher_pass_rate")
+        )
+    )
+    nov = gram_novelty_by_slice(docs, "source", "text", shingle_n=3).select(
+        F.col("slice").alias("source"), "novelty_rate"
+    )
+    toked = docs.select("source", _tokens(F.col("text")).alias("_t"))
+    ttr = (
+        toked.filter(F.size("_t") >= 20)
+        .select(
+            "source",
+            F.round(
+                F.size(F.array_distinct(F.slice("_t", 1, 100)))
+                / F.least(F.size("_t"), F.lit(100)).cast("double"),
+                6,
+            ).alias("_ttr100"),
+        )
+        .groupBy("source")
+        .agg(
+            F.round(
+                F.sum(F.col("_ttr100").cast("decimal(38,10)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_ttr100")
+        )
+    )
+    return (
+        card.join(dup, "source")
+        .join(gq, "source")
+        .join(nov, "source")
+        .join(ttr, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "exact_dup_rate",
+            "gopher_pass_rate",
+            "novelty_rate",
+            "mean_ttr100",
+            F.round(
+                F.col("gopher_pass_rate")
+                * F.col("novelty_rate")
+                * (F.lit(1) - F.col("exact_dup_rate")),
+                6,
+            ).alias("keep_score"),
+        )
+    )
