@@ -184,6 +184,26 @@ SHOWCASE = [
         "user frame (10⁸–10⁹ rows at 100 TB) never passes through a "
         "one-task window.",
     ),
+    (
+        "corpus_span_removal_audit",
+        "Exact-substring span REMOVAL (round 9, the action end of Lee "
+        "et al. dedup): gram duplication counted by count(*) over "
+        "(partition by gram) — one generator pass, the shuffle key is "
+        "the k-token gram; covered positions expand dup grams of TRIM "
+        "docs only (bounded k× their dup-gram count); the rebuild is a "
+        "(doc,pos) anti-join + doc-grain ordered agg. The corpus never "
+        "moves document-width through a shuffle except the final "
+        "per-doc rebuild of trim docs.",
+    ),
+    (
+        "source_scorecard",
+        "Dimension-grain composite (round 9): five source-grain frames "
+        "(volume, exact-dup redundancy via one md5-window exchange, "
+        "Gopher pass rate as pure per-row math, gram-grain novelty "
+        "MIN-agg, TTR mean) joined at source grain — every join side "
+        "is a tiny aggregate, broadcast-eligible; corpus text is "
+        "scanned, never shuffled wide.",
+    ),
 ]
 
 # Static epilogue: measured plan decisions that are not a single
