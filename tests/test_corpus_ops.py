@@ -400,3 +400,22 @@ def test_remove_duplicated_spans_fully_covered_trim_doc(spark):
     }
     assert got[1] == (0, "")
     assert got[2] == (3, "x y z")
+
+
+def test_remove_duplicated_spans_incomplete_verdicts_drop(spark):
+    """Join contract: a document absent from the verdict table (or
+    with a NULL verdict) is treated as drop — an incomplete policy
+    table must never silently pass unruled documents."""
+    from metar_pipeline_spark.operators.corpus_ops import (
+        remove_duplicated_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "c d"), (3, "e f")],
+        "doc_id long, text string",
+    )
+    verdicts = spark.createDataFrame(
+        [(1, "keep"), (3, None)], "doc_id long, verdict string"
+    )
+    got = {r.doc_id for r in remove_duplicated_spans(docs, verdicts, k=2).collect()}
+    assert got == {1}  # 2 absent, 3 NULL -> both dropped
