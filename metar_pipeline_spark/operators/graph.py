@@ -263,3 +263,45 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def bfs_min_hops(
+    edges: DataFrame, seeds: DataFrame, max_hops: int
+) -> DataFrame:
+    """Breadth-first minimum hop distance from a seed set — the
+    frontier-expansion shape beside the fixpoint family (pagerank /
+    label_propagation iterate values to convergence; BFS grows a
+    visited set level by level).
+
+    ``edges``: (src, dst), DIRECTED — pass both directions for an
+    undirected graph. ``seeds``: (node,) at hop 0. Returns (node, hop)
+    for every node reachable within ``max_hops``; BFS's first-visit
+    property IS the minimum hop, so no min-aggregate is ever needed.
+
+    Scale shape: O(max_hops) rounds, each one frontier⋈edges equi-join
+    (shuffle keyed on the node id) + distinct + anti-join against the
+    visited set; frontier and visited are node-grain frames,
+    localCheckpoint-ed per round so lineage stays O(1). Early exit on
+    an empty frontier (cheap head(1) off the eager checkpoint) — the
+    loop runs min(max_hops, eccentricity) rounds.
+    """
+    visited = (
+        seeds.select(F.col("node"), F.lit(0).cast("int").alias("hop"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("node")
+    for level in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(level).cast("int").alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.head(1):
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return visited

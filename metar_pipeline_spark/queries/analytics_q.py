@@ -1737,3 +1737,87 @@ def record_linkage_parts(spark, sf_dir):
         numeric_cols=[("p_size", 2.0, 1.0), ("p_retailprice", 1.0, 1.0)],
         min_score=5.0,
     )
+
+
+def _bfs_oracle(max_hops: int = 4) -> str:
+    """Unrolled-CTE twin of operators/graph.bfs_min_hops: one
+    (frontier, visited) CTE pair per level over the UNDIRECTED
+    supplier↔part edge set; NOT IN replays the anti-join (node ids are
+    never NULL, so NOT IN is safe)."""
+    head = """
+    WITH ed AS (
+      SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+      FROM lineitem
+      UNION
+      SELECT DISTINCT l_partkey * 2 + 1 AS src, l_suppkey * 2 AS dst
+      FROM lineitem
+    ),
+    v0 AS (SELECT s_suppkey * 2 AS node, 0 AS hop
+           FROM supplier WHERE s_suppkey < 3)"""
+    steps = []
+    for h in range(1, max_hops + 1):
+        steps.append(
+            f"""
+    f{h} AS (
+      SELECT DISTINCT e.dst AS node
+      FROM ed e JOIN v{h - 1} v ON e.src = v.node
+      WHERE e.dst NOT IN (SELECT node FROM v{h - 1})
+    ),
+    v{h} AS (
+      SELECT node, hop FROM v{h - 1}
+      UNION ALL
+      SELECT node, {h} AS hop FROM f{h}
+    )"""
+        )
+    label = (
+        "CASE WHEN node % 2 = 0 THEN 's' || CAST(node // 2 AS VARCHAR) "
+        "ELSE 'p' || CAST((node - 1) // 2 AS VARCHAR) END"
+    )
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT {label} AS node, CAST(hop AS INTEGER) AS hop
+    FROM v{max_hops}"""
+    )
+
+
+@register(
+    "supply_bfs_hops",
+    _bfs_oracle(),
+    doc=(
+        "BFS minimum hop distance over the undirected supplier↔part "
+        "graph of lineitem, seeded at suppliers {1, 2} — the "
+        "frontier-expansion shape beside the fixpoint iterators "
+        "(pagerank/LPA): per level one frontier⋈edges equi-join + "
+        "distinct + anti-join vs the visited set, node-grain frames "
+        "checkpointed per round, early exit on an empty frontier "
+        "(operators/graph.bfs_min_hops)"
+    ),
+)
+def supply_bfs_hops(spark, sf_dir):
+    from metar_pipeline_spark.operators.graph import bfs_min_hops
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    fwd = li.select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    seeds = sup.filter(F.col("s_suppkey") < 3).select(
+        (F.col("s_suppkey") * 2).alias("node")
+    )
+    hops = bfs_min_hops(edges, seeds, max_hops=4)
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("s"), (F.col("node") / 2).cast("long").cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit("p"), ((F.col("node") - 1) / 2).cast("long").cast("string")
+        )
+    )
+    return hops.select(label.alias("node"), F.col("hop").cast("int").alias("hop"))

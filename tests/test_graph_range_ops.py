@@ -234,3 +234,27 @@ def test_label_propagation_separates_disjoint_triangles(spark):
         for r in label_propagation(bridged, iterations=2).collect()
     }
     assert out2 == out3
+
+
+def test_bfs_min_hops_chain_and_early_exit(spark):
+    """BFS on a directed chain 1→2→3→4 seeded at 1: first-visit hop is
+    the minimum hop; max_hops truncates; an exhausted frontier exits
+    early (disconnected node 9 never appears); a revisit through a
+    back-edge never lowers or duplicates a hop."""
+    from metar_pipeline_spark.operators.graph import bfs_min_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (2, 1)],  # back-edge 2->1
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r.node: r.hop
+        for r in bfs_min_hops(edges, seeds, max_hops=2).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2}
+    full = {
+        r.node: r.hop
+        for r in bfs_min_hops(edges, seeds, max_hops=10).collect()
+    }
+    assert full == {1: 0, 2: 1, 3: 2, 4: 3}  # early exit after level 3
