@@ -1821,3 +1821,96 @@ def supply_bfs_hops(spark, sf_dir):
         )
     )
     return hops.select(label.alias("node"), F.col("hop").cast("int").alias("hop"))
+
+
+@register(
+    "ivm_delta_join_view",
+    """
+    WITH c_old AS (
+      SELECT c_custkey, c_acctbal AS acctbal FROM customer
+    ),
+    c_new AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 89 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS acctbal
+      FROM customer
+    ),
+    v_old AS (
+      SELECT o.o_orderkey, c.c_custkey, c.acctbal
+      FROM orders o JOIN c_old c ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderkey % 97 <> 0
+    ),
+    v_new AS (
+      SELECT o.o_orderkey, c.c_custkey, c.acctbal
+      FROM orders o JOIN c_new c ON o.o_custkey = c.c_custkey
+    ),
+    plus AS (
+      SELECT *, 1 AS w FROM
+        (SELECT * FROM v_new EXCEPT ALL SELECT * FROM v_old)
+    ),
+    minus AS (
+      SELECT *, -1 AS w FROM
+        (SELECT * FROM v_old EXCEPT ALL SELECT * FROM v_new)
+    )
+    SELECT o_orderkey, c_custkey, round(acctbal, 2) AS acctbal,
+           CAST(SUM(w) AS INTEGER) AS weight
+    FROM (SELECT * FROM plus UNION ALL SELECT * FROM minus)
+    GROUP BY 1, 2, 3
+    HAVING SUM(w) <> 0
+    """,
+    doc=(
+        "Incremental view maintenance via the DBSP Z-set delta-join "
+        "algebra: the orders⋈customer view's DELTA under a batch of "
+        "order inserts (o_orderkey % 97 = 0) and customer updates "
+        "(c_custkey % 89 = 0, retraction + insertion pairs) computed "
+        "as ΔO⋈C_old + O_old⋈ΔC + ΔO⋈ΔC — the view is NEVER "
+        "recomputed; each term joins a micro-batch-sized broadcast "
+        "delta against the base. The oracle computes the same delta "
+        "the expensive way (full recompute + EXCEPT ALL both "
+        "directions), proving algebra ≡ recompute-diff. "
+        "operators/ivm.zset_delta_join / consolidate"
+    ),
+)
+def ivm_delta_join_view(spark, sf_dir):
+    from metar_pipeline_spark.operators.ivm import (
+        consolidate,
+        zset_delta_join,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    c_old = cust.select(
+        "c_custkey", F.col("c_acctbal").alias("acctbal")
+    ).withColumn("_w", F.lit(1))
+    changed = cust.filter(F.col("c_custkey") % 89 == 0)
+    dc = (
+        changed.select(
+            "c_custkey", (F.col("c_acctbal") + F.lit(100.0)).alias("acctbal")
+        )
+        .withColumn("_w", F.lit(1))
+        .unionByName(
+            changed.select(
+                "c_custkey", F.col("c_acctbal").alias("acctbal")
+            ).withColumn("_w", F.lit(-1))
+        )
+    )
+    o_all = orders.select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey")
+    )
+    o_old = o_all.filter(F.col("o_orderkey") % 97 != 0).withColumn(
+        "_w", F.lit(1)
+    )
+    do = o_all.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+        "_w", F.lit(1)
+    )
+    dv = zset_delta_join(o_old, do, c_old, dc, "c_custkey")
+    out = consolidate(
+        dv.select(
+            "o_orderkey",
+            "c_custkey",
+            F.round("acctbal", 2).alias("acctbal"),
+            "_w",
+        ),
+        ["o_orderkey", "c_custkey", "acctbal"],
+    )
+    return out.withColumnRenamed("_w", "weight")
