@@ -196,6 +196,14 @@ SHOWCASE = [
         "per-doc rebuild of trim docs.",
     ),
     (
+        "ivm_delta_join_view",
+        "Incremental view maintenance (round 9): the join view's delta "
+        "via the Z-set bilinear identity — three joins whose LEFT "
+        "sides are micro-batch-sized deltas (broadcast-eligible), one "
+        "consolidation hash agg at view grain; the base tables are "
+        "scanned once each, the view itself is never recomputed.",
+    ),
+    (
         "source_scorecard",
         "Dimension-grain composite (round 9): five source-grain frames "
         "(volume, exact-dup redundancy via one md5-window exchange, "
