@@ -285,6 +285,11 @@ def bfs_min_hops(
     an empty frontier (cheap head(1) off the eager checkpoint) — the
     loop runs min(max_hops, eccentricity) rounds.
     """
+    # Materialize the edge set ONCE (same as pagerank): every level
+    # re-joins it, and an expensive caller frame (scan + union +
+    # distinct) would otherwise be re-evaluated per round — measured
+    # 6.8 s → ~4 s at sf0.1 on the supplier↔part graph.
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
     visited = (
         seeds.select(F.col("node"), F.lit(0).cast("int").alias("hop"))
         .distinct()
