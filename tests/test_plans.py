@@ -607,3 +607,60 @@ def test_event_funnel_no_cartesian(plans):
     # scale via AQE; at 100 TB they become co-partitioned SMJs, which
     # is also fine — the pin is about the 1-row summary joins never
     # degenerating. Guarded loosely on purpose.
+
+
+def test_span_removal_gram_window_and_anti_join(plans):
+    """remove_duplicated_spans (round 9): gram duplication is ONE
+    count-over-window on the gram (never groupBy+join-back, which
+    would re-run the generator twice); the rebuild path is an anti-join
+    keyed at (doc, pos); nothing degrades to a cartesian."""
+    p = plans("corpus_span_removal_audit")
+    assert "windowspecdefinition(__gram" in p
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ivm_delta_join_three_terms_no_cartesian(plans):
+    """zset_delta_join: three equi-join terms unioned, weights as plain
+    integer arithmetic — no cartesian/nested-loop anywhere, and the
+    consolidation is a single hash aggregate."""
+    p = plans("ivm_delta_join_view")
+    assert p.count("Join Inner") + p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "HashAggregate" in p
+
+
+def test_maxsim_broadcast_queries_single_scan(plans):
+    """Late-interaction MaxSim: the 3 query rows broadcast into one
+    corpus scan; all 16 segment dots are per-row column math (no
+    Python eval in the scoring path)."""
+    p = plans("ann_maxsim_late_interaction")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_bfs_hops_equi_joins_only(spark):
+    """bfs_min_hops: every level is an equi-join + anti-join on the
+    node id — pin the OPERATOR's per-level plan (the registered query
+    returns post-checkpoint frames, so its final plan is opaque)."""
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.operators.graph import bfs_min_hops
+    from metar_pipeline_spark.io import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    fwd = li.select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    seeds = spark.range(1, 3).select((F.col("id") * 2).alias("node"))
+    out = bfs_min_hops(edges, seeds, max_hops=2)
+    p = plan_str(out)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
