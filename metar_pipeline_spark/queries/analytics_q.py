@@ -1914,3 +1914,98 @@ def ivm_delta_join_view(spark, sf_dir):
         ["o_orderkey", "c_custkey", "acctbal"],
     )
     return out.withColumnRenamed("_w", "weight")
+
+
+def _bf_oracle(rounds: int = 3) -> str:
+    """Unrolled twin of operators/paths.bellman_ford_min_cost over the
+    undirected min-price supplier↔part edge set."""
+    head = """
+    WITH ep AS (
+      SELECT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst,
+             MIN(l_extendedprice) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    ed AS (
+      SELECT src, dst, w FROM ep
+      UNION ALL
+      SELECT dst AS src, src AS dst, w FROM ep
+    ),
+    d0 AS (SELECT s_suppkey * 2 AS node, CAST(0.0 AS DOUBLE) AS cost
+           FROM supplier WHERE s_suppkey < 3)"""
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(
+            f"""
+    r{r} AS (
+      SELECT e.dst AS node, MIN(d.cost + e.w) AS cost
+      FROM ed e JOIN d{r - 1} d ON e.src = d.node
+      GROUP BY e.dst
+    ),
+    d{r} AS (
+      SELECT node, MIN(cost) AS cost FROM (
+        SELECT node, cost FROM d{r - 1}
+        UNION ALL
+        SELECT node, cost FROM r{r})
+      GROUP BY node
+    )"""
+        )
+    label = (
+        "CASE WHEN node % 2 = 0 THEN 's' || CAST(node // 2 AS VARCHAR) "
+        "ELSE 'p' || CAST((node - 1) // 2 AS VARCHAR) END"
+    )
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT {label} AS node, round(cost, 2) AS cost FROM d{rounds}"""
+    )
+
+
+@register(
+    "supply_cheapest_path_3hop",
+    _bf_oracle(),
+    doc=(
+        "Bounded Bellman-Ford (min-plus semiring, completing the graph "
+        "trio beside pagerank's fixpoint values and BFS's frontier): "
+        "cheapest ≤3-hop path cost from suppliers {1, 2} over the "
+        "undirected supplier↔part graph weighted by the minimum "
+        "observed line price — per round one dist⋈edges equi-join + "
+        "node-grain MIN hash agg, dist checkpointed per round. "
+        "Determinism needs no DECIMAL: every candidate cost is the "
+        "same left-assoc IEEE add chain on both engines and MIN over "
+        "identical doubles is exact (operators/paths.py)"
+    ),
+)
+def supply_cheapest_path_3hop(spark, sf_dir):
+    from metar_pipeline_spark.operators.paths import bellman_ford_min_cost
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    ep = (
+        li.groupBy(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("l_partkey") * 2 + 1).alias("dst"),
+        )
+        .agg(F.min("l_extendedprice").alias("w"))
+    )
+    edges = ep.unionByName(
+        ep.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    seeds = sup.filter(F.col("s_suppkey") < 3).select(
+        (F.col("s_suppkey") * 2).alias("node")
+    )
+    dist = bellman_ford_min_cost(edges, seeds, rounds=3)
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("s"), (F.col("node") / 2).cast("long").cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit("p"), ((F.col("node") - 1) / 2).cast("long").cast("string")
+        )
+    )
+    return dist.select(
+        label.alias("node"), F.round("cost", 2).alias("cost")
+    )

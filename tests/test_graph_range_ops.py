@@ -258,3 +258,26 @@ def test_bfs_min_hops_chain_and_early_exit(spark):
         for r in bfs_min_hops(edges, seeds, max_hops=10).collect()
     }
     assert full == {1: 0, 2: 1, 3: 2, 4: 3}  # early exit after level 3
+
+
+def test_bellman_ford_hand_graph(spark):
+    """Weighted relaxation on a hand graph: the 2-hop cheap route
+    (1→2→4, cost 3) beats the 1-hop expensive edge (1→4, cost 10)
+    once rounds >= 2; rounds=1 still reports the direct edge."""
+    from metar_pipeline_spark.operators.paths import bellman_ford_min_cost
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 4, 2.0), (1, 4, 10.0), (4, 5, 1.0)],
+        "src long, dst long, w double",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    one = {
+        r.node: r.cost
+        for r in bellman_ford_min_cost(edges, seeds, rounds=1).collect()
+    }
+    assert one == {1: 0.0, 2: 1.0, 4: 10.0}
+    three = {
+        r.node: r.cost
+        for r in bellman_ford_min_cost(edges, seeds, rounds=3).collect()
+    }
+    assert three == {1: 0.0, 2: 1.0, 4: 3.0, 5: 4.0}
