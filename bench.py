@@ -99,6 +99,11 @@ def main() -> None:
         0, int(os.environ.get("SPARK_GRAFT_BENCH_REMEASURE", "15"))
     )
     remeasured: dict[str, dict[str, float]] = {}
+    # Re-measure failures are recorded SEPARATELY: the query's timed
+    # pass succeeded (its timing stands in `value`/`min_total`), so
+    # folding such a failure into `errors` would inflate `n_errors` —
+    # which means "queries that failed the TIMED pass" across rounds.
+    remeasure_errors: dict[str, str] = {}
     for name, _first in sorted(timings.items(), key=lambda kv: -kv[1])[
         :n_remeasure
     ]:
@@ -109,7 +114,7 @@ def main() -> None:
             ).save()
             second = round(time.time() - t0, 3)
         except Exception as exc:  # noqa: BLE001
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            remeasure_errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             continue
         remeasured[name] = {
             "first": timings[name],
@@ -144,6 +149,8 @@ def main() -> None:
     }
     if errors:
         detail["errors"] = errors
+    if remeasure_errors:
+        detail["remeasure_errors"] = remeasure_errors
     detail_path = Path(__file__).resolve().parent / "bench_details.json"
     detail_path.write_text(json.dumps(detail, indent=1))
 

@@ -58,25 +58,9 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # the auto-boost catches direct query/oracle edits and one-hop operator
 # module edits, but not deeper transitive changes).
 VERIFY_FIRST: list[str] = [
-    # Round 9 final: registry at 241 queries, window 23/50 — 12
-    # never-green (3 permanent rows-only sketches + the 9 new round-9
-    # queries: intradoc_paragraph_dedup, boilerplate_line_removal,
-    # pca_top2_projection, corpus_span_removal_audit, source_scorecard,
-    # ann_maxsim_late_interaction, supply_bfs_hops, ivm_delta_join_view,
-    # supply_cheapest_path_3hop)
-    # + 11 drifted (PCA iters 8→4, the BPE exhaustion-break family,
-    # graph-module appends, drift/quality/corpus doc edits). Every
-    # window entry verified locally: full-registry sf0.01 sweep
-    # (`check_oracle` all 240 match; supply_cheapest_path_3hop landed
-    # after and was verified on all four axes individually), full
-    # matrix (sf0.001 / sf0.1 / 7-partition), and each new query
-    # individually on all four axes.
-    # Semantics-changed entries (belt and braces over the auto-boost):
-    "pca_top_component_projection",  # iters 8 → 4 (oracle CTEs match)
-    # BPE exhaustion-break semantics (operator loop + oracle guards):
-    "bpe_vocab_merge_table",
-    "bpe_compression_curve",
-    "bpe_source_compression",
+    # Round 10 in progress — green hashes re-snapshotted at round start
+    # (CORRECTNESS_r09: 47/50 green, only the 3 permanent rows-only
+    # sketches non-green). Entries appended here as semantics change.
 ]
 
 

@@ -3074,7 +3074,10 @@ def _maxsim_score(qvec, dvec):
     s = maxes[0]
     for m in maxes[1:]:
         s = s + m
-    return F.round(s, 6)
+    # + 0.0 normalizes -0.0 → 0.0 (repo convention, cf. pca_q): Spark's
+    # HALF_UP round already normalizes but DuckDB's round preserves
+    # -0.0, so both engines' texts carry the explicit normalization.
+    return F.round(s, 6) + F.lit(0.0)
 
 
 def _duck_seg_dot(qbase: int, dbase: int) -> str:
@@ -3108,7 +3111,7 @@ def _duck_maxsim() -> str:
     ),
     scored AS (
       SELECT q.query_id, e.vec_id AS id,
-             round({_duck_maxsim()}, 6) AS maxsim
+             round({_duck_maxsim()}, 6) + 0.0 AS maxsim
       FROM embeddings e, q WHERE e.vec_id <> q.query_id
     )
     SELECT query_id, id, maxsim,
