@@ -144,6 +144,58 @@ def distributed_rank(
     )
 
 
+def grouped_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    order_keys: list[Column],
+    k: int,
+    *,
+    salt: Column,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """EXACT per-group top-k without a per-group single-task sort.
+
+    ``Window.partitionBy(group)`` over a LOW-CARDINALITY group key (a
+    handful of query ids, a literal label set) moves each group's
+    ENTIRE frame — possibly the whole corpus — into one task: the
+    bounded-literal cousin of the unpartitioned-window scale-killer
+    (``sweep_windows`` flags both). This is the replacement every
+    per-query retrieval top-k uses:
+
+    1. level 1 — ``row_number`` over ``(group, salt)``: the frame
+       shuffles on the composite key, so the largest task sorts
+       ~|group| / n_salts rows; survivors ≤ k per salt bucket;
+    2. level 2 — ``row_number`` over ``(group)`` on the ≤ k·n_salts
+       survivors: bounded by CONSTRUCTION, so the single-task-per-group
+       sort is now over a few hundred rows, not the corpus.
+
+    Top-k under a TOTAL order (``order_keys`` must include a unique
+    tiebreak) is invariant to how level 1 splits the group, so the
+    result is bit-identical to the naive single window — the oracle
+    keeps its plain ``ROW_NUMBER ... QUALIFY`` form.
+
+    ``salt``: a DETERMINISTIC expression (e.g. ``F.pmod(F.col("id"),
+    F.lit(32))``) — determinism keeps replays/retries exact; cardinality
+    should be ~the cluster's task parallelism.
+
+    Returns ``df``'s columns plus ``rank_col`` (int, 1-based, ≤ k).
+    """
+    w1 = Window.partitionBy(*group_cols, "__salt").orderBy(*order_keys)
+    survivors = (
+        df.withColumn("__salt", salt)
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_keys)
+    return (
+        survivors.withColumn(
+            rank_col, F.row_number().over(w2).cast("int")
+        )
+        .filter(F.col(rank_col) <= k)
+        .drop("__salt", "__r1")
+    )
+
+
 def ntile_from_rank(rank: Column, n_total: Column, k: int) -> Column:
     """Closed-form NTILE(k): the bucket of 1-based ``rank`` among
     ``n_total`` rows, in pure integer arithmetic — bit-identical to

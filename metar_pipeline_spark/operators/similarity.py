@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from metar_pipeline_spark.operators.ranking import grouped_topk
+
 
 def _as_double(x: Column) -> Column:
     return x.cast("double")
@@ -139,8 +141,6 @@ def brute_force_topk(
 
     Output: (query_id, id, cos_sim, rank) — rank has a total order
     (cos desc, id asc)."""
-    from pyspark.sql import Window
-
     q = query.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
@@ -162,10 +162,12 @@ def brute_force_topk(
             6,
         ).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    # two-level exact top-k: the naive Window.partitionBy("query_id")
+    # would sort each query's ENTIRE scored frame in one task (the
+    # bounded-literal-key scale-killer) — grouped_topk salts level 1
+    return grouped_topk(
+        scored, ["query_id"], [F.desc("cos_sim"), F.asc("id")], k,
+        salt=F.pmod(F.col("id"), F.lit(32)),
     )
 
 
@@ -184,8 +186,6 @@ def lsh_bucketed_topk(
     bucket equi-join prunes the corpus scan to ~1/2^bits of the data
     (partition pruning when the corpus is bucket-partitioned on disk).
     """
-    from pyspark.sql import Window
-
     cb = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("cvec"),
@@ -211,10 +211,12 @@ def lsh_bucketed_topk(
             ).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    # two-level exact top-k: the naive Window.partitionBy("query_id")
+    # would sort each query's ENTIRE scored frame in one task (the
+    # bounded-literal-key scale-killer) — grouped_topk salts level 1
+    return grouped_topk(
+        scored, ["query_id"], [F.desc("cos_sim"), F.asc("id")], k,
+        salt=F.pmod(F.col("id"), F.lit(32)),
     )
 
 
@@ -349,10 +351,12 @@ def ivf_topk(
             ).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    # two-level exact top-k: the naive Window.partitionBy("query_id")
+    # would sort each query's ENTIRE scored frame in one task (the
+    # bounded-literal-key scale-killer) — grouped_topk salts level 1
+    return grouped_topk(
+        scored, ["query_id"], [F.desc("cos_sim"), F.asc("id")], k,
+        salt=F.pmod(F.col("id"), F.lit(32)),
     )
 
 
@@ -611,10 +615,12 @@ def ivf_quantized_topk(
             ).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    # two-level exact top-k: the naive Window.partitionBy("query_id")
+    # would sort each query's ENTIRE scored frame in one task (the
+    # bounded-literal-key scale-killer) — grouped_topk salts level 1
+    return grouped_topk(
+        scored, ["query_id"], [F.desc("cos_sim"), F.asc("id")], k,
+        salt=F.pmod(F.col("id"), F.lit(32)),
     )
 
 
@@ -903,8 +909,6 @@ def pq_adc_topk(
     Output: (query_id, id, adc_dist, rank) ascending by distance.
     At 100 TB this runs inside probed IVF cells (codes_df = the
     partition-pruned cell read), exactly the FAISS IVF-PQ layout."""
-    from pyspark.sql import Window
-
     qsub = query.select(
         F.col(query_id_col).alias("query_id"),
         F.posexplode(_subvectors(F.col(vec_col), m)).alias("j", "qv"),
@@ -948,11 +952,11 @@ def pq_adc_topk(
         .filter(F.col("id") != F.col("query_id"))
         .select("query_id", "id", dist.alias("adc_dist"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("adc_dist"), F.asc("id")
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
+    # two-level exact top-k (see brute_force_topk): no per-query
+    # single-task sort of the scored frame
+    return grouped_topk(
+        scored, ["query_id"], [F.asc("adc_dist"), F.asc("id")], k,
+        salt=F.pmod(F.col("id"), F.lit(32)),
     )
 
 
@@ -1085,9 +1089,9 @@ def ivfpq_probe(
         .filter(F.col("id") != F.col("query_id"))
         .select("query_id", "id", dist.alias("adc_dist"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("adc_dist"), F.asc("id")
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
+    # two-level exact top-k (see brute_force_topk): no per-query
+    # single-task sort of the scored frame
+    return grouped_topk(
+        scored, ["query_id"], [F.asc("adc_dist"), F.asc("id")], k,
+        salt=F.pmod(F.col("id"), F.lit(32)),
     )

@@ -3145,9 +3145,117 @@ def ann_maxsim_late_interaction(spark, sf_dir):
         F.col("vec_id").alias("id"),
         _maxsim_score(F.col("qvec"), F.col("embedding")).alias("maxsim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("maxsim"), F.asc("id")
+    # two-level exact top-k (ranking.grouped_topk): partitionBy over a
+    # 3-value query_id would sort the whole scored corpus in one task
+    from metar_pipeline_spark.operators.ranking import grouped_topk
+
+    return grouped_topk(
+        scored, ["query_id"], [F.desc("maxsim"), F.asc("id")], 10,
+        salt=F.pmod(F.col("id"), F.lit(32)),
     )
-    return scored.withColumn(
-        "rank", F.row_number().over(w).cast("int")
-    ).filter(F.col("rank") <= 10)
+
+
+@register(
+    "ann_maxsim_ivf_rerank",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS centvec
+      FROM embeddings WHERE vec_id < 8
+    ),
+    assigned AS (
+      SELECT id, cid, embedding FROM (
+        SELECT e.vec_id AS id, c.cid, e.embedding,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round({_DUCK_COS.format(a="e.embedding", b="c.centvec")}, 6) DESC, c.cid
+               ) AS arn
+        FROM embeddings e, cents c
+      ) WHERE arn = 1
+    ),
+    q AS (
+      SELECT query_id, qvec, cid FROM (
+        SELECT qq.vec_id AS query_id, qq.embedding AS qvec, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qq.vec_id
+                 ORDER BY round({_DUCK_COS.format(a="qq.embedding", b="c.centvec")}, 6) DESC, c.cid
+               ) AS prn
+        FROM embeddings qq, cents c WHERE qq.vec_id < 3
+      ) WHERE prn <= 2
+    ),
+    scored AS (
+      SELECT q.query_id, e.id,
+             round({_duck_maxsim()}, 6) + 0.0 AS maxsim
+      FROM assigned e JOIN q ON e.cid = q.cid
+      WHERE e.id <> q.query_id
+    )
+    SELECT query_id, id, maxsim,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY maxsim DESC, id
+           ) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+    doc=(
+        "Two-stage late-interaction retrieval — the ColBERT/PLAID "
+        "serving shape and ann_maxsim_late_interaction's scale path: "
+        "stage 1 prunes candidates with the verified IVF probe on the "
+        "POOLED vectors (8-cell deterministic quantizer, nprobe=2 — at "
+        "100 TB a partition-pruned read of the probed cells), stage 2 "
+        "re-ranks ONLY the candidate set with the 4×16-d segment "
+        "MaxSim, so the final per-query top-10 runs over a candidate-"
+        "bounded frame (and still through ranking.grouped_topk, never "
+        "a per-query single-task corpus sort). Recall < 1 vs the brute "
+        "baseline by design (cell misses) — the standard trade."
+    ),
+)
+def ann_maxsim_ivf_rerank(spark, sf_dir):
+    from metar_pipeline_spark.operators.ranking import grouped_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("centvec"),
+        sim.norm2(F.col("embedding")).alias("centnorm"),
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        sim.norm2(F.col("embedding")).alias("qnorm"),
+    )
+    # stage 1: pooled-vector IVF probe (ivf_topk's probe shape) — the
+    # wq window is query×centroid grain (3×8 rows), never corpus grain
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("qscore"), F.asc("cid")
+    )
+    probes = (
+        q.join(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qvec",
+            "cid",
+            F.round(
+                sim.dot(F.col("qvec"), F.col("centvec"))
+                / (F.col("qnorm") * F.col("centnorm")),
+                6,
+            ).alias("qscore"),
+        )
+        .withColumn("prank", F.row_number().over(wq))
+        .filter(F.col("prank") <= 2)
+        .select("query_id", "qvec", "cid")
+    )
+    # candidates = inverted lists of the probed cells only (at 100 TB:
+    # a partition-pruned read of the partitionBy(cid) store)
+    assigned = sim.ivf_assignments(emb, "vec_id", "embedding", 8)
+    cand = assigned.join(F.broadcast(probes), "cid").filter(
+        F.col("query_id") != F.col("id")
+    )
+    # stage 2: MaxSim re-rank of the bounded candidate set
+    scored = cand.select(
+        "query_id",
+        "id",
+        _maxsim_score(F.col("qvec"), F.col("cvec")).alias("maxsim"),
+    )
+    return grouped_topk(
+        scored, ["query_id"], [F.desc("maxsim"), F.asc("id")], 10,
+        salt=F.pmod(F.col("id"), F.lit(32)),
+    )

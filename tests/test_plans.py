@@ -642,6 +642,28 @@ def test_maxsim_broadcast_queries_single_scan(plans):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
+def test_maxsim_ivf_rerank_candidate_bounded(plans):
+    """Round-10 MaxSim scale path: the frame entering the final top-k
+    is CANDIDATE-BOUNDED (a cid equi-join against the broadcast IVF
+    probes — a partition-pruned cell read at 100 TB), and every
+    corpus-touching window is the grouped_topk two-level form (salted
+    level 1) — no per-query full-corpus single-task sort remains."""
+    p = plans("ann_maxsim_ivf_rerank")
+    # stage-1 pruning: candidates ride the cid equi-join
+    assert "BroadcastHashJoin" in p
+    # two-level top-k: level-1 window is salted
+    assert "__salt" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_maxsim_brute_topk_is_two_level(plans):
+    """The brute MaxSim baseline's final top-k is the salted two-level
+    grouped_topk, not a bare partitionBy(query_id) corpus sort."""
+    p = plans("ann_maxsim_late_interaction")
+    assert "__salt" in p
+
+
 def test_bfs_hops_equi_joins_only(spark):
     """bfs_min_hops: every level is an equi-join + anti-join on the
     node id — pin the OPERATOR's per-level plan (the registered query

@@ -187,3 +187,65 @@ def test_centroid_argmax_tie_rule_and_parity(spark):
         .toString()
     )
     assert "hashpartitioning(" not in plan
+
+
+def test_grouped_topk_equals_naive_per_group_window(spark, skewed):
+    """Bit-equality with Window.partitionBy(group): exact top-k under a
+    total order is invariant to the level-1 salt split."""
+    from metar_pipeline_spark.operators.ranking import grouped_topk
+
+    df = skewed.withColumn("g", F.col("id") % 3)
+    naive = (
+        df.withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.partitionBy("g").orderBy(F.desc("v"), F.asc("id")))
+            .cast("int"),
+        )
+        .filter(F.col("rank") <= 7)
+    )
+    got = grouped_topk(
+        df, ["g"], [F.desc("v"), F.asc("id")], 7,
+        salt=F.pmod(F.col("id"), F.lit(32)),
+    )
+    assert sorted(
+        (r.g, r.id, r.rank) for r in naive.select("g", "id", "rank").collect()
+    ) == sorted(
+        (r.g, r.id, r.rank) for r in got.select("g", "id", "rank").collect()
+    )
+
+
+def test_grouped_topk_invariant_to_salt_cardinality(spark, skewed):
+    from metar_pipeline_spark.operators.ranking import grouped_topk
+
+    df = skewed.withColumn("g", F.col("id") % 2)
+    a = sorted(
+        (r.g, r.id, r.rank)
+        for r in grouped_topk(
+            df, ["g"], [F.asc("v"), F.asc("id")], 5,
+            salt=F.pmod(F.col("id"), F.lit(4)),
+        ).select("g", "id", "rank").collect()
+    )
+    b = sorted(
+        (r.g, r.id, r.rank)
+        for r in grouped_topk(
+            df, ["g"], [F.asc("v"), F.asc("id")], 5,
+            salt=F.pmod(F.col("id"), F.lit(64)),
+        ).select("g", "id", "rank").collect()
+    )
+    assert a == b
+
+
+def test_grouped_topk_level1_window_is_salted(spark, skewed):
+    """The corpus-grain window must be the SALTED one; the group-only
+    window runs over the ≤ k·n_salts level-1 survivors."""
+    from metar_pipeline_spark.operators.ranking import grouped_topk
+
+    df = skewed.withColumn("g", F.col("id") % 3)
+    got = grouped_topk(
+        df, ["g"], [F.desc("v"), F.asc("id")], 7,
+        salt=F.pmod(F.col("id"), F.lit(32)),
+    )
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition(g" in plan
+    assert "__salt" in plan
