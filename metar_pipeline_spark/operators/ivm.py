@@ -69,3 +69,68 @@ def consolidate(zset: DataFrame, cols: "list[str]") -> DataFrame:
         .agg(F.sum(WEIGHT_COL).cast("int").alias(WEIGHT_COL))
         .filter(F.col(WEIGHT_COL) != 0)
     )
+
+
+def zset_weighted_agg(
+    zset: DataFrame,
+    group_cols: "list[str]",
+    sums: "dict[str, object] | None" = None,
+    count_col: str = "_n",
+) -> DataFrame:
+    """The DELTA of a grouped linear aggregate, from the delta Z-set
+    alone: COUNT(*) is linear in the weights (Δcount = Σ _w) and
+    SUM(expr) is weight-multiplied (Δsum = Σ expr·_w) — retractions
+    subtract by construction. One hash aggregate over |Δ| rows; the
+    maintained view is never touched here.
+
+    ``sums``: output name → Column expression to SUM. Use EXACT types
+    (integer / DECIMAL) — the whole point of incremental maintenance is
+    that old_state + Δ is bit-equal to a full recompute, which float
+    accumulation order would break.
+
+    Output: ``group_cols`` + ``count_col`` (long) + one column per
+    ``sums`` entry. A group absent from the delta simply emits no row.
+    """
+    aggs = [F.sum(F.col(WEIGHT_COL)).cast("long").alias(count_col)]
+    for name, col in (sums or {}).items():
+        aggs.append(F.sum(col * F.col(WEIGHT_COL)).alias(name))
+    return zset.groupBy(*group_cols).agg(*aggs)
+
+
+def apply_agg_delta(
+    view: DataFrame,
+    delta: DataFrame,
+    group_cols: "list[str]",
+    measure_cols: "list[str]",
+    count_col: str = "_n",
+) -> DataFrame:
+    """MERGE a group-grain aggregate delta (:func:`zset_weighted_agg`
+    output) into the materialized aggregate view: full-outer equi-join
+    on the group key (new groups appear from the delta side, untouched
+    groups pass through from the view side), measures ADD with
+    null-as-zero, and a group whose maintained row count nets to zero
+    is DROPPED — the retraction-aware upgrade of watermark+merge
+    (SURVEY L7 drops late updates by design; this path absorbs them).
+
+    Shape at 100 TB: the join touches |view_groups| + |Δ_groups| rows
+    at GROUP grain (never fact grain); with the view stored partitioned
+    by the group key the delta side is micro-batch-sized and broadcast.
+    ``view`` and ``delta`` must share ``group_cols`` + ``count_col`` +
+    ``measure_cols`` names and exact (non-float) measure types.
+    """
+    j = view.alias("v").join(delta.alias("d"), group_cols, "full_outer")
+    sel = [F.col(c) for c in group_cols]
+    sel.append(
+        (
+            F.coalesce(F.col(f"v.{count_col}"), F.lit(0))
+            + F.coalesce(F.col(f"d.{count_col}"), F.lit(0))
+        ).cast("long").alias(count_col)
+    )
+    for m in measure_cols:
+        sel.append(
+            (
+                F.coalesce(F.col(f"v.{m}"), F.lit(0))
+                + F.coalesce(F.col(f"d.{m}"), F.lit(0))
+            ).alias(m)
+        )
+    return j.select(*sel).filter(F.col(count_col) != 0)

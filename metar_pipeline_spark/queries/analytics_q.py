@@ -1916,6 +1916,103 @@ def ivm_delta_join_view(spark, sf_dir):
     return out.withColumnRenamed("_w", "weight")
 
 
+@register(
+    "ivm_delta_agg_view",
+    """
+    WITH new_state AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CASE WHEN o_orderkey % 101 = 0 AND o_orderkey % 97 <> 0
+                  THEN o_totalprice + 50.0
+                  ELSE o_totalprice END AS price
+      FROM orders
+      WHERE NOT (o_orderkey % 103 = 0 AND o_orderkey % 97 <> 0
+                 AND o_orderkey % 101 <> 0)
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           round(CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_price
+    FROM new_state
+    GROUP BY 1
+    """,
+    doc=(
+        "Incremental maintenance of an AGGREGATE view (the engine "
+        "analogue of the reference's incremental dwh rollup, "
+        "dbt/models/dwh/dw_daily_airport_metrics.sql:7-19, upgraded to "
+        "absorb late UPDATES and DELETES that the watermark path drops "
+        "by design — SURVEY L7): the daily orders rollup (COUNT, "
+        "DECIMAL SUM) maintained from a delta Z-set of inserts "
+        "(o_orderkey%97=0), update retraction+insertion pairs "
+        "(%101=0, price+50) and deletes (%103=0) — Δcount = Σw, "
+        "Δsum = Σ price·w over |Δ| rows only (ivm.zset_weighted_agg), "
+        "merged into the stored view at GROUP grain "
+        "(ivm.apply_agg_delta full-outer + null-as-zero add, net-0 "
+        "groups dropped). The oracle recomputes the view from the full "
+        "new state — algebra ≡ recompute, exact by DECIMAL/integer "
+        "arithmetic."
+    ),
+)
+def ivm_delta_agg_view(spark, sf_dir):
+    from metar_pipeline_spark.operators.ivm import (
+        apply_agg_delta,
+        zset_weighted_agg,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        (F.col("o_totalprice") + F.lit(50.0))
+        .cast("decimal(18,2)")
+        .alias("bumped"),
+    )
+    is_ins = F.col("k") % 97 == 0
+    is_upd = (F.col("k") % 101 == 0) & (F.col("k") % 97 != 0)
+    is_del = (
+        (F.col("k") % 103 == 0)
+        & (F.col("k") % 97 != 0)
+        & (F.col("k") % 101 != 0)
+    )
+    # the STORED materialized view: old state = facts before the batch
+    view = (
+        base.filter(~is_ins)
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum("price").alias("total"),
+        )
+    )
+    # the batch as a delta Z-set: inserts +1, updates as retract+insert
+    # pairs, deletes -1 — never a rescan of the old facts
+    dz = (
+        base.filter(is_ins)
+        .select("day", "price", F.lit(1).alias("_w"))
+        .unionByName(
+            base.filter(is_upd).select(
+                "day", "price", F.lit(-1).alias("_w")
+            )
+        )
+        .unionByName(
+            base.filter(is_upd).select(
+                "day", F.col("bumped").alias("price"), F.lit(1).alias("_w")
+            )
+        )
+        .unionByName(
+            base.filter(is_del).select(
+                "day", "price", F.lit(-1).alias("_w")
+            )
+        )
+    )
+    d_agg = zset_weighted_agg(dz, ["day"], sums={"total": F.col("price")})
+    new_view = apply_agg_delta(view, d_agg, ["day"], ["total"])
+    return new_view.select(
+        "day",
+        F.col("_n").alias("n_orders"),
+        F.round(F.col("total").cast("double"), 2).alias("total_price"),
+    )
+
+
 def _bf_oracle(rounds: int = 3) -> str:
     """Unrolled twin of operators/paths.bellman_ford_min_cost over the
     undirected min-price supplier↔part edge set."""

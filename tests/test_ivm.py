@@ -55,3 +55,100 @@ def test_consolidate_drops_net_zero(spark):
     )
     got = {(r.k): r._w for r in consolidate(z, ["k"]).collect()}
     assert got == {"b": 1}
+
+
+def test_weighted_agg_delta_equals_recompute_diff(spark):
+    """Δ(grouped COUNT/SUM) from the delta Z-set alone equals the
+    recompute difference: new_state agg − old_state agg, per group."""
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.operators.ivm import zset_weighted_agg
+
+    s = "g string, v long, _w int"
+    # old state: g1 {10, 20}, g2 {5}
+    # batch: insert g1:+7, update g2: 5→6, delete g1:10
+    dz = _z(
+        spark,
+        [("g1", 7, 1), ("g2", 5, -1), ("g2", 6, 1), ("g1", 10, -1)],
+        s,
+    )
+    d = zset_weighted_agg(dz, ["g"], sums={"dv": F.col("v")})
+    got = {(r.g): (r._n, r.dv) for r in d.collect()}
+    # g1: count 2→2 (Δ0), sum 30→27 (Δ-3); g2: count 1→1, sum 5→6 (Δ+1)
+    assert got == {"g1": (0, -3), "g2": (0, 1)}
+
+
+def test_apply_agg_delta_merge_new_group_and_net_zero_drop(spark):
+    """Merging the delta into the view: untouched groups pass through,
+    new groups appear, a group whose count nets to zero DROPS — the
+    retraction case the watermark path cannot express."""
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.operators.ivm import (
+        apply_agg_delta,
+        zset_weighted_agg,
+    )
+
+    view = _z(
+        spark,
+        [("a", 2, 30), ("b", 1, 5), ("c", 3, 99)],
+        "g string, _n long, total long",
+    )
+    dz = _z(
+        spark,
+        # delete both of a's rows (group drops), bump b, create d
+        [("a", 10, -1), ("a", 20, -1), ("b", 1, 1), ("d", 4, 1)],
+        "g string, v long, _w int",
+    )
+    d = zset_weighted_agg(dz, ["g"], sums={"total": F.col("v")})
+    out = apply_agg_delta(view, d, ["g"], ["total"])
+    got = {(r.g): (r._n, r.total) for r in out.collect()}
+    assert got == {"b": (2, 6), "c": (3, 99), "d": (1, 4)}
+
+
+def test_apply_agg_delta_equals_full_recompute(spark):
+    """End-to-end on generated data: old facts + delta batch maintained
+    incrementally equals a full groupBy over the new facts."""
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.operators.ivm import (
+        apply_agg_delta,
+        zset_weighted_agg,
+    )
+
+    facts = spark.range(0, 1000).select(
+        (F.col("id") % 37).alias("g"), (F.col("id") * 3 % 101).alias("v")
+    )
+    old = facts.filter(F.col("v") % 5 != 0)
+    ins = facts.filter(F.col("v") % 5 == 0)
+    upd = old.filter(F.col("g") == 7)  # bump v by 1000 for group 7
+    dz = (
+        ins.select("g", "v", F.lit(1).alias("_w"))
+        .unionByName(upd.select("g", "v", F.lit(-1).alias("_w")))
+        .unionByName(
+            upd.select(
+                "g", (F.col("v") + 1000).alias("v"), F.lit(1).alias("_w")
+            )
+        )
+    )
+    view = old.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("v").alias("total"),
+    )
+    got = apply_agg_delta(
+        view, zset_weighted_agg(dz, ["g"], sums={"total": F.col("v")}),
+        ["g"], ["total"],
+    )
+    new_facts = facts.withColumn(
+        "v",
+        F.when(
+            (F.col("g") == 7) & (F.col("v") % 5 != 0), F.col("v") + 1000
+        ).otherwise(F.col("v")),
+    )
+    want = new_facts.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("v").alias("total"),
+    )
+    assert sorted((r.g, r._n, r.total) for r in got.collect()) == sorted(
+        (r.g, r._n, r.total) for r in want.collect()
+    )
