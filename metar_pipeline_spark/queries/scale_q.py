@@ -1038,3 +1038,137 @@ def zorder_locality_audit(spark, sf_dir):
         )
         .orderBy("zrange")
     )
+
+
+@register(
+    "stream_ivm_delta_view",
+    """
+    WITH st AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CASE WHEN event_id % 4 <> 3 AND event_id % 7 = 0
+                  THEN value + 1.0 ELSE value END AS v
+      FROM events
+      WHERE NOT (event_id % 4 <> 3 AND event_id % 7 <> 0
+                 AND event_id % 11 = 0)
+    )
+    SELECT event_type, day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS sum_value
+    FROM st GROUP BY 1, 2
+    """,
+    doc=(
+        "Z-set IVM in the engine's REAL incremental loop: a 3-file CDC "
+        "changelog (batch 0 inserts; batch 1 update retraction+insert "
+        "pairs [event_id%7=0, value+1] plus late inserts [%4=3]; batch "
+        "2 deletes [%11=0]) streamed maxFilesPerTrigger=1, each "
+        "micro-batch reduced to a group-grain weighted delta "
+        "(ivm.zset_weighted_agg), persisted replay-idempotently "
+        "(idempotent_batch_append — a replayed batch overwrites its "
+        "own _batch partition, so the durable delta log never "
+        "double-counts) and merged into the running view "
+        "(ivm.apply_agg_delta; localCheckpoint pins each generation). "
+        "Unlike the watermark path (SURVEY L7) the view absorbs the "
+        "late updates and deletes; the oracle recomputes the final "
+        "state from scratch — streaming algebra ≡ batch recompute, "
+        "exact by DECIMAL/integer arithmetic."
+    ),
+)
+def stream_ivm_delta_view(spark, sf_dir):
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from metar_pipeline_spark.operators.ivm import (
+        apply_agg_delta,
+        zset_weighted_agg,
+    )
+    from metar_pipeline_spark.streaming.pipeline import (
+        idempotent_batch_append,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    live = eid % 4 != 3
+    upd = live & (eid % 7 == 0)
+    dele = live & (eid % 7 != 0) & (eid % 11 == 0)
+    row = lambda v, w: [  # noqa: E731 — changelog row shape
+        "event_type", "ts", v.alias("v"), F.lit(w).alias("_w"),
+    ]
+    b0 = events.filter(live).select(*row(F.col("value"), 1))
+    b1 = (
+        events.filter(upd)
+        .select(*row(F.col("value"), -1))
+        .unionByName(
+            events.filter(upd).select(*row(F.col("value") + 1.0, 1))
+        )
+        .unionByName(
+            events.filter(~live).select(*row(F.col("value"), 1))
+        )
+    )
+    b2 = events.filter(dele).select(*row(F.col("value"), -1))
+
+    tmp = tempfile.mkdtemp(prefix="stream_ivm_")
+    src = os.path.join(tmp, "src")
+    ckpt = os.path.join(tmp, "_ckpt")
+    log = os.path.join(tmp, "delta_log")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        import time as _t
+
+        now = _t.time()
+        for i, b in enumerate((b0, b1, b2)):
+            d = os.path.join(src, f"b{i}")
+            b.coalesce(1).write.parquet(d)
+            # pin mtimes: FileStreamSource orders by mtime, so the
+            # changelog replays b0→b1→b2 (the result is order-free —
+            # Z-set merge is commutative — but batch ids stay stable)
+            for fn in glob.glob(os.path.join(d, "*")):
+                _t_i = now - 30 + i * 10
+                os.utime(fn, (_t_i, _t_i))
+        schema = spark.read.parquet(os.path.join(src, "b0")).schema
+
+        keys = ["event_type", "day"]
+        mv = {"df": None}
+
+        def fold(batch_df, batch_id):
+            d = zset_weighted_agg(
+                batch_df.select(
+                    "event_type",
+                    F.to_date(F.date_trunc("day", "ts")).alias("day"),
+                    "v",
+                    "_w",
+                ),
+                keys,
+                sums={"total": F.col("v").cast("decimal(18,2)")},
+            )
+            # durable, replay-idempotent delta log (at-least-once safe)
+            idempotent_batch_append(d, log, batch_id)
+            prev = mv["df"] if mv["df"] is not None else d.limit(0)
+            mv["df"] = apply_agg_delta(
+                prev, d, keys, ["total"]
+            ).localCheckpoint(eager=True)
+
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        result = mv["df"].select(
+            "event_type",
+            "day",
+            F.col("_n").alias("n_events"),
+            F.round(F.col("total").cast("double"), 2).alias("sum_value"),
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
