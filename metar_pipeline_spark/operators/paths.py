@@ -56,3 +56,53 @@ def bellman_ford_min_cost(
             .localCheckpoint(eager=True)
         )
     return dist
+
+
+def bellman_ford_min_cost_pred(
+    edges: DataFrame, seeds: DataFrame, rounds: int
+) -> DataFrame:
+    """:func:`bellman_ford_min_cost` carrying the PREDECESSOR — the
+    lineage answer ("through which intermediate does the cheapest
+    route run"), reconstructible by walking ``pred`` back to a seed.
+
+    Same join+agg shape per round; the MIN becomes an argmin via a
+    lexicographic ``min(struct(cost, pred))`` — the established
+    total-order argmax/argmin pattern, so ties on cost resolve to the
+    SMALLEST predecessor id identically on every engine and every
+    partitioning (MIN over identical (double, long) pairs is exact —
+    no accumulation-order dependence).
+
+    Seeds carry ``pred = node`` (self) at cost 0. Returns
+    ``(node, cost, pred)``; ``pred`` is the node's upstream neighbor
+    on the winning path (itself for seeds that no cheaper path
+    reaches).
+    """
+    edges = edges.select("src", "dst", "w").localCheckpoint(eager=True)
+    dist = (
+        seeds.select(F.col("node"))
+        .distinct()
+        .select(
+            "node",
+            F.lit(0.0).alias("cost"),
+            F.col("node").alias("pred"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        relaxed = (
+            dist.join(edges, dist["node"] == edges["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("cost") + F.col("w")).alias("cost"),
+                F.col("src").alias("pred"),
+            )
+        )
+        best = F.min(F.struct(F.col("cost"), F.col("pred"))).alias("b")
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(best)
+            .select("node", F.col("b.cost").alias("cost"), F.col("b.pred").alias("pred"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

@@ -2059,6 +2059,114 @@ def _bf_oracle(rounds: int = 3) -> str:
     )
 
 
+def _bf_pred_oracle(rounds: int = 3) -> str:
+    """Unrolled twin of operators/paths.bellman_ford_min_cost_pred:
+    the per-round MIN becomes a (cost, pred) lexicographic argmin via
+    a per-node ROW_NUMBER — identical tie semantics to Spark's
+    ``min(struct(cost, pred))``."""
+    head = """
+    WITH ep AS (
+      SELECT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst,
+             MIN(l_extendedprice) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    ed AS (
+      SELECT src, dst, w FROM ep
+      UNION ALL
+      SELECT dst AS src, src AS dst, w FROM ep
+    ),
+    d0 AS (SELECT s_suppkey * 2 AS node, CAST(0.0 AS DOUBLE) AS cost,
+                  s_suppkey * 2 AS pred
+           FROM supplier WHERE s_suppkey < 3)"""
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(
+            f"""
+    r{r} AS (
+      SELECT e.dst AS node, d.cost + e.w AS cost, e.src AS pred
+      FROM ed e JOIN d{r - 1} d ON e.src = d.node
+    ),
+    d{r} AS (
+      SELECT node, cost, pred FROM (
+        SELECT node, cost, pred,
+               ROW_NUMBER() OVER (
+                 PARTITION BY node ORDER BY cost, pred
+               ) AS rn
+        FROM (SELECT node, cost, pred FROM d{r - 1}
+              UNION ALL
+              SELECT node, cost, pred FROM r{r})
+      ) WHERE rn = 1
+    )"""
+        )
+    lbl = (
+        "CASE WHEN {c} % 2 = 0 THEN 's' || CAST({c} // 2 AS VARCHAR) "
+        "ELSE 'p' || CAST(({c} - 1) // 2 AS VARCHAR) END"
+    )
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT {lbl.format(c="node")} AS node, round(cost, 2) AS cost,
+           {lbl.format(c="pred")} AS pred
+    FROM d{rounds}"""
+    )
+
+
+@register(
+    "supply_cheapest_path_3hop_pred",
+    _bf_pred_oracle(),
+    doc=(
+        "Bellman-Ford with PATH RECONSTRUCTION: the bounded min-plus "
+        "relaxation of supply_cheapest_path_3hop carrying the "
+        "predecessor — per round the MIN becomes a lexicographic "
+        "min(struct(cost, pred)) argmin (the established total-order "
+        "argmax pattern), so cost ties resolve to the smallest "
+        "upstream id identically on both engines and the cheapest "
+        "route is walkable back to its seed. Same per-round "
+        "equi-join + node-grain hash-agg shape "
+        "(operators/paths.bellman_ford_min_cost_pred)"
+    ),
+)
+def supply_cheapest_path_3hop_pred(spark, sf_dir):
+    from metar_pipeline_spark.operators.paths import (
+        bellman_ford_min_cost_pred,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    ep = (
+        li.groupBy(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("l_partkey") * 2 + 1).alias("dst"),
+        )
+        .agg(F.min("l_extendedprice").alias("w"))
+    )
+    edges = ep.unionByName(
+        ep.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    seeds = sup.filter(F.col("s_suppkey") < 3).select(
+        (F.col("s_suppkey") * 2).alias("node")
+    )
+    dist = bellman_ford_min_cost_pred(edges, seeds, rounds=3)
+
+    def lbl(c):
+        return F.when(
+            c % 2 == 0,
+            F.concat(F.lit("s"), (c / 2).cast("long").cast("string")),
+        ).otherwise(
+            F.concat(F.lit("p"), ((c - 1) / 2).cast("long").cast("string"))
+        )
+
+    return dist.select(
+        lbl(F.col("node")).alias("node"),
+        F.round("cost", 2).alias("cost"),
+        lbl(F.col("pred")).alias("pred"),
+    )
+
+
 @register(
     "supply_cheapest_path_3hop",
     _bf_oracle(),

@@ -281,3 +281,66 @@ def test_bellman_ford_hand_graph(spark):
         for r in bellman_ford_min_cost(edges, seeds, rounds=3).collect()
     }
     assert three == {1: 0.0, 2: 1.0, 4: 3.0, 5: 4.0}
+
+
+def test_bellman_ford_pred_hand_graph_and_tiebreak(spark):
+    """Predecessor carry: the winning route's upstream neighbor is
+    reported per node, and a COST TIE resolves to the SMALLEST pred id
+    (lexicographic min(struct(cost, pred))) — pinned on a graph where
+    node 4 is reachable at identical cost 3.0 via 2 and via 3."""
+    from metar_pipeline_spark.operators.paths import (
+        bellman_ford_min_cost_pred,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 1.0),
+            (1, 3, 1.0),
+            (2, 4, 2.0),  # 1→2→4 = 3.0
+            (3, 4, 2.0),  # 1→3→4 = 3.0 (tie) → pred must be 2
+            (4, 5, 1.0),
+        ],
+        "src long, dst long, w double",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r.node: (r.cost, r.pred)
+        for r in bellman_ford_min_cost_pred(edges, seeds, rounds=3).collect()
+    }
+    assert got == {
+        1: (0.0, 1),  # seed: self-pred
+        2: (1.0, 1),
+        3: (1.0, 1),
+        4: (3.0, 2),  # tie broken to smaller pred
+        5: (4.0, 4),
+    }
+
+
+def test_bellman_ford_pred_costs_match_min_cost_form(spark):
+    """The argmin carry must not change the cost fixpoint."""
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.operators.paths import (
+        bellman_ford_min_cost,
+        bellman_ford_min_cost_pred,
+    )
+
+    edges = (
+        spark.range(0, 300)
+        .select(
+            (F.col("id") % 23).alias("src"),
+            (F.col("id") * 7 % 19 + 23).alias("dst"),
+            ((F.col("id") % 5) + 0.5).alias("w"),
+        )
+        .distinct()
+    )
+    seeds = spark.createDataFrame([(0,), (1,)], "node long")
+    plain = sorted(
+        (r.node, r.cost)
+        for r in bellman_ford_min_cost(edges, seeds, rounds=3).collect()
+    )
+    withp = sorted(
+        (r.node, r.cost)
+        for r in bellman_ford_min_cost_pred(edges, seeds, rounds=3).collect()
+    )
+    assert plain == withp
