@@ -125,3 +125,103 @@ def top_k_frequent(
     return rank_bounded(
         flat, [-F.col("est_count"), F.col("item")], n=k
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (round 10): a DETERMINISTIC mergeable frequency
+# sketch — unlike the DataSketches HLL aggregates above, the hash rows
+# are fixed engine-portable integer arithmetic, so a SQL oracle can
+# replay every cell and the gate verifies it on all four axes.
+# ---------------------------------------------------------------------------
+
+# (a, b) per hash row: ((key*a + b) mod P) mod width, P = 2^31 - 1.
+# Exact on any engine while key*a stays inside int64 — i.e. keys up to
+# ~2^32 with these multipliers; fold larger ids down first with the
+# overflow-safe curation.hash_unit_01 pattern (16-bit-halves multiply).
+_CMS_P = 2147483647
+_CMS_ROWS = ((998244353, 12289), (1000000007, 257), (69061, 65537), (40503, 97))
+
+
+def cms_bucket(key: Column, row_i: int, width: int) -> Column:
+    a, b = _CMS_ROWS[row_i]
+    return F.pmod(
+        F.pmod(key.cast("bigint") * F.lit(a) + F.lit(b), F.lit(_CMS_P)),
+        F.lit(width),
+    )
+
+
+def cms_build(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-Min sketch cells ``(row, bucket, c)`` — d×w bounded size
+    (4 KB of counters at the defaults) regardless of key cardinality.
+
+    One narrow explode (the per-row bucket pairs; the exploded row
+    carries two ints, so explode-first is the codegen-friendly shape)
+    + one cell-grain hash aggregate with map-side partials. Sketches
+    are MERGEABLE by cell-wise add (:func:`cms_merge`): partials built
+    per shard/executor/day combine losslessly — the 100 TB shape is
+    one 4 KB sketch per partition shipped to a d×w-cell reduce.
+
+    Estimates (:func:`cms_estimate`) never undercount: est(k) =
+    min_rows(cell) ≥ true(k), with overcount ≤ e/width · N at
+    probability 1 − e^−depth for random hashes (pinned observationally
+    for the fixed rows in tests/test_operators.py).
+    """
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                cms_bucket(F.col(key_col), i, width).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("rb"))
+        .groupBy(
+            F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise add — sketch(A ⊎ B) == merge(sketch(A), sketch(B))
+    exactly (integer SUM is associative-commutative)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(
+        F.sum("c").cast("bigint").alias("c")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates for ``keys``: est = MIN over the d
+    matching cells. The sketch is d×w cells — broadcast — so the probe
+    is a broadcast equi-join + key-grain MIN, never a shuffle of the
+    keyed data."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                cms_bucket(F.col(key_col), i, width).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    probes = keys.select(
+        F.col(key_col), F.explode(pairs).alias("rb")
+    ).select(key_col, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("c").alias("est_cnt"))
+    )

@@ -2214,3 +2214,71 @@ def supply_cheapest_path_3hop(spark, sf_dir):
     return dist.select(
         label.alias("node"), F.round("cost", 2).alias("cost")
     )
+
+
+@register(
+    "cms_user_frequency_audit",
+    """
+    WITH h AS (
+      SELECT * FROM (VALUES (0, 998244353, 12289), (1, 1000000007, 257),
+                            (2, 69061, 65537), (3, 40503, 97)) AS t(r, a, b)
+    ),
+    cells AS (
+      SELECT h.r,
+             ((e.user_id * h.a + h.b) % 2147483647) % 1024 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events e CROSS JOIN h
+      GROUP BY 1, 2
+    ),
+    topu AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt
+      FROM events GROUP BY 1
+      ORDER BY true_cnt DESC, user_id LIMIT 10
+    )
+    SELECT t.user_id, t.true_cnt, MIN(c.c) AS est_cnt,
+           MIN(c.c) - t.true_cnt AS overcount
+    FROM topu t CROSS JOIN h
+    JOIN cells c
+      ON c.r = h.r
+     AND c.bucket = ((t.user_id * h.a + h.b) % 2147483647) % 1024
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Count-Min sketch frequency audit (mergeable, DETERMINISTIC — "
+        "unlike the DataSketches HLL rows-only queries, the fixed hash "
+        "rows let the oracle replay every cell, so this sketch is "
+        "verified on all four axes): the 4×1024-cell sketch is built "
+        "as TWO half-corpus partials (event_id parity) merged "
+        "cell-wise (operators/sketches.cms_merge — sketch(A⊎B) ≡ "
+        "merge(sketch A, sketch B), the 100 TB shape: one 4 KB sketch "
+        "per shard into a cell-grain reduce), then point-estimates the "
+        "10 true heavy hitters: est = min over the 4 matching cells, "
+        "never undercounting (overcount ≥ 0 structurally; bound "
+        "pinned in tests/test_operators.py)"
+    ),
+)
+def cms_user_frequency_audit(spark, sf_dir):
+    from metar_pipeline_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    # mergeability demonstrated for real: two disjoint half sketches
+    s1 = cms_build(events.filter(F.col("event_id") % 2 == 0), "user_id")
+    s2 = cms_build(events.filter(F.col("event_id") % 2 == 1), "user_id")
+    sketch = cms_merge(s1, s2)
+    topu = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("user_id"))
+        .limit(10)
+    )
+    est = cms_estimate(sketch, topu, "user_id")
+    return topu.join(est, "user_id").select(
+        "user_id",
+        "true_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("true_cnt")).alias("overcount"),
+    )

@@ -1375,3 +1375,88 @@ def user_growth_curve(spark, sf_dir):
             "cumulative_users"
         ),
     )
+
+
+@register(
+    "xcorr_daily_lag3",
+    """
+    WITH per_type AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    total AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS y
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT p.event_type,
+             CAST(p.x AS DOUBLE) AS x, CAST(t.y AS DOUBLE) AS y
+      FROM per_type p JOIN total t ON t.day = p.day - 3
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,10))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,10))) AS DOUBLE) AS sxy
+      FROM pairs GROUP BY 1
+    )
+    SELECT event_type, 3 AS lag, CAST(n AS BIGINT) AS n_pairs,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                 6) AS xcorr
+    FROM s
+    """,
+    doc=(
+        "Grouped cross-correlation at lag k (k=3 days): each event "
+        "type's daily-count series Pearson-correlated against the "
+        "3-days-earlier TOTAL daily series — 'does the aggregate lead "
+        "the segment'. One day-grain aggregate pass over the fact "
+        "(the only corpus-width work), then a calendar-bounded "
+        "date-shifted equi-join (integer day arithmetic, no interval "
+        "drift) and the exact-DECIMAL distributed-moments pattern "
+        "(stats_moments_exact) at type grain. At 100 TB everything "
+        "after the first agg touches ~2.4k day rows per type."
+    ),
+)
+def xcorr_daily_lag3(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    day = F.to_date(F.date_trunc("day", "ts")).alias("day")
+    per_type = events.groupBy("event_type", day).agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    total = events.groupBy(day).agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    )
+    pairs = per_type.withColumn("lday", F.date_sub("day", 3)).join(
+        total.withColumnRenamed("day", "lday"), "lday"
+    )
+    dec = "decimal(38,10)"
+
+    def dsum(col):
+        return F.sum(col.cast(dec)).cast("double")
+
+    s = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy, sxx, syy, sxy = (
+        F.col("n"), F.col("sx"), F.col("sy"),
+        F.col("sxx"), F.col("syy"), F.col("sxy"),
+    )
+    return s.select(
+        "event_type",
+        F.lit(3).alias("lag"),
+        n.cast("bigint").alias("n_pairs"),
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("xcorr"),
+    )

@@ -273,3 +273,48 @@ def test_quarantine_violations_dead_letter_store(spark, tmp_path):
     remaining = spark.read.parquet(os.path.join(store, "relationships_fk"))
     assert remaining.count() == 2
     assert [r._run for r in remaining.select("_run").distinct().collect()] == [0]
+
+
+def test_cms_never_undercounts_and_bound(spark):
+    """CMS guarantees: est(k) >= true(k) for EVERY key (min over
+    monotone counters), and on this dataset the overcount stays inside
+    the classical e/width * N bound (observational pin for the fixed
+    hash rows)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.io import load_table
+    from metar_pipeline_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    sketch = cms_build(events, "user_id")
+    truth = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_cnt")
+    )
+    est = cms_estimate(sketch, truth, "user_id")
+    j = truth.join(est, "user_id").collect()
+    n_total = events.count()
+    bound = math.ceil(math.e / 1024 * n_total)
+    assert all(r.est_cnt >= r.true_cnt for r in j)
+    assert all(r.est_cnt - r.true_cnt <= bound for r in j), bound
+
+
+def test_cms_merge_equals_whole_sketch(spark):
+    """sketch(A ⊎ B) == cms_merge(sketch(A), sketch(B)) cell-exactly."""
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.io import load_table
+    from metar_pipeline_spark.operators.sketches import cms_build, cms_merge
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    whole = cms_build(events, "user_id")
+    halves = cms_merge(
+        cms_build(events.filter(F.col("event_id") % 2 == 0), "user_id"),
+        cms_build(events.filter(F.col("event_id") % 2 == 1), "user_id"),
+    )
+    assert whole.exceptAll(halves).count() == 0
+    assert halves.exceptAll(whole).count() == 0

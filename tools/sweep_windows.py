@@ -1,18 +1,30 @@
-"""Sweep every registered query's physical plan for unpartitioned
-WindowExec nodes — the single-partition-sort scale killer class.
+"""Sweep every registered query's physical plan for the two
+single-task-sort scale-killer window classes:
 
-An unpartitioned window (``Window.orderBy`` with no partitionBy) moves
-its ENTIRE input frame to one task. Round 7 removed every data-grain
-instance (corpus/user/key-grain ranks now use
-operators/ranking.distributed_rank or rank_bounded); the only windows
-allowed to remain unpartitioned are CALENDAR-GRAIN rolling frames,
-whose row count is bounded by the calendar (~2.4k day rows for the
-2024-2030 test span), not by data volume — a global sort of a day-grain
-aggregate is the correct plan at any scale.
+1. UNPARTITIONED WindowExec (``Window.orderBy`` with no partitionBy)
+   — moves the ENTIRE input frame to one task. Round 7 removed every
+   data-grain instance (corpus/user/key-grain ranks now use
+   operators/ranking.distributed_rank or rank_bounded); the only ones
+   allowed to remain are CALENDAR-GRAIN rolling frames, whose row
+   count is bounded by the calendar (~2.4k day rows for the 2024-2030
+   test span), not by data volume.
+
+2. BOUNDED-LITERAL-KEY windows (round 10, the MaxSim class): a window
+   partitioned by a handful of values (3 query ids, a literal label
+   set) still moves each group's ENTIRE frame — possibly the whole
+   corpus — into one task; the sweep for class 1 cannot see it.
+   Detection is observational: a window whose partition columns all
+   survive into the query's OUTPUT and show ≤ MAX_PART_CARD distinct
+   values there is flagged, unless (a) it is the bounded level-2 of a
+   salted two-level top-k (a sibling window in the same plan
+   partitions by the same keys + ``__salt`` — ranking.grouped_topk),
+   or (b) it is justified in ALLOWED_BOUNDED_INPUT (the window's
+   INPUT is bounded by construction — broadcast probe grain,
+   day-grain aggregates — which plan text alone cannot prove).
 
 Usage: python tools/sweep_windows.py [sf_dir]
-Exit 1 if any query outside ALLOWED_CALENDAR_GRAIN shows an
-unpartitioned window. tests/test_plans.py runs the same check.
+Exit 1 on any unjustified finding in either class.
+tests/test_plans.py runs the same check.
 """
 
 from __future__ import annotations
@@ -54,6 +66,101 @@ ALLOWED_CALENDAR_GRAIN: dict[str, str] = {
 }
 
 
+# Windows partitioned by a low-cardinality key whose INPUT is bounded
+# by construction — invisible to the observational check, justified
+# here. Every entry names the bounding structure.
+ALLOWED_BOUNDED_INPUT: dict[str, str] = {
+    "interpolate_daily_gaps": (
+        "IGNORE-NULLS first/last windows over the per-type DATE SPINE "
+        "(sequence(min_day, max_day)) — calendar-day grain per key, "
+        "never event grain; the fact is reduced to (type, day) before "
+        "any window"
+    ),
+}
+
+# A window partition key with more distinct values than this is not
+# "a handful of literals" — per-group frames shrink proportionally.
+MAX_PART_CARD = 8
+
+
+def _window_partition_sets(plan: str) -> list[tuple[str, ...]]:
+    """Partition-column name tuples of every windowspecdefinition in
+    ``plan`` (simple columns only — a computed partition expression
+    returns a non-identifier token and the caller skips the set)."""
+    import re
+
+    sets: list[tuple[str, ...]] = []
+    for line in plan.splitlines():
+        for chunk in line.split("windowspecdefinition(")[1:]:
+            depth, arg, args = 0, "", []
+            for ch in chunk:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                if ch == "," and depth == 0:
+                    args.append(arg)
+                    arg = ""
+                else:
+                    arg += ch
+            args.append(arg)
+            keys = []
+            for a in args:
+                if " ASC" in a or " DESC" in a:
+                    break
+                keys.append(a.strip())
+            if keys:
+                sets.append(
+                    tuple(
+                        re.sub(r"#\d+[A-Za-z]*$", "", k) for k in keys
+                    )
+                )
+    return sets
+
+
+def bounded_literal_windows(plan: str, df, max_card: int = MAX_PART_CARD):
+    """[(partition_keys, observed_distinct)] for windows whose
+    partition columns all reach the query OUTPUT with ≤ ``max_card``
+    distinct values — the MaxSim class. Level-2 windows of a salted
+    two-level top-k (grouped_topk) are skipped: a sibling spec with
+    the same keys + __salt proves their input is survivor-bounded."""
+    import re
+
+    sets = set(_window_partition_sets(plan))
+    # Rank-limit windows whose plan carries a PARTIAL WindowGroupLimit
+    # on the same keys are engine-bounded: each map task forwards only
+    # the per-group top-k BEFORE the exchange, so the reducer-side
+    # window input is k×tasks rows, never the group's full frame.
+    gl_bounded = {
+        tuple(
+            re.sub(r"#\d+[A-Za-z]*$", "", k.strip())
+            for k in line.split("WindowGroupLimit [", 1)[1]
+            .split("]", 1)[0]
+            .split(",")
+        )
+        for line in plan.splitlines()
+        if "WindowGroupLimit [" in line and "Partial" in line
+    }
+    hits = []
+    for keys in sorted(sets):
+        if not all(re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", k) for k in keys):
+            continue  # computed partition expression — out of scope
+        if keys in gl_bounded:
+            continue  # Partial WindowGroupLimit bounds the input
+        if any(
+            set(keys) < set(o) and "__salt" in o for o in sets
+        ):
+            continue  # bounded level-2 of ranking.grouped_topk
+        if not all(k in df.columns for k in keys):
+            continue  # key does not survive to the output — can't observe
+        card = df.select(*keys).distinct().count()
+        if card <= max_card:
+            hits.append((keys, card))
+    return hits
+
+
 def unpartitioned_windows(plan: str) -> list[str]:
     """Lines of ``plan`` whose windowspecdefinition has no partition
     columns. Partition columns precede the first sort-ordered argument;
@@ -87,6 +194,20 @@ def sweep(spark, sf_dir: str, skip=(), only=None) -> dict[str, list[str]]:
         hits = unpartitioned_windows(plan)
         if hits and name not in ALLOWED_CALENDAR_GRAIN:
             bad[name] = hits
+            continue
+        if name in ALLOWED_BOUNDED_INPUT:
+            continue
+        try:
+            lowcard = bounded_literal_windows(plan, df)
+        except Exception as e:  # noqa: BLE001 — surface as a finding
+            bad[name] = [f"LOW-CARD CHECK FAILED: {e}"]
+            continue
+        if lowcard:
+            bad[name] = [
+                f"BOUNDED-LITERAL PARTITION KEY {keys}: "
+                f"{card} distinct values in the output"
+                for keys, card in lowcard
+            ]
     return bad
 
 
