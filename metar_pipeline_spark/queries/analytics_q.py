@@ -2282,3 +2282,71 @@ def cms_user_frequency_audit(spark, sf_dir):
         "est_cnt",
         (F.col("est_cnt") - F.col("true_cnt")).alias("overcount"),
     )
+
+
+@register(
+    "ivm_delta_distinct_view",
+    """
+    WITH new_state AS (
+      SELECT c_mktsegment AS segment,
+             CASE WHEN c_custkey % 41 = 0 AND c_custkey % 37 <> 0
+                  THEN (c_custkey + 7) % 499
+                  ELSE c_custkey % 499 END AS bucket
+      FROM customer
+      WHERE c_custkey % 37 <> 0
+    )
+    SELECT DISTINCT segment, CAST(bucket AS BIGINT) AS bucket
+    FROM new_state
+    """,
+    doc=(
+        "IVM of a DISTINCT view — the multiplicity-threshold case the "
+        "join/aggregate forms don't exercise: membership is "
+        "(maintained row count > 0), so a pair LEAVES the view only "
+        "when its LAST copy is retracted and re-enters on any insert. "
+        "The (segment, custkey%499) domain gives multiplicities of "
+        "1-2, so the %37 deletes genuinely zero out pairs while "
+        "2-copy pairs survive; %41 updates move pairs (retract old + "
+        "insert new bucket). Maintained entirely by "
+        "ivm.zset_weighted_agg + apply_agg_delta with NO measures — "
+        "the count IS the view; oracle = DISTINCT over the full new "
+        "state (membership algebra ≡ recompute)."
+    ),
+)
+def ivm_delta_distinct_view(spark, sf_dir):
+    from metar_pipeline_spark.operators.ivm import (
+        apply_agg_delta,
+        zset_weighted_agg,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    base = cust.select(
+        k.alias("k"),
+        F.col("c_mktsegment").alias("segment"),
+        (k % 499).cast("bigint").alias("bucket"),
+        ((k + 7) % 499).cast("bigint").alias("moved"),
+    )
+    is_del = F.col("k") % 37 == 0
+    is_upd = (F.col("k") % 41 == 0) & (F.col("k") % 37 != 0)
+    keys = ["segment", "bucket"]
+    # the stored view: multiset multiplicities of the old state
+    view = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    dz = (
+        base.filter(is_del)
+        .select(*keys, F.lit(-1).alias("_w"))
+        .unionByName(
+            base.filter(is_upd).select(*keys, F.lit(-1).alias("_w"))
+        )
+        .unionByName(
+            base.filter(is_upd).select(
+                "segment", F.col("moved").alias("bucket"),
+                F.lit(1).alias("_w"),
+            )
+        )
+    )
+    merged = apply_agg_delta(
+        view, zset_weighted_agg(dz, keys), keys, []
+    )
+    return merged.select("segment", "bucket")

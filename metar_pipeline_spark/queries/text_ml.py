@@ -3259,3 +3259,63 @@ def ann_maxsim_ivf_rerank(spark, sf_dir):
         scored, ["query_id"], [F.desc("maxsim"), F.asc("id")], 10,
         salt=F.pmod(F.col("id"), F.lit(32)),
     )
+
+
+@register(
+    "ann_maxsim_recall_at_10",
+    f"""
+    WITH brute AS (
+      SELECT query_id, id
+      FROM ({REGISTRY["ann_maxsim_late_interaction"].oracle})
+    ),
+    approx AS (
+      SELECT query_id, id
+      FROM ({REGISTRY["ann_maxsim_ivf_rerank"].oracle})
+    )
+    SELECT b.query_id,
+           CAST(COUNT(*) AS BIGINT) AS k_true,
+           CAST(SUM(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           round(SUM(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS recall_at_10
+    FROM brute b LEFT JOIN approx a
+      ON b.query_id = a.query_id AND b.id = a.id
+    GROUP BY b.query_id
+    """,
+    doc=(
+        "Late-interaction retrieval QA: per-query recall@10 of the "
+        "two-stage IVF+MaxSim re-rank against the exhaustive MaxSim "
+        "ground truth — the acceptance number the ColBERT serving "
+        "trade publishes (cell misses are the only recall loss; the "
+        "re-rank itself is exact on its candidates). Composes two "
+        "already-verified bounded top-k frames with one left join at "
+        "(query, id) grain."
+    ),
+)
+def ann_maxsim_recall_at_10(spark, sf_dir):
+    brute = ann_maxsim_late_interaction(spark, sf_dir).select(
+        "query_id", "id"
+    )
+    approx = (
+        ann_maxsim_ivf_rerank(spark, sf_dir)
+        .select("query_id", "id")
+        .withColumn("_hit", F.lit(1))
+    )
+    agg = (
+        brute.join(approx, ["query_id", "id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k_true"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+    )
+    return agg.select(
+        "query_id",
+        "k_true",
+        "n_hits",
+        F.round(
+            F.col("n_hits") / F.col("k_true").cast("double"), 6
+        ).alias("recall_at_10"),
+    )

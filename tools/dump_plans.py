@@ -212,6 +212,25 @@ SHOWCASE = [
         "is a tiny aggregate, broadcast-eligible; corpus text is "
         "scanned, never shuffled wide.",
     ),
+    (
+        "ann_maxsim_ivf_rerank",
+        "Two-stage late-interaction retrieval (round 10): the pooled-"
+        "vector IVF probe bounds the candidates (cid equi-join against "
+        "the broadcast probes — a partition-pruned cell read at "
+        "100 TB); segment MaxSim scores only the candidate set; the "
+        "final top-10 is the salted two-level grouped_topk (plus the "
+        "engine's own Partial WindowGroupLimit), so no per-query "
+        "single-task corpus sort exists anywhere in the plan.",
+    ),
+    (
+        "ivm_delta_agg_view",
+        "Aggregate-view IVM (round 10): the daily rollup's delta from "
+        "weight-multiplied partials over |batch| rows only (one hash "
+        "agg), merged into the stored view by ONE full-outer join at "
+        "GROUP grain — the facts are never rescanned, and retractions "
+        "(late updates/deletes) flow through the same adds that "
+        "inserts do.",
+    ),
 ]
 
 # Static epilogue: measured plan decisions that are not a single

@@ -224,7 +224,8 @@ def main() -> None:
                 print(f"  {l[:200]}")
         sys.exit(1)
     print("sweep clean: no unpartitioned WindowExec outside the "
-          "calendar-grain allow-list")
+          "calendar-grain allow-list, no unjustified bounded-literal "
+          "partition keys")
 
 
 if __name__ == "__main__":
