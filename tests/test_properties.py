@@ -768,3 +768,125 @@ def test_ntile_from_rank_law(spark, n, k):
         ).collect()
     )
     assert got == want
+
+
+# --- Z-set IVM laws (round 10) -----------------------------------------
+
+# A changelog is a list of (op, group, value): op 0=insert into old
+# state (applied before the batch), 1=batch insert, 2=batch delete of
+# a present row, 3=batch update (+delta) of a present row. Hypothesis
+# drives arbitrary interleavings; the law is old ⊕ Δ ≡ recompute(new).
+_ivm_groups = st.integers(min_value=0, max_value=3)
+_ivm_vals = st.integers(min_value=-50, max_value=50)
+_ivm_rows = st.lists(
+    st.tuples(_ivm_groups, _ivm_vals), min_size=0, max_size=25
+)
+
+
+@given(old=_ivm_rows, ins=_ivm_rows, mutate_mask=st.integers(0, 2**25 - 1))
+@SETTINGS
+def test_ivm_agg_delta_law(spark, old, ins, mutate_mask):
+    """apply_agg_delta(view(old), zset_weighted_agg(Δ)) equals the
+    grouped aggregate of the mutated state, for ARBITRARY old states
+    and batches of inserts + deletes + updates (bit i of mutate_mask
+    deletes old row i; bit i+1 updates it by +7)."""
+    from metar_pipeline_spark.operators.ivm import (
+        apply_agg_delta,
+        zset_weighted_agg,
+    )
+
+    deletes, updates, kept = [], [], []
+    for i, r in enumerate(old):
+        if (mutate_mask >> (i % 24)) & 1 and i % 2 == 0:
+            deletes.append(r)
+        elif (mutate_mask >> ((i + 1) % 24)) & 1:
+            updates.append(r)
+            kept.append((r[0], r[1] + 7))
+        else:
+            kept.append(r)
+    new_state = kept + ins
+
+    schema = "g long, v long"
+    old_df = spark.createDataFrame(old, schema) if old else (
+        spark.createDataFrame([], schema)
+    )
+    dz_rows = (
+        [(g, v, 1) for g, v in ins]
+        + [(g, v, -1) for g, v in deletes]
+        + [(g, v, -1) for g, v in updates]
+        + [(g, v + 7, 1) for g, v in updates]
+    )
+    zschema = "g long, v long, _w int"
+    dz = spark.createDataFrame(dz_rows, zschema) if dz_rows else (
+        spark.createDataFrame([], zschema)
+    )
+    view = old_df.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("v").alias("total"),
+    )
+    got = apply_agg_delta(
+        view, zset_weighted_agg(dz, ["g"], sums={"total": F.col("v")}),
+        ["g"], ["total"],
+    )
+    want_df = (
+        spark.createDataFrame(new_state, schema)
+        if new_state
+        else spark.createDataFrame([], schema)
+    ).groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("v").alias("total"),
+    )
+    assert sorted(
+        (r.g, r._n, r.total) for r in got.collect()
+    ) == sorted((r.g, r._n, r.total) for r in want_df.collect())
+
+
+@given(old=_ivm_rows, ins=_ivm_rows)
+@SETTINGS
+def test_ivm_delta_merge_is_batch_order_free(spark, old, ins):
+    """Applying one batch as TWO arbitrary sub-batches (split by row
+    parity) in sequence equals applying it whole — the property the
+    streaming fold relies on (a consistent changelog nets count and
+    sum to zero together, so intermediate net-zero drops lose
+    nothing)."""
+    from metar_pipeline_spark.operators.ivm import (
+        apply_agg_delta,
+        zset_weighted_agg,
+    )
+
+    schema = "g long, v long"
+    zschema = "g long, v long, _w int"
+
+    def z(rows):
+        return (
+            spark.createDataFrame(rows, zschema)
+            if rows
+            else spark.createDataFrame([], zschema)
+        )
+
+    view = (
+        spark.createDataFrame(old, schema)
+        if old
+        else spark.createDataFrame([], schema)
+    ).groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("v").alias("total"),
+    )
+    batch = [(g, v, 1) for g, v in ins] + [(g, v, -1) for g, v in old]
+    whole = apply_agg_delta(
+        view,
+        zset_weighted_agg(z(batch), ["g"], sums={"total": F.col("v")}),
+        ["g"], ["total"],
+    )
+    s1 = [r for i, r in enumerate(batch) if i % 2 == 0]
+    s2 = [r for i, r in enumerate(batch) if i % 2 == 1]
+    step = view
+    for sub in (s1, s2):
+        step = apply_agg_delta(
+            step,
+            zset_weighted_agg(z(sub), ["g"], sums={"total": F.col("v")}),
+            ["g"], ["total"],
+        )
+    assert sorted(
+        (r.g, r._n, r.total) for r in whole.collect()
+    ) == sorted((r.g, r._n, r.total) for r in step.collect())
