@@ -2350,3 +2350,83 @@ def ivm_delta_distinct_view(spark, sf_dir):
         view, zset_weighted_agg(dz, keys), keys, []
     )
     return merged.select("segment", "bucket")
+
+
+def _kcore_oracle(k: int = 15, rounds: int = 3) -> str:
+    """Unrolled twin of operators/kcore.k_core over the undirected
+    supplier↔part edge set."""
+    head = """
+    WITH ep AS (
+      SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+      FROM lineitem
+    ),
+    e0 AS (
+      SELECT src, dst FROM ep
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM ep
+    )"""
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(
+            f"""
+    k{r} AS (
+      SELECT src FROM (
+        SELECT src, COUNT(*) AS d FROM e{r - 1} GROUP BY 1
+      ) WHERE d >= {k}
+    ),
+    e{r} AS (
+      SELECT e.src, e.dst
+      FROM e{r - 1} e
+      JOIN k{r} a ON e.src = a.src
+      JOIN k{r} b ON e.dst = b.src
+    )"""
+        )
+    lbl = (
+        "CASE WHEN src % 2 = 0 THEN 's' || CAST(src // 2 AS VARCHAR) "
+        "ELSE 'p' || CAST((src - 1) // 2 AS VARCHAR) END"
+    )
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT {lbl} AS node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM e{rounds} GROUP BY 1"""
+    )
+
+
+@register(
+    "supply_kcore_15",
+    _kcore_oracle(),
+    doc=(
+        "Bounded k-core decomposition (k=15, 3 peel rounds) of the "
+        "undirected supplier↔part graph — the degeneracy member of "
+        "the graph family (dense-subgraph filtering: spam farms and "
+        "boilerplate rings live in high cores of a link graph). Per "
+        "round one node-grain degree hash agg + two semi-joins "
+        "filtering the checkpointed edge frame to surviving "
+        "endpoints; degrees in the output are INSIDE the core "
+        "(operators/kcore.k_core; oracle unrolls every round)"
+    ),
+)
+def supply_kcore_15(spark, sf_dir):
+    from metar_pipeline_spark.operators.kcore import k_core
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ep = li.select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    edges = ep.unionByName(
+        ep.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    core = k_core(edges, k=15, rounds=3)
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("s"), (F.col("node") / 2).cast("long").cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit("p"), ((F.col("node") - 1) / 2).cast("long").cast("string")
+        )
+    )
+    return core.select(label.alias("node"), "degree")

@@ -1460,3 +1460,84 @@ def xcorr_daily_lag3(spark, sf_dir):
             6,
         ).alias("xcorr"),
     )
+
+
+@register(
+    "ks_two_sample_click_view",
+    """
+    WITH base AS (
+      SELECT value,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2
+      FROM events
+      WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+      GROUP BY value
+    ),
+    c AS (
+      SELECT value,
+             SUM(c1) OVER (ORDER BY value) AS cum1,
+             SUM(c2) OVER (ORDER BY value) AS cum2
+      FROM base
+    ),
+    n AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+      FROM base
+    )
+    SELECT n.n1, n.n2,
+           MAX(round(abs(cum1 / CAST(n.n1 AS DOUBLE)
+                         - cum2 / CAST(n.n2 AS DOUBLE)), 6)) AS ks_d
+    FROM c CROSS JOIN n
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "EXACT two-sample Kolmogorov-Smirnov statistic (click vs view "
+        "value distributions — the distribution-drift test beside the "
+        "JSD monitors): D = max |ECDF₁ − ECDF₂| over the pooled "
+        "values. Scale shape: the fact reduces to VALUE grain first "
+        "(one hash agg carrying both sides' counts), then the running "
+        "totals come from operators/prefix.distributed_prefix_sum — a "
+        "range exchange + pid-partitioned window, NEVER an "
+        "unpartitioned cumulative over data grain; the sample sizes "
+        "ride a broadcast one-row carrier. Deterministic: integer "
+        "cumulative counts, one double division per side, exact MAX."
+    ),
+)
+def ks_two_sample_click_view(spark, sf_dir):
+    from metar_pipeline_spark.operators.prefix import (
+        distributed_prefix_sum,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    base = (
+        events.filter(
+            F.col("event_type").isin("click", "view")
+            & F.col("value").isNotNull()
+        )
+        .groupBy("value")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("c1"),
+            F.sum(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("c2"),
+        )
+    )
+    p1 = distributed_prefix_sum(base, [F.asc("value")], "c1", out_col="cum1")
+    p2 = distributed_prefix_sum(p1, [F.asc("value")], "c2", out_col="cum2")
+    n = base.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    d = F.round(
+        F.abs(
+            F.col("cum1") / F.col("n1").cast("double")
+            - F.col("cum2") / F.col("n2").cast("double")
+        ),
+        6,
+    )
+    return (
+        p2.crossJoin(F.broadcast(n))
+        .groupBy("n1", "n2")
+        .agg(F.max(d).alias("ks_d"))
+    )

@@ -344,3 +344,24 @@ def test_bellman_ford_pred_costs_match_min_cost_form(spark):
         for r in bellman_ford_min_cost_pred(edges, seeds, rounds=3).collect()
     )
     assert plain == withp
+
+
+def test_kcore_cascade_hand_graph(spark):
+    """Peeling CASCADES: E (deg 1) falls in round 1, which drops D to
+    deg 1 so it falls in round 2 — the 2-core is exactly the triangle,
+    every survivor at degree 2."""
+    from metar_pipeline_spark.operators.kcore import k_core
+
+    und = [(1, 2), (2, 3), (1, 3), (1, 4), (4, 5)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {
+        r.node: r.degree for r in k_core(edges, k=2, rounds=3).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}
+    # one round is NOT enough: D survives the first peel
+    partial = {
+        r.node: r.degree for r in k_core(edges, k=2, rounds=1).collect()
+    }
+    assert 4 in partial and 5 not in partial
