@@ -152,3 +152,51 @@ def test_apply_agg_delta_equals_full_recompute(spark):
     assert sorted((r.g, r._n, r.total) for r in got.collect()) == sorted(
         (r.g, r._n, r.total) for r in want.collect()
     )
+
+
+def test_delta_log_replay_idempotent_and_rebuilds_view(spark, tmp_path):
+    """The durable delta log behind stream_ivm_delta_view: a REPLAYED
+    batch overwrites its own _batch partition (no double count), and
+    folding the log reconstructs exactly the sequentially-maintained
+    view — the crash-recovery contract."""
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.operators.ivm import (
+        apply_agg_delta,
+        zset_weighted_agg,
+    )
+    from metar_pipeline_spark.streaming.pipeline import (
+        idempotent_batch_append,
+    )
+
+    log = str(tmp_path / "delta_log")
+    b0 = _z(spark, [("a", 10, 1), ("b", 5, 1)], "g string, v long, _w int")
+    b1 = _z(spark, [("a", 10, -1), ("a", 12, 1), ("c", 7, 1)],
+            "g string, v long, _w int")
+    d0 = zset_weighted_agg(b0, ["g"], sums={"total": F.col("v")})
+    d1 = zset_weighted_agg(b1, ["g"], sums={"total": F.col("v")})
+    idempotent_batch_append(d0, log, 0)
+    idempotent_batch_append(d1, log, 1)
+    # at-least-once replay of batch 1 (the failure mode a plain append
+    # would double)
+    idempotent_batch_append(d1, log, 1)
+
+    rebuilt = (
+        spark.read.parquet(log)
+        .groupBy("g")
+        .agg(
+            F.sum("_n").cast("long").alias("_n"),
+            F.sum("total").alias("total"),
+        )
+        .filter(F.col("_n") != 0)
+    )
+    view = apply_agg_delta(
+        apply_agg_delta(d0.limit(0), d0, ["g"], ["total"]),
+        d1, ["g"], ["total"],
+    )
+    assert sorted(
+        (r.g, r._n, r.total) for r in rebuilt.collect()
+    ) == sorted((r.g, r._n, r.total) for r in view.collect())
+    assert {r.g: r.total for r in rebuilt.collect()} == {
+        "a": 12, "b": 5, "c": 7
+    }
