@@ -686,3 +686,50 @@ def test_bfs_hops_equi_joins_only(spark):
     p = plan_str(out)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ivm_agg_merge_is_group_grain(plans):
+    """ivm_delta_agg_view: the delta is one hash aggregate and the
+    merge ONE full-outer join at group grain — no cartesian/nested
+    loop, facts never rejoin."""
+    p = plans("ivm_delta_agg_view")
+    assert "FullOuter" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "HashAggregate" in p
+
+
+def test_kcore_rounds_are_equi_joins_only(spark):
+    """k_core: every peel round is a degree hash agg + two node-keyed
+    semi-join filters — pin the operator's per-round plan (the query
+    returns post-checkpoint frames)."""
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.io import load_table
+    from metar_pipeline_spark.operators.kcore import k_core
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    ep = li.select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    edges = ep.unionByName(
+        ep.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    out = k_core(edges, k=3, rounds=1)
+    p = plan_str(out)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "HashAggregate" in p
+
+
+def test_ks_cumulative_is_pid_partitioned(plans):
+    """ks_two_sample_click_view: the running ECDF totals come from
+    distributed_prefix_sum — the only windows in the plan are
+    pid-partitioned; the sample sizes ride a broadcast 1-row
+    carrier."""
+    p = plans("ks_two_sample_click_view")
+    for line in p.splitlines():
+        if "windowspecdefinition" in line:
+            assert "__pid" in line, line
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
