@@ -58,14 +58,14 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # the auto-boost catches direct query/oracle edits and one-hop operator
 # module edits, but not deeper transitive changes).
 VERIFY_FIRST: list[str] = [
-    # Round 10 final: registry at 250 queries (pca_top_component_
-    # projection retired into pca_top2_projection), window 42/50 —
-    # 13 never-green (3 permanent rows-only sketches + the 10 new
+    # Round 10 final: registry at 251 queries (pca_top_component_
+    # projection retired into pca_top2_projection), window 43/50 —
+    # 14 never-green (3 permanent rows-only sketches + the 11 new
     # round-10 queries: ann_maxsim_ivf_rerank, ann_maxsim_recall_at_10,
     # ivm_delta_agg_view, ivm_delta_distinct_view, stream_ivm_delta_view,
     # supply_cheapest_path_3hop_pred, xcorr_daily_lag3,
     # cms_user_frequency_audit, supply_kcore_15,
-    # ks_two_sample_click_view) + 29 drifted
+    # ks_two_sample_click_view, fm_distinct_users_estimate) + 29 drifted
     # (ranking.grouped_topk conversion of the retrieval top-k family,
     # ivm/paths/sketches module extensions, maxsim -0.0 normalization,
     # corpus_ops docstring). Every window entry locally verified:

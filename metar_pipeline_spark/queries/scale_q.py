@@ -1172,3 +1172,73 @@ def stream_ivm_delta_view(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+def _fm_oracle(m: int = 64) -> str:
+    """Literal twin of operators/sketches.fm_hash01/fm_estimate: the
+    same per-row integer hash rounds, m MINs, and the fixed left-assoc
+    sum chain."""
+    from metar_pipeline_spark.operators.sketches import _CMS_P, fm_constants
+
+    h1s, mins = [], []
+    for i in range(m):
+        a1, b1, a2 = fm_constants(i)
+        h1s.append(f"(user_id * {a1} + {b1}) % {_CMS_P} AS h{i}")
+        mins.append(
+            f"MIN(CAST((h{i} * h{i} + h{i} * {a2}) % {_CMS_P} AS DOUBLE)"
+            f" / {_CMS_P}.0) AS m{i}"
+        )
+    chain = "m0"
+    for i in range(1, m):
+        chain = f"({chain} + m{i})"
+    return f"""
+    WITH hx AS (
+      SELECT user_id, {", ".join(h1s)}
+      FROM events
+    ),
+    s AS (
+      SELECT COUNT(DISTINCT user_id) AS n_exact, {", ".join(mins)}
+      FROM hx
+    )
+    SELECT CAST({m} AS BIGINT) AS m,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           round({m}.0 / {chain} - 1.0, 2) AS n_est
+    FROM s
+    """
+
+
+@register(
+    "fm_distinct_users_estimate",
+    _fm_oracle(),
+    doc=(
+        "Flajolet-Martin m-mins distinct estimator (m=64) — the "
+        "ORACLE-VERIFIED sibling of the rows-only DataSketches HLL "
+        "queries (like the Count-Min audit, the hash rows are fixed "
+        "engine-portable integer arithmetic, so DuckDB replays every "
+        "min): E[min of n uniforms] = 1/(n+1) ⇒ n̂ = m/Σminᵢ − 1, "
+        "rel. error ~1/√m. All 64 MINs ride ONE scan as map-side-"
+        "combinable aggregates (zero data shuffle, a 1-row result; "
+        "merge of shards ≡ the same MIN — trivially mergeable); the "
+        "exact COUNT(DISTINCT) column is the calibration reference, "
+        "the expensive path being replaced at 100 TB. The final sum "
+        "is a fixed left-assoc chain — deterministic on both engines "
+        "(operators/sketches.fm_hash01 / fm_min_columns / fm_estimate)"
+    ),
+)
+def fm_distinct_users_estimate(spark, sf_dir):
+    from metar_pipeline_spark.operators.sketches import (
+        fm_estimate,
+        fm_min_columns,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    m = 64
+    s = events.agg(
+        F.count_distinct(F.col("user_id")).cast("bigint").alias("n_exact"),
+        *fm_min_columns(F.col("user_id"), m),
+    )
+    return s.select(
+        F.lit(m).cast("bigint").alias("m"),
+        "n_exact",
+        F.round(fm_estimate(m), 2).alias("n_est"),
+    )

@@ -318,3 +318,45 @@ def test_cms_merge_equals_whole_sketch(spark):
     )
     assert whole.exceptAll(halves).count() == 0
     assert halves.exceptAll(whole).count() == 0
+
+
+def test_fm_estimator_accuracy_and_mergeability(spark):
+    """m-mins estimator: relative error within ~3/sqrt(m) of the exact
+    distinct count on the test data, and shard-merge ≡ whole (MIN is
+    its own merge)."""
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.io import load_table
+    from metar_pipeline_spark.operators.sketches import (
+        fm_estimate,
+        fm_min_columns,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    m = 64
+    row = events.agg(
+        F.count_distinct("user_id").alias("n"),
+        *fm_min_columns(F.col("user_id"), m),
+    ).select("n", fm_estimate(m).alias("est")).first()
+    assert abs(row.est - row.n) / row.n <= 3.0 / (m ** 0.5)
+
+    halves = [
+        events.filter(F.col("event_id") % 2 == p).agg(
+            *fm_min_columns(F.col("user_id"), m)
+        )
+        for p in (0, 1)
+    ]
+    merged = (
+        halves[0].unionByName(halves[1])
+        .agg(*[F.min(f"__fm{i}").alias(f"__fm{i}") for i in range(m)])
+        .select(fm_estimate(m).alias("est"))
+        .first()
+        .est
+    )
+    whole = (
+        events.agg(*fm_min_columns(F.col("user_id"), m))
+        .select(fm_estimate(m).alias("est"))
+        .first()
+        .est
+    )
+    assert merged == whole
