@@ -1541,3 +1541,380 @@ def ks_two_sample_click_view(spark, sf_dir):
         .groupBy("n1", "n2")
         .agg(F.max(d).alias("ks_d"))
     )
+
+
+@register(
+    "mannwhitney_u_click_view",
+    """
+    WITH base AS (
+      SELECT value,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2
+      FROM events
+      WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+      GROUP BY value
+    ),
+    c AS (
+      SELECT c1, c2, c1 + c2 AS t,
+             SUM(c1 + c2) OVER (ORDER BY value) AS cumt
+      FROM base
+    ),
+    s AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c2) AS BIGINT) AS n2,
+             CAST(SUM(CAST(c1 AS DECIMAL(18,0)) * (2 * cumt - t + 1))
+                  AS DOUBLE) AS r2,
+             CAST(SUM(CAST(t AS DECIMAL(12,0)) * CAST(t AS DECIMAL(12,0))
+                      * CAST(t AS DECIMAL(12,0)) - t) AS DOUBLE) AS ties3
+      FROM c
+    )
+    SELECT n1, n2,
+           round(r2 / 2 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2, 6) AS u1,
+           round(CAST(n1 AS DOUBLE) * n2
+                 - (r2 / 2 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2), 6) AS u2,
+           round(((r2 / 2 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2)
+                  - CAST(n1 AS DOUBLE) * n2 / 2)
+                 / sqrt(CAST(n1 AS DOUBLE) * n2 / 12
+                        * ((n1 + n2 + 1)
+                           - ties3 / (CAST(n1 + n2 AS DOUBLE)
+                                      * (n1 + n2 - 1))))
+                 + 0.0, 6) AS z_score
+    FROM s
+    """,
+    doc=(
+        "EXACT tie-corrected Mann-Whitney U (click vs view value "
+        "distributions) — the rank-sum sibling of the KS statistic: "
+        "U detects a location shift where KS detects any ECDF gap. "
+        "Same scale shape as ks_two_sample_click_view: the fact "
+        "reduces to VALUE grain in one hash agg, running pooled "
+        "counts come from operators/prefix.distributed_prefix_sum "
+        "(range exchange + pid-partitioned window, never an "
+        "unpartitioned cumulative), and the rank-sum uses the "
+        "tied-rank identity avg_rank = cum_before + (t+1)/2 kept in "
+        "INTEGERS (2*avg_rank = 2*cumt - t + 1) so the DECIMAL "
+        "accumulation is exact and order-independent; the normal "
+        "z uses the standard tie-corrected variance. One double "
+        "expression per output at the very end."
+    ),
+)
+def mannwhitney_u_click_view(spark, sf_dir):
+    from metar_pipeline_spark.operators.prefix import (
+        distributed_prefix_sum,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    base = (
+        events.filter(
+            F.col("event_type").isin("click", "view")
+            & F.col("value").isNotNull()
+        )
+        .groupBy("value")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("c1"),
+            F.sum(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("c2"),
+        )
+        .withColumn("t", F.col("c1") + F.col("c2"))
+    )
+    c = distributed_prefix_sum(base, [F.asc("value")], "t", out_col="cumt")
+    tdec = F.col("t").cast("decimal(12,0)")
+    s = c.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum(
+            F.col("c1").cast("decimal(18,0)")
+            * (2 * F.col("cumt") - F.col("t") + 1)
+        )
+        .cast("double")
+        .alias("r2"),
+        F.sum(tdec * tdec * tdec - F.col("t")).cast("double").alias("ties3"),
+    )
+    n1d = F.col("n1").cast("double")
+    u1 = F.col("r2") / 2 - n1d * (F.col("n1") + 1) / 2
+    mu = n1d * F.col("n2") / 2
+    sigma = F.sqrt(
+        n1d * F.col("n2") / 12
+        * (
+            (F.col("n1") + F.col("n2") + 1)
+            - F.col("ties3")
+            / (
+                (F.col("n1") + F.col("n2")).cast("double")
+                * (F.col("n1") + F.col("n2") - 1)
+            )
+        )
+    )
+    return s.select(
+        "n1",
+        "n2",
+        F.round(u1, 6).alias("u1"),
+        F.round(n1d * F.col("n2") - u1, 6).alias("u2"),
+        (F.round((u1 - mu) / sigma, 6) + F.lit(0.0)).alias("z_score"),
+    )
+
+
+@register(
+    "cusum_changepoint_daily",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS x
+      FROM events GROUP BY 1
+    ),
+    c AS (
+      SELECT day,
+             SUM(x) OVER (ORDER BY day) AS cum,
+             ROW_NUMBER() OVER (ORDER BY day) AS i
+      FROM daily
+    ),
+    n AS (
+      SELECT CAST(SUM(x) AS BIGINT) AS total,
+             COUNT(*) AS n_days
+      FROM daily
+    )
+    SELECT day,
+           round(abs(cum - i * (CAST(total AS DOUBLE) / n_days)), 6)
+             AS cusum_abs,
+           n.n_days
+    FROM c CROSS JOIN n
+    ORDER BY cusum_abs DESC, day ASC
+    LIMIT 1
+    """,
+    doc=(
+        "CUSUM changepoint detection on the daily event-count series: "
+        "S_i = cum_i - i*mean is the classic cumulative-sum deviation "
+        "path, and argmax |S_i| is the single most likely level-shift "
+        "day (Page/Taylor). Scale shape: the fact reduces to DAY grain "
+        "in one hash agg; the cumulative count and row index both come "
+        "from operators/prefix.distributed_prefix_sum over the "
+        "day-grain frame (integer weights, exact); the global mean "
+        "rides a broadcast one-row carrier so S_i is a single double "
+        "expression over integers — no float accumulation anywhere. "
+        "Final argmax is a TakeOrderedAndProject over day-grain rows "
+        "(ties break to the earliest day)."
+    ),
+)
+def cusum_changepoint_daily(spark, sf_dir):
+    from metar_pipeline_spark.operators.prefix import (
+        distributed_prefix_sum,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    c = distributed_prefix_sum(daily, [F.asc("day")], "x", out_col="cum")
+    c = distributed_prefix_sum(
+        c.withColumn("__one", F.lit(1)), [F.asc("day")], "__one", out_col="i"
+    )
+    n = daily.agg(
+        F.sum("x").cast("bigint").alias("total"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    s = F.round(
+        F.abs(
+            F.col("cum")
+            - F.col("i") * (F.col("total").cast("double") / F.col("n_days"))
+        ),
+        6,
+    )
+    return (
+        c.crossJoin(F.broadcast(n))
+        .select("day", s.alias("cusum_abs"), "n_days")
+        .orderBy(F.desc("cusum_abs"), F.asc("day"))
+        .limit(1)
+    )
+
+
+@register(
+    "theilsen_daily_trend",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS y
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.day AS da, b.day AS db,
+             CAST(b.y - a.y AS DOUBLE)
+               / datediff('day', a.day, b.day) AS slope
+      FROM daily a JOIN daily b ON b.day > a.day
+    ),
+    r AS (
+      SELECT slope,
+             ROW_NUMBER() OVER (ORDER BY slope, da, db) AS rn
+      FROM pairs
+    ),
+    n AS (
+      SELECT COUNT(*) AS n_pairs,
+             (SELECT COUNT(*) FROM daily) AS n_days
+      FROM pairs
+    )
+    SELECT n.n_days, n.n_pairs,
+           round(AVG(r.slope) + 0.0, 6) AS slope_per_day
+    FROM r CROSS JOIN n
+    WHERE r.rn = (n.n_pairs + 1) // 2 OR r.rn = (n.n_pairs + 2) // 2
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Theil-Sen robust trend estimator over the daily event-count "
+        "series: the MEDIAN of all pairwise slopes (y_j-y_i)/(d_j-d_i) "
+        "— 29%-breakdown-point alternative to the OLS trend "
+        "(ols_trend_by_event_type), immune to the outlier days the "
+        "anomaly query flags. Scale shape: one day-grain hash agg over "
+        "the fact, then ALL work is calendar-bounded — the pair join "
+        "is day-grain x day-grain (a broadcast nested-loop over ~2.4k "
+        "rows max, never data grain), and the exact median avoids "
+        "engine-specific interpolation by selecting the two middle "
+        "ORDER STATISTICS via operators/prefix.distributed_prefix_sum "
+        "row numbering (total order: slope, day_a, day_b) and "
+        "averaging them — identical integer-indexed arithmetic on any "
+        "engine."
+    ),
+)
+def theilsen_daily_trend(spark, sf_dir):
+    from metar_pipeline_spark.operators.prefix import (
+        distributed_prefix_sum,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    a = daily.select(F.col("day").alias("da"), F.col("y").alias("ya"))
+    b = daily.select(F.col("day").alias("db"), F.col("y").alias("yb"))
+    pairs = a.join(F.broadcast(b), F.col("db") > F.col("da")).select(
+        "da",
+        "db",
+        (
+            (F.col("yb") - F.col("ya")).cast("double")
+            / F.datediff("db", "da")
+        ).alias("slope"),
+    )
+    r = distributed_prefix_sum(
+        pairs.withColumn("__one", F.lit(1)),
+        [F.asc("slope"), F.asc("da"), F.asc("db")],
+        "__one",
+        out_col="rn",
+    )
+    n = pairs.agg(F.count(F.lit(1)).alias("n_pairs")).crossJoin(
+        daily.agg(F.count(F.lit(1)).alias("n_days"))
+    )
+    return (
+        r.crossJoin(F.broadcast(n))
+        .filter(
+            (F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+            | (F.col("rn") == F.expr("(n_pairs + 2) div 2"))
+        )
+        .groupBy("n_days", "n_pairs")
+        .agg((F.round(F.avg("slope"), 6) + F.lit(0.0)).alias("slope_per_day"))
+    )
+
+
+@register(
+    "spearman_daily_count_value",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*) AS x,
+             CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE)
+               / COUNT(*) AS y
+      FROM events
+      WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT event_type,
+             2 * RANK() OVER (PARTITION BY event_type ORDER BY x)
+               + COUNT(*) OVER (PARTITION BY event_type, x) - 1 AS rx2,
+             2 * RANK() OVER (PARTITION BY event_type ORDER BY y)
+               + COUNT(*) OVER (PARTITION BY event_type, y) - 1 AS ry2
+      FROM daily
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(rx2 AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ry2 AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(rx2 * rx2 AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ry2 * ry2 AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(rx2 * ry2 AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+      FROM rk GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 + 0.0, 6) AS spearman_rho
+    FROM s
+    """,
+    doc=(
+        "Grouped Spearman rank correlation between each event type's "
+        "daily VOLUME (count) and daily MEAN VALUE — 'do busy days "
+        "run hot or cold', robust to any monotone transform, the "
+        "rank sibling of xcorr_daily_lag3's Pearson. Exact tie "
+        "handling via average ranks kept in INTEGERS: 2*avg_rank = "
+        "2*RANK() + ties - 1, then Pearson over the doubled ranks "
+        "(invariant under the affine x2). Scale shape: one hash agg "
+        "reduces the fact to (type, day) grain, so every window here "
+        "runs over a CALENDAR-BOUNDED frame (~2.4k day rows per type "
+        "for the test span) — justified in "
+        "tools/sweep_windows.ALLOWED_BOUNDED_INPUT; the moment sums "
+        "are exact DECIMAL at type grain (rank products are bounded "
+        "by (2*days+1)^2, never overflow)."
+    ),
+)
+def spearman_daily_count_value(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            (_dsum(F.col("value")) / F.count(F.lit(1))).alias("y"),
+        )
+    )
+
+    def ranks2(col):
+        return (
+            2 * F.rank().over(Window.partitionBy("event_type").orderBy(col))
+            + F.count(F.lit(1)).over(Window.partitionBy("event_type", col))
+            - 1
+        )
+
+    rk = daily.select(
+        "event_type",
+        ranks2("x").alias("rx2"),
+        ranks2("y").alias("ry2"),
+    )
+    dec = "decimal(38,0)"
+    s = rk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rx2").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("ry2").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("rx2") * F.col("rx2")).cast(dec))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("ry2") * F.col("ry2")).cast(dec))
+        .cast("double")
+        .alias("syy"),
+        F.sum((F.col("rx2") * F.col("ry2")).cast(dec))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n, sx, sy, sxx, syy, sxy = (
+        F.col("n"), F.col("sx"), F.col("sy"),
+        F.col("sxx"), F.col("syy"), F.col("sxy"),
+    )
+    return s.select(
+        "event_type",
+        n.cast("bigint").alias("n_days"),
+        (
+            F.round(
+                (n * sxy - sx * sy)
+                / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("spearman_rho"),
+    )

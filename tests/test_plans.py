@@ -733,3 +733,50 @@ def test_ks_cumulative_is_pid_partitioned(plans):
         if "windowspecdefinition" in line:
             assert "__pid" in line, line
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_mannwhitney_cumulative_is_pid_partitioned(plans):
+    """mannwhitney_u_click_view: the pooled running counts come from
+    distributed_prefix_sum — every window in the plan is
+    pid-partitioned (never a value-grain single-task cumulative)."""
+    p = plans("mannwhitney_u_click_view")
+    for line in p.splitlines():
+        if "windowspecdefinition" in line:
+            assert "__pid" in line, line
+    assert "HashAggregate" in p
+
+
+def test_cusum_windows_pid_partitioned_and_day_grain(plans):
+    """cusum_changepoint_daily: cumulative count and row index both
+    ride distributed_prefix_sum over the DAY-grain aggregate; the
+    final argmax is a bounded TakeOrderedAndProject."""
+    p = plans("cusum_changepoint_daily")
+    for line in p.splitlines():
+        if "windowspecdefinition" in line:
+            assert "__pid" in line, line
+    assert "TakeOrderedAndProject" in p
+
+
+def test_theilsen_pair_join_is_day_grain_broadcast(plans):
+    """theilsen_daily_trend: the pairwise-slope join is a broadcast
+    nested loop over the CALENDAR-GRAIN daily aggregate (bounded by
+    days², never data grain) and the order-statistic selection's
+    windows are pid-partitioned."""
+    p = plans("theilsen_daily_trend")
+    assert "BroadcastNestedLoopJoin" in p
+    for line in p.splitlines():
+        if "windowspecdefinition" in line:
+            assert "__pid" in line, line
+
+
+def test_spearman_windows_run_over_day_grain_aggregate(plans):
+    """spearman_daily_count_value: every rank window runs AFTER the
+    (type, day) hash aggregate (calendar-bounded input — the
+    ALLOWED_BOUNDED_INPUT justification), and no join degrades to a
+    cartesian."""
+    p = plans("spearman_daily_count_value")
+    assert "HashAggregate" in p
+    assert "CartesianProduct" not in p
+    # the fact is reduced before any window: scans feed an aggregate,
+    # and the window partition keys are the type (+ value) columns
+    assert "windowspecdefinition(event_type" in p

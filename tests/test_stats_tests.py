@@ -1,0 +1,132 @@
+"""Independent numerical verification of the classical-statistics
+queries: each statistic is recomputed from the raw parquet with
+numpy's textbook formulation (average ranks, explicit pairwise
+slopes, explicit CUSUM path) and compared to the registered query's
+output — independent of BOTH engines' SQL formulations, so an
+identical-but-wrong algebraic identity in Spark + oracle cannot pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from metar_pipeline_spark.queries import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+SPECS = all_queries()
+
+
+@pytest.fixture(scope="module")
+def events_pd():
+    return pd.read_parquet(f"{SF_DIR}/events.parquet")
+
+
+def _avg_ranks(v):
+    v = np.asarray(v, dtype=float)
+    order = v.argsort(kind="stable")
+    sv = v[order]
+    r = np.empty(len(v))
+    i = 0
+    while i < len(sv):
+        j = i
+        while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+            j += 1
+        r[i : j + 1] = (i + 1 + j + 1) / 2
+        i = j + 1
+    out = np.empty(len(v))
+    out[order] = r
+    return out
+
+
+def test_mannwhitney_matches_numpy(spark, events_pd):
+    df = events_pd[events_pd.event_type.isin(["click", "view"])]
+    df = df[df.value.notna()]
+    x = df[df.event_type == "click"].value.to_numpy()
+    y = df[df.event_type == "view"].value.to_numpy()
+    ranks = _avg_ranks(np.concatenate([x, y]))
+    n1, n2 = len(x), len(y)
+    u1 = ranks[:n1].sum() - n1 * (n1 + 1) / 2
+    _, counts = np.unique(np.concatenate([x, y]), return_counts=True)
+    big_n = n1 + n2
+    sigma = np.sqrt(
+        n1 * n2 / 12
+        * ((big_n + 1) - (counts**3 - counts).sum() / (big_n * (big_n - 1)))
+    )
+    z = (u1 - n1 * n2 / 2) / sigma
+    row = (
+        SPECS["mannwhitney_u_click_view"]
+        .spark_fn(spark, SF_DIR)
+        .collect()[0]  # bounded-collect: 1-row statistic
+    )
+    assert row.n1 == n1 and row.n2 == n2
+    assert row.u1 == pytest.approx(u1, abs=1e-6)
+    assert row.u2 == pytest.approx(n1 * n2 - u1, abs=1e-6)
+    assert row.z_score == pytest.approx(z, abs=1e-5)
+
+
+def test_cusum_matches_numpy(spark, events_pd):
+    daily = (
+        events_pd.assign(day=events_pd.ts.dt.floor("D"))
+        .groupby("day")
+        .size()
+        .sort_index()
+    )
+    x = daily.to_numpy(dtype=float)
+    s = np.cumsum(x) - np.arange(1, len(x) + 1) * x.mean()
+    k = int(np.abs(s).argmax())  # numpy argmax: first max = earliest day
+    row = (
+        SPECS["cusum_changepoint_daily"]
+        .spark_fn(spark, SF_DIR)
+        .collect()[0]  # bounded-collect: LIMIT 1
+    )
+    assert row.n_days == len(x)
+    assert str(row.day) == str(daily.index[k].date())
+    assert row.cusum_abs == pytest.approx(abs(s[k]), abs=1e-5)
+
+
+def test_theilsen_matches_numpy(spark, events_pd):
+    daily = (
+        events_pd.assign(day=events_pd.ts.dt.floor("D"))
+        .groupby("day")
+        .size()
+        .sort_index()
+    )
+    d = np.array([t.toordinal() for t in daily.index.date])
+    y = daily.to_numpy(dtype=float)
+    slopes = sorted(
+        (y[j] - y[i]) / (d[j] - d[i])
+        for i in range(len(y))
+        for j in range(i + 1, len(y))
+    )
+    m = len(slopes)
+    med = (slopes[(m + 1) // 2 - 1] + slopes[(m + 2) // 2 - 1]) / 2
+    row = (
+        SPECS["theilsen_daily_trend"]
+        .spark_fn(spark, SF_DIR)
+        .collect()[0]  # bounded-collect: 1-row statistic
+    )
+    assert row.n_days == len(y) and row.n_pairs == m
+    assert row.slope_per_day == pytest.approx(med, abs=1e-6)
+
+
+def test_spearman_matches_numpy(spark, events_pd):
+    df = events_pd[events_pd.value.notna()].assign(
+        day=events_pd.ts.dt.floor("D")
+    )
+    got = {
+        r.event_type: (r.n_days, r.spearman_rho)
+        for r in SPECS["spearman_daily_count_value"]
+        .spark_fn(spark, SF_DIR)
+        .collect()  # bounded-collect: one row per event type
+    }
+    for et, g in df.groupby("event_type"):
+        daily = g.groupby("day").agg(x=("value", "size"), y=("value", "mean"))
+        rx = _avg_ranks(daily.x.to_numpy())
+        ry = _avg_ranks(daily.y.to_numpy())
+        rho = np.corrcoef(rx, ry)[0, 1]
+        n_days, got_rho = got[et]
+        assert n_days == len(daily)
+        assert got_rho == pytest.approx(rho, abs=1e-5), et

@@ -70,6 +70,12 @@ ALLOWED_CALENDAR_GRAIN: dict[str, str] = {
 # by construction — invisible to the observational check, justified
 # here. Every entry names the bounding structure.
 ALLOWED_BOUNDED_INPUT: dict[str, str] = {
+    "spearman_daily_count_value": (
+        "rank windows over the per-type (event_type, day) AGGREGATE — "
+        "calendar-day grain per key (~2.4k rows/type for the test "
+        "span), never event grain; the fact is reduced to day grain "
+        "in one hash agg before any window"
+    ),
     "interpolate_daily_gaps": (
         "IGNORE-NULLS first/last windows over the per-type DATE SPINE "
         "(sequence(min_day, max_day)) — calendar-day grain per key, "
