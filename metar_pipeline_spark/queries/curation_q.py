@@ -830,3 +830,94 @@ def quality_percent_rank_by_source(spark, sf_dir):
     return scored.withColumn(
         "pct_rank", F.round(F.percent_rank().over(w), 6)
     )
+
+
+@register(
+    "k_anonymity_audit",
+    """
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS cls_size
+      FROM customer
+      GROUP BY 1, 2
+    )
+    SELECT cls_size,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(cls_size) AS BIGINT) AS n_rows,
+           cls_size < 5 AS below_k
+    FROM classes
+    GROUP BY 1
+    """,
+    doc=(
+        "k-anonymity audit of the customer table under the "
+        "quasi-identifier pair (nation, market segment): the "
+        "equivalence-class size histogram, flagging classes below "
+        "k=5 — the re-identification-risk table a privacy review "
+        "reads before releasing a dataset (Sweeney k-anonymity; the "
+        "training-data analogue is auditing metadata columns shipped "
+        "alongside text). Scale shape: two chained hash aggregates "
+        "(row grain -> class grain -> class-SIZE grain), no joins, "
+        "no windows — the cheapest possible full-table audit."
+    ),
+)
+def k_anonymity_audit(spark, sf_dir):
+    customer = load_table(spark, sf_dir, "customer")
+    classes = customer.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("cls_size")
+    )
+    return classes.groupBy("cls_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum("cls_size").cast("bigint").alias("n_rows"),
+        (F.col("cls_size") < 5).alias("below_k"),
+    )
+
+
+@register(
+    "l_diversity_audit",
+    """
+    WITH classes AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(DISTINCT user_id) AS n_distinct
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(n_distinct) AS BIGINT) AS min_distinct,
+           CAST(SUM(CASE WHEN n_distinct < 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS classes_below_l,
+           round(CAST(SUM(CASE WHEN n_distinct < 3 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS frac_below_l
+    FROM classes
+    GROUP BY 1
+    """,
+    doc=(
+        "Distinct l-diversity audit of the event log under the "
+        "quasi-identifier (event_type, day) with user_id as the "
+        "sensitive attribute: a QI class whose rows all belong to "
+        "< l = 3 distinct users lets an observer who knows someone "
+        "acted that day attribute the rows to them even when the "
+        "table is k-anonymous (Machanavajjhala l-diversity). "
+        "Distinct-count form only — entropy l-diversity needs float "
+        "p*log(p) accumulation, which is order-dependent; the "
+        "distinct form is exact integers end to end. Scale shape: "
+        "one expand-style distinct aggregate at (type, day, user) "
+        "grain, then a type-grain rollup; no joins, no windows."
+    ),
+)
+def l_diversity_audit(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    classes = events.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.countDistinct("user_id").alias("n_distinct"))
+    below = F.sum(
+        F.when(F.col("n_distinct") < 3, 1).otherwise(0)
+    )
+    return classes.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("n_distinct").cast("bigint").alias("min_distinct"),
+        below.cast("bigint").alias("classes_below_l"),
+        F.round(
+            below.cast("double") / F.count(F.lit(1)), 6
+        ).alias("frac_below_l"),
+    )

@@ -130,3 +130,36 @@ def test_spearman_matches_numpy(spark, events_pd):
         n_days, got_rho = got[et]
         assert n_days == len(daily)
         assert got_rho == pytest.approx(rho, abs=1e-5), et
+
+
+def test_k_anonymity_audit_matches_pandas(spark):
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    sizes = cust.groupby(["c_nationkey", "c_mktsegment"]).size()
+    hist = sizes.value_counts().sort_index()
+    got = {
+        r.cls_size: (r.n_classes, r.n_rows, r.below_k)
+        for r in SPECS["k_anonymity_audit"]
+        .spark_fn(spark, SF_DIR)
+        .collect()  # bounded-collect: class-size histogram grain
+    }
+    assert set(got) == set(hist.index)
+    for size, n_classes in hist.items():
+        assert got[size] == (n_classes, size * n_classes, size < 5)
+
+
+def test_l_diversity_audit_matches_pandas(spark, events_pd):
+    df = events_pd.assign(day=events_pd.ts.dt.floor("D"))
+    nd = df.groupby(["event_type", "day"]).user_id.nunique()
+    got = {
+        r.event_type: r
+        for r in SPECS["l_diversity_audit"]
+        .spark_fn(spark, SF_DIR)
+        .collect()  # bounded-collect: one row per event type
+    }
+    for et, g in nd.groupby(level=0):
+        r = got[et]
+        below = int((g < 3).sum())
+        assert r.n_classes == len(g)
+        assert r.min_distinct == int(g.min())
+        assert r.classes_below_l == below
+        assert r.frac_below_l == pytest.approx(below / len(g), abs=1e-6)
