@@ -3319,3 +3319,92 @@ def ann_maxsim_recall_at_10(spark, sf_dir):
             F.col("n_hits") / F.col("k_true").cast("double"), 6
         ).alias("recall_at_10"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-truss hardening of the near-dup graph (operators/truss.py)
+# ---------------------------------------------------------------------------
+def _ktruss_round_sql(prev: str, i: int, min_sup: int) -> str:
+    """One unrolled peel round: ordered triangle enumeration
+    (each x<y<z once), 3-sided support aggregate, edge filter.
+    The t/e CTEs are MATERIALIZED — DuckDB inlines a CTE per
+    reference, and each round references its predecessor 4 times."""
+    return f"""
+    t{i} AS MATERIALIZED (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM {prev} e1 JOIN {prev} e2 ON e2.a = e1.b
+           JOIN {prev} e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    s{i} AS (
+      SELECT a, b, COUNT(*) AS sup FROM (
+        SELECT x AS a, y AS b FROM t{i}
+        UNION ALL SELECT y AS a, z AS b FROM t{i}
+        UNION ALL SELECT x AS a, z AS b FROM t{i}) u
+      GROUP BY 1, 2
+    ),
+    e{i} AS MATERIALIZED (
+      SELECT e.a, e.b FROM {prev} e JOIN s{i} s
+        ON s.a = e.a AND s.b = e.b
+      WHERE s.sup >= {min_sup}
+    )"""
+
+
+def _ktruss_oracle(threshold: float, k: int, rounds: int) -> str:
+    base = f"""
+    WITH e0 AS MATERIALIZED (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round({_DUCK_COS.format(a="a.embedding", b="b.embedding")}, 6)
+            >= {threshold}
+    )"""
+    steps = [
+        _ktruss_round_sql(f"e{i - 1}", i, k - 2)
+        for i in range(1, rounds + 2)
+    ]
+    last = rounds + 1  # one extra support pass for the reported column
+    return (
+        base
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT e.a AS id_a, e.b AS id_b,
+           CAST(COALESCE(s.sup, 0) AS BIGINT) AS support
+    FROM e{rounds} e LEFT JOIN s{last} s ON s.a = e.a AND s.b = e.b"""
+    )
+
+
+@register(
+    "neardup_ktruss_edges",
+    _ktruss_oracle(threshold=0.15, k=4, rounds=2),
+    doc=(
+        "4-truss hardening of the embedding near-dup graph (cosine "
+        ">= 0.15, label-blocked): keep an edge only while it closes "
+        ">= 2 triangles inside the surviving subgraph, 2 peel rounds "
+        "— the chain-collapse fix for CC-based dedup clustering "
+        "(dedup_connected_components merges A~B~C~D through single "
+        "weak edges; a truss edge needs corroborating common "
+        "neighbors). Completes the graph-family spectrum: degree "
+        "peel (supply_kcore_15) -> triangle census "
+        "(neardup_triangle_census) -> triangle-support peel. Scale "
+        "shape per round: ordered two-hop equi-joins enumerate each "
+        "triangle once, one hash agg to edge-support grain, one "
+        "equi-join filter; edges localCheckpoint-pinned per round "
+        "(operators/truss.k_truss; oracle unrolls every round with "
+        "MATERIALIZED CTEs)."
+    ),
+)
+def neardup_ktruss_edges(spark, sf_dir):
+    from metar_pipeline_spark.operators.truss import k_truss
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = sim.cosine_neardup_pairs(
+        emb, "vec_id", "embedding", "label", 0.15
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )
+    out = k_truss(edges, k=4, rounds=2)
+    return out.select(
+        F.col("a").alias("id_a"), F.col("b").alias("id_b"), "support"
+    )

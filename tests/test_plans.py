@@ -780,3 +780,21 @@ def test_spearman_windows_run_over_day_grain_aggregate(plans):
     # the fact is reduced before any window: scans feed an aggregate,
     # and the window partition keys are the type (+ value) columns
     assert "windowspecdefinition(event_type" in p
+
+
+def test_ktruss_rounds_are_equi_joins_only(spark):
+    """k_truss: triangle enumeration is ordered equi-joins + a hash
+    aggregate to edge-support grain — never a cartesian/nested loop
+    (the operator is exercised directly; the registered query returns
+    post-checkpoint frames with opaque plans)."""
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.operators.truss import _support
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "a int, b int"
+    )
+    p = plan_str(_support(edges))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "HashAggregate" in p

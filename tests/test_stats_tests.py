@@ -163,3 +163,29 @@ def test_l_diversity_audit_matches_pandas(spark, events_pd):
         assert r.min_distinct == int(g.min())
         assert r.classes_below_l == below
         assert r.frac_below_l == pytest.approx(below / len(g), abs=1e-6)
+
+
+def test_ktruss_hand_graph(spark):
+    """K5 + a pendant triangle + a chain edge: the 4-truss is exactly
+    K5 (every K5 edge closes 3 triangles; the pendant triangle's edges
+    close only 1 and peel in round one; the chain edge closes none),
+    and the peel has converged by round 2 (rounds=2 == rounds=3)."""
+    from itertools import combinations
+
+    from metar_pipeline_spark.operators.truss import k_truss
+
+    k5 = list(combinations(range(1, 6), 2))
+    g = k5 + [(5, 6), (5, 7), (6, 7), (7, 8)]
+    edges = spark.createDataFrame(g, "a int, b int")
+    out = sorted(
+        (r.a, r.b, r.support)
+        for r in k_truss(edges, k=4, rounds=2).collect()
+        # bounded-collect: hand graph
+    )
+    assert out == [(a, b, 3) for a, b in k5]
+    out3 = sorted(
+        (r.a, r.b, r.support)
+        for r in k_truss(edges, k=4, rounds=3).collect()
+        # bounded-collect: hand graph
+    )
+    assert out3 == out
