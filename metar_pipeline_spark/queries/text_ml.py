@@ -3408,3 +3408,286 @@ def neardup_ktruss_edges(spark, sf_dir):
     return out.select(
         F.col("a").alias("id_a"), F.col("b").alias("id_b"), "support"
     )
+
+
+@register(
+    "vocab_coverage_curve",
+    f"""
+    WITH w AS (
+      SELECT unnest(toks) AS t
+      FROM (SELECT {_DUCK_TOKS} AS toks FROM documents)
+    ), c AS (
+      SELECT t, COUNT(*) AS f FROM w GROUP BY t
+    ), tot AS (
+      SELECT CAST(SUM(f) AS BIGINT) AS total_tokens FROM c
+    ), r AS (
+      SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, t) AS rk FROM c
+    ), cum AS (
+      SELECT rk, SUM(f) OVER (ORDER BY rk) AS cumf
+      FROM r WHERE rk <= 1000
+    )
+    SELECT rk AS n_top,
+           CAST(cumf AS BIGINT) AS covered_tokens,
+           total_tokens,
+           round(CAST(cumf AS DOUBLE) / total_tokens, 6) AS coverage
+    FROM cum CROSS JOIN tot
+    WHERE rk IN (5, 10, 25, 100, 1000)
+    """,
+    doc=(
+        "Vocabulary coverage curve: the fraction of ALL token "
+        "occurrences covered by the top-5/10/25/100/1000 most frequent "
+        "words — the first number a tokenizer design reads (how much "
+        "of the corpus a small vocab already explains; pairs with "
+        "vocab_zipf_fit's slope and the BPE compression curve). Scale "
+        "shape: explode -> one vocab-grain count agg (the only "
+        "corpus-width work), top-1000 via TakeOrderedAndProject "
+        "(never a vocab-grain global window), then cumulative "
+        "coverage over the <=1000 survivors via "
+        "operators/prefix.distributed_prefix_sum; the grand total "
+        "rides a broadcast one-row carrier."
+    ),
+)
+def vocab_coverage_curve(spark, sf_dir):
+    from metar_pipeline_spark.operators.prefix import (
+        distributed_prefix_sum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    freqs = (
+        docs.select(F.explode(tx.tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    tot = freqs.agg(F.sum("f").cast("bigint").alias("total_tokens"))
+    top = freqs.orderBy(F.desc("f"), F.asc("t")).limit(1000)
+    cum = distributed_prefix_sum(
+        top, [F.desc("f"), F.asc("t")], "f", out_col="cumf"
+    )
+    cum = distributed_prefix_sum(
+        cum.withColumn("__one", F.lit(1)),
+        [F.desc("f"), F.asc("t")],
+        "__one",
+        out_col="rk",
+    )
+    return (
+        cum.filter(F.col("rk").isin(5, 10, 25, 100, 1000))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("rk").alias("n_top"),
+            F.col("cumf").cast("bigint").alias("covered_tokens"),
+            "total_tokens",
+            F.round(
+                F.col("cumf").cast("double") / F.col("total_tokens"), 6
+            ).alias("coverage"),
+        )
+    )
+
+
+@register(
+    "embedding_norm_outliers",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             sqrt(list_reduce(
+               list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+               (x, y) -> x + y)) AS nrm
+      FROM embeddings
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(nrm AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(nrm * nrm AS DECIMAL(38,10))) AS DOUBLE) AS sxx
+      FROM v
+    )
+    SELECT vec_id, round(nrm, 6) AS norm,
+           round((nrm - sx / n)
+                 / sqrt((n * sxx - sx * sx)
+                        / (CAST(n AS DOUBLE) * (n - 1)))
+                 + 0.0, 6) AS z_score
+    FROM v CROSS JOIN s
+    WHERE abs((nrm - sx / n)
+              / sqrt((n * sxx - sx * sx)
+                     / (CAST(n AS DOUBLE) * (n - 1)))) > 2.5
+    """,
+    doc=(
+        "Embedding-table QA: vectors whose L2 norm is a >2.5-sigma "
+        "outlier — degenerate (near-zero) or exploding vectors are "
+        "the first corruption mode of an embedding pipeline, and "
+        "they poison cosine-threshold dedup and ANN recall alike. "
+        "Scale shape: one scan computes each row's norm as a "
+        "sequential JVM fold (deterministic order, "
+        "operators/similarity.norm2), the corpus moments are ONE "
+        "exact-DECIMAL aggregate riding a broadcast one-row carrier, "
+        "and the z filter is a second stateless scan — no shuffle "
+        "beyond the 1-row moment agg."
+    ),
+)
+def embedding_norm_outliers(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", sim.norm2(F.col("embedding")).alias("nrm")
+    )
+    s = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("nrm").cast("decimal(38,10)"))
+        .cast("double")
+        .alias("sx"),
+        F.sum((F.col("nrm") * F.col("nrm")).cast("decimal(38,10)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    z = (F.col("nrm") - F.col("sx") / F.col("n")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        / (F.col("n").cast("double") * (F.col("n") - 1))
+    )
+    return (
+        v.crossJoin(F.broadcast(s))
+        .filter(F.abs(z) > 2.5)
+        .select(
+            "vec_id",
+            F.round(F.col("nrm"), 6).alias("norm"),
+            (F.round(z, 6) + F.lit(0.0)).alias("z_score"),
+        )
+    )
+
+
+@register(
+    "embedding_mislabel_candidates",
+    """
+    WITH dims AS (
+      SELECT vec_id, label AS own_label,
+             unnest(generate_series(1, len(embedding))) - 1 AS dim,
+             unnest(embedding) AS x
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, dim,
+             CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,10)))
+                  AS DOUBLE) / COUNT(*) AS c
+      FROM (SELECT label,
+                   unnest(generate_series(1, len(embedding))) - 1 AS dim,
+                   unnest(embedding) AS x
+            FROM embeddings)
+      GROUP BY 1, 2
+    ),
+    cnrm AS (
+      SELECT label AS clabel,
+             sqrt(CAST(SUM(CAST(c * c AS DECIMAL(38,18))) AS DOUBLE)) AS cn
+      FROM cent GROUP BY 1
+    ),
+    vnrm AS (
+      SELECT vec_id AS vid,
+             sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                AS DECIMAL(38,18))) AS DOUBLE)) AS vn
+      FROM dims GROUP BY 1
+    ),
+    dots AS (
+      SELECT d.vec_id, d.own_label, c.label,
+             CAST(SUM(CAST(CAST(d.x AS DOUBLE) * c.c AS DECIMAL(38,18)))
+                  AS DOUBLE) AS dot
+      FROM dims d JOIN cent c USING (dim)
+      GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT dots.vec_id, own_label, dots.label,
+             round(dot / (vn * cn), 6) AS cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY dots.vec_id
+               ORDER BY round(dot / (vn * cn), 6) DESC, dots.label
+             ) AS rn
+      FROM dots JOIN vnrm ON vnrm.vid = dots.vec_id
+                JOIN cnrm ON cnrm.clabel = dots.label
+    ),
+    best AS (
+      SELECT vec_id, own_label, label AS best_label, cos AS best_cos
+      FROM scored WHERE rn = 1
+    ),
+    own AS (
+      SELECT vec_id, cos AS own_cos FROM scored WHERE label = own_label
+    )
+    SELECT b.vec_id, CAST(b.own_label AS INT) AS label,
+           CAST(b.best_label AS INT) AS best_label,
+           o.own_cos, b.best_cos
+    FROM best b JOIN own o ON o.vec_id = b.vec_id
+    WHERE b.best_label <> b.own_label
+    """,
+    doc=(
+        "Label-quality QA over the embedding table: vectors whose "
+        "NEAREST per-label mean centroid (by cosine) is not their own "
+        "label — the confident-learning-style mislabel shortlist a "
+        "labeled corpus gets before the labels are trusted for "
+        "blocking (the label column gates cosine_neardup_pairs and "
+        "the IVF partitioner, so label noise silently costs recall). "
+        "Scale shape: centroids come from "
+        "operators/affinity.slice_centroids (one explode pass to "
+        "(label, dim) grain, exact DECIMAL means); each vector then "
+        "scores against the BROADCAST |labels|x(dim) centroid frame "
+        "via a dim-grain equi-join + DECIMAL dot aggregate (per-row "
+        "O(labels), never a pair join), and the argmax is a window "
+        "partitioned by vec_id — data grain, fully parallel. Two "
+        "corpus passes total (norms + dots)."
+    ),
+)
+def embedding_mislabel_candidates(spark, sf_dir):
+    from metar_pipeline_spark.operators.affinity import slice_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        F.col("label").alias("own_label"),
+        F.posexplode("embedding").alias("dim", "__x"),
+    ).withColumn("x", F.col("__x").cast("double"))
+    cent = slice_centroids(emb, "label")  # (slice, dim, c)
+    dec18 = "decimal(38,18)"
+    cnrm = cent.groupBy(F.col("slice").alias("clabel")).agg(
+        F.sqrt(
+            F.sum((F.col("c") * F.col("c")).cast(dec18)).cast("double")
+        ).alias("cn")
+    )
+    vnrm = dims.groupBy(F.col("vec_id").alias("vid")).agg(
+        F.sqrt(
+            F.sum((F.col("x") * F.col("x")).cast(dec18)).cast("double")
+        ).alias("vn")
+    )
+    dots = (
+        dims.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "own_label", F.col("slice").alias("lbl"))
+        .agg(
+            F.sum((F.col("x") * F.col("c")).cast(dec18))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    scored = (
+        dots.join(vnrm, F.col("vid") == F.col("vec_id"))
+        .join(F.broadcast(cnrm), F.col("clabel") == F.col("lbl"))
+        .select(
+            "vec_id",
+            "own_label",
+            "lbl",
+            F.round(F.col("dot") / (F.col("vn") * F.col("cn")), 6).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("lbl"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .groupBy("vec_id", "own_label")
+        .agg(
+            F.max(
+                F.when(F.col("rn") == 1, F.struct("lbl", "cos"))
+            ).alias("_b"),
+            F.max(
+                F.when(F.col("lbl") == F.col("own_label"), F.col("cos"))
+            ).alias("own_cos"),
+        )
+        .filter(F.col("_b.lbl") != F.col("own_label"))
+        .select(
+            "vec_id",
+            F.col("own_label").alias("label"),
+            F.col("_b.lbl").alias("best_label"),
+            "own_cos",
+            F.col("_b.cos").alias("best_cos"),
+        )
+    )

@@ -189,3 +189,60 @@ def test_ktruss_hand_graph(spark):
         # bounded-collect: hand graph
     )
     assert out3 == out
+
+
+def test_vocab_coverage_curve_matches_pandas(spark):
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    from collections import Counter
+
+    cnt = Counter()
+    for t in docs.text:
+        cnt.update(w for w in t.lower().split() if w)
+    total = sum(cnt.values())
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = {
+        r.n_top: (r.covered_tokens, r.total_tokens, r.coverage)
+        for r in SPECS["vocab_coverage_curve"]
+        .spark_fn(spark, SF_DIR)
+        .collect()  # bounded-collect: <=5 curve points
+    }
+    for n_top, row in got.items():
+        covered = sum(f for _, f in ranked[:n_top])
+        assert row == (
+            covered,
+            total,
+            pytest.approx(covered / total, abs=1e-6),
+        ), n_top
+
+
+def test_embedding_mislabel_candidates_matches_numpy(spark):
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    x = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    labels = emb.label.to_numpy()
+    cents = np.stack(
+        [x[labels == l].mean(axis=0) for l in sorted(set(labels))]
+    )
+    lab_ids = sorted(set(labels))
+    cos = (x @ cents.T) / (
+        np.linalg.norm(x, axis=1)[:, None]
+        * np.linalg.norm(cents, axis=1)[None, :]
+    )
+    best = cos.argmax(axis=1)  # ties -> lowest index = lowest label
+    exp = {}
+    for i, vid in enumerate(emb.vec_id.to_numpy()):
+        bl = lab_ids[best[i]]
+        if bl != labels[i]:
+            own_idx = lab_ids.index(labels[i])
+            exp[vid] = (labels[i], bl, cos[i, own_idx], cos[i, best[i]])
+    got = {
+        r.vec_id: (r.label, r.best_label, r.own_cos, r.best_cos)
+        for r in SPECS["embedding_mislabel_candidates"]
+        .spark_fn(spark, SF_DIR)
+        .collect()  # bounded-collect: mislabel shortlist
+    }
+    assert set(got) == set(exp)
+    for vid, (lab, bl, oc, bc) in exp.items():
+        g = got[vid]
+        assert g[0] == lab and g[1] == bl, vid
+        assert g[2] == pytest.approx(oc, abs=1e-5)
+        assert g[3] == pytest.approx(bc, abs=1e-5)
