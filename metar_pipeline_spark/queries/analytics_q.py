@@ -2430,3 +2430,174 @@ def supply_kcore_15(spark, sf_dir):
         )
     )
     return core.select(label.alias("node"), "degree")
+
+
+# ---------------------------------------------------------------------------
+# Markov-chain attribution with removal effects (operators/markov.py)
+# ---------------------------------------------------------------------------
+_MARKOV_STEPS = 8
+
+
+def _markov_oracle(steps: int = _MARKOV_STEPS) -> str:
+    base = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    firstp AS (
+      SELECT user_id, MIN(rn) AS prn FROM seq
+      WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    j AS (
+      SELECT s.user_id, s.event_type, s.rn
+      FROM seq s LEFT JOIN firstp f USING (user_id)
+      WHERE f.prn IS NULL OR s.rn <= f.prn
+    ),
+    j2 AS (
+      SELECT user_id, event_type, rn,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY rn) AS nxt
+      FROM j
+    ),
+    tcnt AS MATERIALIZED (
+      SELECT src, dst, COUNT(*) AS c FROM (
+        SELECT 'START' AS src, event_type AS dst FROM j2 WHERE rn = 1
+        UNION ALL
+        SELECT event_type AS src, COALESCE(nxt, 'NULL') AS dst
+        FROM j2 WHERE event_type <> 'purchase') u
+      GROUP BY 1, 2
+    ),
+    vars(variant) AS (
+      VALUES ('full'), ('view'), ('click'), ('signup'), ('error')
+    ),
+    tv AS (
+      SELECT v.variant, t.src,
+             CASE WHEN t.dst = v.variant THEN 'NULL' ELSE t.dst END AS dst,
+             SUM(t.c) AS c
+      FROM tcnt t CROSS JOIN vars v
+      WHERE t.src <> v.variant
+      GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT variant, src, SUM(c) AS tot FROM tv GROUP BY 1, 2),
+    tp AS MATERIALIZED (
+      SELECT tv.variant, tv.src, tv.dst,
+             CAST(tv.c AS DOUBLE) / CAST(tot.tot AS DOUBLE) AS p
+      FROM tv JOIN tot ON tot.variant = tv.variant AND tot.src = tv.src
+      UNION ALL
+      SELECT v2.variant, s.state, s.state, CAST(1.0 AS DOUBLE)
+      FROM (VALUES ('purchase'), ('NULL')) s(state) CROSS JOIN vars v2
+    ),
+    v0 AS (
+      SELECT variant, 'START' AS state, CAST(1.0 AS DOUBLE) AS val
+      FROM vars
+    )"""
+    chain = "".join(
+        f""",
+    v{k} AS (
+      SELECT t.variant, t.dst AS state,
+             round(CAST(SUM(CAST(v.val * t.p AS DECIMAL(38,18)))
+                        AS DOUBLE), 12) AS val
+      FROM v{k - 1} v JOIN tp t
+        ON t.variant = v.variant AND t.src = v.state
+      GROUP BY 1, 2
+    )"""
+        for k in range(1, steps + 1)
+    )
+    return (
+        base
+        + chain
+        + f""",
+    conv AS (SELECT variant, val FROM v{steps} WHERE state = 'purchase'),
+    fullp AS (SELECT val AS pfull FROM conv WHERE variant = 'full'),
+    eff AS (
+      SELECT variant AS channel,
+             round(val, 6) AS p_conv_removed,
+             round(1 - val / pfull, 6) + 0.0 AS removal_effect,
+             pfull
+      FROM conv CROSS JOIN fullp WHERE variant <> 'full'
+    ),
+    te AS (
+      SELECT CAST(SUM(CAST(removal_effect AS DECIMAL(38,10)))
+                  AS DOUBLE) AS t
+      FROM eff
+    )
+    SELECT channel, round(pfull, 6) AS p_conv_full,
+           p_conv_removed, removal_effect,
+           round(removal_effect / te.t, 6) + 0.0 AS attribution_share
+    FROM eff CROSS JOIN te"""
+    )
+
+
+@register(
+    "markov_attribution_removal",
+    _markov_oracle(),
+    doc=(
+        "Markov-chain attribution by REMOVAL EFFECT (Anderl et al.): "
+        "model per-user journeys (cut at first purchase, total order "
+        "ts+event_id) as a first-order chain over channel states, "
+        "then credit each channel by how much 8-step conversion "
+        "probability drops when it is deleted and its incoming mass "
+        "redirected to the null absorber — the principled upgrade of "
+        "linear_attribution_revenue (a channel that appears often but "
+        "never moves users toward purchase earns ~0 here). Scale "
+        "shape (operators/markov.py): ONE corpus pass (two user-"
+        "partitioned windows + a hash agg to transition-count grain), "
+        "variant expansion in exact integer counts, then the "
+        "absorption power iteration runs on a ~35-row frame per step "
+        "(broadcast join + DECIMAL(38,18) matvec rounded to 12 — the "
+        "pagerank determinism recipe; oracle unrolls all 8 steps)."
+    ),
+)
+def markov_attribution_removal(spark, sf_dir):
+    from metar_pipeline_spark.operators.markov import (
+        absorb_power,
+        journey_transitions,
+        removal_variant_probs,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    tcnt = journey_transitions(events)
+    tp = removal_variant_probs(
+        tcnt, ["view", "click", "signup", "error"]
+    )
+    # conv feeds THREE consumers (fullp, eff, te) — materialize the
+    # 5-row result once; without this every consumer re-evaluates the
+    # whole absorption chain.
+    conv = (
+        absorb_power(tp, _MARKOV_STEPS)
+        .filter(F.col("state") == "purchase")
+        .localCheckpoint(eager=True)
+    )
+    fullp = conv.filter(F.col("variant") == "full").select(
+        F.col("val").alias("pfull")
+    )
+    eff = (
+        conv.filter(F.col("variant") != "full")
+        .crossJoin(F.broadcast(fullp))
+        .select(
+            F.col("variant").alias("channel"),
+            F.round("val", 6).alias("p_conv_removed"),
+            (
+                F.round(1 - F.col("val") / F.col("pfull"), 6)
+                + F.lit(0.0)
+            ).alias("removal_effect"),
+            "pfull",
+        )
+    )
+    te = eff.agg(
+        F.sum(F.col("removal_effect").cast("decimal(38,10)"))
+        .cast("double")
+        .alias("t")
+    )
+    return eff.crossJoin(F.broadcast(te)).select(
+        "channel",
+        F.round("pfull", 6).alias("p_conv_full"),
+        "p_conv_removed",
+        "removal_effect",
+        (
+            F.round(F.col("removal_effect") / F.col("t"), 6)
+            + F.lit(0.0)
+        ).alias("attribution_share"),
+    )
