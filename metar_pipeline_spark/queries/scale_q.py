@@ -1242,3 +1242,153 @@ def fm_distinct_users_estimate(spark, sf_dir):
         "n_exact",
         F.round(fm_estimate(m), 2).alias("n_est"),
     )
+
+
+def _fm_setops_oracle(m: int = 64) -> str:
+    """Literal twin of the fm_sketch_set_ops query: per-row hash
+    rounds computed once, per-SIDE conditional MINs, LEAST-merged
+    union sketch, inclusion-exclusion intersection."""
+    from metar_pipeline_spark.operators.sketches import _CMS_P, fm_constants
+
+    h1s, mins = [], []
+    for i in range(m):
+        a1, b1, a2 = fm_constants(i)
+        h1s.append(f"(user_id * {a1} + {b1}) % {_CMS_P} AS h{i}")
+        expr = (
+            f"CAST((h{i} * h{i} + h{i} * {a2}) % {_CMS_P} AS DOUBLE)"
+            f" / {_CMS_P}.0"
+        )
+        mins.append(
+            f"MIN(CASE WHEN day = DATE '2024-01-05' THEN {expr} END)"
+            f" AS a{i}"
+        )
+        mins.append(
+            f"MIN(CASE WHEN day = DATE '2024-01-06' THEN {expr} END)"
+            f" AS b{i}"
+        )
+
+    def chain(fmt):
+        s = fmt.format(i=0)
+        for i in range(1, m):
+            s = f"({s} + {fmt.format(i=i)})"
+        return s
+
+    est_a = f"{m}.0 / {chain('a{i}')} - 1.0"
+    est_b = f"{m}.0 / {chain('b{i}')} - 1.0"
+    est_u = f"{m}.0 / {chain('LEAST(a{i}, b{i})')} - 1.0"
+    return f"""
+    WITH hx AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             {", ".join(h1s)}
+      FROM events
+      WHERE CAST(date_trunc('day', ts) AS DATE)
+            IN (DATE '2024-01-05', DATE '2024-01-06')
+    ),
+    s AS (
+      SELECT
+        COUNT(DISTINCT CASE WHEN day = DATE '2024-01-05'
+                            THEN user_id END) AS na,
+        COUNT(DISTINCT CASE WHEN day = DATE '2024-01-06'
+                            THEN user_id END) AS nb,
+        COUNT(DISTINCT user_id) AS nu,
+        {", ".join(mins)}
+      FROM hx
+    )
+    SELECT CAST({m} AS BIGINT) AS m,
+           CAST(na AS BIGINT) AS na_exact,
+           CAST(nb AS BIGINT) AS nb_exact,
+           CAST(nu AS BIGINT) AS nu_exact,
+           CAST(na + nb - nu AS BIGINT) AS ni_exact,
+           round({est_a}, 2) AS na_est,
+           round({est_b}, 2) AS nb_est,
+           round({est_u}, 2) AS nu_est,
+           round(({est_a}) + ({est_b}) - ({est_u}), 2) AS ni_est
+    FROM s
+    """
+
+
+@register(
+    "fm_sketch_set_ops",
+    _fm_setops_oracle(),
+    doc=(
+        "Mergeable-sketch SET OPERATIONS on the Flajolet-Martin "
+        "m-mins estimator: per-side (Jan-5 / Jan-6 active users — "
+        "the day-over-day audience-overlap question) sketches "
+        "built as CONDITIONAL MINs in one scan, the union sketch as "
+        "the element-wise LEAST of the two sides (the merge property "
+        "that makes the sketch shardable — merging two shards' mins "
+        "IS the same MIN), and the intersection by inclusion-"
+        "exclusion n̂A + n̂B − n̂A∪B. Exact distinct counts ride the "
+        "same aggregate as calibration references. Zero data shuffle "
+        "(map-side-combinable mins to a 1-row result); every hash is "
+        "the fixed engine-portable integer arithmetic of "
+        "operators/sketches.fm_hash01, every sum a fixed left-assoc "
+        "chain — DuckDB replays all 128 mins exactly."
+    ),
+)
+def fm_sketch_set_ops(spark, sf_dir):
+    from metar_pipeline_spark.operators.sketches import fm_hash01
+
+    m = 64
+    day = F.to_date(F.date_trunc("day", "ts"))
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(day.isin("2024-01-05", "2024-01-06"))
+        .withColumn("day", day)
+    )
+    is_a = F.col("day") == F.lit("2024-01-05").cast("date")
+    # Stage the 64 hash columns ONCE (the oracle's hx CTE shape): the
+    # two per-side conditional MINs then reference bound columns
+    # instead of re-evaluating the two-round hash per aggregate.
+    hx = events.select(
+        "user_id",
+        is_a.alias("__is_a"),
+        *[
+            fm_hash01(F.col("user_id"), i).alias(f"__h{i}")
+            for i in range(m)
+        ],
+    )
+    aggs = [
+        F.count_distinct(
+            F.when(F.col("__is_a"), F.col("user_id"))
+        ).alias("na"),
+        F.count_distinct(
+            F.when(~F.col("__is_a"), F.col("user_id"))
+        ).alias("nb"),
+        F.count_distinct(F.col("user_id")).alias("nu"),
+    ]
+    for i in range(m):
+        aggs.append(
+            F.min(
+                F.when(F.col("__is_a"), F.col(f"__h{i}"))
+            ).alias(f"__a{i}")
+        )
+        aggs.append(
+            F.min(
+                F.when(~F.col("__is_a"), F.col(f"__h{i}"))
+            ).alias(f"__b{i}")
+        )
+    s = hx.agg(*aggs)
+
+    def est(col_fn):
+        acc = col_fn(0)
+        for i in range(1, m):
+            acc = acc + col_fn(i)
+        return F.lit(float(m)) / acc - F.lit(1.0)
+
+    ea = est(lambda i: F.col(f"__a{i}"))
+    eb = est(lambda i: F.col(f"__b{i}"))
+    eu = est(lambda i: F.least(F.col(f"__a{i}"), F.col(f"__b{i}")))
+    return s.select(
+        F.lit(m).cast("bigint").alias("m"),
+        F.col("na").cast("bigint").alias("na_exact"),
+        F.col("nb").cast("bigint").alias("nb_exact"),
+        F.col("nu").cast("bigint").alias("nu_exact"),
+        (F.col("na") + F.col("nb") - F.col("nu"))
+        .cast("bigint")
+        .alias("ni_exact"),
+        F.round(ea, 2).alias("na_est"),
+        F.round(eb, 2).alias("nb_est"),
+        F.round(eu, 2).alias("nu_est"),
+        F.round(ea + eb - eu, 2).alias("ni_est"),
+    )

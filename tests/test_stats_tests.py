@@ -246,3 +246,53 @@ def test_embedding_mislabel_candidates_matches_numpy(spark):
         assert g[0] == lab and g[1] == bl, vid
         assert g[2] == pytest.approx(oc, abs=1e-5)
         assert g[3] == pytest.approx(bc, abs=1e-5)
+
+
+def test_fm_sketch_set_ops_matches_numpy(spark, events_pd):
+    """Replicate the m-mins hash rows + LEAST merge in numpy and
+    compare every estimate column exactly (the hash is fixed integer
+    arithmetic, so the replication is bit-exact up to the final
+    rounds); also sanity-bound the estimator error at ~4/sqrt(m)."""
+    from metar_pipeline_spark.operators.sketches import (
+        _CMS_P,
+        fm_constants,
+    )
+
+    df = events_pd.assign(day=events_pd.ts.dt.floor("D"))
+    df = df[df.day.isin(["2024-01-05", "2024-01-06"])]
+    uid = df.user_id.to_numpy().astype(object)  # python ints: no overflow
+    is_a = (df.day == "2024-01-05").to_numpy()
+    m = 64
+
+    def side_mins(mask):
+        keys = uid[mask]
+        mins = []
+        for i in range(m):
+            a1, b1, a2 = fm_constants(i)
+            h1 = (keys * a1 + b1) % _CMS_P
+            h = (h1 * h1 + h1 * a2) % _CMS_P
+            mins.append(min(int(x) / _CMS_P for x in h))
+        return mins
+
+    ma, mb = side_mins(is_a), side_mins(~is_a)
+
+    def est(mins):
+        s = mins[0]
+        for v in mins[1:]:
+            s = s + v
+        return m / s - 1.0
+
+    ea, eb = est(ma), est(mb)
+    eu = est([min(a, b) for a, b in zip(ma, mb)])
+    row = (
+        SPECS["fm_sketch_set_ops"].spark_fn(spark, SF_DIR).collect()[0]
+    )  # bounded-collect: 1-row sketch summary
+    assert row.na_est == pytest.approx(round(ea, 2), abs=1e-9)
+    assert row.nb_est == pytest.approx(round(eb, 2), abs=1e-9)
+    assert row.nu_est == pytest.approx(round(eu, 2), abs=1e-9)
+    assert row.ni_est == pytest.approx(round(ea + eb - eu, 2), abs=1e-9)
+    # estimator quality: union error within ~4 sigma of 1/sqrt(m)
+    assert abs(row.nu_est - row.nu_exact) <= max(
+        4 * row.nu_exact / (m**0.5), 10
+    )
+    assert row.ni_exact == row.na_exact + row.nb_exact - row.nu_exact
