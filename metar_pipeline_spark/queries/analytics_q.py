@@ -2601,3 +2601,93 @@ def markov_attribution_removal(spark, sf_dir):
             + F.lit(0.0)
         ).alias("attribution_share"),
     )
+
+
+@register(
+    "rfm_segment_census",
+    """
+    WITH anchor AS (
+      SELECT MAX(CAST(date_trunc('day', ts) AS DATE)) AS a FROM events
+    ),
+    u AS (
+      SELECT user_id,
+             datediff('day', MAX(CAST(date_trunc('day', ts) AS DATE)),
+                      (SELECT a FROM anchor)) AS r_days,
+             COUNT(*) AS freq,
+             COALESCE(CAST(SUM(CAST(value AS DECIMAL(30,10)))
+                           AS DOUBLE), 0.0) AS monetary
+      FROM events GROUP BY user_id
+    ),
+    q AS (
+      SELECT NTILE(5) OVER (ORDER BY r_days, user_id) AS r_q,
+             NTILE(5) OVER (ORDER BY freq DESC, user_id) AS f_q,
+             NTILE(5) OVER (ORDER BY monetary DESC, user_id) AS m_q,
+             monetary
+      FROM u
+    )
+    SELECT r_q, f_q, m_q, CAST(COUNT(*) AS BIGINT) AS n_users,
+           round(CAST(SUM(CAST(monetary AS DECIMAL(38,10)))
+                      AS DOUBLE) / COUNT(*), 6) AS avg_monetary
+    FROM q GROUP BY 1, 2, 3
+    """,
+    doc=(
+        "RFM segmentation census: every user scored into "
+        "recency/frequency/monetary QUINTILES (1 = best) and the "
+        "(r,f,m) segment grid reported with size and mean spend — "
+        "the classic lifecycle-marketing segmentation (champions "
+        "1/1/1, at-risk high-r low-f, etc). Scale shape: one hash agg "
+        "reduces the fact to USER grain; each quintile assignment is "
+        "operators/ranking.distributed_rank (range exchange + "
+        "pid-partitioned window — never a single-task NTILE) composed "
+        "with the closed-form ntile_from_rank, bit-identical to the "
+        "oracle's NTILE(5) over the same total order (tiebreak "
+        "user_id); the census is a second hash agg at segment grain "
+        "(<=125 rows)."
+    ),
+)
+def rfm_segment_census(spark, sf_dir):
+    from metar_pipeline_spark.operators.ranking import (
+        distributed_rank,
+        ntile_from_rank,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    day = F.to_date(F.date_trunc("day", "ts"))
+    u = events.groupBy("user_id").agg(
+        F.max(day).alias("last_day"),
+        F.count(F.lit(1)).alias("freq"),
+        F.coalesce(
+            F.sum(F.col("value").cast("decimal(30,10)")).cast("double"),
+            F.lit(0.0),
+        ).alias("monetary"),
+    )
+    anchor = events.agg(F.max(day).alias("__a"))
+    carrier = anchor.crossJoin(
+        u.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    )
+    u = u.crossJoin(F.broadcast(carrier)).withColumn(
+        "r_days", F.datediff("__a", "last_day")
+    )
+    u = distributed_rank(
+        u, [F.asc("r_days"), F.asc("user_id")], rank_col="__rr"
+    )
+    u = distributed_rank(
+        u, [F.desc("freq"), F.asc("user_id")], rank_col="__rf"
+    )
+    u = distributed_rank(
+        u, [F.desc("monetary"), F.asc("user_id")], rank_col="__rm"
+    )
+    seg = u.select(
+        ntile_from_rank(F.col("__rr"), F.col("__n"), 5).alias("r_q"),
+        ntile_from_rank(F.col("__rf"), F.col("__n"), 5).alias("f_q"),
+        ntile_from_rank(F.col("__rm"), F.col("__n"), 5).alias("m_q"),
+        "monetary",
+    )
+    return seg.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(
+            F.sum(F.col("monetary").cast("decimal(38,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_monetary"),
+    )

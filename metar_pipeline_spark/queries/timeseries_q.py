@@ -1918,3 +1918,187 @@ def spearman_daily_count_value(spark, sf_dir):
             + F.lit(0.0)
         ).alias("spearman_rho"),
     )
+
+
+@register(
+    "forecast_baseline_backtest",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1
+    ),
+    lagged AS (
+      SELECT day, y,
+             ROW_NUMBER() OVER (ORDER BY day) AS rn,
+             LAG(y, 1) OVER (ORDER BY day) AS l1,
+             LAG(y, 2) OVER (ORDER BY day) AS l2,
+             LAG(y, 3) OVER (ORDER BY day) AS l3,
+             LAG(y, 7) OVER (ORDER BY day) AS l7,
+             MAX(day) OVER () AS max_day
+      FROM daily
+    ),
+    eval_rows AS (
+      SELECT * FROM lagged
+      WHERE rn > 7 AND day > max_day - INTERVAL 14 DAY
+    ),
+    errs AS (
+      SELECT 'naive' AS method, y - l1 AS e FROM eval_rows
+      UNION ALL
+      SELECT 'seasonal_naive', y - l7 FROM eval_rows
+      UNION ALL
+      SELECT 'ma3', y - (l1 + l2 + l3) / 3.0 FROM eval_rows
+    )
+    SELECT method, CAST(COUNT(*) AS BIGINT) AS n_eval,
+           round(CAST(SUM(CAST(abs(e) AS DECIMAL(38,10))) AS DOUBLE)
+                 / COUNT(*), 6) AS mae,
+           round(sqrt(CAST(SUM(CAST(e * e AS DECIMAL(38,10)))
+                           AS DOUBLE) / COUNT(*)), 6) AS rmse
+    FROM errs GROUP BY method
+    """,
+    doc=(
+        "Rolling-origin forecast BACKTEST of the three standard "
+        "baselines (naive y[t-1], weekly seasonal-naive y[t-7], "
+        "3-day moving average) over the last 14 days of the daily "
+        "count series — the scorecard any real forecast "
+        "(holt_linear_forecast) must beat before it ships; MAE and "
+        "RMSE per method via exact DECIMAL error sums. Scale shape: "
+        "one day-grain hash agg over the fact, then every lag window "
+        "is a CALENDAR-GRAIN rolling frame (days elapsed — the "
+        "sweep_windows allow-list class); metric agg at method grain."
+    ),
+)
+def forecast_baseline_backtest(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "day",
+        "y",
+        F.row_number().over(w).alias("rn"),
+        F.lag("y", 1).over(w).alias("l1"),
+        F.lag("y", 2).over(w).alias("l2"),
+        F.lag("y", 3).over(w).alias("l3"),
+        F.lag("y", 7).over(w).alias("l7"),
+        F.max("day").over(
+            Window.orderBy("day").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("max_day"),
+    )
+    ev = lagged.filter(
+        (F.col("rn") > 7) & (F.col("day") > F.date_sub("max_day", 14))
+    )
+    errs = (
+        ev.select(
+            F.lit("naive").alias("method"),
+            (F.col("y") - F.col("l1")).alias("e"),
+        )
+        .unionAll(
+            ev.select(
+                F.lit("seasonal_naive"),
+                F.col("y") - F.col("l7"),
+            )
+        )
+        .unionAll(
+            ev.select(
+                F.lit("ma3"),
+                F.col("y")
+                - (F.col("l1") + F.col("l2") + F.col("l3")) / 3.0,
+            )
+        )
+    )
+    dec = "decimal(38,10)"
+    return errs.groupBy("method").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.round(
+            F.sum(F.abs(F.col("e")).cast(dec)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mae"),
+        F.round(
+            F.sqrt(
+                F.sum((F.col("e") * F.col("e")).cast(dec)).cast("double")
+                / F.count(F.lit(1))
+            ),
+            6,
+        ).alias("rmse"),
+    )
+
+
+@register(
+    "session_entry_exit_profile",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, ts, event_id,
+             SUM(CASE WHEN prev_s IS NULL
+                        OR epoch(ts) - prev_s > 1800 THEN 1
+                      ELSE 0 END)
+               OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS sid
+      FROM (
+        SELECT user_id, event_type, ts, event_id,
+               epoch(LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id)) AS prev_s
+        FROM events) x
+    ),
+    ranked AS (
+      SELECT user_id, sid, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                ORDER BY ts, event_id) AS rna,
+             ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                ORDER BY ts DESC, event_id DESC) AS rnd
+      FROM s
+    ),
+    per_session AS (
+      SELECT user_id, sid,
+             MAX(CASE WHEN rna = 1 THEN event_type END) AS entry_type,
+             MAX(CASE WHEN rnd = 1 THEN event_type END) AS exit_type,
+             COUNT(*) AS n_events
+      FROM ranked GROUP BY 1, 2
+    )
+    SELECT entry_type, exit_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bounces,
+           round(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS bounce_rate
+    FROM per_session GROUP BY 1, 2
+    """,
+    doc=(
+        "Session entry/exit census with bounce rate: sessionize "
+        "(30-min inactivity gap, operators/windows.sessionize — the "
+        "lag + conditional-cumsum single-exchange form), reduce each "
+        "session to its FIRST and LAST event type via min_by/max_by "
+        "over the (ts, event_id) total order, then a census at "
+        "(entry, exit) grain — the landing/abandonment table of web "
+        "analytics, single-event sessions counted as bounces. Scale "
+        "shape: the sessionize windows and the per-session argmin/"
+        "argmax share ONE user-keyed shuffle; census is a tiny final "
+        "hash agg."
+    ),
+)
+def session_entry_exit_profile(spark, sf_dir):
+    from metar_pipeline_spark.operators.windows import sessionize
+
+    events = load_table(spark, sf_dir, "events")
+    s = sessionize(
+        events, "user_id", "ts", 30, session_col="sid",
+        tiebreak="event_id",
+    )
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    per_session = s.groupBy("user_id", "sid").agg(
+        F.min_by("event_type", key).alias("entry_type"),
+        F.max_by("event_type", key).alias("exit_type"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return per_session.groupBy("entry_type", "exit_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        bounce.cast("bigint").alias("n_bounces"),
+        F.round(
+            bounce.cast("double") / F.count(F.lit(1)), 6
+        ).alias("bounce_rate"),
+    )

@@ -296,3 +296,84 @@ def test_fm_sketch_set_ops_matches_numpy(spark, events_pd):
         4 * row.nu_exact / (m**0.5), 10
     )
     assert row.ni_exact == row.na_exact + row.nb_exact - row.nu_exact
+
+
+def test_rfm_segment_census_matches_pandas(spark, events_pd):
+    df = events_pd.assign(day=events_pd.ts.dt.floor("D"))
+    anchor = df.day.max()
+    u = df.groupby("user_id").agg(
+        last_day=("day", "max"),
+        freq=("day", "size"),
+        monetary=("value", lambda v: v.dropna().sum()),
+    )
+    u["r_days"] = (anchor - u.last_day).dt.days
+    n = len(u)
+
+    def ntile(order_key, k=5):
+        ranked = sorted(u.index, key=order_key)
+        q, m = divmod(n, k)
+        out = {}
+        pos = 0
+        for b in range(1, k + 1):
+            size = q + (1 if b <= m else 0)
+            for uid in ranked[pos : pos + size]:
+                out[uid] = b
+            pos += size
+        return out
+
+    rq = ntile(lambda i: (u.r_days[i], i))
+    fq = ntile(lambda i: (-u.freq[i], i))
+    mq = ntile(lambda i: (-u.monetary[i], i))
+    exp = {}
+    for uid in u.index:
+        key = (rq[uid], fq[uid], mq[uid])
+        cnt, tot = exp.get(key, (0, 0.0))
+        exp[key] = (cnt + 1, tot + u.monetary[uid])
+    got = {
+        (r.r_q, r.f_q, r.m_q): (r.n_users, r.avg_monetary)
+        for r in SPECS["rfm_segment_census"]
+        .spark_fn(spark, SF_DIR)
+        .collect()  # bounded-collect: <=125 segments
+    }
+    assert set(got) == set(exp)
+    for key, (cnt, tot) in exp.items():
+        assert got[key][0] == cnt
+        assert got[key][1] == pytest.approx(tot / cnt, abs=1e-4), key
+
+
+def test_forecast_backtest_matches_pandas(spark, events_pd):
+    daily = (
+        events_pd.assign(day=events_pd.ts.dt.floor("D"))
+        .groupby("day")
+        .size()
+        .sort_index()
+        .astype(float)
+    )
+    y = daily.to_numpy()
+    days = daily.index
+    max_day = days.max()
+    exp = {}
+    for method, pred in (
+        ("naive", lambda i: y[i - 1]),
+        ("seasonal_naive", lambda i: y[i - 7]),
+        ("ma3", lambda i: (y[i - 1] + y[i - 2] + y[i - 3]) / 3.0),
+    ):
+        errs = [
+            y[i] - pred(i)
+            for i in range(len(y))
+            if i + 1 > 7 and days[i] > max_day - pd.Timedelta(days=14)
+        ]
+        mae = sum(abs(e) for e in errs) / len(errs)
+        rmse = (sum(e * e for e in errs) / len(errs)) ** 0.5
+        exp[method] = (len(errs), mae, rmse)
+    got = {
+        r.method: (r.n_eval, r.mae, r.rmse)
+        for r in SPECS["forecast_baseline_backtest"]
+        .spark_fn(spark, SF_DIR)
+        .collect()  # bounded-collect: 3 methods
+    }
+    assert set(got) == set(exp)
+    for m, (n_e, mae, rmse) in exp.items():
+        assert got[m][0] == n_e
+        assert got[m][1] == pytest.approx(mae, abs=1e-6)
+        assert got[m][2] == pytest.approx(rmse, abs=1e-6)

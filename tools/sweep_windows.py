@@ -40,6 +40,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 # (test_plans.py verifies each listed query's offending windows really
 # do order by the day column.)
 ALLOWED_CALENDAR_GRAIN: dict[str, str] = {
+    "forecast_baseline_backtest": (
+        "lag-1/2/3/7 features + row index over the daily-count "
+        "aggregate; frame = days elapsed"
+    ),
     "anomaly_daily_event_spikes": (
         "trailing-7-day mean/stddev over the daily-count aggregate; "
         "frame = days elapsed"
