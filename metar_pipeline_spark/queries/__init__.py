@@ -58,21 +58,26 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # the auto-boost catches direct query/oracle edits and one-hop operator
 # module edits, but not deeper transitive changes).
 VERIFY_FIRST: list[str] = [
-    # Round 10 final: registry at 251 queries (pca_top_component_
-    # projection retired into pca_top2_projection), window 43/50 —
-    # 14 never-green (3 permanent rows-only sketches + the 11 new
-    # round-10 queries: ann_maxsim_ivf_rerank, ann_maxsim_recall_at_10,
+    # Round 10 final (session 2): registry at 265 queries. Never-green
+    # backlog = 3 permanent rows-only sketches + the 11 session-1
+    # round-10 queries (ann_maxsim_ivf_rerank, ann_maxsim_recall_at_10,
     # ivm_delta_agg_view, ivm_delta_distinct_view, stream_ivm_delta_view,
     # supply_cheapest_path_3hop_pred, xcorr_daily_lag3,
     # cms_user_frequency_audit, supply_kcore_15,
-    # ks_two_sample_click_view, fm_distinct_users_estimate) + 29 drifted
-    # (ranking.grouped_topk conversion of the retrieval top-k family,
-    # ivm/paths/sketches module extensions, maxsim -0.0 normalization,
-    # corpus_ops docstring). Every window entry locally verified:
-    # full-registry sf0.01 sweep + the four-axis matrix at round end.
-    # Semantics-changed entries (belt and braces over the auto-boost —
-    # the top-k rewrite is bit-identical by construction, boosted
-    # anyway):
+    # ks_two_sample_click_view, fm_distinct_users_estimate) + the 14
+    # session-2 queries (mannwhitney_u_click_view,
+    # cusum_changepoint_daily, theilsen_daily_trend,
+    # spearman_daily_count_value, k_anonymity_audit, l_diversity_audit,
+    # neardup_ktruss_edges, vocab_coverage_curve,
+    # embedding_mislabel_candidates, markov_attribution_removal,
+    # fm_sketch_set_ops, rfm_segment_census, forecast_baseline_backtest,
+    # session_entry_exit_profile) = 28; with the boosted maxsim entry
+    # the window is 29 never-green + 21 of the ~29 drifted
+    # (grouped_topk conversions etc) — the displaced drifted tail is
+    # bit-identical-by-construction rewrites, all locally verified on
+    # the full four-axis matrix at round end. Every session-2 query
+    # ALSO carries an engine-independent pandas/numpy recomputation
+    # test (tests/test_stats_tests.py, tests/test_markov.py).
     "ann_maxsim_late_interaction",
 ]
 
