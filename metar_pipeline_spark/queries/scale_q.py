@@ -1392,3 +1392,92 @@ def fm_sketch_set_ops(spark, sf_dir):
         F.round(eu, 2).alias("nu_est"),
         F.round(ea + eb - eu, 2).alias("ni_est"),
     )
+
+
+@register(
+    "sampled_quantile_accuracy",
+    """
+    WITH h AS (
+      SELECT event_type, value,
+             ((event_id * 1043823026 + 99338872) % 2147483647)
+               AS h1
+      FROM events WHERE value IS NOT NULL
+    ),
+    hx AS (
+      SELECT event_type, value,
+             CAST((h1 * h1 + h1 * 268545020) % 2147483647 AS DOUBLE)
+               / 2147483647.0 AS u
+      FROM h
+    ),
+    ex AS (
+      SELECT event_type,
+             quantile_cont(value, 0.5) AS e50,
+             quantile_cont(value, 0.9) AS e90
+      FROM hx GROUP BY 1
+    ),
+    sa AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sample,
+             quantile_cont(value, 0.5) AS s50,
+             quantile_cont(value, 0.9) AS s90
+      FROM hx WHERE u < 0.1 GROUP BY 1
+    )
+    SELECT ex.event_type, sa.n_sample,
+           round(ex.e50, 6) AS p50_exact, round(sa.s50, 6) AS p50_sample,
+           round(abs(sa.s50 - ex.e50), 6) AS p50_abs_err,
+           round(ex.e90, 6) AS p90_exact, round(sa.s90, 6) AS p90_sample,
+           round(abs(sa.s90 - ex.e90), 6) AS p90_abs_err
+    FROM ex JOIN sa ON sa.event_type = ex.event_type
+    """,
+    doc=(
+        "Hash-sampled quantile accuracy audit: exact per-type "
+        "p50/p90 beside the same quantiles over a DETERMINISTIC 10% "
+        "Bernoulli sample (operators/sketches.fm_hash01 row 0 on "
+        "event_id — the engine-portable integer hash, so the sample "
+        "is identical across runs, engines, and partitionings — "
+        "unlike rand()-based sampling, and unlike the rows-only "
+        "DataSketches KLL estimates this is fully oracle-replayable). "
+        "The calibration table for the 100-TB posture: exact "
+        "percentile is a full sort per group; the sampled path reads "
+        "10% and its error column says what that buys. Scale shape: "
+        "one scan (hash is a projection, the sample a pushed filter), "
+        "two sort-based ordered-set aggregates at type grain."
+    ),
+)
+def sampled_quantile_accuracy(spark, sf_dir):
+    from metar_pipeline_spark.operators.sketches import fm_hash01
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    hx = events.select(
+        "event_type",
+        "value",
+        fm_hash01(F.col("event_id"), 0).alias("u"),
+    )
+    ex = hx.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("e50"),
+        F.expr("percentile(value, 0.9)").alias("e90"),
+    )
+    sa = (
+        hx.filter(F.col("u") < 0.1)
+        .groupBy(F.col("event_type").alias("set"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sample"),
+            F.expr("percentile(value, 0.5)").alias("s50"),
+            F.expr("percentile(value, 0.9)").alias("s90"),
+        )
+    )
+    return ex.join(sa, F.col("set") == F.col("event_type")).select(
+        "event_type",
+        "n_sample",
+        F.round("e50", 6).alias("p50_exact"),
+        F.round("s50", 6).alias("p50_sample"),
+        F.round(F.abs(F.col("s50") - F.col("e50")), 6).alias(
+            "p50_abs_err"
+        ),
+        F.round("e90", 6).alias("p90_exact"),
+        F.round("s90", 6).alias("p90_sample"),
+        F.round(F.abs(F.col("s90") - F.col("e90")), 6).alias(
+            "p90_abs_err"
+        ),
+    )
