@@ -3484,74 +3484,6 @@ def vocab_coverage_curve(spark, sf_dir):
 
 
 @register(
-    "embedding_norm_outliers",
-    """
-    WITH v AS (
-      SELECT vec_id,
-             sqrt(list_reduce(
-               list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
-               (x, y) -> x + y)) AS nrm
-      FROM embeddings
-    ),
-    s AS (
-      SELECT COUNT(*) AS n,
-             CAST(SUM(CAST(nrm AS DECIMAL(38,10))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(nrm * nrm AS DECIMAL(38,10))) AS DOUBLE) AS sxx
-      FROM v
-    )
-    SELECT vec_id, round(nrm, 6) AS norm,
-           round((nrm - sx / n)
-                 / sqrt((n * sxx - sx * sx)
-                        / (CAST(n AS DOUBLE) * (n - 1)))
-                 + 0.0, 6) AS z_score
-    FROM v CROSS JOIN s
-    WHERE abs((nrm - sx / n)
-              / sqrt((n * sxx - sx * sx)
-                     / (CAST(n AS DOUBLE) * (n - 1)))) > 2.5
-    """,
-    doc=(
-        "Embedding-table QA: vectors whose L2 norm is a >2.5-sigma "
-        "outlier — degenerate (near-zero) or exploding vectors are "
-        "the first corruption mode of an embedding pipeline, and "
-        "they poison cosine-threshold dedup and ANN recall alike. "
-        "Scale shape: one scan computes each row's norm as a "
-        "sequential JVM fold (deterministic order, "
-        "operators/similarity.norm2), the corpus moments are ONE "
-        "exact-DECIMAL aggregate riding a broadcast one-row carrier, "
-        "and the z filter is a second stateless scan — no shuffle "
-        "beyond the 1-row moment agg."
-    ),
-)
-def embedding_norm_outliers(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select(
-        "vec_id", sim.norm2(F.col("embedding")).alias("nrm")
-    )
-    s = v.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("nrm").cast("decimal(38,10)"))
-        .cast("double")
-        .alias("sx"),
-        F.sum((F.col("nrm") * F.col("nrm")).cast("decimal(38,10)"))
-        .cast("double")
-        .alias("sxx"),
-    )
-    z = (F.col("nrm") - F.col("sx") / F.col("n")) / F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        / (F.col("n").cast("double") * (F.col("n") - 1))
-    )
-    return (
-        v.crossJoin(F.broadcast(s))
-        .filter(F.abs(z) > 2.5)
-        .select(
-            "vec_id",
-            F.round(F.col("nrm"), 6).alias("norm"),
-            (F.round(z, 6) + F.lit(0.0)).alias("z_score"),
-        )
-    )
-
-
-@register(
     "embedding_mislabel_candidates",
     """
     WITH dims AS (
