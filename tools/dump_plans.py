@@ -231,6 +231,32 @@ SHOWCASE = [
         "(late updates/deletes) flow through the same adds that "
         "inserts do.",
     ),
+    (
+        "markov_attribution_removal",
+        "Markov removal-effect attribution (round 10, session 2): one "
+        "corpus pass (two user-partitioned windows + a hash agg) to "
+        "transition-count grain; every later stage — integer variant "
+        "expansion, the 8-step absorption chain — runs on a "
+        "checkpointed ~45-row state frame via broadcast equi-joins, "
+        "so the plan after the journey pass is corpus-size-free.",
+    ),
+    (
+        "mannwhitney_u_click_view",
+        "Exact rank statistics at scale (round 10, session 2): the "
+        "fact reduces to VALUE grain in one hash agg; the pooled "
+        "cumulative rides distributed_prefix_sum (range exchange + "
+        "pid-partitioned window — every windowspecdefinition carries "
+        "__pid, never a single-task cumulative); tied ranks stay in "
+        "integers so the DECIMAL rank-sum is exact.",
+    ),
+    (
+        "neardup_ktruss_edges",
+        "Triangle-support peeling (round 10, session 2): each round "
+        "is two ordered equi-joins (each triangle enumerated once) + "
+        "a hash agg at edge-support grain + an equi-join filter — no "
+        "cartesian/nested loop anywhere; edges localCheckpoint-pinned "
+        "per round so lineage stays O(1).",
+    ),
 ]
 
 # Static epilogue: measured plan decisions that are not a single
