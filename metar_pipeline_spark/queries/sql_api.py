@@ -335,3 +335,95 @@ _LISTAGG_DUCK = """
 def listagg_group_by_all(spark, sf_dir):
     register_views(spark, sf_dir)
     return spark.sql(_LISTAGG_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier time-to-conversion survival (recursive running product)
+# ---------------------------------------------------------------------------
+# One template, two datediff spellings (Spark: datediff(end, start);
+# DuckDB: datediff('day', start, end)) — everything else is shared
+# ANSI, including the WITH RECURSIVE running product.
+_KM_TEMPLATE = """
+    WITH RECURSIVE
+    bounds AS (
+      SELECT MAX(CAST(date_trunc('day', ts) AS DATE)) AS max_day
+      FROM events
+    ),
+    peruser AS (
+      SELECT user_id,
+             MIN(CAST(date_trunc('day', ts) AS DATE)) AS first_day,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN CAST(date_trunc('day', ts) AS DATE)
+                 END) AS conv_day
+      FROM events GROUP BY user_id
+    ),
+    obs AS (
+      SELECT CASE WHEN conv_day IS NOT NULL
+                  THEN {dd_conv}
+                  ELSE {dd_cens} END AS dur,
+             CASE WHEN conv_day IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM peruser CROSS JOIN bounds
+    ),
+    nt AS (SELECT COUNT(*) AS n_total FROM obs),
+    life AS (
+      SELECT dur, SUM(ev) AS d, COUNT(*) AS leaving
+      FROM obs GROUP BY dur
+    ),
+    ranked AS (
+      SELECT dur, d, leaving,
+             ROW_NUMBER() OVER (ORDER BY dur) AS rk,
+             SUM(leaving) OVER (ORDER BY dur) AS cum_leave
+      FROM life
+    ),
+    km(rk, dur, d, n_risk, s) AS (
+      SELECT r.rk, r.dur, r.d,
+             nt.n_total - r.cum_leave + r.leaving,
+             1.0 - CAST(r.d AS DOUBLE)
+                   / (nt.n_total - r.cum_leave + r.leaving)
+      FROM ranked r CROSS JOIN nt WHERE r.rk = 1
+      UNION ALL
+      SELECT r.rk, r.dur, r.d,
+             nt.n_total - r.cum_leave + r.leaving,
+             km.s * (1.0 - CAST(r.d AS DOUBLE)
+                           / (nt.n_total - r.cum_leave + r.leaving))
+      FROM km JOIN ranked r ON r.rk = km.rk + 1 CROSS JOIN nt
+    )
+    SELECT CAST(dur AS BIGINT) AS duration_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events,
+           round(s, 6) AS survival
+    FROM km WHERE d > 0
+"""
+
+_KM_SPARK = _KM_TEMPLATE.format(
+    dd_conv="datediff(conv_day, first_day)",
+    dd_cens="datediff(max_day, first_day)",
+)
+_KM_DUCK = _KM_TEMPLATE.format(
+    dd_conv="datediff('day', first_day, conv_day)",
+    dd_cens="datediff('day', first_day, max_day)",
+)
+
+
+@register(
+    "km_conversion_survival",
+    _KM_DUCK,
+    doc=(
+        "Kaplan-Meier time-to-conversion survival curve: days from "
+        "each user's first touch to first purchase, users who never "
+        "purchase RIGHT-CENSORED at the observation end — S(t) = "
+        "prod(1 - d_i/n_i) over event durations, the estimator that "
+        "makes censored funnels honest (a naive conversion-lag "
+        "percentile silently drops non-converters). The running "
+        "PRODUCT is a Spark 4 recursive CTE walking the life table in "
+        "duration order — a sequential fold both engines execute in "
+        "the identical order, so the double chain is bit-equal "
+        "(identical text up to the two datediff spellings). Scale "
+        "shape: one hash agg to user grain, one to the DURATION-grain "
+        "life table (calendar-bounded), recursion over <= days-span "
+        "rows."
+    ),
+)
+def km_conversion_survival(spark, sf_dir):
+    register_views(spark, sf_dir)
+    return spark.sql(_KM_SPARK)

@@ -529,16 +529,22 @@ def test_window_sweep_calendar_allowlist_and_fixed_families(spark):
 
     specs = all_queries()
     assert set(ALLOWED_CALENDAR_GRAIN) <= set(specs)
-    for name in ALLOWED_CALENDAR_GRAIN:
+    for name, why in ALLOWED_CALENDAR_GRAIN.items():
         p = specs[name].spark_fn(spark, SF_DIR)
         plan = p._jdf.queryExecution().executedPlan().toString()
         hits = unpartitioned_windows(plan)
         assert hits, f"{name} no longer needs its allow-list entry"
+        # default: order by the day column; an `order=<name>` marker in
+        # the justification declares a day-DERIVED grain column (e.g.
+        # the duration-days life table)
+        col = "day"
+        if "order=" in why:
+            col = why.split("order=", 1)[1].split()[0].strip(".,)")
         for line in hits:
             first = line.split("windowspecdefinition(", 1)[1].split(
                 ",", 1
             )[0]
-            assert first.startswith("day#"), (name, line[:160])
+            assert first.startswith(f"{col}#"), (name, line[:160])
 
     fixed = {
         "activity_gini_coefficient",

@@ -377,3 +377,46 @@ def test_forecast_backtest_matches_pandas(spark, events_pd):
         assert got[m][0] == n_e
         assert got[m][1] == pytest.approx(mae, abs=1e-6)
         assert got[m][2] == pytest.approx(rmse, abs=1e-6)
+
+
+def test_km_conversion_survival_matches_numpy(spark, events_pd):
+    """Textbook Kaplan-Meier recomputation (sorted event times,
+    at-risk counts, running product) from raw parquet — independent
+    of both engines' recursive-CTE formulation."""
+    df = events_pd.assign(day=events_pd.ts.dt.floor("D"))
+    max_day = df.day.max()
+    obs = []
+    for _, g in df.groupby("user_id"):
+        first = g.day.min()
+        conv = g.loc[g.event_type == "purchase", "day"].min()
+        if pd.isna(conv):
+            obs.append(((max_day - first).days, 0))
+        else:
+            obs.append(((conv - first).days, 1))
+    exp = {}
+    s = 1.0
+    n_risk = len(obs)
+    for dur in sorted({d for d, _ in obs}):
+        d_i = sum(1 for d, e in obs if d == dur and e == 1)
+        leaving = sum(1 for d, _ in obs if d == dur)
+        if d_i > 0:
+            s = s * (1.0 - d_i / n_risk)
+            exp[dur] = (n_risk, d_i, s)
+        n_risk -= leaving
+    got = {
+        r.duration_days: (r.n_risk, r.n_events, r.survival)
+        for r in SPECS["km_conversion_survival"]
+        .spark_fn(spark, SF_DIR)
+        .collect()  # bounded-collect: duration-grain life table
+    }
+    assert set(got) == set(exp)
+    for dur, (n_r, d_i, s_v) in exp.items():
+        g = got[dur]
+        assert g[0] == n_r and g[1] == d_i, dur
+        assert g[2] == pytest.approx(s_v, abs=1e-6), dur
+    # survival is non-increasing and within (0, 1]
+    vals = [got[d][2] for d in sorted(got)]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+    # S hits exactly 0 when the final at-risk set all converts (no
+    # censoring at the smallest scale factor) — 0 is legitimate.
+    assert 0 <= vals[-1] <= 1

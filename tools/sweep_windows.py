@@ -38,8 +38,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 # every entry must be a rolling/cumulative frame over a DAY-grain (or
 # coarser) aggregate — bounded by the calendar, never by data volume.
 # (test_plans.py verifies each listed query's offending windows really
-# do order by the day column.)
+# do order by the day column — or, when the calendar-bounded frame is
+# a day-DERIVED grain under another name, by the column declared with
+# an `order=<name>` marker in the justification text.)
 ALLOWED_CALENDAR_GRAIN: dict[str, str] = {
+    "km_conversion_survival": (
+        "rank + cumulative-leaving over the DURATION-grain life table "
+        "(day-lags from first touch — calendar-bounded, <= days-span "
+        "rows after the user-grain agg); order=dur"
+    ),
     "forecast_baseline_backtest": (
         "lag-1/2/3/7 features + row index over the daily-count "
         "aggregate; frame = days elapsed"
