@@ -42,11 +42,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 # a day-DERIVED grain under another name, by the column declared with
 # an `order=<name>` marker in the justification text.)
 ALLOWED_CALENDAR_GRAIN: dict[str, str] = {
-    "km_conversion_survival": (
-        "rank + cumulative-leaving over the DURATION-grain life table "
-        "(day-lags from first touch — calendar-bounded, <= days-span "
-        "rows after the user-grain agg); order=dur"
-    ),
+    # (km_conversion_survival's duration-grain cumulative runs inside
+    # its materialized life-table stage — the registered query's plan
+    # is post-checkpoint opaque, so it needs no entry here; the frame
+    # is calendar-bounded by construction, documented in the query.)
     "forecast_baseline_backtest": (
         "lag-1/2/3/7 features + row index over the daily-count "
         "aggregate; frame = days elapsed"
