@@ -1481,3 +1481,132 @@ def sampled_quantile_accuracy(spark, sf_dir):
             "p90_abs_err"
         ),
     )
+
+
+_BRR_R = 32
+
+
+def _brr_oracle(r_count: int = _BRR_R) -> str:
+    """Literal twin of brr_mean_ci_value: the same hash half-samples,
+    DECIMAL replicate means, fixed left-assoc deviation chain."""
+    from metar_pipeline_spark.operators.sketches import _CMS_P, fm_constants
+
+    h1s, sums = [], []
+    for i in range(r_count):
+        a1, b1, a2 = fm_constants(i)
+        h1s.append(f"(event_id * {a1} + {b1}) % {_CMS_P} AS h{i}")
+        pick = (
+            f"CAST((h{i} * h{i} + h{i} * {a2}) % {_CMS_P} AS DOUBLE)"
+            f" / {_CMS_P}.0 < 0.5"
+        )
+        sums.append(
+            f"CAST(SUM(CASE WHEN {pick} THEN CAST(value AS"
+            f" DECIMAL(30,10)) END) AS DOUBLE) AS s{i}"
+        )
+        sums.append(
+            f"SUM(CASE WHEN {pick} THEN 1 ELSE 0 END) AS c{i}"
+        )
+    dev = "(s0 / c0 - mean) * (s0 / c0 - mean)"
+    for i in range(1, r_count):
+        dev = f"({dev} + (s{i} / c{i} - mean) * (s{i} / c{i} - mean))"
+    return f"""
+    WITH hx AS (
+      SELECT value, {", ".join(h1s)}
+      FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS st,
+             {", ".join(sums)}
+      FROM hx
+    ),
+    m AS (SELECT *, st / n AS mean FROM s),
+    v AS (
+      SELECT n, mean,
+             sqrt(({dev}) / {r_count}.0) AS se
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST({r_count} AS BIGINT) AS n_replicates,
+           round(mean, 6) AS mean,
+           round(se, 6) AS se,
+           round(mean - 1.959963984540054 * se, 6) AS ci_lo,
+           round(mean + 1.959963984540054 * se, 6) AS ci_hi
+    FROM v
+    """
+
+
+@register(
+    "brr_mean_ci_value",
+    _brr_oracle(),
+    doc=(
+        "Balanced-repeated-replication confidence interval for the "
+        "mean event value: 32 DETERMINISTIC hash half-samples "
+        "(operators/sketches.fm_hash01 rows — identical across runs, "
+        "engines, partitionings; no rand()), each replicate's "
+        "exact-DECIMAL mean, and Var = (1/R) sum (theta_r - theta)^2 "
+        "— the survey-statistics replicate-weight method that gives "
+        "a 100-TB pipeline an uncertainty band in ONE scan with zero "
+        "data shuffle (all 64 conditional aggregates are map-side "
+        "combinable to a 1-row result). The z constant is spelled as "
+        "an exact double literal in both engines (no transcendental "
+        "divergence); the deviation sum is a fixed left-assoc chain."
+    ),
+)
+def brr_mean_ci_value(spark, sf_dir):
+    from metar_pipeline_spark.operators.sketches import fm_hash01
+
+    r_count = _BRR_R
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    hx = events.select(
+        "value",
+        *[
+            (fm_hash01(F.col("event_id"), i) < 0.5).alias(f"__p{i}")
+            for i in range(r_count)
+        ],
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(30,10)"))
+        .cast("double")
+        .alias("st"),
+    ]
+    for i in range(r_count):
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.col(f"__p{i}"),
+                    F.col("value").cast("decimal(30,10)"),
+                )
+            )
+            .cast("double")
+            .alias(f"s{i}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col(f"__p{i}"), 1).otherwise(0)).alias(
+                f"c{i}"
+            )
+        )
+    s = hx.agg(*aggs)
+    mean = F.col("st") / F.col("n")
+    m = s.withColumn("mean", mean)
+
+    def d(i):
+        t = F.col(f"s{i}") / F.col(f"c{i}") - F.col("mean")
+        return t * t
+
+    dev = d(0)
+    for i in range(1, r_count):
+        dev = dev + d(i)
+    z = 1.959963984540054
+    v = m.withColumn("se", F.sqrt(dev / float(r_count)))
+    return v.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.lit(r_count).cast("bigint").alias("n_replicates"),
+        F.round("mean", 6).alias("mean"),
+        F.round("se", 6).alias("se"),
+        F.round(F.col("mean") - z * F.col("se"), 6).alias("ci_lo"),
+        F.round(F.col("mean") + z * F.col("se"), 6).alias("ci_hi"),
+    )

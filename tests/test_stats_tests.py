@@ -420,3 +420,43 @@ def test_km_conversion_survival_matches_numpy(spark, events_pd):
     # S hits exactly 0 when the final at-risk set all converts (no
     # censoring at the smallest scale factor) — 0 is legitimate.
     assert 0 <= vals[-1] <= 1
+
+
+def test_brr_mean_ci_matches_numpy(spark, events_pd):
+    """Replicate the 32 hash half-samples in numpy exactly, plus a
+    calibration bound: the BRR standard error must sit near the
+    textbook sigma/sqrt(n)."""
+    from metar_pipeline_spark.operators.sketches import (
+        _CMS_P,
+        fm_constants,
+    )
+
+    df = events_pd[events_pd.value.notna()]
+    ids = df.event_id.to_numpy().astype(object)
+    vals = df.value.to_numpy()
+    n = len(vals)
+    mean = float(
+        pd.Series(vals).astype("float64").sum() / n
+    )  # matches DECIMAL-exact to <1e-9 at this scale
+    reps = []
+    for i in range(32):
+        a1, b1, a2 = fm_constants(i)
+        h1 = (ids * a1 + b1) % _CMS_P
+        h = (h1 * h1 + h1 * a2) % _CMS_P
+        pick = np.array([int(x) / _CMS_P < 0.5 for x in h])
+        reps.append(vals[pick].sum() / pick.sum())
+    dev = 0.0
+    for r in reps:
+        dev = dev + (r - mean) * (r - mean)
+    se = (dev / 32.0) ** 0.5
+    row = (
+        SPECS["brr_mean_ci_value"].spark_fn(spark, SF_DIR).collect()[0]
+    )  # bounded-collect: 1-row statistic
+    assert row.n == n
+    assert row.mean == pytest.approx(mean, abs=1e-6)
+    assert row.se == pytest.approx(se, abs=1e-5)
+    assert row.ci_lo == pytest.approx(mean - 1.959963984540054 * se, abs=1e-4)
+    # calibration: BRR se within 3x of sigma/sqrt(n) (chi-square
+    # spread of 32 replicates)
+    sigma = vals.std(ddof=1)
+    assert se < 3 * sigma / n**0.5 and se > sigma / (3 * n**0.5)
