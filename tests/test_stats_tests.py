@@ -460,3 +460,105 @@ def test_brr_mean_ci_matches_numpy(spark, events_pd):
     # spread of 32 replicates)
     sigma = vals.std(ddof=1)
     assert se < 3 * sigma / n**0.5 and se > sigma / (3 * n**0.5)
+
+
+def _write_events(tmp_path, rows):
+    """Write a synthetic events.parquet the query fns can read."""
+    df = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    df["props"] = None
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    return str(tmp_path)
+
+
+def test_mannwhitney_invariant_under_monotone_transform(
+    spark, tmp_path
+):
+    """U and z are RANK statistics: any strictly-increasing transform
+    of value must leave them unchanged — the defining property a
+    parametric (mean-based) test would fail."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows, rows_t = [], []
+    vals = [3.0, 1.5, 9.0, 2.5, 7.0, 7.0, 0.5, 4.0, 8.0, 6.5,
+            2.0, 5.5, 1.0, 9.5, 3.5, 6.0]
+    for i, v in enumerate(vals):
+        et = "click" if i % 2 == 0 else "view"
+        rows.append((i, base + dt.timedelta(minutes=i), i % 4, et, v))
+        rows_t.append(
+            (i, base + dt.timedelta(minutes=i), i % 4, et,
+             float(np.exp(v / 3.0)))  # strictly increasing
+        )
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    d1 = _write_events(tmp_path / "a", rows)
+    d2 = _write_events(tmp_path / "b", rows_t)
+    q = SPECS["mannwhitney_u_click_view"].spark_fn
+    r1 = q(spark, d1).collect()[0]  # bounded-collect: 1-row statistic
+    r2 = q(spark, d2).collect()[0]  # bounded-collect: 1-row statistic
+    assert (r1.u1, r1.u2, r1.z_score) == (r2.u1, r2.u2, r2.z_score)
+    assert (r1.n1, r1.n2) == (r2.n1, r2.n2)
+
+
+def test_cusum_detects_planted_level_shift(spark, tmp_path):
+    """A series with a clear level shift must put the argmax-|S| day
+    exactly at the last day of the low regime."""
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    for day in range(20):
+        # 5 events/day for days 0-9, 50/day for days 10-19
+        n = 5 if day < 10 else 50
+        for k in range(n):
+            rows.append(
+                (
+                    eid,
+                    dt.datetime(2024, 1, 1 + day, 0, 0, k % 60, eid % 59),
+                    eid % 7,
+                    "view",
+                    1.0,
+                )
+            )
+            eid += 1
+    (tmp_path / "c").mkdir()
+    d = _write_events(tmp_path / "c", rows)
+    row = SPECS["cusum_changepoint_daily"].spark_fn(spark, d).collect()[
+        0
+    ]  # bounded-collect: LIMIT 1
+    assert str(row.day) == "2024-01-10"
+    assert row.n_days == 20
+
+
+def test_theilsen_exact_on_noiseless_trend(spark, tmp_path):
+    """On a perfectly linear daily series every pairwise slope equals
+    the true slope, so the median IS the slope — and one wild outlier
+    day must not move it (the 29% breakdown property, in miniature)."""
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    for day in range(12):
+        n = 10 + 3 * day  # slope 3/day
+        if day == 6:
+            n = 200  # outlier day
+        for k in range(n):
+            rows.append(
+                (
+                    eid,
+                    dt.datetime(2024, 2, 1 + day, 1, 0, k % 60, eid % 53),
+                    eid % 5,
+                    "view",
+                    1.0,
+                )
+            )
+            eid += 1
+    (tmp_path / "d").mkdir()
+    d = _write_events(tmp_path / "d", rows)
+    row = SPECS["theilsen_daily_trend"].spark_fn(spark, d).collect()[
+        0
+    ]  # bounded-collect: 1-row statistic
+    assert row.slope_per_day == pytest.approx(3.0, abs=0.26)
