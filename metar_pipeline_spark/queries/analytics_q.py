@@ -2691,3 +2691,111 @@ def rfm_segment_census(spark, sf_dir):
             6,
         ).alias("avg_monetary"),
     )
+
+
+def _ppr_oracle(iterations: int = 3, damping: float = 0.85) -> str:
+    """Unrolled-CTE twin of operators/ppr.personalized_pagerank —
+    same DECIMAL(38,18) accumulation, 12-decimal per-step rounding,
+    and float literals interpolated from the SAME Python doubles."""
+    head = """
+    WITH edges AS (
+      SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+      FROM lineitem
+    ),
+    nodes0 AS (
+      SELECT node FROM (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges)
+    ),
+    seeds AS (
+      SELECT DISTINCT l_suppkey * 2 AS node FROM lineitem
+      WHERE l_suppkey <= 5
+    ),
+    ns AS (SELECT COUNT(*) AS s FROM seeds),
+    outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    nodes AS (
+      SELECT n.node, o.deg,
+             CASE WHEN sd.node IS NOT NULL
+                  THEN CAST(1.0 AS DOUBLE) / CAST(ns.s AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END AS tele
+      FROM nodes0 n
+      LEFT JOIN outdeg o ON n.node = o.src
+      LEFT JOIN seeds sd ON n.node = sd.node
+      CROSS JOIN ns
+    ),
+    r0 AS (SELECT node, deg, tele, tele AS r FROM nodes)"""
+    steps = []
+    for i in range(1, iterations + 1):
+        p = f"r{i - 1}"
+        steps.append(
+            f"""
+    c{i} AS (
+      SELECT e.dst AS node,
+             CAST(SUM(CAST(r.r / r.deg AS DECIMAL(38,18))) AS DOUBLE) AS c
+      FROM edges e JOIN {p} r ON e.src = r.node
+      GROUP BY e.dst
+    ),
+    d{i} AS (
+      SELECT COALESCE(
+        CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE), 0.0) AS dang
+      FROM {p} WHERE deg IS NULL
+    ),
+    r{i} AS (
+      SELECT nd.node, nd.deg, nd.tele,
+             round(CAST({1.0 - damping!r} AS DOUBLE) * nd.tele
+                   + CAST({damping!r} AS DOUBLE)
+                     * (COALESCE(c.c, 0.0) + d{i}.dang * nd.tele),
+                   12) AS r
+      FROM nodes nd LEFT JOIN c{i} c ON nd.node = c.node
+      CROSS JOIN d{i}
+    )"""
+        )
+    label = (
+        "CASE WHEN node % 2 = 0 THEN 's' || CAST(node // 2 AS VARCHAR) "
+        "ELSE 'p' || CAST((node - 1) // 2 AS VARCHAR) END"
+    )
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"\n    SELECT {label} AS node, r AS rank FROM r{iterations}"
+    )
+
+
+@register(
+    "ppr_seed_expansion",
+    _ppr_oracle(),
+    doc=(
+        "Personalized PageRank from a trusted seed set (suppliers "
+        "1-5) over the supplier->part graph: teleport AND dangling "
+        "mass return to the seeds, so ranks measure relatedness to "
+        "the seed set — the seed-based domain-expansion primitive of "
+        "corpus curation (grow a source whitelist over a link graph; "
+        "Haveliwala topic-sensitive PageRank). Same scale shape as "
+        "pagerank_supply_graph: edges deduped + checkpointed once, "
+        "node dim carries (deg, tele) from day one, per iteration ONE "
+        "edges-ranks equi-join + hash agg, a one-row dangling "
+        "aggregate crossed back, 12-decimal DECIMAL rounding per step "
+        "(operators/ppr.py; oracle unrolls all 3 iterations)."
+    ),
+)
+def ppr_seed_expansion(spark, sf_dir):
+    from metar_pipeline_spark.operators.ppr import personalized_pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    )
+    seeds = li.filter(F.col("l_suppkey") <= 5).select(
+        (F.col("l_suppkey") * 2).alias("node")
+    )
+    ranks = personalized_pagerank(edges, seeds, iterations=3)
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("s"), (F.col("node") / 2).cast("long").cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit("p"), ((F.col("node") - 1) / 2).cast("long").cast("string")
+        )
+    )
+    return ranks.select(label.alias("node"), "rank")

@@ -62,3 +62,42 @@ def test_hits_partition_invariance(spark):
     assert sorted(map(tuple, a1.collect())) == sorted(
         map(tuple, a2.collect())
     )
+
+
+def test_personalized_pagerank_hand_graph(spark):
+    """PPR on a 4-node path a->b->c plus isolated-ish d (a->d):
+    teleport and dangling mass return to the single seed a, so rank
+    concentrates at/near the seed and follows the numpy power
+    iteration with the identical per-step 12-decimal rounding."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.operators.ppr import personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 4)], "src int, dst int"
+    )
+    seeds = spark.createDataFrame([(1,)], "node int")
+    got = {
+        r.node: r.rank
+        for r in personalized_pagerank(
+            edges, seeds, iterations=3
+        ).collect()  # bounded-collect: hand graph
+    }
+    # numpy twin: nodes 1..4, deg(1)=2, deg(2)=1, 3 and 4 dangling
+    tele = np.array([1.0, 0.0, 0.0, 0.0])
+    deg = {0: 2, 1: 1}
+    r = tele.copy()
+    d = 0.85
+    for _ in range(3):
+        c = np.zeros(4)
+        c[1] += r[0] / 2  # 1->2
+        c[3] += r[0] / 2  # 1->4
+        c[2] += r[1] / 1  # 2->3
+        dang = r[2] + r[3]
+        r = np.round((1 - d) * tele + d * (c + dang * tele), 12)
+    for i in range(4):
+        assert got[i + 1] == np.float64(r[i]), (i + 1, got[i + 1], r[i])
+    # mass conservation (up to per-step rounding) and seed dominance
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got[1] == max(got.values())
