@@ -2102,3 +2102,77 @@ def session_entry_exit_profile(spark, sf_dir):
             bounce.cast("double") / F.count(F.lit(1)), 6
         ).alias("bounce_rate"),
     )
+
+
+@register(
+    "ab_test_proportions",
+    """
+    WITH s AS (
+      SELECT user_id % 2 AS variant, COUNT(*) AS n,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+      FROM events GROUP BY user_id % 2
+    ),
+    w AS (
+      SELECT
+        MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+        MAX(CASE WHEN variant = 0 THEN conv END) AS c0,
+        MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+        MAX(CASE WHEN variant = 1 THEN conv END) AS c1
+      FROM s
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_a, CAST(c0 AS BIGINT) AS conv_a,
+           CAST(n1 AS BIGINT) AS n_b, CAST(c1 AS BIGINT) AS conv_b,
+           round(CAST(c0 AS DOUBLE) / n0, 6) AS rate_a,
+           round(CAST(c1 AS DOUBLE) / n1, 6) AS rate_b,
+           round((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+                 / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1))
+                 + 0.0, 6) AS z_score
+    FROM w
+    """,
+    doc=(
+        "Two-proportion z-test (the A/B-test readout): purchase share "
+        "of events split by a deterministic variant assignment "
+        "(user_id parity — in production the hash split from "
+        "curation.hash_unit_01), pooled-variance z on the rate "
+        "difference. Completes the inference tier: KS/Mann-Whitney "
+        "compare DISTRIBUTIONS, BRR bounds a MEAN, this tests "
+        "PROPORTIONS — the three questions every experiment readout "
+        "asks. Scale shape: one user-grain hash agg, then a 2-row "
+        "conditional pivot; all counts exact integers, one double "
+        "expression per output."
+    ),
+)
+def ab_test_proportions(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    s = events.groupBy((F.col("user_id") % 2).alias("variant")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    w = s.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("conv"))).alias("c1"),
+    )
+    n0d, c0d = F.col("n0").cast("double"), F.col("c0").cast("double")
+    n1d, c1d = F.col("n1").cast("double"), F.col("c1").cast("double")
+    pool = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    z = (c0d / F.col("n0") - c1d / F.col("n1")) / F.sqrt(
+        pool * (1 - pool) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+    )
+    return w.select(
+        F.col("n0").cast("bigint").alias("n_a"),
+        F.col("c0").cast("bigint").alias("conv_a"),
+        F.col("n1").cast("bigint").alias("n_b"),
+        F.col("c1").cast("bigint").alias("conv_b"),
+        F.round(c0d / F.col("n0"), 6).alias("rate_a"),
+        F.round(c1d / F.col("n1"), 6).alias("rate_b"),
+        (F.round(z, 6) + F.lit(0.0)).alias("z_score"),
+    )

@@ -562,3 +562,21 @@ def test_theilsen_exact_on_noiseless_trend(spark, tmp_path):
         0
     ]  # bounded-collect: 1-row statistic
     assert row.slope_per_day == pytest.approx(3.0, abs=0.26)
+
+
+def test_ab_test_proportions_matches_numpy(spark, events_pd):
+    a = events_pd[events_pd.user_id % 2 == 0]
+    b = events_pd[events_pd.user_id % 2 == 1]
+    n0, c0 = len(a), int((a.event_type == "purchase").sum())
+    n1, c1 = len(b), int((b.event_type == "purchase").sum())
+    pool = (c0 + c1) / (n0 + n1)
+    z = (c0 / n0 - c1 / n1) / (
+        pool * (1 - pool) * (1 / n0 + 1 / n1)
+    ) ** 0.5
+    row = (
+        SPECS["ab_test_proportions"].spark_fn(spark, SF_DIR).collect()[0]
+    )  # bounded-collect: 1-row statistic
+    assert (row.n_a, row.conv_a, row.n_b, row.conv_b) == (n0, c0, n1, c1)
+    assert row.rate_a == pytest.approx(c0 / n0, abs=1e-6)
+    assert row.rate_b == pytest.approx(c1 / n1, abs=1e-6)
+    assert row.z_score == pytest.approx(z, abs=1e-5)
