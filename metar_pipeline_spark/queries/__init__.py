@@ -71,7 +71,12 @@ VERIFY_FIRST: list[str] = [
     # neardup_ktruss_edges, vocab_coverage_curve,
     # embedding_mislabel_candidates, markov_attribution_removal,
     # fm_sketch_set_ops, rfm_segment_census, forecast_baseline_backtest,
-    # session_entry_exit_profile) = 28; with the boosted maxsim entry
+    # session_entry_exit_profile, sampled_quantile_accuracy,
+    # km_conversion_survival, brr_mean_ci_value, ppr_seed_expansion,
+    # ab_test_proportions; embedding_norm_outliers was added then
+    # REMOVED — meaningless on unit-normalized embeddings and its
+    # near-zero variance flips sign under DECIMAL rounding at
+    # sf0.001) = 33; with the boosted maxsim entry
     # the window is 29 never-green + 21 of the ~29 drifted
     # (grouped_topk conversions etc) — the displaced drifted tail is
     # bit-identical-by-construction rewrites, all locally verified on
