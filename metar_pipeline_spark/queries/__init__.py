@@ -58,13 +58,13 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # the auto-boost catches direct query/oracle edits and one-hop operator
 # module edits, but not deeper transitive changes).
 VERIFY_FIRST: list[str] = [
-    # Round 10 final (session 2): registry at 265 queries. Never-green
+    # Round 10 final (session 2): registry at 270 queries. Never-green
     # backlog = 3 permanent rows-only sketches + the 11 session-1
     # round-10 queries (ann_maxsim_ivf_rerank, ann_maxsim_recall_at_10,
     # ivm_delta_agg_view, ivm_delta_distinct_view, stream_ivm_delta_view,
     # supply_cheapest_path_3hop_pred, xcorr_daily_lag3,
     # cms_user_frequency_audit, supply_kcore_15,
-    # ks_two_sample_click_view, fm_distinct_users_estimate) + the 14
+    # ks_two_sample_click_view, fm_distinct_users_estimate) + the 19
     # session-2 queries (mannwhitney_u_click_view,
     # cusum_changepoint_daily, theilsen_daily_trend,
     # spearman_daily_count_value, k_anonymity_audit, l_diversity_audit,
