@@ -2176,3 +2176,188 @@ def ab_test_proportions(spark, sf_dir):
         F.round(c1d / F.col("n1"), 6).alias("rate_b"),
         (F.round(z, 6) + F.lit(0.0)).alias("z_score"),
     )
+
+
+@register(
+    "cohort_ltv_curve",
+    """
+    WITH firstday AS (
+      SELECT user_id,
+             MIN(CAST(date_trunc('day', ts) AS DATE)) AS d0
+      FROM events GROUP BY user_id
+    ),
+    cohorts AS (
+      SELECT user_id,
+             CAST(date_trunc('week', d0) AS DATE) AS cohort, d0
+      FROM firstday
+    ),
+    sizes AS (
+      SELECT cohort, COUNT(*) AS n_users FROM cohorts GROUP BY cohort
+    ),
+    rev AS (
+      SELECT c.cohort, datediff('day', c.d0, CAST(date_trunc('day',
+             e.ts) AS DATE)) AS age_days,
+             SUM(CAST(e.value AS DECIMAL(30,10))) AS r
+      FROM events e JOIN cohorts c ON e.user_id = c.user_id
+      WHERE e.value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort, age_days,
+             CAST(SUM(r) OVER (PARTITION BY cohort ORDER BY age_days)
+                  AS DOUBLE) AS cum_rev
+      FROM rev
+    )
+    SELECT c.cohort, c.age_days, s.n_users,
+           round(c.cum_rev / s.n_users, 6) AS ltv_per_user
+    FROM cum c JOIN sizes s ON s.cohort = c.cohort
+    WHERE c.age_days IN (0, 7, 14, 21, 28)
+    """,
+    doc=(
+        "Cohort lifetime-value curve: users grouped by first-touch "
+        "WEEK, cumulative value per user at ages 0/7/14/21/28 days — "
+        "the payback-period table growth teams read next to the "
+        "retention matrix (cohort_retention_matrix). Scale shape: one "
+        "user-grain agg for first-touch, one fact equi-join back (the "
+        "cohort dim rides user grain), one hash agg to (cohort, age) "
+        "grain, then the cumulative runs over a CALENDAR-BOUNDED "
+        "frame (weeks x ages, never data grain — justified in "
+        "tools/sweep_windows.ALLOWED_BOUNDED_INPUT); revenue sums are "
+        "exact DECIMAL end to end with ONE double division at output."
+    ),
+)
+def cohort_ltv_curve(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    day = F.to_date(F.date_trunc("day", "ts"))
+    firstday = events.groupBy("user_id").agg(F.min(day).alias("d0"))
+    cohorts = firstday.select(
+        "user_id",
+        F.to_date(F.date_trunc("week", "d0")).alias("cohort"),
+        "d0",
+    )
+    sizes = cohorts.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    rev = (
+        events.filter(F.col("value").isNotNull())
+        .join(cohorts, "user_id")
+        .groupBy(
+            "cohort",
+            F.datediff(day, F.col("d0")).alias("age_days"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(30,10)")).alias("r"))
+    )
+    cum = rev.select(
+        "cohort",
+        "age_days",
+        F.sum("r")
+        .over(
+            Window.partitionBy("cohort")
+            .orderBy("age_days")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("double")
+        .alias("cum_rev"),
+    )
+    return (
+        cum.filter(F.col("age_days").isin(0, 7, 14, 21, 28))
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "age_days",
+            "n_users",
+            F.round(F.col("cum_rev") / F.col("n_users"), 6).alias(
+                "ltv_per_user"
+            ),
+        )
+    )
+
+
+@register(
+    "did_value_uplift",
+    """
+    WITH cells AS (
+      SELECT user_id % 2 AS grp,
+             CASE WHEN CAST(date_trunc('day', ts) AS DATE)
+                       >= DATE '2024-01-16' THEN 1 ELSE 0 END AS post,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS s
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT
+        MAX(CASE WHEN grp = 0 AND post = 0 THEN s / n END) AS a_pre,
+        MAX(CASE WHEN grp = 0 AND post = 1 THEN s / n END) AS a_post,
+        MAX(CASE WHEN grp = 1 AND post = 0 THEN s / n END) AS b_pre,
+        MAX(CASE WHEN grp = 1 AND post = 1 THEN s / n END) AS b_post,
+        CAST(SUM(n) AS BIGINT) AS n_total
+      FROM cells
+    )
+    SELECT n_total,
+           round(a_pre, 6) AS a_pre, round(a_post, 6) AS a_post,
+           round(b_pre, 6) AS b_pre, round(b_post, 6) AS b_post,
+           round((b_post - b_pre) - (a_post - a_pre) + 0.0, 6)
+             AS did_estimate
+    FROM w
+    """,
+    doc=(
+        "Difference-in-differences uplift estimate: mean event value "
+        "in the 2x2 (group x pre/post day-16) design, DiD = "
+        "(B_post - B_pre) - (A_post - A_pre) — the quasi-experimental "
+        "readout when assignment is not randomized per event (group = "
+        "user parity; in production the hash split). Completes the "
+        "experimentation tier beside the randomized two-proportion z. "
+        "Scale shape: ONE hash agg to the 4-cell design grain with "
+        "exact-DECIMAL sums, then a 4-way conditional pivot and one "
+        "double expression — nothing after the first agg touches the "
+        "fact."
+    ),
+)
+def did_value_uplift(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    day = F.to_date(F.date_trunc("day", "ts"))
+    cells = events.groupBy(
+        (F.col("user_id") % 2).alias("grp"),
+        F.when(day >= F.lit("2024-01-16").cast("date"), 1)
+        .otherwise(0)
+        .alias("post"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(30,10)"))
+        .cast("double")
+        .alias("s"),
+    )
+
+    def cell(g, p):
+        return F.max(
+            F.when(
+                (F.col("grp") == g) & (F.col("post") == p),
+                F.col("s") / F.col("n"),
+            )
+        )
+
+    w = cells.agg(
+        cell(0, 0).alias("a_pre"),
+        cell(0, 1).alias("a_post"),
+        cell(1, 0).alias("b_pre"),
+        cell(1, 1).alias("b_post"),
+        F.sum("n").cast("bigint").alias("n_total"),
+    )
+    return w.select(
+        "n_total",
+        F.round("a_pre", 6).alias("a_pre"),
+        F.round("a_post", 6).alias("a_post"),
+        F.round("b_pre", 6).alias("b_pre"),
+        F.round("b_post", 6).alias("b_post"),
+        (
+            F.round(
+                (F.col("b_post") - F.col("b_pre"))
+                - (F.col("a_post") - F.col("a_pre")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("did_estimate"),
+    )

@@ -580,3 +580,46 @@ def test_ab_test_proportions_matches_numpy(spark, events_pd):
     assert row.rate_a == pytest.approx(c0 / n0, abs=1e-6)
     assert row.rate_b == pytest.approx(c1 / n1, abs=1e-6)
     assert row.z_score == pytest.approx(z, abs=1e-5)
+
+
+def test_cohort_ltv_curve_matches_pandas(spark, events_pd):
+    df = events_pd.assign(day=events_pd.ts.dt.floor("D"))
+    d0 = df.groupby("user_id").day.min().rename("d0")
+    j = df.join(d0, on="user_id")
+    j["cohort"] = j.d0.dt.to_period("W").dt.start_time
+    j["age"] = (j.day - j.d0).dt.days
+    sizes = d0.dt.to_period("W").dt.start_time.value_counts()
+    got = {
+        (str(r.cohort), r.age_days): (r.n_users, r.ltv_per_user)
+        for r in SPECS["cohort_ltv_curve"]
+        .spark_fn(spark, SF_DIR)
+        .collect()  # bounded-collect: cohorts x 5 ages
+    }
+    jr = j[j.value.notna()]
+    for (cohort, age), (n_users, ltv) in got.items():
+        cdt = pd.Timestamp(cohort)
+        assert n_users == sizes[cdt], (cohort, age)
+        cum = jr[(jr.cohort == cdt) & (jr.age <= age)].value.sum()
+        assert ltv == pytest.approx(cum / n_users, abs=1e-4), (cohort, age)
+    # ltv is non-decreasing in age within every cohort
+    for cohort in {c for c, _ in got}:
+        ages = sorted(a for c, a in got if c == cohort)
+        vals = [got[(cohort, a)][1] for a in ages]
+        assert all(x <= y + 1e-9 for x, y in zip(vals, vals[1:]))
+
+
+def test_did_value_uplift_matches_pandas(spark, events_pd):
+    df = events_pd[events_pd.value.notna()].assign(
+        day=events_pd.ts.dt.floor("D")
+    )
+    df["grp"] = df.user_id % 2
+    df["post"] = (df.day >= "2024-01-16").astype(int)
+    m = df.groupby(["grp", "post"]).value.mean()
+    did = (m[1, 1] - m[1, 0]) - (m[0, 1] - m[0, 0])
+    row = (
+        SPECS["did_value_uplift"].spark_fn(spark, SF_DIR).collect()[0]
+    )  # bounded-collect: 1-row design summary
+    assert row.n_total == len(df)
+    assert row.a_pre == pytest.approx(m[0, 0], abs=1e-5)
+    assert row.b_post == pytest.approx(m[1, 1], abs=1e-5)
+    assert row.did_estimate == pytest.approx(did, abs=1e-5)

@@ -86,6 +86,12 @@ ALLOWED_BOUNDED_INPUT: dict[str, str] = {
         "span), never event grain; the fact is reduced to day grain "
         "in one hash agg before any window"
     ),
+    "cohort_ltv_curve": (
+        "cumulative revenue over the (cohort-week, age-days) "
+        "AGGREGATE — calendar-bounded per key (ages <= days span), "
+        "never event grain; the fact reduces to that grain in one "
+        "hash agg before the window"
+    ),
     "interpolate_daily_gaps": (
         "IGNORE-NULLS first/last windows over the per-type DATE SPINE "
         "(sequence(min_day, max_day)) — calendar-day grain per key, "
