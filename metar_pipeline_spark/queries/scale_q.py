@@ -1610,3 +1610,56 @@ def brr_mean_ci_value(spark, sf_dir):
         F.round(F.col("mean") - z * F.col("se"), 6).alias("ci_lo"),
         F.round(F.col("mean") + z * F.col("se"), 6).alias("ci_hi"),
     )
+
+
+@register(
+    "equidepth_histogram_value",
+    """
+    WITH r AS (
+      SELECT value,
+             NTILE(10) OVER (ORDER BY value, event_id) AS bin
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           round(MIN(value), 6) AS lo,
+           round(MAX(value), 6) AS hi
+    FROM r GROUP BY bin
+    """,
+    doc=(
+        "Equi-DEPTH histogram of the value column (10 bins of equal "
+        "row count with their boundaries) — the column statistic a "
+        "cost-based optimizer ships (ANALYZE ... FOR COLUMNS), "
+        "complementing the equi-WIDTH value_histogram: equi-depth "
+        "boundaries adapt to skew, so selectivity estimates stay "
+        "honest on heavy-tailed columns. Scale shape: "
+        "operators/ranking.distributed_rank (range exchange + "
+        "pid-partitioned window — never a single-task NTILE over "
+        "data grain) + the closed-form ntile_from_rank, bit-identical "
+        "to the oracle's NTILE(10) under the (value, event_id) total "
+        "order; then one hash agg at bin grain."
+    ),
+)
+def equidepth_histogram_value(spark, sf_dir):
+    from metar_pipeline_spark.operators.ranking import (
+        distributed_rank,
+        ntile_from_rank,
+    )
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    n = events.agg(F.count(F.lit(1)).alias("__n"))
+    r = distributed_rank(
+        events.select("value", "event_id"),
+        [F.asc("value"), F.asc("event_id")],
+        rank_col="__rk",
+    ).crossJoin(F.broadcast(n))
+    binned = r.select(
+        "value",
+        ntile_from_rank(F.col("__rk"), F.col("__n"), 10).alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    )

@@ -3623,3 +3623,78 @@ def embedding_mislabel_candidates(spark, sf_dir):
             F.col("_b.cos").alias("best_cos"),
         )
     )
+
+
+@register(
+    "langid_agreement_matrix",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang AS claimed_lang,
+        len(list_filter(toks, t -> t IN ('der','die','und','das','ist','nicht','mit','ein','zu','den'))) AS s_de,
+        len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','that','for','with'))) AS s_en,
+        len(list_filter(toks, t -> t IN ('el','la','de','y','que','en','los','un','por','con'))) AS s_es,
+        len(list_filter(toks, t -> t IN ('le','la','et','les','des','un','une','du','est','pour'))) AS s_fr,
+        len(list_filter(toks, t -> t IN ('的','了','是','我','不','在','他','有','这','中'))) AS s_zh
+      FROM (SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents)
+    ),
+    p AS (
+      SELECT claimed_lang,
+             CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                  WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                  WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                  WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                  WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                  ELSE 'zh' END AS predicted_lang
+      FROM s
+    ),
+    cells AS (
+      SELECT claimed_lang, predicted_lang, COUNT(*) AS n_docs
+      FROM p GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT claimed_lang AS cl, SUM(n_docs) AS t FROM cells GROUP BY 1
+    )
+    SELECT c.claimed_lang, c.predicted_lang,
+           CAST(c.n_docs AS BIGINT) AS n_docs,
+           c.claimed_lang = c.predicted_lang AS is_match,
+           round(CAST(c.n_docs AS DOUBLE) / t.t, 6) AS share_of_claimed
+    FROM cells c JOIN tot t ON t.cl = c.claimed_lang
+    """,
+    doc=(
+        "Language-metadata QA: the confusion matrix between each "
+        "document's DECLARED lang column and the stopword-heuristic "
+        "prediction (text_lang_id's scorer) — off-diagonal mass is "
+        "mislabeled language metadata, the silent poison of "
+        "language-filtered training mixes (a lang='en' filter keeps "
+        "whatever the METADATA says, not what the text is). Scale "
+        "shape: one corpus scan scores all five stopword sets as JVM "
+        "array intersections, then two tiny hash aggs (cell grain, "
+        "claimed grain) — no joins at corpus width."
+    ),
+)
+def langid_agreement_matrix(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    p = docs.select(
+        F.col("lang").alias("claimed_lang"),
+        tx.predict_lang(toks).alias("predicted_lang"),
+    )
+    cells = p.groupBy("claimed_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = cells.groupBy(F.col("claimed_lang").alias("cl")).agg(
+        F.sum("n_docs").alias("t")
+    )
+    return cells.join(
+        F.broadcast(tot), F.col("cl") == F.col("claimed_lang")
+    ).select(
+        "claimed_lang",
+        "predicted_lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        (F.col("claimed_lang") == F.col("predicted_lang")).alias(
+            "is_match"
+        ),
+        F.round(
+            F.col("n_docs").cast("double") / F.col("t"), 6
+        ).alias("share_of_claimed"),
+    )

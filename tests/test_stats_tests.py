@@ -623,3 +623,54 @@ def test_did_value_uplift_matches_pandas(spark, events_pd):
     assert row.a_pre == pytest.approx(m[0, 0], abs=1e-5)
     assert row.b_post == pytest.approx(m[1, 1], abs=1e-5)
     assert row.did_estimate == pytest.approx(did, abs=1e-5)
+
+
+def test_equidepth_histogram_matches_pandas(spark, events_pd):
+    v = events_pd[events_pd.value.notna()].sort_values(
+        ["value", "event_id"]
+    )
+    n = len(v)
+    q, m = divmod(n, 10)
+    got = {
+        r.bin: (r.n_rows, r.lo, r.hi)
+        for r in SPECS["equidepth_histogram_value"]
+        .spark_fn(spark, SF_DIR)
+        .collect()  # bounded-collect: 10 bins
+    }
+    pos = 0
+    for b in range(1, 11):
+        size = q + (1 if b <= m else 0)
+        chunk = v.value.iloc[pos : pos + size]
+        assert got[b][0] == size
+        assert got[b][1] == pytest.approx(chunk.min(), abs=1e-6)
+        assert got[b][2] == pytest.approx(chunk.max(), abs=1e-6)
+        pos += size
+    # equi-depth contract: bin sizes differ by at most 1, boundaries
+    # are non-decreasing across bins
+    sizes = [got[b][0] for b in range(1, 11)]
+    assert max(sizes) - min(sizes) <= 1
+    his = [got[b][2] for b in range(1, 11)]
+    assert all(x <= y + 1e-9 for x, y in zip(his, his[1:]))
+
+
+def test_langid_agreement_matrix_consistent_with_text_lang_id(spark):
+    """The matrix must be exactly the census of text_lang_id's rows
+    (shared scorer), with per-claimed shares summing to 1."""
+    from collections import Counter
+
+    per_doc = (
+        SPECS["text_lang_id"].spark_fn(spark, SF_DIR).collect()
+    )  # bounded-collect: sf0.001 docs
+    exp = Counter((r.claimed_lang, r.predicted_lang) for r in per_doc)
+    rows = (
+        SPECS["langid_agreement_matrix"].spark_fn(spark, SF_DIR).collect()
+    )  # bounded-collect: lang-pair grain
+    got = {(r.claimed_lang, r.predicted_lang): r.n_docs for r in rows}
+    assert got == dict(exp)
+    by_claimed = {}
+    for r in rows:
+        by_claimed.setdefault(r.claimed_lang, 0.0)
+        by_claimed[r.claimed_lang] += r.share_of_claimed
+        assert r.is_match == (r.claimed_lang == r.predicted_lang)
+    for cl, s in by_claimed.items():
+        assert s == pytest.approx(1.0, abs=1e-4), cl
