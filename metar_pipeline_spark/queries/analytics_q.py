@@ -2799,3 +2799,61 @@ def ppr_seed_expansion(spark, sf_dir):
         )
     )
     return ranks.select(label.alias("node"), "rank")
+
+
+@register(
+    "eb_shrunk_conversion_rates",
+    """
+    WITH u AS (
+      SELECT user_id, COUNT(*) AS n,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT CAST(SUM(conv) AS DOUBLE) / SUM(n) AS p0 FROM u
+    )
+    SELECT u.user_id, CAST(u.n AS BIGINT) AS n,
+           CAST(u.conv AS BIGINT) AS conv,
+           round(CAST(u.conv AS DOUBLE) / u.n, 6) AS raw_rate,
+           round((u.conv + 20 * g.p0) / (u.n + 20), 6) AS shrunk_rate
+    FROM u CROSS JOIN g
+    """,
+    doc=(
+        "Empirical-Bayes shrinkage of per-user conversion rates "
+        "(beta-binomial with prior strength M=20 centered on the "
+        "global rate — the baseball-batting-average estimator): a "
+        "user with 3 events and 1 purchase reads 33% raw but shrinks "
+        "hard toward the prior, while heavy users keep their own "
+        "rate. The per-key-rate smoothing every leaderboard/ranking "
+        "over sparse keys needs before sorting by rate (raw-rate "
+        "ordering is dominated by tiny-n noise). Scale shape: one "
+        "user-grain hash agg, the global rate on a broadcast one-row "
+        "carrier, one fixed double expression per row — no windows, "
+        "no second shuffle."
+    ),
+)
+def eb_shrunk_conversion_rates(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    u = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    g = u.agg(
+        (
+            F.sum("conv").cast("double") / F.sum("n")
+        ).alias("p0")
+    )
+    return u.crossJoin(F.broadcast(g)).select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("conv").cast("bigint").alias("conv"),
+        F.round(F.col("conv").cast("double") / F.col("n"), 6).alias(
+            "raw_rate"
+        ),
+        F.round(
+            (F.col("conv") + 20 * F.col("p0")) / (F.col("n") + 20), 6
+        ).alias("shrunk_rate"),
+    )

@@ -674,3 +674,29 @@ def test_langid_agreement_matrix_consistent_with_text_lang_id(spark):
         assert r.is_match == (r.claimed_lang == r.predicted_lang)
     for cl, s in by_claimed.items():
         assert s == pytest.approx(1.0, abs=1e-4), cl
+
+
+def test_eb_shrunk_rates_matches_pandas(spark, events_pd):
+    u = events_pd.groupby("user_id").agg(
+        n=("event_type", "size"),
+        conv=("event_type", lambda s: int((s == "purchase").sum())),
+    )
+    p0 = u.conv.sum() / u.n.sum()
+    got = {
+        r.user_id: r
+        for r in SPECS["eb_shrunk_conversion_rates"]
+        .spark_fn(spark, SF_DIR)
+        .collect()  # bounded-collect: user grain at sf0.001
+    }
+    assert set(got) == set(u.index)
+    for uid, row in u.iterrows():
+        g = got[uid]
+        assert (g.n, g.conv) == (row.n, row.conv)
+        assert g.raw_rate == pytest.approx(row.conv / row.n, abs=1e-6)
+        assert g.shrunk_rate == pytest.approx(
+            (row.conv + 20 * p0) / (row.n + 20), abs=1e-6
+        )
+        # shrinkage contract: shrunk sits strictly between raw and
+        # prior (or equals both when raw == prior)
+        lo, hi = sorted((row.conv / row.n, p0))
+        assert lo - 1e-9 <= g.shrunk_rate <= hi + 1e-9
