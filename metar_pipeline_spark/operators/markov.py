@@ -103,7 +103,30 @@ def removal_variant_probs(
     EVERY evaluation (~5 s per literal frame per action in local
     mode)."""
     spark = tcnt.sparkSession
+    reserved = {"full", START, NULL_STATE, convert_type}
+    bad = reserved.intersection(channels)
+    if bad:
+        # 'full' is the baseline variant label and START/NULL/convert
+        # are absorber states: a channel carrying one of these names
+        # would make the baseline variant drop that state's rows (the
+        # src != variant filter below), silently corrupting every
+        # removal effect (round-10 ADVICE).
+        raise ValueError(f"channel names collide with reserved labels: {sorted(bad)}")
     tcnt = tcnt.localCheckpoint(eager=True)
+    observed = {
+        r[0]
+        for r in tcnt.select(F.col("src").alias("s"))
+        .union(tcnt.select("dst"))
+        .distinct()
+        .collect()  # bounded-collect: state grain (~|states| ≤ tens)
+    }
+    bad_states = (reserved - {START, NULL_STATE, convert_type}).intersection(
+        observed
+    )
+    if bad_states:
+        raise ValueError(
+            f"observed states collide with reserved labels: {sorted(bad_states)}"
+        )
     variants = spark.range(1).select(
         F.explode(
             F.array(*[F.lit(v) for v in ["full", *channels]])

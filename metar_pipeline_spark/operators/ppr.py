@@ -53,6 +53,12 @@ def personalized_pagerank(
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
+        # isolated seeds (no incident edges) must still participate:
+        # they hold teleport share 1/|S| and are dangling (deg NULL),
+        # so their mass returns to the seed set and Σr stays 1. Without
+        # this union a no-edge seed was silently dropped while still
+        # counted in |S| — its teleport share leaked (round-10 ADVICE).
+        .union(seedset)
         .distinct()
         .join(
             outdeg.select(F.col("src").alias("node"), "deg"),

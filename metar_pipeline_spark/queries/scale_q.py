@@ -1506,9 +1506,15 @@ def _brr_oracle(r_count: int = _BRR_R) -> str:
         sums.append(
             f"SUM(CASE WHEN {pick} THEN 1 ELSE 0 END) AS c{i}"
         )
-    dev = "(s0 / c0 - mean) * (s0 / c0 - mean)"
+    # An empty half-sample (possible only at degenerate n) must not
+    # divide by zero — ANSI Spark would throw where DuckDB yields inf.
+    # Fall back to the grand mean so the replicate contributes 0.
+    def _rm(i: int) -> str:
+        return f"CASE WHEN c{i} > 0 THEN s{i} / c{i} ELSE mean END"
+
+    dev = f"({_rm(0)} - mean) * ({_rm(0)} - mean)"
     for i in range(1, r_count):
-        dev = f"({dev} + (s{i} / c{i} - mean) * (s{i} / c{i} - mean))"
+        dev = f"({dev} + ({_rm(i)} - mean) * ({_rm(i)} - mean))"
     return f"""
     WITH hx AS (
       SELECT value, {", ".join(h1s)}
@@ -1594,7 +1600,12 @@ def brr_mean_ci_value(spark, sf_dir):
     m = s.withColumn("mean", mean)
 
     def d(i):
-        t = F.col(f"s{i}") / F.col(f"c{i}") - F.col("mean")
+        # empty half-sample → grand-mean fallback (0 deviation): guards
+        # ANSI DIVIDE_BY_ZERO at degenerate n, mirrored in the oracle
+        rep = F.when(
+            F.col(f"c{i}") > 0, F.col(f"s{i}") / F.col(f"c{i}")
+        ).otherwise(F.col("mean"))
+        t = rep - F.col("mean")
         return t * t
 
     dev = d(0)

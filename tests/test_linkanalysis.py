@@ -101,3 +101,50 @@ def test_personalized_pagerank_hand_graph(spark):
     # mass conservation (up to per-step rounding) and seed dominance
     assert abs(sum(got.values()) - 1.0) < 1e-9
     assert got[1] == max(got.values())
+
+
+def test_personalized_pagerank_isolated_seed_conserves_mass(spark):
+    """A seed with NO incident edges (round-10 ADVICE): it must hold
+    teleport share 1/|S| as a dangling node, so Σrank stays 1 and
+    |S| = 2 is honored — previously the isolated seed was dropped and
+    its teleport share leaked (Σrank < 1)."""
+    from metar_pipeline_spark.operators.ppr import personalized_pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src int, dst int")
+    seeds = spark.createDataFrame([(1,), (99,)], "node int")  # 99 isolated
+    got = {
+        r.node: r.rank
+        for r in personalized_pagerank(
+            edges, seeds, iterations=3
+        ).collect()  # bounded-collect: hand graph
+    }
+    assert 99 in got  # the isolated seed participates
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # the isolated seed keeps receiving teleport + dangling mass
+    assert got[99] > 0.0
+
+
+def test_markov_reserved_label_collision_raises(spark):
+    """Channel names colliding with the reserved variant/absorber
+    labels must fail loudly (round-10 ADVICE): a channel named 'full'
+    would silently corrupt every removal effect."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.operators.markov import removal_variant_probs
+
+    tcnt = spark.createDataFrame(
+        [("START", "a", 3), ("a", "purchase", 2), ("a", "NULL", 1)],
+        "src string, dst string, c long",
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        removal_variant_probs(tcnt, ["a", "full"])
+    with pytest.raises(ValueError, match="reserved"):
+        removal_variant_probs(tcnt, ["a", "NULL"])
+    # an OBSERVED state named 'full' is just as corrupting
+    tbad = spark.createDataFrame(
+        [("START", "full", 3), ("full", "purchase", 2)],
+        "src string, dst string, c long",
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        removal_variant_probs(tbad, ["a"])

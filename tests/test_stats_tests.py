@@ -259,9 +259,12 @@ def test_fm_sketch_set_ops_matches_numpy(spark, events_pd):
     )
 
     df = events_pd.assign(day=events_pd.ts.dt.floor("D"))
-    df = df[df.day.isin(["2024-01-05", "2024-01-06"])]
+    # explicit datetime cast: string isin on datetime64 is deprecated
+    # (a future pandas would silently match nothing)
+    days = pd.to_datetime(["2024-01-05", "2024-01-06"])
+    df = df[df.day.isin(days)]
     uid = df.user_id.to_numpy().astype(object)  # python ints: no overflow
-    is_a = (df.day == "2024-01-05").to_numpy()
+    is_a = (df.day == days[0]).to_numpy()
     m = 64
 
     def side_mins(mask):
