@@ -134,3 +134,114 @@ def apply_agg_delta(
             ).alias(m)
         )
     return j.select(*sel).filter(F.col(count_col) != 0)
+
+
+def minmax_delta_state(
+    zset: DataFrame,
+    group_cols: "list[str]",
+    value_col: str,
+) -> DataFrame:
+    """Group-grain summary of a delta Z-set for extreme (MIN/MAX)
+    maintenance: the net row-count change plus the inserted-value and
+    retracted-value extremes. One hash aggregate over |Δ| rows.
+
+    MIN/MAX are NOT linear in the weights, so unlike
+    :func:`zset_weighted_agg` this cannot finish the job alone — the
+    retracted extremes exist precisely to DETECT the groups where the
+    maintained extreme may have been retracted (see
+    :func:`apply_minmax_delta`)."""
+    w = F.col(WEIGHT_COL)
+    v = F.col(value_col)
+    return zset.groupBy(*group_cols).agg(
+        F.sum(w).cast("long").alias("_dn"),
+        F.min(F.when(w > 0, v)).alias("_ins_min"),
+        F.max(F.when(w > 0, v)).alias("_ins_max"),
+        F.min(F.when(w < 0, v)).alias("_ret_min"),
+        F.max(F.when(w < 0, v)).alias("_ret_max"),
+    )
+
+
+def apply_minmax_delta(
+    view: DataFrame,
+    dz: DataFrame,
+    base_new: DataFrame,
+    group_cols: "list[str]",
+    value_col: str,
+    count_col: str = "_n",
+    min_col: str = "min_v",
+    max_col: str = "max_v",
+) -> DataFrame:
+    """Maintain a grouped MIN/MAX (+COUNT) view under a delta Z-set —
+    the non-linear-aggregate case of IVM (the reference's dwh rollup
+    computes MAX/MIN per day, dbt/models/dwh/
+    dw_daily_airport_metrics.sql:12-13; its semantics under late
+    DELETES are exactly this).
+
+    Inserts are algebraic: new_min = least(old_min, min(inserted)),
+    same for max. Retractions are not — deleting the CURRENT extreme
+    cannot be resolved from the view alone (the runner-up was never
+    stored). The standard treatment (DBSP / Materialize "reduction
+    with a rescan fallback"): detect the groups whose retracted-value
+    extreme EQUALS the maintained extreme, and recompute ONLY those
+    groups from the post-batch base via a broadcast semi-join of the
+    affected keys — |unsafe| ≤ |Δ groups|, so the rescan reads the
+    affected groups' partitions, never the fact table's breadth.
+
+    ``view``: group_cols + count_col + min_col + max_col (the stored
+    state). ``dz``: fact-grain delta Z-set with ``_w``. ``base_new``:
+    the post-batch fact frame (group_cols + value_col) — only read for
+    the unsafe groups. COUNT stays maintained algebraically; a group
+    whose count nets 0 is dropped.
+    """
+    d = minmax_delta_state(dz, group_cols, value_col).localCheckpoint(
+        eager=True
+    )  # |Δ|-group grain; feeds the merge AND the unsafe probe
+    vstate = view.select(
+        *group_cols,
+        F.col(min_col).alias("_vmin"),
+        F.col(max_col).alias("_vmax"),
+    )
+    # unsafe ⇔ a retraction touched the maintained extreme. eqNullSafe:
+    # a group with no retractions (_ret_* NULL) is never unsafe.
+    unsafe = (
+        vstate.join(F.broadcast(d), group_cols)
+        .filter(
+            F.col("_ret_min").eqNullSafe(F.col("_vmin"))
+            | F.col("_ret_max").eqNullSafe(F.col("_vmax"))
+        )
+        .select(*group_cols)
+    )
+    # the ONLY base read: affected groups, keys broadcast — with the
+    # base stored partitioned/bucketed by the group key this prunes to
+    # the affected partitions.
+    # lazy on purpose: rescan has exactly ONE consumer (the final left
+    # join), and staying lazy keeps the semi-join visible in the plan
+    # (pinned by tests/test_ivm.py); the broadcast hint below does not
+    # need materialized stats.
+    rescan = (
+        base_new.join(F.broadcast(unsafe), group_cols, "semi")
+        .groupBy(*group_cols)
+        .agg(
+            F.min(value_col).alias("_rmin"),
+            F.max(value_col).alias("_rmax"),
+        )
+    )
+    j = view.alias("v").join(d.alias("d"), group_cols, "full_outer")
+    new_n = (
+        F.coalesce(F.col(f"v.{count_col}"), F.lit(0))
+        + F.coalesce(F.col("d._dn"), F.lit(0))
+    ).cast("long")
+    # least/greatest skip NULLs: new groups take the inserted extreme,
+    # untouched groups keep the stored one.
+    safe_min = F.least(F.col(f"v.{min_col}"), F.col("d._ins_min"))
+    safe_max = F.greatest(F.col(f"v.{max_col}"), F.col("d._ins_max"))
+    return (
+        j.join(F.broadcast(rescan), group_cols, "left")
+        .select(
+            *group_cols,
+            new_n.alias(count_col),
+            F.coalesce(F.col("_rmin"), safe_min).alias(min_col),
+            F.coalesce(F.col("_rmax"), safe_max).alias(max_col),
+        )
+        .filter(F.col(count_col) != 0)
+    )

@@ -58,34 +58,19 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # the auto-boost catches direct query/oracle edits and one-hop operator
 # module edits, but not deeper transitive changes).
 VERIFY_FIRST: list[str] = [
-    # Round 10 final (session 2): registry at 275 queries. Never-green
-    # backlog = 3 permanent rows-only sketches + the 11 session-1
-    # round-10 queries (ann_maxsim_ivf_rerank, ann_maxsim_recall_at_10,
-    # ivm_delta_agg_view, ivm_delta_distinct_view, stream_ivm_delta_view,
-    # supply_cheapest_path_3hop_pred, xcorr_daily_lag3,
-    # cms_user_frequency_audit, supply_kcore_15,
-    # ks_two_sample_click_view, fm_distinct_users_estimate) + the 24
-    # session-2 queries (mannwhitney_u_click_view,
-    # cusum_changepoint_daily, theilsen_daily_trend,
-    # spearman_daily_count_value, k_anonymity_audit, l_diversity_audit,
-    # neardup_ktruss_edges, vocab_coverage_curve,
-    # embedding_mislabel_candidates, markov_attribution_removal,
-    # fm_sketch_set_ops, rfm_segment_census, forecast_baseline_backtest,
-    # session_entry_exit_profile, sampled_quantile_accuracy,
-    # km_conversion_survival, brr_mean_ci_value, ppr_seed_expansion,
-    # ab_test_proportions, cohort_ltv_curve, did_value_uplift,
-    # langid_agreement_matrix, equidepth_histogram_value,
-    # eb_shrunk_conversion_rates; embedding_norm_outliers was added then
-    # REMOVED — meaningless on unit-normalized embeddings and its
-    # near-zero variance flips sign under DECIMAL rounding at
-    # sf0.001) = 38; with the boosted maxsim entry
-    # the window is 29 never-green + 21 of the ~29 drifted
-    # (grouped_topk conversions etc) — the displaced drifted tail is
-    # bit-identical-by-construction rewrites, all locally verified on
-    # the full four-axis matrix at round end. Every session-2 query
-    # ALSO carries an engine-independent pandas/numpy recomputation
-    # test (tests/test_stats_tests.py, tests/test_markov.py).
-    "ann_maxsim_late_interaction",
+    # Round 11: new queries this round (IVM MIN/MAX with per-group
+    # rescan fallback; incremental dedup cluster maintenance; the
+    # KMV bottom-k quantile sketch family; see per-query docs), plus
+    # the round-10-ADVICE-touched queries whose source/oracle changed
+    # (brr zero-guard; ppr/markov operator edits — semantics unchanged
+    # at the shipped data, re-verified locally on the full registry).
+    # The r10 driver window went 47/50 green (only the 3 permanent
+    # rows-only sketches non-green, by design); everything else rides
+    # the green-hash auto-boost.
+    "ivm_delta_minmax_view",
+    "brr_mean_ci_value",
+    "ppr_seed_expansion",
+    "markov_attribution_removal",
 ]
 
 

@@ -2013,6 +2013,106 @@ def ivm_delta_agg_view(spark, sf_dir):
     )
 
 
+@register(
+    "ivm_delta_minmax_view",
+    """
+    WITH new_state AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CASE WHEN o_orderkey % 101 = 0 AND o_orderkey % 97 <> 0
+                  THEN o_totalprice + 50.0
+                  ELSE o_totalprice END AS price
+      FROM orders
+      WHERE NOT (o_orderkey % 103 = 0 AND o_orderkey % 97 <> 0
+                 AND o_orderkey % 101 <> 0)
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           round(CAST(MIN(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS min_price,
+           round(CAST(MAX(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS max_price
+    FROM new_state
+    GROUP BY 1
+    """,
+    doc=(
+        "Incremental maintenance of a MIN/MAX view — the NON-LINEAR "
+        "aggregate case of IVM (the reference's dwh rollup keeps "
+        "per-day MAX/MIN, dbt/models/dwh/dw_daily_airport_metrics"
+        ".sql:12-13; this is its behavior under late updates/deletes): "
+        "the daily orders (COUNT, MIN price, MAX price) view maintained "
+        "from the same CDC Z-set as ivm_delta_agg_view. Inserts merge "
+        "algebraically (least/greatest); a retraction that hits the "
+        "maintained extreme flags the group UNSAFE and ONLY those "
+        "groups are recomputed from the post-batch base via a "
+        "broadcast semi-join of the affected keys "
+        "(ivm.apply_minmax_delta) — |unsafe| ≤ |Δ groups|, never a "
+        "view-wide rescan. The oracle recomputes the view from the "
+        "full new state — algebra+rescan ≡ recompute."
+    ),
+)
+def ivm_delta_minmax_view(spark, sf_dir):
+    from metar_pipeline_spark.operators.ivm import apply_minmax_delta
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        (F.col("o_totalprice") + F.lit(50.0))
+        .cast("decimal(18,2)")
+        .alias("bumped"),
+    )
+    is_ins = F.col("k") % 97 == 0
+    is_upd = (F.col("k") % 101 == 0) & (F.col("k") % 97 != 0)
+    is_del = (
+        (F.col("k") % 103 == 0)
+        & (F.col("k") % 97 != 0)
+        & (F.col("k") % 101 != 0)
+    )
+    view = (
+        base.filter(~is_ins)
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.min("price").alias("min_v"),
+            F.max("price").alias("max_v"),
+        )
+    )
+    dz = (
+        base.filter(is_ins)
+        .select("day", "price", F.lit(1).alias("_w"))
+        .unionByName(
+            base.filter(is_upd).select(
+                "day", "price", F.lit(-1).alias("_w")
+            )
+        )
+        .unionByName(
+            base.filter(is_upd).select(
+                "day", F.col("bumped").alias("price"), F.lit(1).alias("_w")
+            )
+        )
+        .unionByName(
+            base.filter(is_del).select(
+                "day", "price", F.lit(-1).alias("_w")
+            )
+        )
+    )
+    # the post-batch base — read ONLY for the unsafe groups
+    base_new = base.filter(~is_del).select(
+        "day",
+        F.when(is_upd, F.col("bumped")).otherwise(F.col("price")).alias(
+            "price"
+        ),
+    )
+    new_view = apply_minmax_delta(view, dz, base_new, ["day"], "price")
+    return new_view.select(
+        "day",
+        F.col("_n").alias("n_orders"),
+        F.round(F.col("min_v").cast("double"), 2).alias("min_price"),
+        F.round(F.col("max_v").cast("double"), 2).alias("max_price"),
+    )
+
+
 def _bf_oracle(rounds: int = 3) -> str:
     """Unrolled twin of operators/paths.bellman_ford_min_cost over the
     undirected min-price supplier↔part edge set."""

@@ -200,3 +200,115 @@ def test_delta_log_replay_idempotent_and_rebuilds_view(spark, tmp_path):
     assert {r.g: r.total for r in rebuilt.collect()} == {
         "a": 12, "b": 5, "c": 7
     }
+
+
+def test_minmax_delta_retraction_of_extreme_forces_rescan(spark):
+    """Hand case (round-10 VERDICT #2): group 'a' retracts its current
+    MAX (needs a per-group rescan), group 'b' retracts a non-extreme
+    row (algebraic path must suffice), group 'c' is new from inserts,
+    group 'd' nets to zero and must drop. Result ≡ full recompute."""
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.operators.ivm import apply_minmax_delta
+
+    old = spark.createDataFrame(
+        [("a", 1), ("a", 5), ("a", 9), ("b", 2), ("b", 7), ("d", 4)],
+        "g string, v int",
+    )
+    view = old.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+    # batch: delete a=9 (a's max → unsafe, rescan), insert b=3
+    # (algebraic), delete d=4 (group nets to zero), insert c=6 twice
+    # (new group from the delta alone).
+    dz = spark.createDataFrame(
+        [
+            ("a", 9, -1),
+            ("b", 3, 1),
+            ("d", 4, -1),
+            ("c", 6, 1),
+            ("c", 6, 1),
+        ],
+        "g string, v int, _w int",
+    )
+    base_new = spark.createDataFrame(
+        [("a", 1), ("a", 5), ("b", 2), ("b", 7), ("b", 3),
+         ("c", 6), ("c", 6)],
+        "g string, v int",
+    )
+    got = {
+        r.g: (r._n, r.min_v, r.max_v)
+        for r in apply_minmax_delta(
+            view, dz, base_new, ["g"], "v"
+        ).collect()
+    }
+    # full recompute ground truth
+    exp = {
+        r.g: (r._n, r.min_v, r.max_v)
+        for r in base_new.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+        .collect()
+    }
+    assert got == exp
+    assert got["a"] == (2, 1, 5)  # rescan found the runner-up max
+    assert got["c"] == (2, 6, 6)  # new group from inserts alone
+    assert "d" not in got  # net-zero count dropped
+
+
+def test_minmax_delta_retraction_of_min_and_insert_beyond(spark):
+    """Retract the current MIN while the same batch inserts a value
+    below it: the rescan must see the post-batch base (insert wins)."""
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.operators.ivm import apply_minmax_delta
+
+    old = spark.createDataFrame([("g", 3), ("g", 8)], "g string, v int")
+    view = old.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+    dz = spark.createDataFrame(
+        [("g", 3, -1), ("g", 1, 1)], "g string, v int, _w int"
+    )
+    base_new = spark.createDataFrame(
+        [("g", 8), ("g", 1)], "g string, v int"
+    )
+    got = apply_minmax_delta(view, dz, base_new, ["g"], "v").collect()
+    assert len(got) == 1
+    assert (got[0]._n, got[0].min_v, got[0].max_v) == (2, 1, 8)
+
+
+def test_minmax_delta_rescan_is_broadcast_semi_join(spark, tmp_path):
+    """Scale pin: the ONLY base read is a broadcast LEFT-SEMI join of
+    the affected keys against the post-batch base — never a view-wide
+    or base-wide recompute path, and the final merge broadcasts the
+    rescan result."""
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.operators.ivm import apply_minmax_delta
+
+    p = str(tmp_path / "base")
+    spark.createDataFrame(
+        [("a", 1), ("a", 9), ("b", 2)], "g string, v int"
+    ).write.parquet(p)
+    base_new = spark.read.parquet(p)
+    view = base_new.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+    dz = spark.createDataFrame(
+        [("a", 9, -1)], "g string, v int, _w int"
+    )
+    out = apply_minmax_delta(view, dz, base_new, ["g"], "v")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    # the semi join and the rescan merge are both broadcast
+    assert plan.count("BroadcastHashJoin") >= 2, plan
