@@ -267,6 +267,114 @@ def fm_min_columns(key: Column, m: int = 64) -> list:
     return [F.min(fm_hash01(key, i)).alias(f"__fm{i}") for i in range(m)]
 
 
+def kmv_quantile_sketch(
+    df: DataFrame,
+    group_cols: list,
+    value_col: str,
+    id_col: str,
+    k: int = 256,
+    hash_row: int = 0,
+) -> DataFrame:
+    """Bottom-k (KMV) quantile sketch per group: the ``k`` rows whose
+    deterministic :func:`fm_hash01`(id) is smallest — a bounded,
+    MERGEABLE, engine-portable quantile summary, completing the
+    oracle-verified sketch family (frequency: CMS, distinct: FM,
+    quantiles: this).
+
+    Why this shape: Greenwald-Khanna / t-digest summaries are
+    implementation-defined (compaction schedules), so their outputs
+    can never hash-match a second engine. Bottom-k by a FIXED integer
+    hash is a deterministic function of the input SET — the sketch
+    CELLS themselves replay exactly in SQL (the CMS/FM recipe), and
+    the k kept rows are a uniform random sample of the rows, so exact
+    order statistics over the sample estimate quantiles with rank
+    error ~1/√k (Bar-Yossef et al. 2002 for KMV; sampling-based
+    quantile bounds are classical).
+
+    Mergeability: bottom-k(A ⊎ B) == bottom-k(bottom-k(A) ∪
+    bottom-k(B)) — shard partials, union, re-truncate
+    (:func:`kmv_merge`); one k-row summary per shard crosses the
+    wire, never the data.
+
+    Scale shape: the per-group selection runs through
+    ``ranking.grouped_topk`` (salted two-level rank) — a handful of
+    literal group keys never pulls a corpus-sized group into one
+    task. Output: ``group_cols`` + (``__u`` hash, ``id_col``,
+    ``value_col``) rows, ≤ k per group.
+    """
+    from metar_pipeline_spark.operators.ranking import grouped_topk
+
+    hashed = df.select(
+        *group_cols,
+        F.col(id_col),
+        F.col(value_col),
+        fm_hash01(F.col(id_col), hash_row).alias("__u"),
+    )
+    return grouped_topk(
+        hashed,
+        list(group_cols),
+        [F.asc("__u"), F.asc(id_col)],
+        k,
+        salt=F.pmod(F.col(id_col), F.lit(32)),
+    ).drop("rank")
+
+
+def kmv_merge(
+    sketches: "list[DataFrame]",
+    group_cols: list,
+    id_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Merge KMV partials: union, re-select the k smallest hashes per
+    group. Exactly the whole-data sketch (bottom-k is a semilattice)."""
+    from metar_pipeline_spark.operators.ranking import grouped_topk
+
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return grouped_topk(
+        out,
+        list(group_cols),
+        [F.asc("__u"), F.asc(id_col)],
+        k,
+        salt=F.pmod(F.col(id_col), F.lit(32)),
+    ).drop("rank")
+
+
+def kmv_quantile_estimate(
+    sketch: DataFrame,
+    group_cols: list,
+    value_col: str,
+    id_col: str,
+    pcts: "list[int]",
+) -> DataFrame:
+    """Exact order statistics over the bounded sample: est(p%) = the
+    ⌈n·p/100⌉-th smallest sampled value (1-based, (value, id) total
+    order). The rank is computed in INTEGER arithmetic
+    (floor((n·p + 99) / 100) — the engine-portable ceil-div), never a
+    float ceil near a boundary.
+
+    Window-free by construction: each group's sample is ≤ k rows, so
+    a collect_list → array_sort → element_at projection does the
+    ranking inside one hash aggregate — no single-task corpus sort,
+    no WindowExec at all."""
+    g = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sample"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col(value_col), F.col(id_col)))
+        ).alias("__vs"),
+    )
+    sel = [*[F.col(c) for c in group_cols], F.col("n_sample")]
+    for p in pcts:
+        rank = F.floor(
+            (F.col("n_sample") * F.lit(p) + F.lit(99)) / F.lit(100)
+        ).cast("int")
+        sel.append(
+            F.element_at(F.col("__vs"), rank)[value_col].alias(f"p{p}")
+        )
+    return g.select(*sel)
+
+
 def fm_estimate(m: int = 64) -> Column:
     """n̂ from the aggregated min columns — the sum is a FIXED
     left-assoc chain in row order, deterministic on every engine."""

@@ -68,6 +68,7 @@ VERIFY_FIRST: list[str] = [
     # rows-only sketches non-green, by design); everything else rides
     # the green-hash auto-boost.
     "ivm_delta_minmax_view",
+    "kmv_quantile_sketch_value",
     "brr_mean_ci_value",
     "ppr_seed_expansion",
     "markov_attribution_removal",

@@ -287,24 +287,105 @@ def hll_mergeable_daily_users(spark, sf_dir):
     ).orderBy("day")
 
 
+# approx_value_quantiles_by_type (rows-only percentile_approx query)
+# was RETIRED in round 11 in favor of kmv_quantile_sketch_value below:
+# Greenwald-Khanna outputs are implementation-defined (compaction
+# schedule), so that query could never be hash-verified. The
+# percentile_approx operator (sketches.approx_quantiles_by) remains,
+# with its rank-error bound asserted in tests/test_scale_ops.py.
+def _kmv_oracle(k: int = 256, pcts: tuple = (25, 50, 75, 90)) -> str:
+    """Literal twin of kmv_quantile_sketch_value: the same fm_hash01
+    row-0 bottom-k sample, then exact order statistics at the
+    integer ceil-div ranks."""
+    from metar_pipeline_spark.operators.sketches import _CMS_P, fm_constants
+
+    a1, b1, a2 = fm_constants(0)
+    picks = ",\n           ".join(
+        f"round(MAX(CASE WHEN rn = CAST(floor((n * {p} + 99) / 100.0)"
+        f" AS INT) THEN value END), 6) AS p{p}"
+        for p in pcts
+    )
+    return f"""
+    WITH hx AS (
+      SELECT event_type, event_id, value,
+             (event_id * {a1} + {b1}) % {_CMS_P} AS h1
+      FROM events WHERE value IS NOT NULL
+    ),
+    hu AS (
+      SELECT event_type, event_id, value,
+             CAST((h1 * h1 + h1 * {a2}) % {_CMS_P} AS DOUBLE)
+               / {_CMS_P}.0 AS u
+      FROM hx
+    ),
+    samp AS (
+      SELECT * FROM hu
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY event_type ORDER BY u, event_id
+      ) <= {k}
+    ),
+    r AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM samp
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_sample,
+           {picks}
+    FROM r GROUP BY event_type
+    """
+
+
 @register(
-    "approx_value_quantiles_by_type",
-    None,  # Greenwald-Khanna outputs depend on the accuracy parameter's
-    # compaction schedule — no cross-engine oracle; rank-error bound
-    # asserted in pytest against exact percentiles.
+    "kmv_quantile_sketch_value",
+    _kmv_oracle(),
     doc=(
-        "Approximate per-type value quantiles (p50/p95/p99) via "
-        "percentile_approx: mergeable bounded-memory summaries vs the "
-        "exact percentile's full sort — the 100 TB monitoring shape"
+        "Deterministic mergeable QUANTILE sketch — completes the "
+        "oracle-verified sketch family (frequency: CMS, distinct: FM, "
+        "quantiles: this): a bottom-k (KMV) sample per event type "
+        "keeps the 256 rows with the smallest fixed-integer-hash "
+        "fm_hash01(event_id), built here as TWO shard partials "
+        "(event_id parity) union-merged and re-truncated — bottom-k "
+        "is a semilattice, so merge ≡ whole EXACTLY, and the gate "
+        "proves it: the oracle computes the single-pass sketch. "
+        "Estimates are exact order statistics over the bounded sample "
+        "(rank error ~1/sqrt(k)); ranks use integer ceil-div, the "
+        "per-group selection runs through ranking.grouped_topk "
+        "(salted two-level — literal type keys never single-task a "
+        "corpus), and the estimate step is window-free "
+        "(collect_list→array_sort→element_at on ≤k rows). "
+        "operators/sketches.kmv_quantile_sketch/_merge/_estimate; "
+        "calibration twin: sampled_quantile_accuracy."
     ),
 )
-def approx_value_quantiles_by_type(spark, sf_dir):
-    from metar_pipeline_spark.operators.sketches import approx_quantiles_by
+def kmv_quantile_sketch_value(spark, sf_dir):
+    from metar_pipeline_spark.operators.sketches import (
+        kmv_merge,
+        kmv_quantile_estimate,
+        kmv_quantile_sketch,
+    )
 
-    events = load_table(spark, sf_dir, "events")
-    return approx_quantiles_by(
-        events, ["event_type"], "value", [0.5, 0.95, 0.99]
-    ).orderBy("event_type")
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    shard_a = kmv_quantile_sketch(
+        events.filter(F.col("event_id") % 2 == 0),
+        ["event_type"], "value", "event_id", k=256,
+    )
+    shard_b = kmv_quantile_sketch(
+        events.filter(F.col("event_id") % 2 == 1),
+        ["event_type"], "value", "event_id", k=256,
+    )
+    merged = kmv_merge([shard_a, shard_b], ["event_type"], "event_id", k=256)
+    est = kmv_quantile_estimate(
+        merged, ["event_type"], "value", "event_id", [25, 50, 75, 90]
+    )
+    return est.select(
+        "event_type",
+        "n_sample",
+        *[F.round(F.col(f"p{p}"), 6).alias(f"p{p}") for p in (25, 50, 75, 90)],
+    )
 
 
 @register(

@@ -360,3 +360,95 @@ def test_fm_estimator_accuracy_and_mergeability(spark):
         .est
     )
     assert merged == whole
+
+
+def test_kmv_merge_equals_whole_sketch(spark):
+    """Bottom-k is a semilattice: merge(bottom-k(A), bottom-k(B)) is
+    row-identical to bottom-k(A ⊎ B) — the property that lets shards
+    ship one k-row summary each."""
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.io import load_table
+    from metar_pipeline_spark.operators.sketches import (
+        kmv_merge,
+        kmv_quantile_sketch,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").filter(
+        F.col("value").isNotNull()
+    )
+    whole = kmv_quantile_sketch(
+        events, ["event_type"], "value", "event_id", k=64
+    )
+    merged = kmv_merge(
+        [
+            kmv_quantile_sketch(
+                events.filter(F.col("event_id") % 2 == i),
+                ["event_type"], "value", "event_id", k=64,
+            )
+            for i in (0, 1)
+        ],
+        ["event_type"], "event_id", k=64,
+    )
+    assert whole.exceptAll(merged).count() == 0
+    assert merged.exceptAll(whole).count() == 0
+
+
+def test_kmv_quantile_estimate_rank_error(spark):
+    """The KMV sample is a uniform row sample, so the p50 estimate
+    must land within ~3/sqrt(k) rank error of the exact percentile's
+    rank (checked in VALUE space via the exact CDF)."""
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.io import load_table
+    from metar_pipeline_spark.operators.sketches import (
+        kmv_quantile_estimate,
+        kmv_quantile_sketch,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").filter(
+        F.col("value").isNotNull()
+    )
+    k = 256
+    sk = kmv_quantile_sketch(
+        events, ["event_type"], "value", "event_id", k=k
+    )
+    est = {
+        r.event_type: r.p50
+        for r in kmv_quantile_estimate(
+            sk, ["event_type"], "value", "event_id", [50]
+        ).collect()
+    }
+    rows = events.select("event_type", "value").collect()
+    from collections import defaultdict
+
+    vals = defaultdict(list)
+    for r in rows:
+        vals[r.event_type].append(r.value)
+    for t, v in vals.items():
+        v.sort()
+        # rank of the estimate in the TRUE distribution
+        import bisect
+
+        rank01 = bisect.bisect_right(v, est[t]) / len(v)
+        assert abs(rank01 - 0.5) <= 3.0 / (k ** 0.5) + 2.0 / len(v), (
+            t, rank01, len(v)
+        )
+
+
+def test_kmv_estimate_small_sample_exact(spark):
+    """n < k: the sketch keeps EVERYTHING, so estimates are the exact
+    order statistics (p50 of [1..10] at ceil-div rank 5 → value 5)."""
+    from metar_pipeline_spark.operators.sketches import (
+        kmv_quantile_estimate,
+        kmv_quantile_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [("g", i, float(i)) for i in range(1, 11)],
+        "t string, id long, value double",
+    )
+    sk = kmv_quantile_sketch(df, ["t"], "value", "id", k=256)
+    r = kmv_quantile_estimate(sk, ["t"], "value", "id", [25, 50, 90]).collect()[0]
+    assert r.n_sample == 10
+    assert (r.p25, r.p50, r.p90) == (3.0, 5.0, 9.0)
