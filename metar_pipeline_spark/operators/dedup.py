@@ -400,6 +400,192 @@ def connected_components(
     )
 
 
+def incremental_components(
+    labels: DataFrame,
+    new_nodes: DataFrame,
+    new_edges: DataFrame,
+    node_col: str = "node",
+    label_col: str = "component_id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 25,
+) -> "tuple[DataFrame, DataFrame]":
+    """Incremental connected-component (dedup cluster) maintenance —
+    the label store analogue of :func:`incremental_dedup_verdicts`,
+    closing the last O(corpus)-per-cycle step in the dedup story: a
+    daily batch must not re-run CC over the whole near-dup graph
+    (the incremental-first contract is the reference's core identity —
+    dbt/models/stg/stg_metar_observations.sql:14-19 and every
+    is_incremental() block).
+
+    Inputs:
+    - ``labels``: the persisted (node, component_id) store from the
+      previous cycle — a valid hash-min labeling (component_id = min
+      node id of the component, which is exactly what
+      :func:`connected_components` emits);
+    - ``new_nodes``: the batch's node ids (ids must be disjoint from
+      corpus ids — the ingest contract);
+    - ``new_edges``: near-dup edges incident to the batch (new↔corpus
+      and new↔new; late corpus↔corpus edges are also legal).
+
+    Algorithm — CC over the CONTRACTED graph: each old component is
+    already one label, so map every edge endpoint through its stored
+    label (endpoint reads are a broadcast semi-join of the ≤2|Δ| edge
+    endpoints against the store — untouched labels are never read),
+    then run hash-min CC over {touched labels ∪ batch ids} with the
+    label-mapped edges. That graph is O(|Δ edges| + |batch|) —
+    per-batch work is bounded by the AFFECTED-COMPONENT subgraph,
+    never the corpus. Because old labels are min member ids, the
+    contracted minimum IS the global minimum, so the result is
+    bit-equal to a full recompute over old ∪ new (the IVM
+    algebra ≡ recompute pattern, proven at the gate by
+    q:dedup_incremental_components).
+
+    Returns ``(label_delta, comp_relabel)``:
+    - ``label_delta``: (node_col, label_col, is_new) — ONE row per
+      batch node and per old node whose label changed; the caller
+      upserts these into the store (untouched rows are never emitted,
+      and only the changed components' store rows are read — via a
+      broadcast join on their old labels);
+    - ``comp_relabel``: (old_label, label_col) — every OLD component
+      touched by the batch (identity rows included when the label
+      survives), the key set a component-grain side store (canonical
+      survivors — :func:`incremental_canonical_update`) needs for its
+      own upsert.
+    """
+    lbl = labels.select(
+        F.col(node_col).alias("__n"), F.col(label_col).alias("__l")
+    )
+    e = (
+        new_edges.select(
+            F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # |Δ| edges; feeds endpoints + map
+    )
+    endpoints = (
+        e.select(F.col("__s").alias("__n"))
+        .union(e.select(F.col("__d").alias("__n")))
+        .distinct()
+    )
+    # the FIRST of exactly two bounded store reads: labels of the edge
+    # endpoints (broadcast semi-join — partition-prunable when the
+    # store is bucketed by node id).
+    elbl = lbl.join(F.broadcast(endpoints), "__n", "semi").localCheckpoint(
+        eager=True
+    )  # ≤ 2|Δ| rows; feeds both endpoint maps + the old-label domain
+    ms = elbl.select(F.col("__n").alias("__s"), F.col("__l").alias("__ls"))
+    md = elbl.select(F.col("__n").alias("__d"), F.col("__l").alias("__ld"))
+    ce = (
+        e.join(F.broadcast(ms), "__s", "left")
+        .join(F.broadcast(md), "__d", "left")
+        .select(
+            F.coalesce("__ls", "__s").alias("__cs"),
+            F.coalesce("__ld", "__d").alias("__cd"),
+        )
+        .filter(F.col("__cs") != F.col("__cd"))
+    )
+    nn = new_nodes.select(F.col(node_col).alias("__cn"))
+    cnodes = (
+        ce.select(F.col("__cs").alias("__cn"))
+        .union(ce.select(F.col("__cd").alias("__cn")))
+        .union(nn)
+        .distinct()
+    )
+    # contracted-grain CC: O(|Δ|) nodes/edges, O(merged diameter)
+    # rounds — the corpus never enters the iteration.
+    sub = connected_components(
+        cnodes, ce, node_col="__cn", src_col="__cs", dst_col="__cd",
+        max_iter=max_iter,
+    ).localCheckpoint(eager=True)  # tiny; feeds relabel + new-node rows
+    old_lbls = elbl.select(F.col("__l").alias("__cn")).distinct()
+    comp_relabel = (
+        sub.join(F.broadcast(old_lbls), "__cn", "semi")
+        .select(
+            F.col("__cn").alias("old_label"),
+            F.col(label_col),
+        )
+    )
+    delta_new = (
+        nn.join(F.broadcast(sub), "__cn", "left")
+        .select(
+            F.col("__cn").alias(node_col),
+            F.coalesce(F.col(label_col), F.col("__cn")).alias(label_col),
+            F.lit(True).alias("is_new"),
+        )
+    )
+    changed = comp_relabel.filter(
+        F.col("old_label") != F.col(label_col)
+    )
+    # the SECOND bounded store read: members of the components whose
+    # label changed (broadcast equi-join on the old label — with the
+    # store partitioned by a label bucket this prunes to the affected
+    # partitions).
+    delta_old = (
+        labels.join(
+            F.broadcast(changed),
+            labels[label_col] == changed["old_label"],
+        )
+        .select(
+            F.col(node_col),
+            changed[label_col].alias(label_col),
+            F.lit(False).alias("is_new"),
+        )
+    )
+    return delta_new.unionByName(delta_old), comp_relabel
+
+
+def incremental_canonical_update(
+    champions: DataFrame,
+    comp_relabel: DataFrame,
+    new_members: DataFrame,
+    label_col: str = "component_id",
+    id_col: str = "kept_id",
+    key_col: str = "kept_key",
+) -> DataFrame:
+    """Canonical-survivor maintenance riding the same incremental pass
+    (dedup_canonical_keep semantics: max ``key_col`` — e.g. text
+    length — then min id). ``champions`` is the component-grain store
+    (label_col, id_col, key_col); ``comp_relabel`` comes from
+    :func:`incremental_components`; ``new_members`` is the labeled
+    batch (label_col, id_col, key_col).
+
+    The survivor rule is an associative max, so the merged component's
+    champion = max over its constituent old components' champions ∪
+    its new members — one broadcast join against the store (touched
+    components only) + one hash aggregate at affected-component grain.
+    Returns the upsert delta: one champion row per AFFECTED component;
+    merged-away old labels are exactly ``comp_relabel``'s non-identity
+    domain. Numeric ``key_col``/``id_col`` required (negation trick).
+    """
+    old_c = (
+        champions.join(
+            F.broadcast(comp_relabel),
+            champions[label_col] == comp_relabel["old_label"],
+        )
+        .select(
+            comp_relabel[label_col].alias(label_col),
+            F.col(id_col),
+            F.col(key_col),
+        )
+    )
+    cand = old_c.unionByName(
+        new_members.select(label_col, id_col, key_col)
+    )
+    m = cand.groupBy(label_col).agg(
+        F.min(
+            F.struct(
+                (-F.col(key_col)).alias("nk"), F.col(id_col).alias("i")
+            )
+        ).alias("__m")
+    )
+    return m.select(
+        label_col,
+        F.col("__m.i").alias(id_col),
+        (-F.col("__m.nk")).alias(key_col),
+    )
+
+
 def incremental_dedup_verdicts(
     new_docs: DataFrame,
     corpus_docs: DataFrame,

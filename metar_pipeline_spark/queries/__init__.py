@@ -67,6 +67,7 @@ VERIFY_FIRST: list[str] = [
     # The r10 driver window went 47/50 green (only the 3 permanent
     # rows-only sketches non-green, by design); everything else rides
     # the green-hash auto-boost.
+    "dedup_incremental_components",
     "ivm_delta_minmax_view",
     "kmv_quantile_sketch_value",
     "brr_mean_ci_value",

@@ -922,6 +922,165 @@ def dedup_canonical_keep(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_incremental_components",
+    f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, lang, source, list_distinct({_DUCK_TOKS}) AS s
+      FROM documents
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM t a JOIN t b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE round(len(list_intersect(a.s, b.s))
+                  / greatest(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 1), 6) >= 0.8
+    ),
+    edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    comp AS (SELECT node AS doc_id, MIN(r) AS component_id
+             FROM reach GROUP BY node),
+    oedges AS MATERIALIZED (
+      SELECT src, dst FROM edges WHERE src % 10 <> 0 AND dst % 10 <> 0
+    ),
+    oreach(node, r) AS (
+      SELECT doc_id, doc_id FROM documents WHERE doc_id % 10 <> 0
+      UNION
+      SELECT oreach.node, e.dst FROM oreach JOIN oedges e ON oreach.r = e.src
+    ),
+    ocomp AS (SELECT node AS doc_id, MIN(r) AS component_id
+              FROM oreach GROUP BY node),
+    ranked AS (
+      SELECT c.component_id, c.doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.component_id
+               ORDER BY length(d.text) DESC, c.doc_id
+             ) AS rn
+      FROM comp c JOIN documents d USING (doc_id)
+    ),
+    champ AS (
+      SELECT component_id, doc_id AS kept_doc_id FROM ranked WHERE rn = 1
+    )
+    SELECT c.doc_id, c.component_id, ch.kept_doc_id,
+           (c.doc_id % 10 = 0 OR c.component_id <> o.component_id)
+             AS in_delta
+    FROM comp c
+    JOIN champ ch USING (component_id)
+    LEFT JOIN ocomp o USING (doc_id)
+    """,
+    doc=(
+        "INCREMENTAL dedup cluster maintenance (round-10 VERDICT #1 — "
+        "the last O(corpus)-per-cycle step in the dedup story): the "
+        "10% batch (doc_id % 10 = 0) arrives against a persisted "
+        "(node, component_id) label store + a (component, survivor) "
+        "champion store; dedup.incremental_components contracts the "
+        "batch's near-dup edges through the stored labels and runs CC "
+        "over the O(|batch edges|) contracted graph only — the store "
+        "is read twice, both broadcast-bounded (edge-endpoint "
+        "semi-join + changed-component member join); "
+        "dedup.incremental_canonical_update merges survivors "
+        "(longest text, id tiebreak) at affected-component grain "
+        "riding the same pass. Output = the full post-batch state "
+        "(label + survivor per doc + the in_delta flag saying which "
+        "store rows the cycle actually wrote); oracle = full CC "
+        "recompute over old ∪ new AND over the old corpus alone — "
+        "algebra ≡ recompute proven at the gate, delta membership "
+        "included."
+    ),
+)
+def dedup_incremental_components(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    # the (expensive) blocked near-dup pair generation feeds BOTH edge
+    # splits — materialize once
+    pairs = (
+        dedup_unigram_jaccard_pairs(spark, sf_dir)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    both_old = (F.col("id_a") % 10 != 0) & (F.col("id_b") % 10 != 0)
+    corpus_nodes = docs.filter(F.col("doc_id") % 10 != 0).select("doc_id")
+    batch_nodes = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    # the simulated persisted stores (in production these are parquet
+    # tables bucketed by node id / label bucket; here they are built
+    # from the pre-batch corpus and pinned so the incremental pass
+    # reads fixed blocks, exactly like a store read)
+    old_labels = dd.connected_components(
+        corpus_nodes, pairs.filter(both_old),
+        node_col="doc_id", src_col="id_a", dst_col="id_b",
+    ).localCheckpoint(eager=True)
+    lens = docs.select("doc_id", F.length("text").alias("_len"))
+    old_champs = (
+        old_labels.join(lens, "doc_id")
+        .groupBy("component_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("_len")).alias("nk"),
+                    F.col("doc_id").alias("i"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "component_id",
+            F.col("m.i").alias("kept_id"),
+            (-F.col("m.nk")).alias("kept_key"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # ---- the incremental cycle ----
+    delta, relabel = dd.incremental_components(
+        old_labels, batch_nodes, pairs.filter(~both_old),
+        node_col="doc_id", src_col="id_a", dst_col="id_b",
+    )
+    delta = delta.localCheckpoint(eager=True)  # feeds labels + members
+    relabel = relabel.localCheckpoint(eager=True)  # feeds champs + anti
+    new_members = (
+        delta.filter(F.col("is_new"))
+        .join(lens, "doc_id")
+        .select(
+            "component_id",
+            F.col("doc_id").alias("kept_id"),
+            F.col("_len").alias("kept_key"),
+        )
+    )
+    champ_delta = dd.incremental_canonical_update(
+        old_champs, relabel, new_members
+    )
+    # ---- apply the deltas (the store upsert, expressed relationally
+    # so the gate can compare full state against the oracle) ----
+    full_labels = (
+        old_labels.join(delta.select("doc_id"), "doc_id", "anti")
+        .withColumn("in_delta", F.lit(False))
+        .unionByName(
+            delta.select(
+                "doc_id", "component_id", F.lit(True).alias("in_delta")
+            )
+        )
+    )
+    full_champs = (
+        old_champs.join(
+            relabel.select(F.col("old_label").alias("component_id")),
+            "component_id",
+            "anti",
+        )
+        .unionByName(champ_delta)
+    )
+    return full_labels.join(full_champs, "component_id").select(
+        "doc_id",
+        "component_id",
+        F.col("kept_id").alias("kept_doc_id"),
+        "in_delta",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gopher-style quality / repetition filters (Rae et al. 2021 — public)
 # ---------------------------------------------------------------------------

@@ -365,3 +365,166 @@ def test_kcore_cascade_hand_graph(spark):
         r.node: r.degree for r in k_core(edges, k=2, rounds=1).collect()
     }
     assert 4 in partial and 5 not in partial
+
+
+def _cc_store(spark, rows):
+    return spark.createDataFrame(rows, "node long, component_id long")
+
+
+def test_incremental_components_merge_relabel_and_untouched(spark):
+    """Hand graph: comps {1,2}, {5}, {7,8}. Batch: node 0 bridges into
+    {1,2} (and 0 is the NEW global min — the whole component must
+    relabel to 0), node 11 joins {5} (label survives), node 10 is an
+    isolated singleton. {7,8} is untouched and must emit NOTHING."""
+    from metar_pipeline_spark.operators.dedup import (
+        connected_components,
+        incremental_components,
+    )
+
+    labels = _cc_store(spark, [(1, 1), (2, 1), (5, 5), (7, 7), (8, 7)])
+    new_nodes = spark.createDataFrame([(0,), (10,), (11,)], "node long")
+    new_edges = spark.createDataFrame(
+        [(0, 2), (11, 5)], "src long, dst long"
+    )
+    delta, relabel = incremental_components(labels, new_nodes, new_edges)
+    got = sorted(
+        (r.node, r.component_id, r.is_new) for r in delta.collect()
+    )
+    assert got == [
+        (0, 0, True),
+        (1, 0, False),
+        (2, 0, False),
+        (10, 10, True),
+        (11, 5, True),
+    ]
+    assert sorted(
+        (r.old_label, r.component_id) for r in relabel.collect()
+    ) == [(1, 0), (5, 5)]
+    # applying the delta to the store reproduces the full recompute
+    applied = labels.join(delta.select("node"), "node", "anti").unionByName(
+        delta.select("node", "component_id")
+    )
+    all_nodes = spark.createDataFrame(
+        [(i,) for i in (0, 1, 2, 5, 7, 8, 10, 11)], "node long"
+    )
+    all_edges = spark.createDataFrame(
+        [(1, 2), (7, 8), (0, 2), (11, 5)], "src long, dst long"
+    )
+    truth = sorted(
+        (r.node, r.component_id)
+        for r in connected_components(all_nodes, all_edges).collect()
+    )
+    assert sorted(map(tuple, applied.collect())) == truth
+
+
+def test_incremental_components_two_cycles_preserve_invariant(spark):
+    """The min-id label invariant survives chained incremental cycles
+    (cycle 2 consumes cycle 1's applied store), including a batch edge
+    that bridges TWO existing components through a new node."""
+    from metar_pipeline_spark.operators.dedup import (
+        connected_components,
+        incremental_components,
+    )
+
+    store = _cc_store(spark, [(3, 3), (4, 3), (6, 6), (9, 9)])
+    batches = [
+        # cycle 1: node 2 joins {3,4} -> relabels to 2
+        ([(2,)], [(2, 4)]),
+        # cycle 2: node 5 bridges {2,3,4} and {6} -> all relabel to 2
+        ([(5,)], [(5, 3), (5, 6)]),
+    ]
+    all_nodes = [(3,), (4,), (6,), (9,)]
+    all_edges = [(3, 4)]
+    for nodes, edges in batches:
+        nn = spark.createDataFrame(nodes, "node long")
+        ne = spark.createDataFrame(edges, "src long, dst long")
+        delta, _ = incremental_components(store, nn, ne)
+        store = (
+            store.join(delta.select("node"), "node", "anti")
+            .unionByName(delta.select("node", "component_id"))
+            .localCheckpoint(eager=True)
+        )
+        all_nodes += nodes
+        all_edges += edges
+    truth = sorted(
+        (r.node, r.component_id)
+        for r in connected_components(
+            spark.createDataFrame(all_nodes, "node long"),
+            spark.createDataFrame(all_edges, "src long, dst long"),
+        ).collect()
+    )
+    assert sorted(map(tuple, store.collect())) == truth
+    lbls = {r.node: r.component_id for r in store.collect()}
+    assert lbls[6] == 2 and lbls[9] == 9
+
+
+def test_incremental_components_batch_work_is_affected_bounded(spark, tmp_path):
+    """Scale pin (round-10 VERDICT #1 'done' criterion): with a store
+    of many components and a batch touching ONE, (a) the delta emits
+    only the affected component's members + the batch, and (b) the
+    final delta plan reads the store through BroadcastHashJoin only —
+    no store-wide shuffle (SortMergeJoin) anywhere."""
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.operators.dedup import incremental_components
+
+    p = str(tmp_path / "labels")
+    # 200 two-node components: (2i, 2i+1) labeled 2i
+    spark.range(200).select(
+        F.explode(
+            F.array(F.col("id") * 2, F.col("id") * 2 + 1)
+        ).alias("node"),
+        (F.col("id") * 2).alias("component_id"),
+    ).write.parquet(p)
+    labels = spark.read.parquet(p)
+    new_nodes = spark.createDataFrame([(100000,)], "node long")
+    new_edges = spark.createDataFrame(
+        [(100000, 7)], "src long, dst long"
+    )  # touches only component 6 = {6, 7}
+    delta, relabel = incremental_components(labels, new_nodes, new_edges)
+    # label 6 is already the component minimum, so the old members do
+    # NOT re-emit — the delta is exactly the batch node (minimality),
+    # and the touched component still appears in relabel (identity row)
+    assert sorted(
+        (r.node, r.component_id) for r in delta.collect()
+    ) == [(100000, 6)]
+    assert [
+        (r.old_label, r.component_id) for r in relabel.collect()
+    ] == [(6, 6)]
+    plan = delta._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_incremental_canonical_update_merged_champion(spark):
+    """Merged component's survivor = associative max over old
+    champions + new members (longest key, then smallest id)."""
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.operators.dedup import (
+        incremental_canonical_update,
+    )
+
+    champs = spark.createDataFrame(
+        [(1, 2, 20), (5, 5, 50), (7, 8, 80)],
+        "component_id long, kept_id long, kept_key long",
+    )
+    relabel = spark.createDataFrame(
+        [(1, 0), (5, 5)], "old_label long, component_id long"
+    )
+    new_members = spark.createDataFrame(
+        [(0, 0, 5), (5, 11, 300), (10, 10, 100)],
+        "component_id long, kept_id long, kept_key long",
+    )
+    got = sorted(
+        map(
+            tuple,
+            incremental_canonical_update(
+                champs, relabel, new_members
+            ).collect(),
+        )
+    )
+    # comp 0: old champ (2, 20) beats new member (0, 5); comp 5: new
+    # member (11, 300) beats (5, 50); comp 10: new singleton. comp 7
+    # untouched -> absent.
+    assert got == [(0, 2, 20), (5, 11, 300), (10, 10, 100)]
