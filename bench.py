@@ -21,7 +21,7 @@ Noisy-host re-measure pass (round 9): in-bench per-query seconds can
 read 2-3× an isolated warm run (JVM/order state — r8's
 dedup_minhash_lsh_pairs read 4.8 s in a contended driver run vs 1.0 s
 isolated), so after the timed pass the SLOWEST
-$SPARK_GRAFT_BENCH_REMEASURE (default 15) queries are re-run once in
+$SPARK_GRAFT_BENCH_REMEASURE (default 25) queries are re-run once in
 slowest-first order and each reports min(first, second). The stdout
 "queries" map carries these minima (the regression-watch set); "value"
 stays the plain single-pass total for cross-round comparability, and
@@ -96,7 +96,7 @@ def main() -> None:
     # registry order, so order-dependent JVM state can't inflate the
     # same query twice.
     n_remeasure = max(
-        0, int(os.environ.get("SPARK_GRAFT_BENCH_REMEASURE", "15"))
+        0, int(os.environ.get("SPARK_GRAFT_BENCH_REMEASURE", "25"))
     )
     remeasured: dict[str, dict[str, float]] = {}
     # Re-measure failures are recorded SEPARATELY: the query's timed

@@ -36,6 +36,7 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     ckpt_every: int = 4,
+    init_ranks: "DataFrame | None" = None,
 ) -> DataFrame:
     """Rank nodes of a directed graph: ``iterations`` synchronous
     PageRank steps with uniform dangling-mass redistribution.
@@ -48,6 +49,19 @@ def pagerank(
     2.6x wall-time for 3 iterations when cutting EVERY step), so short
     runs coast on lineage and long runs cut every few steps before the
     plan compounds.
+
+    ``init_ranks``: optional (node, rank) WARM START — the IVM spirit
+    applied to the fixpoint family: after an edge delta, seed the
+    iteration with the previous converged ranks instead of uniform
+    1/N. Convergence is geometric in the damping factor from wherever
+    the start vector is, and a post-delta fixpoint is near the old one
+    when the delta is small, so the same accuracy needs fewer
+    iterations (the classic incremental-PageRank observation —
+    Langville & Meyer 2006, ch. 10 "Updating"). Nodes absent from
+    ``init_ranks`` (new in the delta) start at 1/N; seeds are rounded
+    to 12 decimals so a warm chain is bit-replayable cross-engine.
+    Σr0 may differ slightly from 1 — the iteration contracts the total
+    toward 1 geometrically, no renormalization pass needed.
     """
     # Materialize the deduped edge list ONCE: every iteration joins it
     # and derives outdeg/dangling from it, so without the checkpoint
@@ -91,7 +105,23 @@ def pagerank(
         return nodes.select(
             F.col("node"), F.lit(None).cast("double").alias("rank")
         )
-    ranks = nodes.withColumn("r", F.lit(1.0 / n))
+    if init_ranks is None:
+        ranks = nodes.withColumn("r", F.lit(1.0 / n))
+    else:
+        ir = init_ranks.select(
+            F.col("node"), F.col("rank").alias("__r0")
+        )
+        # node-grain ⋈ node-grain: one shuffle before the loop (AQE
+        # broadcasts when the seed frame is small); absent nodes (new
+        # in the delta) start uniform.
+        ranks = (
+            nodes.join(ir, "node", "left")
+            .withColumn(
+                "r",
+                F.coalesce(F.round("__r0", 12), F.lit(1.0 / n)),
+            )
+            .drop("__r0")
+        )
     for i in range(iterations):
         contribs = (
             edges.join(

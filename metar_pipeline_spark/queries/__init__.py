@@ -68,6 +68,8 @@ VERIFY_FIRST: list[str] = [
     # rows-only sketches non-green, by design); everything else rides
     # the green-hash auto-boost.
     "dedup_incremental_components",
+    "pagerank_warm_start_delta",
+    "stream_cms_sketch_store",
     "ivm_delta_minmax_view",
     "kmv_quantile_sketch_value",
     "brr_mean_ci_value",

@@ -1255,6 +1255,97 @@ def stream_ivm_delta_view(spark, sf_dir):
     return result
 
 
+@register(
+    "stream_cms_sketch_store",
+    """
+    WITH h AS (
+      SELECT * FROM (VALUES (0, 998244353, 12289), (1, 1000000007, 257),
+                            (2, 69061, 65537), (3, 40503, 97)) AS t(r, a, b)
+    )
+    SELECT CAST(h.r AS INTEGER) AS row,
+           CAST(((e.user_id * h.a + h.b) % 2147483647) % 1024 AS BIGINT)
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events e CROSS JOIN h
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "STREAMING sketch store — the sketch analogue of "
+        "stream_ivm_delta_view (round-10 VERDICT optional #7): events "
+        "arrive in 3 micro-batches (event_id mod 3, "
+        "maxFilesPerTrigger=1); each micro-batch is reduced to its own "
+        "4x1024 Count-Min partial (operators/sketches.cms_build — 4 KB "
+        "regardless of batch size) and persisted replay-idempotently "
+        "(streaming.idempotent_batch_append: a replayed batch "
+        "overwrites its own _batch partition, so the durable sketch "
+        "log never double-counts); the serving sketch is the cell-wise "
+        "merge of the store (cms_merge). Because CMS cells are fixed "
+        "integer hashing, the oracle replays the WHOLE-corpus sketch "
+        "directly — streaming partials + merge ≡ single batch pass, "
+        "verified cell-exactly at the gate. This is the 100 TB "
+        "monitoring loop: per-micro-batch KB-sized partials, "
+        "mergeable to any window, no raw-data reprocessing."
+    ),
+)
+def stream_cms_sketch_store(spark, sf_dir):
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from metar_pipeline_spark.operators.sketches import cms_build, cms_merge
+    from metar_pipeline_spark.streaming.pipeline import (
+        idempotent_batch_append,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    batches = [
+        events.filter(F.col("event_id") % 3 == i).select("user_id")
+        for i in range(3)
+    ]
+    tmp = tempfile.mkdtemp(prefix="stream_cms_")
+    src = os.path.join(tmp, "src")
+    ckpt = os.path.join(tmp, "_ckpt")
+    log = os.path.join(tmp, "sketch_log")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        import time as _t
+
+        now = _t.time()
+        for i, b in enumerate(batches):
+            d = os.path.join(src, f"b{i}")
+            b.coalesce(1).write.parquet(d)
+            # FileStreamSource orders by mtime — pin the replay order
+            for fn in glob.glob(os.path.join(d, "*")):
+                t_i = now - 30 + i * 10
+                os.utime(fn, (t_i, t_i))
+        schema = spark.read.parquet(os.path.join(src, "b0")).schema
+
+        def fold(batch_df, batch_id):
+            idempotent_batch_append(
+                cms_build(batch_df, "user_id"), log, batch_id
+            )
+
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        store = spark.read.parquet(log).select("row", "bucket", "c")
+        result = cms_merge(store).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
+
+
 def _fm_oracle(m: int = 64) -> str:
     """Literal twin of operators/sketches.fm_hash01/fm_estimate: the
     same per-row integer hash rounds, m MINs, and the fixed left-assoc

@@ -148,3 +148,32 @@ def test_markov_reserved_label_collision_raises(spark):
     )
     with pytest.raises(ValueError, match="reserved"):
         removal_variant_probs(tbad, ["a"])
+
+
+def test_pagerank_warm_start_converges_faster(spark):
+    """The warm-start claim, measured: after a 20% edge delta, 2
+    iterations FROM THE OLD RANKS land closer (L1) to the converged
+    reference than 2 cold iterations from uniform — the quantified
+    convergence-distance audit for pagerank_warm_start_delta."""
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.io import load_table
+    from metar_pipeline_spark.operators.graph import pagerank
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    src = (F.col("l_suppkey") * 2).alias("src")
+    dst = (F.col("l_partkey") * 2 + 1).alias("dst")
+    old_e = li.filter(F.col("l_orderkey") % 5 != 0).select(src, dst)
+    new_e = li.select(src, dst).localCheckpoint(eager=True)
+    r_old = pagerank(old_e, iterations=3).localCheckpoint(eager=True)
+    warm = {r.node: r.rank for r in pagerank(
+        new_e, iterations=2, init_ranks=r_old).collect()}
+    cold = {r.node: r.rank for r in pagerank(
+        new_e, iterations=2).collect()}
+    ref = {r.node: r.rank for r in pagerank(
+        new_e, iterations=10, ckpt_every=3).collect()}
+    l1_warm = sum(abs(warm[n] - ref[n]) for n in ref)
+    l1_cold = sum(abs(cold[n] - ref[n]) for n in ref)
+    assert l1_warm < l1_cold, (l1_warm, l1_cold)
+    # and the warm chain is a genuine improvement, not a wash
+    assert l1_warm < 0.7 * l1_cold, (l1_warm, l1_cold)
