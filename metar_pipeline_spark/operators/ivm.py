@@ -136,6 +136,70 @@ def apply_agg_delta(
     return j.select(*sel).filter(F.col(count_col) != 0)
 
 
+def apply_topk_delta(
+    view: DataFrame,
+    dz: DataFrame,
+    base_new: DataFrame,
+    group_cols: "list[str]",
+    id_col: str,
+    score_col: str,
+    k: int,
+) -> DataFrame:
+    """Maintain a per-group TOP-K view (score desc, id asc) under a
+    delta Z-set — the ranked generalization of
+    :func:`apply_minmax_delta` (MIN/MAX is top-1): materialized
+    leaderboards, per-query retrieval caches, per-partner top
+    offenders.
+
+    Inserts are fully algebraic: after inserts alone, the new top-k is
+    the top-k of (stored top-k ∪ inserted rows) — a row outside the
+    old top-k cannot enter. A retraction that hits a STORED member
+    leaves an unknowable runner-up, so exactly those groups rescan
+    from the post-batch base (broadcast semi-join of the affected
+    keys); a retraction of a non-member is a no-op by construction.
+
+    Work shape: the safe path re-ranks O(k·|groups| + |Δ|) rows (view
+    grain, never fact grain); the rescan reads only the unsafe groups.
+    Both rankings run through ``ranking.grouped_topk`` (salted
+    two-level), so a low-cardinality group key never single-tasks a
+    corpus. ``view``/``base_new`` carry group_cols + id_col +
+    score_col; ``dz`` adds ``_w``. Returns group_cols + id + score +
+    rank (int). Numeric id required (salt + negation-free total
+    order via F.desc/F.asc handles any orderable score).
+    """
+    from metar_pipeline_spark.operators.ranking import grouped_topk
+
+    w = F.col(WEIGHT_COL)
+    cols = [*group_cols, id_col, score_col]
+    dneg = dz.filter(w < 0).select(*cols)
+    dpos = dz.filter(w > 0).select(*cols)
+    # unsafe ⇔ a retraction matches a stored member (group+id): the
+    # runner-up was never stored, so the group must rescan.
+    unsafe = (
+        view.join(
+            F.broadcast(dneg.select(*group_cols, id_col)),
+            [*group_cols, id_col],
+            "semi",
+        )
+        .select(*group_cols)
+        .distinct()
+        .localCheckpoint(eager=True)  # tiny; feeds anti + semi below
+    )
+    order = [F.desc(score_col), F.asc(id_col)]
+    salt = F.pmod(F.col(id_col), F.lit(32))
+    cand_safe = (
+        view.select(*cols)
+        .unionByName(dpos)
+        .join(F.broadcast(unsafe), group_cols, "anti")
+    )
+    topk_safe = grouped_topk(cand_safe, list(group_cols), order, k, salt=salt)
+    rescan = base_new.select(*cols).join(
+        F.broadcast(unsafe), group_cols, "semi"
+    )
+    topk_rescan = grouped_topk(rescan, list(group_cols), order, k, salt=salt)
+    return topk_safe.unionByName(topk_rescan)
+
+
 def minmax_delta_state(
     zset: DataFrame,
     group_cols: "list[str]",

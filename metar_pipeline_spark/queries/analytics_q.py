@@ -2155,6 +2155,99 @@ def ivm_delta_agg_view(spark, sf_dir):
 
 
 @register(
+    "ivm_delta_join_agg_view",
+    """
+    WITH b_new AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 89 = 0 THEN (c_nationkey + 1) % 25
+                  ELSE c_nationkey END AS nation
+      FROM customer
+    )
+    SELECT b.nation,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           round(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                 AS DOUBLE), 2) AS total_price
+    FROM orders o JOIN b_new b ON o.o_custkey = b.c_custkey
+    GROUP BY 1
+    """,
+    doc=(
+        "COMPOSITIONAL IVM — the DBSP algebra chained end-to-end: a "
+        "per-nation revenue rollup over orders⋈customer maintained "
+        "under deltas on BOTH base tables (order inserts, o_orderkey "
+        "% 97 = 0, AND customers MOVING nation, c_custkey % 89 = 0 as "
+        "retraction+insertion pairs — group membership itself "
+        "changes). Δ(γ(A⋈B)) = γ_w(Δ(A⋈B)): the three bilinear join "
+        "terms (ivm.zset_delta_join — each joins a micro-batch-sized "
+        "delta against an indexed base), then the weighted group "
+        "aggregate of the join delta alone (ivm.zset_weighted_agg), "
+        "merged into the stored rollup at GROUP grain "
+        "(ivm.apply_agg_delta). A moved customer's orders leave one "
+        "nation and arrive in another purely by weight algebra; the "
+        "oracle recomputes from the full new state — composition ≡ "
+        "recompute, exact by integer/DECIMAL arithmetic."
+    ),
+)
+def ivm_delta_join_agg_view(spark, sf_dir):
+    from metar_pipeline_spark.operators.ivm import (
+        apply_agg_delta,
+        zset_delta_join,
+        zset_weighted_agg,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    moved = F.col("c_custkey") % 89 == 0
+    b_all = cust.select(
+        "c_custkey", F.col("c_nationkey").alias("nation")
+    )
+    b_old = b_all.withColumn("_w", F.lit(1))
+    db = (
+        b_all.filter(moved)
+        .withColumn("_w", F.lit(-1))
+        .unionByName(
+            cust.filter(moved).select(
+                "c_custkey",
+                ((F.col("c_nationkey") + 1) % 25).alias("nation"),
+                F.lit(1).alias("_w"),
+            )
+        )
+    )
+    o = orders.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    a_old = o.filter(F.col("k") % 97 != 0).drop("k").withColumn(
+        "_w", F.lit(1)
+    )
+    da = o.filter(F.col("k") % 97 == 0).drop("k").withColumn(
+        "_w", F.lit(1)
+    )
+    # the STORED rollup: old join state aggregated once (the store)
+    view = (
+        a_old.drop("_w")
+        .join(b_all, "c_custkey")
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum("price").alias("total"),
+        )
+    )
+    dv = zset_delta_join(a_old, da, b_old, db, "c_custkey")
+    d_agg = zset_weighted_agg(
+        dv.select("nation", "price", "_w"),
+        ["nation"],
+        sums={"total": F.col("price")},
+    )
+    new_view = apply_agg_delta(view, d_agg, ["nation"], ["total"])
+    return new_view.select(
+        "nation",
+        F.col("_n").alias("n_orders"),
+        F.round(F.col("total").cast("double"), 2).alias("total_price"),
+    )
+
+
+@register(
     "ivm_delta_minmax_view",
     """
     WITH new_state AS (
@@ -2251,6 +2344,97 @@ def ivm_delta_minmax_view(spark, sf_dir):
         F.col("_n").alias("n_orders"),
         F.round(F.col("min_v").cast("double"), 2).alias("min_price"),
         F.round(F.col("max_v").cast("double"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "ivm_delta_topk_view",
+    """
+    WITH st AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             event_id,
+             CASE WHEN event_id % 5 <> 0 AND event_id % 101 = 0
+                  THEN value + 0.5 ELSE value END AS v
+      FROM events
+      WHERE value IS NOT NULL
+        AND NOT (event_id % 5 <> 0 AND event_id % 101 <> 0
+                 AND event_id % 97 = 0)
+    )
+    SELECT event_type, day, event_id, round(v, 6) AS value,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY event_type, day ORDER BY v DESC, event_id
+           ) AS INTEGER) AS rank
+    FROM st
+    QUALIFY rank <= 5
+    """,
+    doc=(
+        "IVM for a per-group TOP-K view — the ranked generalization "
+        "of ivm_delta_minmax_view (MIN/MAX is top-1; materialized "
+        "leaderboards are the serving shape): the per-(type, day) "
+        "top-5 events by value maintained under a CDC Z-set (inserts "
+        "event_id % 5 = 0; updates % 101 = 0 as retract+insert "
+        "pairs, value+0.5; deletes % 97 = 0 — rates chosen so at "
+        "every SF SOME groups lose a stored member and rescan while "
+        "MOST merge algebraically, exercising both paths at the "
+        "gate). Inserts re-rank only (stored top-k ∪ inserts) — view "
+        "grain, never fact grain; a retraction hitting a stored "
+        "member rescans ONLY that group from the post-batch base via "
+        "a broadcast semi-join (ivm.apply_topk_delta; both rankings "
+        "through the salted ranking.grouped_topk). Oracle = full "
+        "recompute with plain ROW_NUMBER/QUALIFY — algebra+rescan ≡ "
+        "recompute."
+    ),
+)
+def ivm_delta_topk_view(spark, sf_dir):
+    from metar_pipeline_spark.operators.ivm import apply_topk_delta
+    from metar_pipeline_spark.operators.ranking import grouped_topk
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    eid = F.col("event_id")
+    is_ins = eid % 5 == 0
+    is_upd = (eid % 5 != 0) & (eid % 101 == 0)
+    is_del = (eid % 5 != 0) & (eid % 101 != 0) & (eid % 97 == 0)
+    base = events.select(
+        "event_type",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        "event_id",
+        "value",
+    )
+    k = 5
+    # the STORED leaderboard: pre-batch top-5 per (type, day)
+    view = grouped_topk(
+        base.filter(~is_ins),
+        ["event_type", "day"],
+        [F.desc("value"), F.asc("event_id")],
+        k,
+        salt=F.pmod(F.col("event_id"), F.lit(32)),
+    ).drop("rank")
+    dz = (
+        base.filter(is_ins)
+        .withColumn("_w", F.lit(1))
+        .unionByName(base.filter(is_upd).withColumn("_w", F.lit(-1)))
+        .unionByName(
+            base.filter(is_upd)
+            .withColumn("value", F.col("value") + 0.5)
+            .withColumn("_w", F.lit(1))
+        )
+        .unionByName(base.filter(is_del).withColumn("_w", F.lit(-1)))
+    )
+    base_new = base.filter(~is_del).withColumn(
+        "value",
+        F.when(is_upd, F.col("value") + 0.5).otherwise(F.col("value")),
+    )
+    out = apply_topk_delta(
+        view, dz, base_new, ["event_type", "day"], "event_id", "value", k
+    )
+    return out.select(
+        "event_type",
+        "day",
+        "event_id",
+        F.round("value", 6).alias("value"),
+        "rank",
     )
 
 

@@ -312,3 +312,59 @@ def test_minmax_delta_rescan_is_broadcast_semi_join(spark, tmp_path):
     assert "LeftSemi" in plan
     # the semi join and the rescan merge are both broadcast
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_topk_delta_insert_retraction_and_rescan(spark):
+    """apply_topk_delta hand cases: group 'a' loses a stored member
+    (rescan must surface the runner-up from base), group 'b' gets an
+    insert that displaces the boundary (algebraic path), group 'c'
+    retracts a NON-member (no-op for the stored rows). Result ≡ full
+    recompute top-2."""
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.operators.ivm import apply_topk_delta
+    from metar_pipeline_spark.operators.ranking import grouped_topk
+
+    old = spark.createDataFrame(
+        [("a", 1, 9.0), ("a", 2, 7.0), ("a", 3, 5.0),
+         ("b", 4, 8.0), ("b", 5, 6.0), ("b", 6, 4.0),
+         ("c", 7, 3.0), ("c", 8, 2.0), ("c", 9, 1.0)],
+        "g string, id long, v double",
+    )
+    k = 2
+    order = [F.desc("v"), F.asc("id")]
+    view = grouped_topk(
+        old, ["g"], order, k, salt=F.pmod(F.col("id"), F.lit(32))
+    ).drop("rank")
+    dz = spark.createDataFrame(
+        [
+            ("a", 1, 9.0, -1),   # delete a's #1 -> rescan finds id 3
+            ("b", 10, 7.5, 1),   # insert displaces b's #2 (id 5)
+            ("c", 9, 1.0, -1),   # delete c's NON-member -> no-op
+        ],
+        "g string, id long, v double, _w int",
+    )
+    base_new = spark.createDataFrame(
+        [("a", 2, 7.0), ("a", 3, 5.0),
+         ("b", 4, 8.0), ("b", 5, 6.0), ("b", 6, 4.0), ("b", 10, 7.5),
+         ("c", 7, 3.0), ("c", 8, 2.0)],
+        "g string, id long, v double",
+    )
+    got = sorted(
+        (r.g, r.id, r.v, r.rank)
+        for r in apply_topk_delta(
+            view, dz, base_new, ["g"], "id", "v", k
+        ).collect()
+    )
+    exp = sorted(
+        (r.g, r.id, r.v, r.rank)
+        for r in grouped_topk(
+            base_new, ["g"], order, k,
+            salt=F.pmod(F.col("id"), F.lit(32)),
+        ).collect()
+    )
+    assert got == exp
+    as_map = {(g, rk): (i, v) for g, i, v, rk in got}
+    assert as_map[("a", 2)] == (3, 5.0)  # runner-up surfaced by rescan
+    assert as_map[("b", 2)] == (10, 7.5)  # insert displaced the boundary
+    assert as_map[("c", 1)] == (7, 3.0)  # non-member retraction: no-op
