@@ -71,6 +71,7 @@ VERIFY_FIRST: list[str] = [
     "pagerank_warm_start_delta",
     "stream_cms_sketch_store",
     "ivm_delta_minmax_view",
+    "ivm_delta_var_view",
     "ivm_delta_topk_view",
     "ivm_delta_join_agg_view",
     "kmv_quantile_sketch_value",

@@ -2248,6 +2248,138 @@ def ivm_delta_join_agg_view(spark, sf_dir):
 
 
 @register(
+    "ivm_delta_var_view",
+    """
+    WITH new_state AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CASE WHEN o_orderkey % 101 = 0 AND o_orderkey % 97 <> 0
+                  THEN o_totalprice + 50.0
+                  ELSE o_totalprice END AS price
+      FROM orders
+      WHERE NOT (o_orderkey % 103 = 0 AND o_orderkey % 97 <> 0
+                 AND o_orderkey % 101 <> 0)
+    ),
+    pcs AS (
+      SELECT day,
+             CAST(CAST(price AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc
+      FROM new_state
+    ),
+    m AS (
+      SELECT day, COUNT(*) AS n, SUM(pc) AS sc, SUM(pc * pc) AS s2c
+      FROM pcs GROUP BY 1
+    )
+    SELECT day, CAST(n AS BIGINT) AS n_orders,
+           CAST((2 * sc * 10000 + n) // (2 * n) AS DOUBLE) / 1000000.0
+             AS mean_price,
+           CAST((2 * (n * s2c - sc * sc) + n * n) // (2 * n * n)
+                AS BIGINT) AS var_price_e4
+    FROM m
+    """,
+    doc=(
+        "IVM for SECOND-MOMENT views (mean + population variance): "
+        "variance is not linear, but its SUFFICIENT STATISTICS are — "
+        "maintain (count, Σx, Σx²) per group from the delta Z-set "
+        "alone (ivm.zset_weighted_agg with two weighted sums), merge "
+        "at group grain (ivm.apply_agg_delta), derive mean and "
+        "variance only at read time — the standard decomposable-"
+        "aggregate treatment (same CDC pattern as ivm_delta_agg_view: "
+        "inserts %97, update pairs %101, deletes %103; retractions "
+        "subtract from all three states by weight algebra). "
+        "Portability shape: the statistics are EXACT INTEGER CENTS "
+        "(Σx² in cents² needs >53 bits, and a big-decimal→double "
+        "cast differs by 1 ulp across engines — measured on the "
+        "first formulation of this very query), so the variance is "
+        "emitted as an integer: var·10⁴ = round_half_up((n·S2 − S²) "
+        "/ n²) computed as the pure-integer floor((2D + n²)/(2n²)) — "
+        "bit-exact on any engine; the mean's numerator stays under "
+        "2⁵³ so its single float division is safe. Oracle recomputes "
+        "from the full new state — maintained ≡ recomputed exactly."
+    ),
+)
+def ivm_delta_var_view(spark, sf_dir):
+    from metar_pipeline_spark.operators.ivm import (
+        apply_agg_delta,
+        zset_weighted_agg,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderdate").cast("date").alias("day"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("pc"),
+        ((F.col("o_totalprice") + F.lit(50.0)).cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("bumped_pc"),
+    )
+    is_ins = F.col("k") % 97 == 0
+    is_upd = (F.col("k") % 101 == 0) & (F.col("k") % 97 != 0)
+    is_del = (
+        (F.col("k") % 103 == 0)
+        & (F.col("k") % 97 != 0)
+        & (F.col("k") % 101 != 0)
+    )
+    # sufficient statistics of the STORED view: (n, Σx, Σx²) in exact
+    # integer cents (long adds merge exactly; at 100 TB day-grain
+    # sums approaching 2⁶³ these become DECIMAL(38,0) — same algebra)
+    view = (
+        base.filter(~is_ins)
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum("pc").alias("sc"),
+            F.sum(F.col("pc") * F.col("pc")).alias("s2c"),
+        )
+    )
+    dz = (
+        base.filter(is_ins)
+        .select("day", "pc", F.lit(1).alias("_w"))
+        .unionByName(
+            base.filter(is_upd).select("day", "pc", F.lit(-1).alias("_w"))
+        )
+        .unionByName(
+            base.filter(is_upd).select(
+                "day", F.col("bumped_pc").alias("pc"), F.lit(1).alias("_w")
+            )
+        )
+        .unionByName(
+            base.filter(is_del).select("day", "pc", F.lit(-1).alias("_w"))
+        )
+    )
+    d = zset_weighted_agg(
+        dz,
+        ["day"],
+        sums={
+            "sc": F.col("pc"),
+            "s2c": F.col("pc") * F.col("pc"),
+        },
+    )
+    new_view = apply_agg_delta(view, d, ["day"], ["sc", "s2c"])
+    derived = new_view.select(
+        "day",
+        F.col("_n").alias("_n"),
+        F.col("sc").alias("sc"),
+        (
+            F.col("_n") * F.col("s2c") - F.col("sc") * F.col("sc")
+        ).alias("_D"),
+        (F.col("_n") * F.col("_n")).alias("_nn"),
+    )
+    # both roundings as pure-integer half-up divisions (a float round
+    # at 6 decimals hit an exact ...5 half-way on this data — engines
+    # disagree there; integers cannot)
+    return derived.select(
+        "day",
+        F.col("_n").alias("n_orders"),
+        (
+            F.expr("(2 * sc * 10000 + _n) DIV (2 * _n)").cast("double")
+            / F.lit(1000000.0)
+        ).alias("mean_price"),
+        F.expr("(2 * _D + _nn) DIV (2 * _nn)").alias("var_price_e4"),
+    )
+
+
+@register(
     "ivm_delta_minmax_view",
     """
     WITH new_state AS (
