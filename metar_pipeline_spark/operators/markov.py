@@ -112,21 +112,27 @@ def removal_variant_probs(
         # src != variant filter below), silently corrupting every
         # removal effect (round-10 ADVICE).
         raise ValueError(f"channel names collide with reserved labels: {sorted(bad)}")
-    tcnt = tcnt.localCheckpoint(eager=True)
-    observed = {
-        r[0]
-        for r in tcnt.select(F.col("src").alias("s"))
-        .union(tcnt.select("dst"))
-        .distinct()
-        .collect()  # bounded-collect: state grain (~|states| ≤ tens)
-    }
-    bad_states = (reserved - {START, NULL_STATE, convert_type}).intersection(
-        observed
-    )
-    if bad_states:
-        raise ValueError(
-            f"observed states collide with reserved labels: {sorted(bad_states)}"
+    # Observed-state guard, ENGINE-side (no driver materialization): an
+    # observed state literally named 'full' would corrupt the baseline
+    # variant, so the state columns carry a raise_error branch — the
+    # first action over a colliding frame fails loudly instead of
+    # silently dropping rows.
+    def _guarded(c: str):
+        return (
+            F.when(
+                F.col(c) == F.lit("full"),
+                F.raise_error(
+                    F.lit(
+                        "observed state collides with reserved label 'full'"
+                    )
+                ).cast("string"),
+            )
+            .otherwise(F.col(c))
+            .alias(c)
         )
+
+    tcnt = tcnt.select(_guarded("src"), _guarded("dst"), "c")
+    tcnt = tcnt.localCheckpoint(eager=True)
     variants = spark.range(1).select(
         F.explode(
             F.array(*[F.lit(v) for v in ["full", *channels]])

@@ -141,12 +141,14 @@ def test_markov_reserved_label_collision_raises(spark):
         removal_variant_probs(tcnt, ["a", "full"])
     with pytest.raises(ValueError, match="reserved"):
         removal_variant_probs(tcnt, ["a", "NULL"])
-    # an OBSERVED state named 'full' is just as corrupting
+    # an OBSERVED state named 'full' is just as corrupting — guarded
+    # ENGINE-side (raise_error branch; no driver materialization), so
+    # it surfaces as a Spark execution error at the first action
     tbad = spark.createDataFrame(
         [("START", "full", 3), ("full", "purchase", 2)],
         "src string, dst string, c long",
     )
-    with pytest.raises(ValueError, match="reserved"):
+    with pytest.raises(Exception, match="reserved label"):
         removal_variant_probs(tbad, ["a"])
 
 
