@@ -65,8 +65,14 @@ VERIFY_FIRST: list[str] = [
     # (brr zero-guard; ppr/markov operator edits — semantics unchanged
     # at the shipped data, re-verified locally on the full registry).
     # The r10 driver window went 47/50 green (only the 3 permanent
-    # rows-only sketches non-green, by design); everything else rides
-    # the green-hash auto-boost.
+    # rows-only sketches non-green, by design). Round 11 RETIRED the
+    # rows-only set entirely — kmv_quantile_sketch_value replaced the
+    # approx-quantiles registration and the two FM queries replaced
+    # the HLL pair — so EVERY registered query now hash-verifies
+    # against its DuckDB oracle. Everything else rides the green-hash
+    # auto-boost.
+    "fm_distinct_users_by_type",
+    "fm_mergeable_daily_users",
     "dedup_incremental_components",
     "pagerank_warm_start_delta",
     "stream_cms_sketch_store",

@@ -242,49 +242,122 @@ def stream_daily_rollup_append(spark, sf_dir):
     return result
 
 
+# approx_distinct_users_by_type and hll_mergeable_daily_users (the two
+# permanent rows-only DataSketches-HLL registrations) were RETIRED in
+# round 11 in favor of the oracle-verified FM twins below — with them
+# gone, EVERY registered query is hash-verified against the DuckDB
+# oracle. The HLL operators (sketches.approx_distinct_by /
+# partial_then_union) remain, with their <2% calibration and
+# shard-merge ≡ single-pass contracts asserted in
+# tests/test_scale_ops.py — DataSketches estimates are
+# implementation-private, so they can never hash-match a second engine.
+def _fm_grouped_oracle(
+    group_sql: str, group_alias: str, m: int = 64, shards: "int | None" = None
+) -> str:
+    """Grouped twin of _fm_oracle: per-group m MINs (the oracle needs
+    no shard level — merging shards' mins IS the same MIN, which is
+    exactly the property the Spark side demonstrates when ``shards``
+    is set there)."""
+    from metar_pipeline_spark.operators.sketches import _CMS_P, fm_constants
+
+    h1s, mins = [], []
+    for i in range(m):
+        a1, b1, a2 = fm_constants(i)
+        h1s.append(f"(user_id * {a1} + {b1}) % {_CMS_P} AS h{i}")
+        mins.append(
+            f"MIN(CAST((h{i} * h{i} + h{i} * {a2}) % {_CMS_P} AS DOUBLE)"
+            f" / {_CMS_P}.0) AS m{i}"
+        )
+    chain = "m0"
+    for i in range(1, m):
+        chain = f"({chain} + m{i})"
+    return f"""
+    WITH hx AS (
+      SELECT {group_sql} AS {group_alias}, user_id, {", ".join(h1s)}
+      FROM events
+    ),
+    s AS (
+      SELECT {group_alias},
+             COUNT(DISTINCT user_id) AS n_exact, {", ".join(mins)}
+      FROM hx GROUP BY 1
+    )
+    SELECT {group_alias},
+           CAST(n_exact AS BIGINT) AS n_exact,
+           round({m}.0 / {chain} - 1.0, 2) AS n_est
+    FROM s
+    """
+
+
 @register(
-    "approx_distinct_users_by_type",
-    None,  # HLL estimates are DataSketches-specific — no cross-engine
-    # oracle exists; calibration vs exact counts is pytest-asserted
-    # (tests/test_scale_ops.py) and the exact column rides along here.
+    "fm_distinct_users_by_type",
+    _fm_grouped_oracle("event_type", "event_type"),
     doc=(
-        "Approximate distinct at scale: per-event-type HLL user "
-        "cardinality (KB-sized mergeable sketch, map-side combinable) "
-        "next to the exact count it replaces at 100 TB — rows-only "
-        "driver check; <2% error asserted in pytest"
+        "Per-group approximate distinct, ORACLE-VERIFIED (replaces the "
+        "rows-only DataSketches-HLL registration — same question, "
+        "engine-portable estimator): per-event-type FM m-mins user "
+        "cardinality (m=64, rel. error ~1/√m), all 64 MINs map-side "
+        "combinable per group in ONE scan; the exact COUNT(DISTINCT) "
+        "rides along as the calibration column (the expensive path "
+        "being replaced at 100 TB). DuckDB replays every min."
     ),
 )
-def approx_distinct_users_by_type(spark, sf_dir):
-    from metar_pipeline_spark.operators.sketches import approx_distinct_by
+def fm_distinct_users_by_type(spark, sf_dir):
+    from metar_pipeline_spark.operators.sketches import (
+        fm_estimate,
+        fm_min_columns,
+    )
 
     events = load_table(spark, sf_dir, "events")
-    return approx_distinct_by(events, ["event_type"], "user_id").orderBy(
-        "event_type"
+    m = 64
+    s = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_exact"),
+        *fm_min_columns(F.col("user_id"), m),
+    )
+    return s.select(
+        "event_type", "n_exact", F.round(fm_estimate(m), 2).alias("n_est")
     )
 
 
 @register(
-    "hll_mergeable_daily_users",
-    None,  # same: sketch estimates have no cross-engine oracle; the
-    # mergeability contract (sharded partials ≡ single pass) is the
-    # pytest-asserted property.
+    "fm_mergeable_daily_users",
+    _fm_grouped_oracle("CAST(date_trunc('day', ts) AS DATE)", "day"),
     doc=(
-        "The mergeable-summary shape a 1000-executor cluster uses: "
-        "per-(day, shard) partial HLL sketches union-merged to daily "
-        "user cardinality — KB per shard crosses the wire, never the "
-        "distinct user set"
+        "The mergeable-summary shape a 1000-executor cluster uses, "
+        "ORACLE-VERIFIED (replaces the rows-only HLL registration): "
+        "per-(day, shard) partial FM sketches (event_id mod 4 shards "
+        "— one 64-double row per shard crosses the wire, never the "
+        "distinct user set) merged to day grain by element-wise MIN — "
+        "for the m-mins sketch the merge of shards' mins IS the same "
+        "MIN, so the oracle's direct single-pass per-day sketch "
+        "proves shard-merge ≡ whole at the gate; exact COUNT(DISTINCT) "
+        "as the calibration column."
     ),
 )
-def hll_mergeable_daily_users(spark, sf_dir):
-    from metar_pipeline_spark.operators.sketches import partial_then_union
+def fm_mergeable_daily_users(spark, sf_dir):
+    from metar_pipeline_spark.operators.sketches import (
+        fm_estimate,
+        fm_min_columns,
+    )
 
     events = load_table(spark, sf_dir, "events")
-    return partial_then_union(
-        events.select(F.to_date("ts").alias("day"), "user_id", "event_id"),
-        ["day"],
+    m = 64
+    keyed = events.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
         "user_id",
-        shard_col=F.pmod(F.xxhash64(F.col("event_id")), F.lit(8)),
-    ).orderBy("day")
+        F.pmod(F.col("event_id"), F.lit(4)).alias("__shard"),
+    )
+    partial = keyed.groupBy("day", "__shard").agg(
+        *fm_min_columns(F.col("user_id"), m)
+    )
+    merged = partial.groupBy("day").agg(
+        *[F.min(f"__fm{i}").alias(f"__fm{i}") for i in range(m)]
+    )
+    exact = keyed.groupBy("day").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_exact")
+    )
+    return exact.join(merged, "day").select(
+        "day", "n_exact", F.round(fm_estimate(m), 2).alias("n_est")
+    )
 
 
 # approx_value_quantiles_by_type (rows-only percentile_approx query)

@@ -91,10 +91,12 @@ SHOWCASE = [
         "lineage never grows with the iteration count.",
     ),
     (
-        "hll_mergeable_daily_users",
-        "Mergeable-sketch aggregation: partial hll_sketch_agg before "
-        "the exchange, hll_union_agg after — KB-sized sketches cross "
-        "the wire, never the distinct key set.",
+        "fm_mergeable_daily_users",
+        "Mergeable-sketch aggregation: per-(day, shard) partial FM "
+        "min rows before the exchange, element-wise MIN after — one "
+        "64-double row per shard crosses the wire, never the distinct "
+        "key set (and unlike the retired HLL form, every cell is "
+        "oracle-replayable).",
     ),
     (
         "funnel_view_click_purchase",
