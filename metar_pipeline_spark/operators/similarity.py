@@ -694,6 +694,7 @@ def kmeans_refine(
     vec_col: str,
     n_centroids: int,
     iters: int,
+    init_centroids: "DataFrame | None" = None,
 ) -> DataFrame:
     """Lloyd's k-means refinement of the IVF coarse quantizer, as pure
     DataFrame iterations (the iterative-algorithm shape on Spark).
@@ -715,6 +716,16 @@ def kmeans_refine(
     a fixed init; documented, matched by the oracle). Means accumulate
     in exact DECIMAL then divide once — deterministic across partition
     orders and engines. Returns (cid, centvec) after ``iters`` rounds.
+
+    ``init_centroids``: optional (cid, centvec) WARM START — the index-
+    maintenance shape: after a batch of vectors upserts into the store,
+    refresh the coarse quantizer from the PREVIOUS converged centroids
+    with one Lloyd round instead of re-clustering from the fixed init
+    (half or fewer corpus passes for the same quality near convergence).
+    Chaining invariant (pinned in tests/test_scale_ops.py): on an
+    unchanged corpus, refine(iters=j) warm-started into refine(iters=k)
+    is BIT-IDENTICAL to refine(iters=j+k) — warm start is literally
+    resuming the same deterministic iteration.
     """
     # work in double throughout (floats widened once at the boundary)
     # so the decimal mean accumulation sees the same IEEE values the
@@ -723,9 +734,12 @@ def kmeans_refine(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    cents = c.filter(F.col("id") < n_centroids).select(
-        F.col("id").alias("cid"), F.col("v").alias("centvec")
-    )
+    if init_centroids is None:
+        cents = c.filter(F.col("id") < n_centroids).select(
+            F.col("id").alias("cid"), F.col("v").alias("centvec")
+        )
+    else:
+        cents = init_centroids.select("cid", "centvec")
     for _ in range(iters):
         # zero-exchange assignment (centroid_argmax): each iteration's
         # corpus pass is scan → broadcast centroid array → project;
@@ -760,11 +774,17 @@ def kmeans_cells(
     vec_col: str,
     n_centroids: int,
     iters: int,
+    init_centroids: "DataFrame | None" = None,
 ) -> DataFrame:
     """Final cell census after k-means refinement: one row per
     surviving cell with its member count and refined-centroid norm —
-    the quantizer-quality summary an IVF build job would log."""
-    cents = kmeans_refine(corpus, id_col, vec_col, n_centroids, iters)
+    the quantizer-quality summary an IVF build job would log.
+    ``init_centroids`` warm-starts the refinement (index maintenance
+    after a batch upsert — see kmeans_refine)."""
+    cents = kmeans_refine(
+        corpus, id_col, vec_col, n_centroids, iters,
+        init_centroids=init_centroids,
+    )
     c = corpus.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),

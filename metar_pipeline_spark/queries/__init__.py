@@ -71,6 +71,7 @@ VERIFY_FIRST: list[str] = [
     # the HLL pair — so EVERY registered query now hash-verifies
     # against its DuckDB oracle. Everything else rides the green-hash
     # auto-boost.
+    "ivf_centroid_refresh_delta",
     "fm_distinct_users_by_type",
     "fm_mergeable_daily_users",
     "dedup_incremental_components",

@@ -1375,6 +1375,108 @@ def _duck_kmeans_oracle(n_centroids: int, iters: int) -> str:
     return "\n".join(parts)
 
 
+def _duck_kmeans_warm_oracle(
+    n_centroids: int, old_iters: int, warm_iters: int
+) -> str:
+    """Twin of ivf_centroid_refresh_delta: Lloyd chain over the OLD
+    corpus (vec_id % 10 <> 0) from the fixed id<k init, then
+    ``warm_iters`` rounds over the FULL corpus seeded from the old
+    converged centroids, final census over the full corpus."""
+    parts = [
+        "WITH recon AS (SELECT vec_id AS id,"
+        " list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),",
+        "recon_old AS (SELECT * FROM recon WHERE id % 10 <> 0),",
+        f"a0 AS (SELECT id AS cid, v AS centvec FROM recon_old"
+        f" WHERE id < {n_centroids})",
+    ]
+
+    def lloyd(prefix, i, src, prev):
+        cos = _DUCK_COS.format(a="e.v", b="c.centvec")
+        return f"""
+        , {prefix}assign{i} AS (
+          SELECT id, v, cid FROM (
+            SELECT e.id, e.v, c.cid,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.id
+                     ORDER BY round({cos}, 6) DESC, c.cid
+                   ) AS rn
+            FROM {src} e, {prev} c
+          ) WHERE rn = 1
+        ),
+        {prefix}{i} AS (
+          SELECT cid, list(m ORDER BY pos) AS centvec FROM (
+            SELECT cid, pos,
+                   CAST(SUM(CAST(val AS DECIMAL(30,10))) AS DOUBLE)
+                     / COUNT(*) AS m
+            FROM (SELECT cid, unnest(v) AS val,
+                         generate_subscripts(v, 1) AS pos
+                  FROM {prefix}assign{i})
+            GROUP BY cid, pos
+          ) GROUP BY cid
+        )"""
+
+    prev = "a0"
+    for i in range(1, old_iters + 1):
+        parts.append(lloyd("a", i, "recon_old", prev))
+        prev = f"a{i}"
+    # warm chain: full corpus seeded from the old converged centroids
+    parts.append(f", b0 AS (SELECT cid, centvec FROM {prev})")
+    prev = "b0"
+    for i in range(1, warm_iters + 1):
+        parts.append(lloyd("b", i, "recon", prev))
+        prev = f"b{i}"
+    cos_f = _DUCK_COS.format(a="e.v", b="c.centvec")
+    parts.append(f"""
+        , final AS (
+          SELECT cid FROM (
+            SELECT e.id, c.cid,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.id
+                     ORDER BY round({cos_f}, 6) DESC, c.cid
+                   ) AS rn
+            FROM recon e, {prev} c
+          ) WHERE rn = 1
+        )
+        SELECT f.cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+               round(sqrt(list_reduce(
+                 list_transform(c.centvec, x -> x * x), (x, y) -> x + y
+               )), 6) AS centroid_norm
+        FROM final f JOIN {prev} c ON f.cid = c.cid
+        GROUP BY f.cid, c.centvec""")
+    return "\n".join(parts)
+
+
+@register(
+    "ivf_centroid_refresh_delta",
+    _duck_kmeans_warm_oracle(n_centroids=8, old_iters=2, warm_iters=1),
+    doc=(
+        "WARM-START IVF index maintenance (the ANN sibling of "
+        "pagerank_warm_start_delta): the coarse quantizer converges on "
+        "the pre-batch corpus (vec_id % 10 <> 0, 2 Lloyd rounds from "
+        "the fixed id<k init), a 10% vector batch upserts, and the "
+        "quantizer REFRESHES with ONE Lloyd round over the full corpus "
+        "seeded from the previous centroids "
+        "(similarity.kmeans_refine init_centroids) — half the corpus "
+        "passes of re-clustering, and near convergence the same "
+        "quality. On an unchanged corpus, warm-chaining is BIT-"
+        "IDENTICAL to running the extra iterations directly (pinned in "
+        "tests/test_scale_ops.py — warm start literally resumes the "
+        "deterministic iteration). Output is the refreshed cell "
+        "census; the oracle unrolls both chains."
+    ),
+)
+def ivf_centroid_refresh_delta(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 10 != 0)
+    old_cents = sim.kmeans_refine(
+        old, "vec_id", "embedding", n_centroids=8, iters=2
+    )
+    return sim.kmeans_cells(
+        emb, "vec_id", "embedding", n_centroids=8, iters=1,
+        init_centroids=old_cents,
+    )
+
+
 @register(
     "kmeans_refined_cells",
     _duck_kmeans_oracle(n_centroids=8, iters=2),

@@ -1298,3 +1298,42 @@ def test_dsir_scores_tilt_toward_target(spark):
     assert t_mean > r_mean
     # 'zq'-family bigrams are unseen by the target model → floored
     assert r_mean < -5.0
+
+
+def test_kmeans_warm_start_chaining_invariant(spark):
+    """Warm start resumes the SAME deterministic iteration: on an
+    unchanged corpus, refine(2) warm-started into refine(1) is
+    bit-identical to refine(3) — centroids AND census."""
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.io import load_table
+    from metar_pipeline_spark.operators.similarity import (
+        kmeans_cells,
+        kmeans_refine,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    c2 = kmeans_refine(emb, "vec_id", "embedding", 8, 2)
+    warm3 = kmeans_refine(
+        emb, "vec_id", "embedding", 8, 1, init_centroids=c2
+    )
+    cold3 = kmeans_refine(emb, "vec_id", "embedding", 8, 3)
+    got = sorted(
+        (r.cid, tuple(r.centvec)) for r in warm3.collect()
+    )
+    want = sorted(
+        (r.cid, tuple(r.centvec)) for r in cold3.collect()
+    )
+    assert got == want
+    census_w = sorted(
+        map(
+            tuple,
+            kmeans_cells(
+                emb, "vec_id", "embedding", 8, 1, init_centroids=c2
+            ).collect(),
+        )
+    )
+    census_c = sorted(
+        map(tuple, kmeans_cells(emb, "vec_id", "embedding", 8, 3).collect())
+    )
+    assert census_w == census_c
