@@ -890,3 +890,124 @@ def test_ivm_delta_merge_is_batch_order_free(spark, old, ins):
     assert sorted(
         (r.g, r._n, r.total) for r in whole.collect()
     ) == sorted((r.g, r._n, r.total) for r in step.collect())
+
+
+# --- round 11: IVM extreme/top-k maintenance laws ----------------------
+
+# A CDC scenario over a keyed integer base: per row id, op in
+# {keep, delete, update(+delta)}; inserted rows get fresh ids. The law
+# under test: maintained view (algebra + rescan fallback) ≡ recompute
+# over the post-batch base — for ANY combination of retractions hitting
+# or missing the stored extremes / top-k members.
+cdc_base = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),   # group
+        st.integers(min_value=-50, max_value=50),  # value
+        st.sampled_from(["keep", "del", "upd"]),
+    ),
+    min_size=0,
+    max_size=30,
+)
+cdc_inserts = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=-50, max_value=50),
+    ),
+    min_size=0,
+    max_size=10,
+)
+
+
+def _cdc_frames(spark, base, inserts):
+    """(view_input, dz, base_new) frames for the scenario; row ids are
+    positional so updates retract the exact stored row."""
+    old_rows = [(g, i, v) for i, (g, v, _) in enumerate(base)]
+    new_rows = [
+        (g, i, v + 7 if op == "upd" else v)
+        for i, (g, v, op) in enumerate(base)
+        if op != "del"
+    ] + [(g, 1000 + j, v) for j, (g, v) in enumerate(inserts)]
+    dz_rows = []
+    for i, (g, v, op) in enumerate(base):
+        if op == "del":
+            dz_rows.append((g, i, v, -1))
+        elif op == "upd":
+            dz_rows.append((g, i, v, -1))
+            dz_rows.append((g, i, v + 7, 1))
+    for j, (g, v) in enumerate(inserts):
+        dz_rows.append((g, 1000 + j, v, 1))
+    schema_b = "g long, id long, v long"
+    old = spark.createDataFrame(old_rows, schema_b) if old_rows else (
+        spark.range(0).select(
+            F.col("id").alias("g"), F.col("id"), F.col("id").alias("v")
+        )
+    )
+    new = spark.createDataFrame(new_rows, schema_b) if new_rows else (
+        spark.range(0).select(
+            F.col("id").alias("g"), F.col("id"), F.col("id").alias("v")
+        )
+    )
+    dz = spark.createDataFrame(
+        dz_rows, "g long, id long, v long, _w int"
+    ) if dz_rows else spark.range(0).select(
+        F.col("id").alias("g"), F.col("id"),
+        F.col("id").alias("v"), F.lit(1).alias("_w"),
+    )
+    return old, new, dz
+
+
+@given(base=cdc_base, inserts=cdc_inserts)
+@SETTINGS
+def test_minmax_delta_law(spark, base, inserts):
+    """apply_minmax_delta ≡ full recompute for ANY CDC batch."""
+    from metar_pipeline_spark.operators.ivm import apply_minmax_delta
+
+    old, new, dz = _cdc_frames(spark, base, inserts)
+    view = old.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+    got = sorted(
+        (r.g, r._n, r.min_v, r.max_v)
+        for r in apply_minmax_delta(
+            view, dz, new.select("g", "v"), ["g"], "v"
+        ).collect()
+    )
+    want = sorted(
+        (r.g, r._n, r.min_v, r.max_v)
+        for r in new.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+        .collect()
+    )
+    assert got == want
+
+
+@given(base=cdc_base, inserts=cdc_inserts,
+       k=st.integers(min_value=1, max_value=4))
+@SETTINGS
+def test_topk_delta_law(spark, base, inserts, k):
+    """apply_topk_delta ≡ full recompute top-k for ANY CDC batch and k
+    (including ties broken by id and k larger than the group)."""
+    from metar_pipeline_spark.operators.ivm import apply_topk_delta
+    from metar_pipeline_spark.operators.ranking import grouped_topk
+
+    old, new, dz = _cdc_frames(spark, base, inserts)
+    order = [F.desc("v"), F.asc("id")]
+    salt = F.pmod(F.col("id"), F.lit(8))
+    view = grouped_topk(old, ["g"], order, k, salt=salt).drop("rank")
+    got = sorted(
+        (r.g, r.id, r.v, r.rank)
+        for r in apply_topk_delta(
+            view, dz, new, ["g"], "id", "v", k
+        ).collect()
+    )
+    want = sorted(
+        (r.g, r.id, r.v, r.rank)
+        for r in grouped_topk(new, ["g"], order, k, salt=salt).collect()
+    )
+    assert got == want
