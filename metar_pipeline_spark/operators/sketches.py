@@ -267,6 +267,110 @@ def fm_min_columns(key: Column, m: int = 64) -> list:
     return [F.min(fm_hash01(key, i)).alias(f"__fm{i}") for i in range(m)]
 
 
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 8192,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Deterministic Bloom filter over a key column — the MEMBERSHIP
+    member of the oracle-verified sketch family (frequency: CMS,
+    distinct: FM, quantiles: KMV, membership: this). The classic use
+    at 100 TB: an m-bit summary of a huge key set (users who
+    purchased, doc ids already ingested) that any executor can probe
+    broadcast-locally — no false negatives, false-positive rate
+    ≈ (1 − e^{−kn/m})^k.
+
+    Hash rows are the CMS fixed integer rows ((key·a+b) mod 2³¹−1 mod
+    m — engine-portable, so a SQL oracle replays every bit), positions
+    pack into 32-bit words (bit 31 stays positive in an int64 on every
+    engine; 64-bit words would hit sign/overflow divergence at bit
+    63). Build = one narrow explode + a word-grain BIT_OR with
+    map-side partials; output (word, bits) rows, ≤ m/32 of them —
+    mergeable by word-wise OR, exactly like cms_merge's cell-wise add.
+    """
+    pos = [
+        cms_bucket(F.col(key_col), i, m_bits) for i in range(k_hashes)
+    ]
+    pairs = F.array(
+        *[
+            F.struct(
+                (p / 32).cast("long").alias("word"),
+                # 2^bit as exact integer (bit ≤ 31, so the double
+                # pow is exact); F.shiftleft needs a literal bit count
+                F.pow(F.lit(2.0), F.pmod(p, F.lit(32)))
+                .cast("long")
+                .alias("bitval"),
+            )
+            for p in pos
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("wb"))
+        .groupBy(F.col("wb.word").alias("word"))
+        .agg(F.bit_or(F.col("wb.bitval")).alias("bits"))
+    )
+
+
+def bloom_merge(*sketches: DataFrame) -> DataFrame:
+    """Word-wise OR — bloom(A ∪ B) == merge(bloom(A), bloom(B))
+    exactly (BIT_OR is associative-commutative-idempotent), the same
+    shard-partials shape as cms_merge."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_probe(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = 8192,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """(key, est_member): a key is flagged iff ALL k of its bits are
+    set. The sketch is ≤ m/32 rows — broadcast — so the probe is a
+    broadcast equi-join on the word index + a key-grain BOOL_AND;
+    a word absent from the sketch means those bits are 0 (left join,
+    null → false). No false negatives by construction."""
+    pos = [
+        cms_bucket(F.col(key_col), i, m_bits) for i in range(k_hashes)
+    ]
+    pairs = F.array(
+        *[
+            F.struct(
+                (p / 32).cast("long").alias("word"),
+                # 2^bit as exact integer (bit ≤ 31, so the double
+                # pow is exact); F.shiftleft needs a literal bit count
+                F.pow(F.lit(2.0), F.pmod(p, F.lit(32)))
+                .cast("long")
+                .alias("bitval"),
+            )
+            for p in pos
+        ]
+    )
+    probes = keys.select(F.col(key_col), F.explode(pairs).alias("wb")).select(
+        key_col,
+        F.col("wb.word").alias("word"),
+        F.col("wb.bitval").alias("bitval"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), "word", "left")
+        .select(
+            key_col,
+            (
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(
+                    F.col("bitval")
+                )
+                != 0
+            ).alias("__hit"),
+        )
+        .groupBy(key_col)
+        .agg(F.bool_and("__hit").alias("est_member"))
+    )
+
+
 def kmv_quantile_sketch(
     df: DataFrame,
     group_cols: list,

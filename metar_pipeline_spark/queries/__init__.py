@@ -71,6 +71,7 @@ VERIFY_FIRST: list[str] = [
     # the HLL pair — so EVERY registered query now hash-verifies
     # against its DuckDB oracle. Everything else rides the green-hash
     # auto-boost.
+    "bloom_membership_audit",
     "ivf_centroid_refresh_delta",
     "fm_distinct_users_by_type",
     "fm_mergeable_daily_users",

@@ -1419,6 +1419,159 @@ def stream_cms_sketch_store(spark, sf_dir):
     return result
 
 
+def _bloom_oracle(m_bits: int = 8192, k_hashes: int = 4) -> str:
+    """Literal twin of bloom_membership_audit: the same CMS hash rows
+    → bit positions → 32-bit words BIT_OR'd, probed with the same
+    all-bits-set rule."""
+    from metar_pipeline_spark.operators.sketches import _CMS_P, _CMS_ROWS
+
+    def pos(i):
+        a, b = _CMS_ROWS[i]
+        return f"(((user_id * {a} + {b}) % {_CMS_P}) % {m_bits})"
+
+    build_pairs = " UNION ALL ".join(
+        f"SELECT {pos(i)} // 32 AS word,"
+        f" (CAST(1 AS BIGINT) << CAST({pos(i)} % 32 AS INTEGER)) AS bitval,"
+        f" user_id FROM members"
+        for i in range(k_hashes)
+    )
+    probe_pairs = " UNION ALL ".join(
+        f"SELECT user_id, {pos(i)} // 32 AS word,"
+        f" (CAST(1 AS BIGINT) << CAST({pos(i)} % 32 AS INTEGER)) AS bitval"
+        f" FROM allu"
+        for i in range(k_hashes)
+    )
+    return f"""
+    WITH members AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ),
+    allu AS (
+      SELECT DISTINCT user_id FROM events
+      UNION
+      -- deterministic ABSENT probes (every synthetic user purchases,
+      -- so without these the false-positive audit would be vacuous)
+      SELECT DISTINCT user_id + 10000000 FROM events
+    ),
+    sketch AS (
+      SELECT word, BIT_OR(bitval) AS bits
+      FROM ({build_pairs}) GROUP BY word
+    ),
+    probes AS ({probe_pairs}),
+    hits AS (
+      SELECT p.user_id,
+             BOOL_AND(COALESCE(s.bits, 0) & p.bitval <> 0) AS est_member
+      FROM probes p LEFT JOIN sketch s ON p.word = s.word
+      GROUP BY p.user_id
+    ),
+    audit AS (
+      SELECT h.user_id, h.est_member,
+             m.user_id IS NOT NULL AS true_member
+      FROM hits h LEFT JOIN members m ON h.user_id = m.user_id
+    )
+    SELECT CAST({m_bits} AS BIGINT) AS m_bits,
+           CAST({k_hashes} AS BIGINT) AS k_hashes,
+           CAST((SELECT COUNT(*) FROM members) AS BIGINT) AS n_members,
+           CAST((SELECT SUM(bit_count(bits)) FROM sketch) AS BIGINT)
+             AS n_bits_set,
+           CAST(SUM(CASE WHEN NOT true_member THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_probed_absent,
+           CAST(SUM(CASE WHEN true_member AND NOT est_member
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_negatives,
+           CAST(SUM(CASE WHEN est_member AND NOT true_member
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_positives
+    FROM audit
+    """
+
+
+@register(
+    "bloom_membership_audit",
+    _bloom_oracle(),
+    doc=(
+        "Deterministic Bloom filter — MEMBERSHIP joins the "
+        "oracle-verified sketch family (frequency: CMS, distinct: FM, "
+        "quantiles: KMV): an 8192-bit / 4-hash filter over the "
+        "purchasing users (CMS fixed integer hash rows → bit "
+        "positions packed into 32-bit words via one narrow explode + "
+        "word-grain BIT_OR, ≤256-row mergeable summary), probed with "
+        "ALL distinct users through a broadcast word join + key-grain "
+        "BOOL_AND. The audit row pins the structural guarantee at the "
+        "gate: n_false_negatives is ZERO by construction, false "
+        "positives are counted against the exact membership join "
+        "(rate bound asserted in pytest). DuckDB replays every bit. "
+        "operators/sketches.bloom_build/bloom_probe"
+    ),
+)
+def bloom_membership_audit(spark, sf_dir):
+    from metar_pipeline_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    m_bits, k_hashes = 8192, 4
+    events = load_table(spark, sf_dir, "events")
+    members = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds the build AND the truth join
+    )
+    # probe set = real users ∪ deterministic ABSENT ids (every
+    # synthetic user purchases, so the false-positive audit needs
+    # guaranteed-absent probes; +10M keeps the ids inside the hash
+    # rows' int64 bound)
+    allu = (
+        events.select("user_id")
+        .union(events.select(F.col("user_id") + 10_000_000))
+        .distinct()
+    )
+    sketch = bloom_build(members, "user_id", m_bits, k_hashes)
+    sketch = sketch.localCheckpoint(eager=True)  # feeds probe + popcount
+    probed = bloom_probe(sketch, allu, "user_id", m_bits, k_hashes)
+    audit = probed.join(
+        members.withColumn("__true", F.lit(True)), "user_id", "left"
+    ).select(
+        "est_member", F.coalesce("__true", F.lit(False)).alias("true_member")
+    )
+    counts = audit.agg(
+        F.sum(F.when(~F.col("true_member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_probed_absent"),
+        F.sum(
+            F.when(F.col("true_member") & ~F.col("est_member"), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("n_false_negatives"),
+        F.sum(
+            F.when(F.col("est_member") & ~F.col("true_member"), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("n_false_positives"),
+    )
+    nm = members.agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    nbits = sketch.agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("n_bits_set")
+    )
+    return (
+        nm.crossJoin(F.broadcast(nbits))
+        .crossJoin(F.broadcast(counts))
+        .select(
+            F.lit(m_bits).cast("bigint").alias("m_bits"),
+            F.lit(k_hashes).cast("bigint").alias("k_hashes"),
+            "n_members",
+            "n_bits_set",
+            "n_probed_absent",
+            "n_false_negatives",
+            "n_false_positives",
+        )
+    )
+
+
 def _fm_oracle(m: int = 64) -> str:
     """Literal twin of operators/sketches.fm_hash01/fm_estimate: the
     same per-row integer hash rounds, m MINs, and the fixed left-assoc

@@ -452,3 +452,58 @@ def test_kmv_estimate_small_sample_exact(spark):
     r = kmv_quantile_estimate(sk, ["t"], "value", "id", [25, 50, 90]).collect()[0]
     assert r.n_sample == 10
     assert (r.p25, r.p50, r.p90) == (3.0, 5.0, 9.0)
+
+
+def test_bloom_no_false_negatives_fp_bound_and_merge(spark):
+    """Bloom contract on real keys: every member probes TRUE (no false
+    negatives, structural), the false-positive rate on absent keys
+    stays within 2x the classical (1 - e^{-kn/m})^k bound, and
+    shard-merge (word-wise OR) equals the whole-set filter exactly."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.io import load_table
+    from metar_pipeline_spark.operators.sketches import (
+        bloom_build,
+        bloom_merge,
+        bloom_probe,
+    )
+
+    m_bits, k = 8192, 4
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    members = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = members.count()
+    sketch = bloom_build(members, "user_id", m_bits, k).localCheckpoint(
+        eager=True
+    )
+    # members all hit
+    hits = bloom_probe(sketch, members, "user_id", m_bits, k)
+    assert hits.filter(~F.col("est_member")).count() == 0
+    # absent keys: fp rate within 2x theory
+    absent = spark.range(10_000_000, 10_002_000).select(
+        F.col("id").alias("user_id")
+    )
+    fp = (
+        bloom_probe(sketch, absent, "user_id", m_bits, k)
+        .filter(F.col("est_member"))
+        .count()
+    )
+    bound = (1 - math.exp(-k * n / m_bits)) ** k
+    assert fp / 2000 <= max(2 * bound, 0.005), (fp, n, bound)
+    # merge == whole (bit-exact rows)
+    halves = bloom_merge(
+        bloom_build(
+            members.filter(F.col("user_id") % 2 == 0), "user_id", m_bits, k
+        ),
+        bloom_build(
+            members.filter(F.col("user_id") % 2 == 1), "user_id", m_bits, k
+        ),
+    )
+    assert sketch.exceptAll(halves).count() == 0
+    assert halves.exceptAll(sketch).count() == 0
