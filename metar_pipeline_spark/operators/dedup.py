@@ -494,10 +494,17 @@ def incremental_components(
     )
     # contracted-grain CC: O(|Δ|) nodes/edges, O(merged diameter)
     # rounds — the corpus never enters the iteration.
-    sub = connected_components(
-        cnodes, ce, node_col="__cn", src_col="__cs", dst_col="__cd",
-        max_iter=max_iter,
-    ).localCheckpoint(eager=True)  # tiny; feeds relabel + new-node rows
+    # connected_components emits a fixed "component_id" column — rename
+    # to the caller's label_col (round-11 ADVICE: the selects below use
+    # label_col, so a non-default caller hit an AnalysisException here).
+    sub = (
+        connected_components(
+            cnodes, ce, node_col="__cn", src_col="__cs", dst_col="__cd",
+            max_iter=max_iter,
+        )
+        .withColumnRenamed("component_id", label_col)
+        .localCheckpoint(eager=True)  # tiny; feeds relabel + new-node rows
+    )
     old_lbls = elbl.select(F.col("__l").alias("__cn")).distinct()
     comp_relabel = (
         sub.join(F.broadcast(old_lbls), "__cn", "semi")

@@ -158,6 +158,15 @@ def apply_topk_delta(
     from the post-batch base (broadcast semi-join of the affected
     keys); a retraction of a non-member is a no-op by construction.
 
+    Precondition (well-formed Z-set): an UPDATE to an existing
+    (group, id) must arrive as a retract+insert pair. Defensively
+    (round-11 ADVICE), an insert whose (group, id) already sits in the
+    stored view ALSO marks its group unsafe — otherwise the safe
+    path's view ∪ dpos union would rank the same id twice — so a
+    malformed insert-without-retraction degrades to a correct rescan
+    instead of a duplicated rank. In the well-formed case inserts
+    carry new ids and the unsafe set is driven by retractions alone.
+
     Work shape: the safe path re-ranks O(k·|groups| + |Δ|) rows (view
     grain, never fact grain); the rescan reads only the unsafe groups.
     Both rankings run through ``ranking.grouped_topk`` (salted
@@ -173,11 +182,18 @@ def apply_topk_delta(
     cols = [*group_cols, id_col, score_col]
     dneg = dz.filter(w < 0).select(*cols)
     dpos = dz.filter(w > 0).select(*cols)
-    # unsafe ⇔ a retraction matches a stored member (group+id): the
-    # runner-up was never stored, so the group must rescan.
+    # unsafe ⇔ ANY delta row matches a stored member (group+id): a
+    # retraction of a member leaves an unknowable runner-up, and an
+    # insert colliding with a member (malformed Z-set — see
+    # precondition) would double-rank that id on the safe path; both
+    # degrade to the per-group rescan.
     unsafe = (
         view.join(
-            F.broadcast(dneg.select(*group_cols, id_col)),
+            F.broadcast(
+                dneg.select(*group_cols, id_col).unionByName(
+                    dpos.select(*group_cols, id_col)
+                )
+            ),
             [*group_cols, id_col],
             "semi",
         )

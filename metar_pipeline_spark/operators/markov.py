@@ -48,8 +48,32 @@ def journey_transitions(
     user: (ts, event_id) — deterministic under ties.
     """
     w = Window.partitionBy(user_col).orderBy(*[F.asc(c) for c in order_cols])
+    # Observed-state guard (round-11 ADVICE): an event type literally
+    # named 'START' or 'NULL' would silently merge with the absorber
+    # states this function INJECTS below, corrupting transition mass.
+    # This is the only place the collision is detectable — downstream
+    # (removal_variant_probs) the injected rows are indistinguishable
+    # from observed ones, so its 'full' guard cannot be extended here.
+    # (convert_type needs no guard: an observed type equal to it IS the
+    # conversion by definition.) One codegen'd equality pair per row.
+    guarded_type = (
+        F.when(
+            F.col(type_col).isin(START, NULL_STATE),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "observed event type collides with an injected "
+                        "absorber state: "
+                    ),
+                    F.col(type_col),
+                )
+            ).cast("string"),
+        )
+        .otherwise(F.col(type_col))
+        .alias(type_col)
+    )
     seq = events.select(
-        user_col, type_col, F.row_number().over(w).alias("rn")
+        user_col, guarded_type, F.row_number().over(w).alias("rn")
     )
     firstp = (
         seq.filter(F.col(type_col) == convert_type)

@@ -470,9 +470,11 @@ def kmv_quantile_estimate(
     )
     sel = [*[F.col(c) for c in group_cols], F.col("n_sample")]
     for p in pcts:
-        rank = F.floor(
-            (F.col("n_sample") * F.lit(p) + F.lit(99)) / F.lit(100)
-        ).cast("int")
+        # integer division end-to-end (round-11 ADVICE: the previous
+        # floor(x / 100) went through Spark's double division — exact
+        # at n<=k=256 but off-contract with the doc; DIV keeps the
+        # whole rank computation in int64 for any k)
+        rank = F.expr(f"(n_sample * {int(p)} + 99) DIV 100").cast("int")
         sel.append(
             F.element_at(F.col("__vs"), rank)[value_col].alias(f"p{p}")
         )

@@ -2265,7 +2265,10 @@ def ivm_delta_join_agg_view(spark, sf_dir):
       FROM new_state
     ),
     m AS (
-      SELECT day, COUNT(*) AS n, SUM(pc) AS sc, SUM(pc * pc) AS s2c
+      SELECT day,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(pc) AS HUGEINT) AS sc,
+             CAST(SUM(pc * pc) AS HUGEINT) AS s2c
       FROM pcs GROUP BY 1
     )
     SELECT day, CAST(n AS BIGINT) AS n_orders,
@@ -2356,18 +2359,29 @@ def ivm_delta_var_view(spark, sf_dir):
         },
     )
     new_view = apply_agg_delta(view, d, ["day"], ["sc", "s2c"])
+    # Read-time products in DECIMAL(38,0), not BIGINT (round-11 ADVICE,
+    # medium): on the shipped sf0.1 data max(n·s2c) is already 6.87e18
+    # — 1.34× below int64 max — so at ~sf1 a BIGINT n*s2c silently
+    # wraps (non-ANSI) while the oracle's HUGEINT does not. The stored
+    # sums stay long (the docstring's DECIMAL migration note covers
+    # them at day-grain 2⁶³); the overflow-first READ products are
+    # widened here. scale-0 decimals: no fractional loss, exact to
+    # 38 digits.
+    dn = F.col("_n").cast("decimal(38,0)")
+    dsc = F.col("sc").cast("decimal(38,0)")
+    ds2c = F.col("s2c").cast("decimal(38,0)")
     derived = new_view.select(
         "day",
         F.col("_n").alias("_n"),
-        F.col("sc").alias("sc"),
-        (
-            F.col("_n") * F.col("s2c") - F.col("sc") * F.col("sc")
-        ).alias("_D"),
-        (F.col("_n") * F.col("_n")).alias("_nn"),
+        dsc.alias("sc"),
+        (dn * ds2c - dsc * dsc).alias("_D"),
+        (dn * dn).alias("_nn"),
     )
     # both roundings as pure-integer half-up divisions (a float round
     # at 6 decimals hit an exact ...5 half-way on this data — engines
-    # disagree there; integers cannot)
+    # disagree there; integers cannot). DIV on decimal operands
+    # returns the integral quotient as BIGINT — the quotients (mean
+    # in e6, variance in e4) fit int64 by magnitudes.
     return derived.select(
         "day",
         F.col("_n").alias("n_orders"),

@@ -528,3 +528,25 @@ def test_incremental_canonical_update_merged_champion(spark):
     # member (11, 300) beats (5, 50); comp 10: new singleton. comp 7
     # untouched -> absent.
     assert got == [(0, 2, 20), (5, 11, 300), (10, 10, 100)]
+
+
+def test_incremental_components_custom_label_col(spark):
+    """Round-11 ADVICE: label_col must forward through the inner
+    connected_components call — a non-default name previously hit an
+    AnalysisException in the relabel selects."""
+    from metar_pipeline_spark.operators.dedup import incremental_components
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1)], "node long, cluster long"
+    )
+    new_nodes = spark.createDataFrame([(0,)], "node long")
+    new_edges = spark.createDataFrame([(0, 2)], "src long, dst long")
+    delta, relabel = incremental_components(
+        labels, new_nodes, new_edges, label_col="cluster"
+    )
+    assert sorted(
+        (r.node, r.cluster, r.is_new) for r in delta.collect()
+    ) == [(0, 0, True), (1, 0, False), (2, 0, False)]
+    assert sorted(
+        (r.old_label, r.cluster) for r in relabel.collect()
+    ) == [(1, 0)]

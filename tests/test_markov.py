@@ -132,3 +132,14 @@ def test_markov_query_matches_numpy(spark):
         assert r.attribution_share == pytest.approx(
             round(eff, 6) / tot, abs=1e-5
         )
+
+
+def test_journey_transitions_rejects_absorber_named_states(spark):
+    """Round-11 ADVICE: an observed event type literally named START or
+    NULL would silently merge with the injected absorber states — the
+    guard must fire on the first action, pre-injection (downstream the
+    injected rows are indistinguishable from observed ones)."""
+    for bad in ("START", "NULL"):
+        rows = [(1, "view"), (1, bad), (1, "purchase")]
+        with pytest.raises(Exception, match="collides with an injected"):
+            journey_transitions(_events(spark, rows)).collect()
