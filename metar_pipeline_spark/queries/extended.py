@@ -885,3 +885,144 @@ def try_function_surface(spark, sf_dir):
             ).otherwise(F.lit(1)),
         ).alias("overflow_guard"),
     )
+
+
+@register(
+    "profile_anomaly_report",
+    """
+    WITH base AS (
+      SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS run_id,
+             user_id, value
+      FROM events
+    ),
+    mx AS (SELECT MAX(run_id) AS m FROM base),
+    p AS (
+      SELECT run_id,
+             CASE WHEN run_id = (SELECT m FROM mx) AND user_id % 2 = 0
+                  THEN NULL ELSE user_id END AS user_id,
+             CASE WHEN run_id = (SELECT m FROM mx)
+                  THEN value * 10 ELSE value END AS value
+      FROM base
+    ),
+    prof AS (
+      SELECT run_id, 'user_id' AS column_name, 'count' AS stat,
+             CAST(COUNT(user_id) AS BIGINT) AS value
+      FROM p GROUP BY run_id
+      UNION ALL
+      SELECT run_id, 'user_id', 'null_count',
+             CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM p GROUP BY run_id
+      UNION ALL
+      SELECT run_id, 'user_id', 'null_ppm',
+             CAST((2 * 1000000 *
+                   SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                   + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+      FROM p GROUP BY run_id
+      UNION ALL
+      SELECT run_id, 'value', 'min_i',
+             CAST(MIN(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+      FROM p GROUP BY run_id
+      UNION ALL
+      SELECT run_id, 'value', 'max_i',
+             CAST(MAX(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+      FROM p GROUP BY run_id
+    ),
+    lt AS (SELECT MAX(run_id) AS lr FROM prof),
+    h AS (
+      SELECT column_name, stat,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(CAST(value AS HUGEINT)) AS HUGEINT) AS s,
+             CAST(SUM(CAST(value AS HUGEINT) * CAST(value AS HUGEINT))
+                  AS HUGEINT) AS q
+      FROM prof WHERE run_id < (SELECT lr FROM lt)
+      GROUP BY 1, 2
+    ),
+    l AS (SELECT * FROM prof WHERE run_id = (SELECT lr FROM lt))
+    SELECT l.column_name, l.stat,
+           CAST(l.run_id AS BIGINT) AS run_id,
+           l.value,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS hist_n,
+           CASE WHEN COALESCE(h.n, 0) > 0
+                THEN CAST((2 * h.s + h.n) // (2 * h.n) AS BIGINT)
+           END AS hist_mean_i,
+           (COALESCE(h.n, 0) >= 3 AND
+            (h.n * CAST(l.value AS HUGEINT) - h.s)
+              * (h.n * CAST(l.value AS HUGEINT) - h.s)
+              > 9 * (h.n * h.q - h.s * h.s)) AS is_anomaly
+    FROM l LEFT JOIN h USING (column_name, stat)
+    """,
+    doc=(
+        "Run-history column-anomaly detection — the Q6 statistical "
+        "flagging rule the reference declares as "
+        "elementary.column_anomalies on its staging model (reference "
+        "dbt/models/stg/schema.yml:9,17), the last Q6 piece (round-11 "
+        "VERDICT #1). The events feed is replayed as 30 daily ingest "
+        "runs; the LATEST run is deliberately poisoned (half its "
+        "user_ids nulled, values ×10 — the corrupt-batch injection) "
+        "and each run is profiled to exact-BIGINT long rows (count / "
+        "null_count / half-up null_ppm / cent-scaled min_i/max_i — "
+        "quality.anomalies.grouped_profile_long). The per-run profile "
+        "store is PERSISTED (partitioned by run, as the medallion "
+        "metrics store is) and read back, and the k·σ rule runs off "
+        "the store in cross-multiplied DECIMAL(38,0) integer algebra "
+        "((n·x−S)² > k²·(n·Q−S²), k=3) — no floats anywhere, so the "
+        "SQL replay is bit-exact, and the poisoned run's null_ppm/"
+        "count/max_i rows flag TRUE at the gate while honest stats "
+        "stay quiet. Store grain: (runs × columns × stats) KB-sized "
+        "metadata at any fact scale; the rule aggregates the pruned "
+        "history slice at (column, stat) grain."
+    ),
+)
+def profile_anomaly_report(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from metar_pipeline_spark.quality.anomalies import (
+        grouped_profile_long,
+        profile_anomalies,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    run = F.datediff(
+        F.to_date("ts"), F.lit("2024-01-01").cast("date")
+    ).alias("run_id")
+    base = ev.select(run, "user_id", "value")
+    mx = base.agg(F.max("run_id").alias("__mx"))
+    tagged = base.join(F.broadcast(mx))
+    is_last = F.col("run_id") == F.col("__mx")
+    poisoned = tagged.select(
+        "run_id",
+        F.when(
+            is_last & (F.col("user_id") % 2 == 0), F.lit(None)
+        )
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+        F.when(is_last, F.col("value") * 10)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    hist = grouped_profile_long(
+        poisoned,
+        "run_id",
+        ["user_id"],
+        {"value": F.floor(F.col("value") * 100).cast("long")},
+    )
+    tmp = tempfile.mkdtemp(prefix="profile_store_")
+    store = os.path.join(tmp, "metrics")
+    try:
+        # the rule must run off the PERSISTED store (the production
+        # shape: each run appends its slice; detection reads the
+        # partition-pruned history)
+        hist.write.partitionBy("run_id").parquet(store)
+        back = spark.read.parquet(store).withColumn(
+            "run_id", F.col("run_id").cast("long")
+        )
+        result = profile_anomalies(back, k=3, min_history=3).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result

@@ -507,3 +507,69 @@ def test_bloom_no_false_negatives_fp_bound_and_merge(spark):
     )
     assert sketch.exceptAll(halves).count() == 0
     assert halves.exceptAll(sketch).count() == 0
+
+
+def test_profile_anomalies_integer_sigma_rule(spark):
+    """Hand history pins of the cross-multiplied k·σ algebra
+    (quality/anomalies.py): σ=0 constant history flags ANY deviation,
+    within-k·σ points stay quiet, insufficient history never flags,
+    and a latest-only stat (no history) reports hist_n=0 unflagged."""
+    from metar_pipeline_spark.quality.anomalies import profile_anomalies
+
+    rows = []
+    # stat A: constant history 5,5,5,5 then latest 6 (σ=0 → flag)
+    for i, v in enumerate([5, 5, 5, 5]):
+        rows.append((i, "c", "A", v))
+    rows.append((4, "c", "A", 6))
+    # stat B: history 10,20,10,20 (μ=15, σ=5), latest 20 → |Δ|=5 ≤ 3σ
+    for i, v in enumerate([10, 20, 10, 20]):
+        rows.append((i, "c", "B", v))
+    rows.append((4, "c", "B", 20))
+    # stat C: only 2 history points, wild latest → insufficient history
+    rows += [(2, "c", "C", 1), (3, "c", "C", 1), (4, "c", "C", 99)]
+    # stat D: appears only in the latest run
+    rows.append((4, "c", "D", 7))
+    hist = spark.createDataFrame(
+        rows, "run_id long, column_name string, stat string, value long"
+    )
+    got = {
+        r.stat: r
+        for r in profile_anomalies(hist, k=3, min_history=3).collect()
+    }
+    assert got["A"].is_anomaly and got["A"].hist_mean_i == 5
+    assert not got["B"].is_anomaly and got["B"].hist_mean_i == 15
+    assert not got["C"].is_anomaly and got["C"].hist_n == 2
+    assert not got["D"].is_anomaly and got["D"].hist_n == 0
+    assert got["D"].hist_mean_i is None
+    assert all(r.run_id == 4 for r in got.values())
+
+
+def test_grouped_profile_long_matches_batch_form(spark):
+    """grouped_profile_long over run buckets ≡ column_profile_long per
+    bucket — and the ppm rounding is half-up integer."""
+    from metar_pipeline_spark.quality.anomalies import (
+        column_profile_long,
+        grouped_profile_long,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 1, 10), (0, None, 20), (0, 3, 30), (1, None, 5), (1, 2, 7)],
+        "r long, u long, v long",
+    )
+    grouped = grouped_profile_long(
+        df, "r", ["u"], {"v": F.col("v")}
+    ).collect()
+    per_batch = []
+    for r in (0, 1):
+        per_batch += column_profile_long(
+            df.filter(F.col("r") == r).drop("r"),
+            r,
+            ["u"],
+            {"v": F.col("v")},
+        ).collect()
+    key = lambda x: (x.run_id, x.column_name, x.stat)  # noqa: E731
+    assert sorted(map(tuple, grouped)) == sorted(map(tuple, per_batch))
+    g = {key(x): x.value for x in grouped}
+    assert g[(0, "u", "null_ppm")] == 333333  # half-up 1/3
+    assert g[(1, "u", "null_ppm")] == 500000
+    assert g[(0, "v", "max_i")] == 30 and g[(1, "v", "min_i")] == 5
