@@ -2072,3 +2072,86 @@ def equidepth_histogram_value(spark, sf_dir):
         F.round(F.min("value"), 6).alias("lo"),
         F.round(F.max("value"), 6).alias("hi"),
     )
+
+
+@register(
+    "sketch_log_checkpoint_truncate",
+    """
+    WITH h AS (
+      SELECT * FROM (VALUES (0, 998244353, 12289), (1, 1000000007, 257),
+                            (2, 69061, 65537), (3, 40503, 97)) AS t(r, a, b)
+    )
+    SELECT CAST(h.r AS INTEGER) AS row,
+           CAST(((e.user_id * h.a + h.b) % 2147483647) % 1024 AS BIGINT)
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events e CROSS JOIN h
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Snapshot-and-truncate lifecycle for the _batch-partitioned "
+        "sketch log (round-11 VERDICT #2 — the ops story "
+        "stream_cms_sketch_store leaves open: a 30-min cadence grows "
+        "~17.5k partitions/year per store). Three micro-batch CMS "
+        "partials land via idempotent_batch_append; batches 0-1 are "
+        "FOLDED into a durable cell-wise snapshot and their partitions "
+        "expired (streaming.lifecycle.checkpoint_and_truncate — "
+        "snapshot atomically visible BEFORE any delete); then batch 0 "
+        "is maliciously REPLAYED (at-least-once upstream re-creating "
+        "an already-consumed partition). The serving view (snapshot ∪ "
+        "log strictly after it, partition-pruned) must ignore the "
+        "replay and equal the single-pass whole-corpus sketch, which "
+        "the oracle replays cell-exactly. The log ends bounded: one "
+        "live partition + one snapshot, content ≡ never-truncated "
+        "store."
+    ),
+)
+def sketch_log_checkpoint_truncate(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from metar_pipeline_spark.operators.sketches import cms_build, cms_merge
+    from metar_pipeline_spark.streaming.lifecycle import (
+        checkpoint_and_truncate,
+        serving_view,
+    )
+    from metar_pipeline_spark.streaming.pipeline import (
+        idempotent_batch_append,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    parts = [
+        cms_build(
+            events.filter(F.col("event_id") % 3 == i).select("user_id"),
+            "user_id",
+        )
+        for i in range(3)
+    ]
+    tmp = tempfile.mkdtemp(prefix="sketch_lifecycle_")
+    log = os.path.join(tmp, "sketch_log")
+    snaps = os.path.join(tmp, "sketch_snapshots")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        for i, p in enumerate(parts):
+            idempotent_batch_append(p, log, i)
+        checkpoint_and_truncate(
+            spark,
+            log,
+            snaps,
+            lambda snap, consumed: (
+                cms_merge(snap, consumed) if snap is not None
+                else cms_merge(consumed)
+            ),
+            through_batch=1,
+        )
+        # at-least-once upstream replays an already-consumed batch
+        idempotent_batch_append(parts[0], log, 0)
+        result = cms_merge(
+            serving_view(spark, log, snaps)
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result

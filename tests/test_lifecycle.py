@@ -1,0 +1,164 @@
+"""Snapshot-and-truncate lifecycle (streaming/lifecycle.py): bounded
+partition counts under continuous appends, replay idempotency mid- and
+post-truncation, checkpoint re-run idempotency, and serving ≡ full
+recompute for the three store shapes the engine persists (group-sum
+deltas, cell-wise sketches, plain signature unions).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from metar_pipeline_spark.streaming.lifecycle import (
+    checkpoint_and_truncate,
+    latest_snapshot_id,
+    list_batch_ids,
+    serving_view,
+)
+from metar_pipeline_spark.streaming.pipeline import idempotent_batch_append
+
+
+def _delta(spark, rows):
+    return spark.createDataFrame(rows, "k long, d long")
+
+
+def _sum_merge(snap, consumed):
+    u = consumed if snap is None else snap.unionByName(consumed)
+    return u.groupBy("k").agg(F.sum("d").cast("long").alias("d"))
+
+
+def _serve_sums(spark, log, snaps):
+    return {
+        r.k: r.d
+        for r in _sum_merge(None, serving_view(spark, log, snaps)).collect()
+    }
+
+
+def test_bounded_partitions_and_recompute_equivalence(spark, tmp_path):
+    """2x the batches of the gate exhibit; checkpoint every 4th batch.
+    The log never holds more than one checkpoint-interval of partitions
+    (+1 snapshot dir), and the serving view stays ≡ the full recompute
+    over every batch ever appended, mid- and post-truncation."""
+    log = str(tmp_path / "log")
+    snaps = str(tmp_path / "snaps")
+    truth: dict[int, int] = {}
+    for b in range(8):
+        rows = [(b % 3, b + 1), (7 - b % 3, 1)]
+        for k, d in rows:
+            truth[k] = truth.get(k, 0) + d
+        idempotent_batch_append(_delta(spark, rows), log, b)
+        if b % 4 == 3:
+            sid = checkpoint_and_truncate(
+                spark, log, snaps, _sum_merge, through_batch=b
+            )
+            assert sid == b
+            assert list_batch_ids(spark, log) == []
+        assert _serve_sums(spark, log, snaps) == truth
+        assert len(list_batch_ids(spark, log)) <= 4
+    # exactly one snapshot dir survives
+    snap_dirs = [d for d in os.listdir(snaps) if d.startswith("_snap=")]
+    assert snap_dirs == ["_snap=7"]
+
+
+def test_replay_after_truncation_is_ignored(spark, tmp_path):
+    """An at-least-once upstream replaying an already-consumed batch
+    re-creates its _batch partition — the serving view must exclude it
+    (strictly-after-snapshot filter), and the next checkpoint must
+    garbage-collect it without folding it twice."""
+    log = str(tmp_path / "log")
+    snaps = str(tmp_path / "snaps")
+    b0 = _delta(spark, [(1, 10)])
+    b1 = _delta(spark, [(1, 5), (2, 2)])
+    b2 = _delta(spark, [(2, 1)])
+    idempotent_batch_append(b0, log, 0)
+    idempotent_batch_append(b1, log, 1)
+    checkpoint_and_truncate(spark, log, snaps, _sum_merge, through_batch=1)
+    idempotent_batch_append(b2, log, 2)
+    want = {1: 15, 2: 3}
+    assert _serve_sums(spark, log, snaps) == want
+    # replay consumed batch 0 (post-truncation)
+    idempotent_batch_append(b0, log, 0)
+    assert list_batch_ids(spark, log) == [0, 2]
+    assert _serve_sums(spark, log, snaps) == want
+    # replay live batch 2 (idempotent overwrite, not a duplicate)
+    idempotent_batch_append(b2, log, 2)
+    assert _serve_sums(spark, log, snaps) == want
+    # next checkpoint: folds ONLY batch 2, expires the replayed 0
+    sid = checkpoint_and_truncate(
+        spark, log, snaps, _sum_merge, through_batch=2
+    )
+    assert sid == 2
+    assert list_batch_ids(spark, log) == []
+    assert _serve_sums(spark, log, snaps) == want
+
+
+def test_checkpoint_rerun_and_noop_are_idempotent(spark, tmp_path):
+    log = str(tmp_path / "log")
+    snaps = str(tmp_path / "snaps")
+    idempotent_batch_append(_delta(spark, [(1, 1)]), log, 0)
+    idempotent_batch_append(_delta(spark, [(1, 2)]), log, 1)
+    assert (
+        checkpoint_and_truncate(
+            spark, log, snaps, _sum_merge, through_batch=0
+        )
+        == 0
+    )
+    # re-run with the same through: nothing new to fold
+    assert (
+        checkpoint_and_truncate(
+            spark, log, snaps, _sum_merge, through_batch=0
+        )
+        == 0
+    )
+    assert latest_snapshot_id(spark, snaps) == 0
+    assert _serve_sums(spark, log, snaps) == {1: 3}
+    # a LOWER through than the snapshot is a no-op, not a regression
+    assert (
+        checkpoint_and_truncate(
+            spark, log, snaps, _sum_merge, through_batch=-5
+        )
+        == 0
+    )
+    assert _serve_sums(spark, log, snaps) == {1: 3}
+
+
+def test_signature_store_union_shape(spark, tmp_path):
+    """The dedup signature store folds by plain union (signatures are
+    append-only facts): serving row set ≡ all appended rows, before and
+    after truncation."""
+    log = str(tmp_path / "log")
+    snaps = str(tmp_path / "snaps")
+    union_merge = (
+        lambda snap, consumed: consumed
+        if snap is None
+        else snap.unionByName(consumed)
+    )
+    sigs = [
+        spark.createDataFrame(
+            [(i * 10 + j, f"sig{i}_{j}") for j in range(3)],
+            "doc_id long, sig string",
+        )
+        for i in range(3)
+    ]
+    for i, s in enumerate(sigs):
+        idempotent_batch_append(s, log, i)
+    checkpoint_and_truncate(spark, log, snaps, union_merge, through_batch=1)
+    got = sorted(
+        map(tuple, serving_view(spark, log, snaps).collect())
+    )
+    want = sorted(
+        (i * 10 + j, f"sig{i}_{j}") for i in range(3) for j in range(3)
+    )
+    assert got == want
+
+
+def test_empty_store_raises_and_preseed_serves(spark, tmp_path):
+    log = str(tmp_path / "log")
+    snaps = str(tmp_path / "snaps")
+    with pytest.raises(ValueError, match="empty store"):
+        serving_view(spark, log, snaps)
+    idempotent_batch_append(_delta(spark, [(9, 9)]), log, 0)
+    assert _serve_sums(spark, log, snaps) == {9: 9}
