@@ -2155,3 +2155,70 @@ def sketch_log_checkpoint_truncate(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+@register(
+    "skipping_scan_value_range",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events
+    WHERE CAST(FLOOR(value * 100) AS BIGINT) BETWEEN 10000 AND 15000
+    GROUP BY event_type
+    """,
+    doc=(
+        "File-level min/max data skipping for a NON-partition column "
+        "(round-11 VERDICT #3 — the Iceberg/Delta data-skipping idea, "
+        "partition pruning's complement): events are laid out by "
+        "cent-scaled value into range files (sources/layout."
+        "write_range_layout — disjoint per-file footer ranges), a "
+        "(file, n_rows, col_min, col_max) manifest is built from "
+        "DISTRIBUTED parquet-footer reads only (layout."
+        "build_skipping_manifest via mapInPandas — KBs of metadata per "
+        "file, never data pages), and a value BETWEEN scan opens only "
+        "the files the manifest cannot exclude (layout.skipping_scan). "
+        "The aggregate is manifest-INVARIANT: the row filter applies "
+        "regardless, so the oracle is the plain full-scan predicate — "
+        "same rows with and without skipping; the touched-file-count "
+        "pin lives in tests/test_layout.py. At 100 TB this is the "
+        "difference between touching ~1% and 100% of files for a "
+        "range predicate on an unpartitioned column."
+    ),
+)
+def skipping_scan_value_range(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from metar_pipeline_spark.sources.layout import (
+        skipping_scan,
+        write_range_layout,
+        write_skipping_manifest,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    tmp = tempfile.mkdtemp(prefix="skipping_scan_")
+    table = os.path.join(tmp, "events_by_value")
+    manifest = os.path.join(tmp, "manifest")
+    try:
+        write_range_layout(ev, table, ["value_c"], num_files=8)
+        write_skipping_manifest(spark, table, ["value_c"], manifest)
+        pruned = skipping_scan(
+            spark, table, manifest, "value_c", 10000, 15000
+        )
+        result = (
+            pruned.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum("value_c").cast("long").alias("sum_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result

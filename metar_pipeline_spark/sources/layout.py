@@ -105,3 +105,150 @@ def write_zorder_layout(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# File-level min/max data skipping for NON-partition columns
+# ---------------------------------------------------------------------------
+MANIFEST_META_COLS = ("file", "n_rows")
+
+
+def _manifest_schema(table_schema, cols: "list[str]") -> str:
+    """Manifest DDL: (file, n_rows, <col>__min, <col>__max ...) with
+    min/max typed as the table column (numeric columns only — string
+    footer stats can be TRUNCATED by writers, so a string manifest
+    would need prefix-aware comparisons; out of scope here)."""
+    by_name = {f.name: f for f in table_schema.fields}
+    parts = ["file string", "n_rows long"]
+    for c in cols:
+        if c not in by_name:
+            raise ValueError(f"column {c!r} not in table schema")
+        t = by_name[c].dataType.simpleString()
+        if t not in ("bigint", "int", "smallint", "tinyint", "double",
+                     "float", "date"):
+            raise ValueError(
+                f"unsupported manifest column type {t!r} for {c!r}"
+            )
+        wide = {"int": "bigint", "smallint": "bigint", "tinyint": "bigint",
+                "float": "double"}.get(t, t)
+        parts += [f"{c}__min {wide}", f"{c}__max {wide}"]
+    return ", ".join(parts)
+
+
+def build_skipping_manifest(
+    spark, table_path: str, cols: "list[str]"
+) -> DataFrame:
+    """(file, n_rows, <col>__min, <col>__max ...) — one row per data
+    file, built from parquet FOOTER statistics only (the Iceberg
+    manifest / Delta stats idea: at 100 TB this reads KBs of metadata
+    per file, never data pages).
+
+    The footer reads are DISTRIBUTED: the file list (a directory
+    listing — metadata grain) fans out over ``mapInPandas`` and each
+    task reads only its files' footers with pyarrow. Missing stats
+    (all-null column, stats-less writer) yield NULL min/max — skipping
+    then KEEPS the file (can't prove exclusion), never drops it.
+    """
+    import os
+
+    from metar_pipeline_spark.sources.merge import _hadoop_fs
+
+    table_schema = spark.read.parquet(table_path).schema
+    ddl = _manifest_schema(table_schema, cols)
+    fs, hpath, _ = _hadoop_fs(spark, table_path)
+    files = []
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith(("_", ".")):
+            files.append(st.getPath().toString())
+    paths = spark.createDataFrame([(f,) for f in files], "file string")
+    want = list(cols)
+
+    def footer_stats(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for path in pdf["file"]:
+                local = path[len("file:"):] if path.startswith("file:") else path
+                md = pq.ParquetFile(local).metadata
+                idx = {
+                    md.schema.column(i).name: i
+                    for i in range(md.num_columns)
+                }
+                row = {"file": path, "n_rows": md.num_rows}
+                for c in want:
+                    mn = mx = None
+                    i = idx.get(c)
+                    if i is not None:
+                        for g in range(md.num_row_groups):
+                            s = md.row_group(g).column(i).statistics
+                            if s is None or not s.has_min_max:
+                                mn = mx = None
+                                break
+                            mn = s.min if mn is None else min(mn, s.min)
+                            mx = s.max if mx is None else max(mx, s.max)
+                    row[f"{c}__min"] = mn
+                    row[f"{c}__max"] = mx
+                out.append(row)
+            yield pd.DataFrame(
+                out, columns=["file", "n_rows"]
+                + [f"{c}__{s}" for c in want for s in ("min", "max")]
+            )
+
+    return paths.mapInPandas(footer_stats, ddl)
+
+
+def write_skipping_manifest(
+    spark, table_path: str, cols: "list[str]", manifest_path: str
+) -> None:
+    """Persist the manifest beside the table (call after each write /
+    compaction — the write-time capture Delta gets from its txn log).
+    Manifest grain: one row per file — KB-sized metadata at any data
+    scale."""
+    build_skipping_manifest(spark, table_path, cols).write.mode(
+        "overwrite"
+    ).parquet(manifest_path)
+
+
+def pruned_files(
+    spark, manifest_path: str, col: str, lo, hi
+) -> "list[str]":
+    """Files that MAY contain ``col`` values in [lo, hi]: keep unless
+    the footer proves ``max < lo`` or ``min > hi``; files with missing
+    stats are kept. Manifest-grain collect (one row per file, tagged
+    bounded)."""
+    m = spark.read.parquet(manifest_path)
+    keep = ~(
+        (F.col(f"{col}__max") < F.lit(lo))
+        | (F.col(f"{col}__min") > F.lit(hi))
+    )
+    rows = (
+        m.filter(keep | F.col(f"{col}__min").isNull())
+        .select("file")
+        .collect()  # bounded-collect: manifest grain (one row per file)
+    )
+    return [r.file for r in rows]
+
+
+def skipping_scan(
+    spark, table_path: str, manifest_path: str, col: str, lo, hi
+) -> DataFrame:
+    """``table.filter(lo <= col <= hi)`` that opens ONLY the files the
+    manifest cannot exclude — the difference between touching 1% and
+    100% of a 100 TB table for a range predicate on an UNPARTITIONED
+    column (partition pruning's complement; footer row-group pruning
+    still applies inside each kept file). Semantics are
+    manifest-invariant: the row filter is applied regardless, so a
+    stale-but-superset manifest only costs I/O, never correctness."""
+    pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    files = pruned_files(spark, manifest_path, col, lo, hi)
+    if not files:
+        return spark.read.parquet(table_path).filter(F.lit(False))
+    # basePath keeps hive partition columns alive when the table is
+    # partitioned and we hand Spark leaf files directly
+    base = spark.read.option("basePath", table_path).parquet(*files)
+    return base.filter(pred)

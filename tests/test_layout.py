@@ -121,3 +121,101 @@ def test_zorder_ranges_are_aligned_tiles(spark):
         # and the tile is ALIGNED: both mins share the range's quadrant
         assert r["a_min"] // 64 == r["a_max"] // 64, r
         assert r["b_min"] // 64 == r["b_max"] // 64, r
+
+
+def test_skipping_manifest_prunes_files_and_preserves_rows(spark, tmp_path):
+    """Round-11 VERDICT #3: the min/max manifest turns footer stats
+    into a pruned FILE LIST for a range predicate on an unpartitioned
+    column — touched-file count pinned, result ≡ full-scan filter."""
+    from metar_pipeline_spark.sources.layout import (
+        build_skipping_manifest,
+        pruned_files,
+        skipping_scan,
+        write_range_layout,
+        write_skipping_manifest,
+    )
+
+    table = str(tmp_path / "table")
+    manifest = str(tmp_path / "manifest")
+    df = spark.range(0, 80_000).withColumn(
+        "v", (F.col("id") * 7919) % 1000
+    )
+    write_range_layout(df, table, ["id"], num_files=8)
+    write_skipping_manifest(spark, table, ["id", "v"], manifest)
+
+    m = spark.read.parquet(manifest)
+    n_files = m.count()
+    assert n_files >= 4
+    assert m.agg(F.sum("n_rows")).first()[0] == 80_000
+    # every manifest row has closed stats on the layout key
+    assert m.filter(F.col("id__min").isNull()).count() == 0
+
+    # a narrow BETWEEN on the layout key touches ~1 bucket, not all
+    lo, hi = 10_000, 10_999
+    touched = pruned_files(spark, manifest, "id", lo, hi)
+    assert 1 <= len(touched) <= 2  # range buckets are disjoint
+    got = skipping_scan(spark, table, manifest, "id", lo, hi)
+    assert got.count() == 1_000
+    full = spark.read.parquet(table).filter(
+        (F.col("id") >= lo) & (F.col("id") <= hi)
+    )
+    assert got.agg(F.sum("v")).first()[0] == full.agg(F.sum("v")).first()[0]
+
+    # a predicate on the NON-layout column v can't prune (v spans all
+    # files) — skipping degrades to a full read, never a wrong one
+    all_files = pruned_files(spark, manifest, "v", 500, 501)
+    assert len(all_files) == n_files
+    assert (
+        skipping_scan(spark, table, manifest, "v", 500, 501).count()
+        == spark.read.parquet(table)
+        .filter(F.col("v").between(500, 501))
+        .count()
+    )
+
+    # out-of-domain predicate: zero files, empty-but-schema-stable scan
+    none = skipping_scan(spark, table, manifest, "id", 10**9, 2 * 10**9)
+    assert none.count() == 0
+    assert [f.name for f in none.schema.fields] == ["id", "v"]
+
+    # manifest builder is the distributed-footer path: spot-check one
+    # file row against a direct pyarrow read
+    row = build_skipping_manifest(spark, table, ["id"]).orderBy(
+        "id__min"
+    ).first()
+    local = row.file[len("file:"):] if row.file.startswith("file:") else row.file
+    md = pq.ParquetFile(local).metadata
+    assert row.n_rows == md.num_rows
+
+
+def test_skipping_manifest_partitioned_table_keeps_partition_cols(
+    spark, tmp_path
+):
+    """Leaf-file reads with basePath keep hive partition columns."""
+    from metar_pipeline_spark.sources.layout import (
+        skipping_scan,
+        write_skipping_manifest,
+    )
+
+    table = str(tmp_path / "ptable")
+    manifest = str(tmp_path / "pmanifest")
+    df = spark.range(0, 1_000).withColumn("p", F.col("id") % 2)
+    df.write.partitionBy("p").parquet(table)
+    write_skipping_manifest(spark, table, ["id"], manifest)
+    got = skipping_scan(spark, table, manifest, "id", 100, 199)
+    assert got.count() == 100
+    assert "p" in [f.name for f in got.schema.fields]
+    assert got.select("p").distinct().count() == 2
+
+
+def test_skipping_manifest_rejects_unsupported_types(spark, tmp_path):
+    from metar_pipeline_spark.sources.layout import build_skipping_manifest
+    import pytest as _pt
+
+    table = str(tmp_path / "stable")
+    spark.createDataFrame([(1, "a")], "id long, s string").write.parquet(
+        table
+    )
+    with _pt.raises(ValueError, match="unsupported manifest column type"):
+        build_skipping_manifest(spark, table, ["s"])
+    with _pt.raises(ValueError, match="not in table schema"):
+        build_skipping_manifest(spark, table, ["zzz"])
