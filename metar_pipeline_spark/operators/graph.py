@@ -340,3 +340,70 @@ def bfs_min_hops(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     return visited
+
+
+def incremental_lpa(
+    all_edges: DataFrame,
+    delta_edges: DataFrame,
+    iterations: int = 2,
+    a: str = "id_a",
+    b: str = "id_b",
+) -> DataFrame:
+    """Incremental label-propagation maintenance under EDGE ADDITIONS —
+    the community-grain sibling of ``dedup.incremental_components``
+    (round-11 VERDICT #4): a batch of new near-dup edges must not
+    re-run LPA over the whole corpus graph.
+
+    Exactness argument (why a bounded recompute can be bit-equal to the
+    full one): :func:`label_propagation` starts every node at its OWN
+    id, so a node's k-round label is a pure function of the STRUCTURE
+    of its k-hop ball — no persisted state enters the iteration. Adding
+    edges Δ (endpoints = "seeds") can therefore change final labels
+    only inside B_k(seeds) (any node farther than k from every seed has
+    an identical k-ball before and after — additions only create paths
+    through seeds). And to recompute B_k(seeds) exactly it suffices to
+    run k rounds on the subgraph induced by B_2k(seeds): by the
+    standard light-cone induction, round-t labels are correct for every
+    node of hop ≤ 2k−t (all its neighbors live in the ball), so round k
+    is correct precisely on B_k — which is all we keep.
+
+    Inputs: ``all_edges`` = the POST-batch edge set (old ∪ Δ),
+    ``delta_edges`` = Δ. Returns ``(node, label)`` for exactly the
+    nodes of B_k(seeds) — the maintenance WRITE set; every other stored
+    label is provably unchanged (and is never read here: the caller
+    upserts the delta, the store itself enters no join at all).
+
+    Scale shape: seed discovery is |Δ|-grain; the 2k-hop ball grows by
+    frontier⋈edges equi-joins (frontier broadcast, ``bfs_min_hops``);
+    the induced subgraph is two broadcast semi-joins of the edge table
+    against the ball; the LPA rounds then run on O(|ball|) rows. With
+    the edge table bucketed by node id every frontier probe prunes to
+    the touched buckets — per-batch work is affected-subgraph-bounded,
+    never corpus-bounded.
+    """
+    k = int(iterations)
+    sym = (
+        all_edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionAll(
+            all_edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds BFS rounds + induced cut
+    )
+    seeds = (
+        delta_edges.select(F.col(a).alias("node"))
+        .union(delta_edges.select(F.col(b).alias("node")))
+        .distinct()
+    )
+    ball = bfs_min_hops(sym, seeds, max_hops=2 * k).localCheckpoint(
+        eager=True
+    )  # (node, hop) — delta-ball grain; feeds two semi-joins + filter
+    bn = ball.select("node")
+    sub = sym.join(
+        F.broadcast(bn.withColumnRenamed("node", "src")), "src", "semi"
+    ).join(F.broadcast(bn.withColumnRenamed("node", "dst")), "dst", "semi")
+    sub_labels = label_propagation(
+        sub, a="src", b="dst", iterations=k
+    )
+    inner = ball.filter(F.col("hop") <= k).select("node")
+    return sub_labels.join(F.broadcast(inner), "node", "semi")

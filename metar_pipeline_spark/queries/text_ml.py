@@ -3959,3 +3959,122 @@ def langid_agreement_matrix(spark, sf_dir):
             F.col("n_docs").cast("double") / F.col("t"), 6
         ).alias("share_of_claimed"),
     )
+
+
+@register(
+    "lpa_incremental_delta",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, source, list_distinct({_DUCK_TOKS}) AS s
+      FROM documents
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM t a JOIN t b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE round(len(list_intersect(a.s, b.s))
+                  / greatest(len(a.s) + len(b.s)
+                             - len(list_intersect(a.s, b.s)), 1), 6)
+            >= 0.8
+    ),
+    edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    l0 AS (SELECT node, node AS label FROM nodes),
+    n1 AS (
+      SELECT e.src AS node, l.label, COUNT(*) AS c
+      FROM edges e JOIN l0 l ON l.node = e.dst GROUP BY 1, 2
+    ),
+    l1 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label) AS rn
+        FROM n1
+      ) WHERE rn = 1
+    ),
+    n2 AS (
+      SELECT e.src AS node, l.label, COUNT(*) AS c
+      FROM edges e JOIN l1 l ON l.node = e.dst GROUP BY 1, 2
+    ),
+    l2 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label) AS rn
+        FROM n2
+      ) WHERE rn = 1
+    ),
+    seeds AS (
+      SELECT DISTINCT src AS node FROM edges
+      WHERE src % 10 = 0 OR dst % 10 = 0
+    ),
+    d1 AS (
+      SELECT node FROM seeds
+      UNION
+      SELECT e.dst FROM edges e JOIN seeds s ON e.src = s.node
+    ),
+    d2 AS (
+      SELECT node FROM d1
+      UNION
+      SELECT e.dst FROM edges e JOIN d1 ON e.src = d1.node
+    )
+    SELECT l2.node AS doc_id, l2.label AS community_id,
+           (l2.node IN (SELECT node FROM d2)) AS in_delta
+    FROM l2
+    """,
+    doc=(
+        "INCREMENTAL community (LPA) label maintenance under edge "
+        "additions (round-11 VERDICT #4 — the community-grain sibling "
+        "of dedup_incremental_components): the 10% batch's near-dup "
+        "edges arrive against a persisted 2-round LPA label store. "
+        "graph.incremental_lpa recomputes ONLY the 2k-hop ball of the "
+        "batch endpoints (LPA's round-0 state is the node's own id, so "
+        "a k-round label is a pure function of the k-hop subgraph — "
+        "additions can change labels only inside B_k(seeds), and the "
+        "light-cone induction makes a k-round run on the induced "
+        "B_2k subgraph exact on B_k); the write set is exactly B_k. "
+        "The label store is never read by the maintenance pass at all "
+        "— it enters only the final serving assembly via a broadcast "
+        "anti-join (plan-pinned in tests/test_plans.py). Oracle: full "
+        "2-round LPA recompute over the post-batch graph, plus the "
+        "2-hop-ball membership flag — incremental ≡ recompute proven "
+        "at the gate, write-set membership included."
+    ),
+)
+def lpa_incremental_delta(spark, sf_dir):
+    from metar_pipeline_spark.operators.graph import (
+        incremental_lpa,
+        label_propagation,
+    )
+
+    pairs = (
+        dedup_unigram_jaccard_pairs(spark, sf_dir)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)  # feeds both splits + the ball
+    )
+    both_old = (F.col("id_a") % 10 != 0) & (F.col("id_b") % 10 != 0)
+    # the simulated persisted store: pre-batch 2-round LPA labels
+    old_labels = label_propagation(
+        pairs.filter(both_old), iterations=2
+    ).localCheckpoint(eager=True)
+    delta = incremental_lpa(
+        pairs, pairs.filter(~both_old), iterations=2
+    ).localCheckpoint(eager=True)  # feeds anti + union
+    full = (
+        # explicit broadcast: the checkpointed write set has no size
+        # stats, and an un-hinted anti-join would fall back to a
+        # store-grain SortMergeJoin — the exact shape this operator
+        # exists to avoid (pinned in test_plans.py)
+        old_labels.join(F.broadcast(delta.select("node")), "node", "anti")
+        .withColumn("in_delta", F.lit(False))
+        .unionByName(delta.withColumn("in_delta", F.lit(True)))
+    )
+    return full.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("community_id"),
+        "in_delta",
+    )

@@ -550,3 +550,69 @@ def test_incremental_components_custom_label_col(spark):
     assert sorted(
         (r.old_label, r.cluster) for r in relabel.collect()
     ) == [(1, 0)]
+
+
+def _lpa_assembled(spark, old_edges, delta_edges, k):
+    """old labels outside the write set ∪ incremental delta."""
+    from metar_pipeline_spark.operators.graph import (
+        incremental_lpa,
+        label_propagation,
+    )
+
+    all_edges = old_edges.unionByName(delta_edges)
+    old = label_propagation(old_edges, iterations=k)
+    delta = incremental_lpa(all_edges, delta_edges, iterations=k)
+    keep = old.join(delta.select("node"), "node", "anti")
+    return keep.unionByName(delta), delta
+
+
+def test_incremental_lpa_equals_full_recompute_hand_chain(spark):
+    """Chain 1-2-3-4-5-6-7-8 plus batch edge (4,5) joining the halves:
+    the k=2 write set is exactly B_2({4,5}) = {2..7}, endpoints 1 and 8
+    keep their stored labels, and the assembled state is bit-equal to
+    the full recompute."""
+    from metar_pipeline_spark.operators.graph import label_propagation
+
+    old = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (7, 8)],
+        "id_a long, id_b long",
+    )
+    delta = spark.createDataFrame([(4, 5)], "id_a long, id_b long")
+    assembled, dz = _lpa_assembled(spark, old, delta, k=2)
+    full = label_propagation(old.unionByName(delta), iterations=2)
+    assert sorted(map(tuple, assembled.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    assert sorted(r.node for r in dz.collect()) == [2, 3, 4, 5, 6, 7]
+
+
+def test_incremental_lpa_law_on_pseudo_random_graph(spark):
+    """200-node deterministic pseudo-random graph, 10% of edges arrive
+    as the batch (plus brand-new nodes 200..204 chained in): assembled
+    incremental state ≡ full recompute at k=2, and the write set stays
+    a strict subset of the corpus."""
+    from metar_pipeline_spark.operators.graph import label_propagation
+
+    pairs = []
+    for i in range(300):
+        u, v = (i * 7919) % 200, (i * 104729 + 13) % 200
+        if u != v:
+            pairs.append((min(u, v), max(u, v)))
+    pairs = sorted(set(pairs))
+    old = spark.createDataFrame(
+        [p for i, p in enumerate(pairs) if i % 10 != 0],
+        "id_a long, id_b long",
+    )
+    delta_rows = [p for i, p in enumerate(pairs) if i % 10 == 0]
+    delta_rows += [(200, 201), (201, 202), (202, 0), (203, 204)]
+    delta = spark.createDataFrame(delta_rows, "id_a long, id_b long")
+    assembled, dz = _lpa_assembled(spark, old, delta, k=2)
+    full = label_propagation(old.unionByName(delta), iterations=2)
+    assert sorted(map(tuple, assembled.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    n_delta = dz.count()
+    assert 0 < n_delta < full.count()  # bounded write set
+    # brand-new nodes are always in the write set
+    got_nodes = {r.node for r in dz.collect()}
+    assert {200, 201, 202, 203, 204} <= got_nodes

@@ -804,3 +804,46 @@ def test_ktruss_rounds_are_equi_joins_only(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "HashAggregate" in p
+
+
+def test_incremental_lpa_store_only_broadcast_joined(spark):
+    # incremental LPA (round-11 VERDICT #4): the maintenance pass never
+    # reads the label store at all, and the serving assembly touches it
+    # only through a BROADCAST anti-join against the (small) write set
+    # — the store is never shuffled or sort-merge-joined. Pins target
+    # the operator/assembly directly (the registered query checkpoints,
+    # which makes its plan opaque).
+    import pyspark.sql.functions as F
+
+    from metar_pipeline_spark.operators.graph import (
+        incremental_lpa,
+        label_propagation,
+    )
+
+    old = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 400, 2)], "id_a long, id_b long"
+    )
+    delta = spark.createDataFrame([(1, 2), (100, 401)], "id_a long, id_b long")
+    all_edges = old.unionByName(delta)
+
+    dz = incremental_lpa(all_edges, delta, iterations=2)
+    p = plan_str(dz)
+    # ball-membership cuts are broadcast semi-joins; nothing in the
+    # maintenance pass shuffles at store grain
+    assert "LeftSemi" in p and "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+    store = label_propagation(old, iterations=2).localCheckpoint(
+        eager=True
+    )
+    assembled = store.join(
+        F.broadcast(dz.select("node")), "node", "anti"
+    ).unionByName(dz)
+    ap = plan_str(assembled)
+    assert "LeftAnti" in ap and "BroadcastHashJoin" in ap
+    assert "SortMergeJoin" not in ap
+    # semantics check riding the pin: assembly ≡ full recompute
+    full = label_propagation(all_edges, iterations=2)
+    assert sorted(map(tuple, assembled.collect())) == sorted(
+        map(tuple, full.collect())
+    )
