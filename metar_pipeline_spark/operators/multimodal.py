@@ -119,9 +119,14 @@ def _fake_image_header(buf: bytes) -> tuple[int, int, int, float]:
 def _resolve_codec(codec: str) -> str:
     """'auto' → 'pil' when PIL is importable, else 'fake'; 'pil'
     raises if the library is absent (explicit request must not
-    silently degrade)."""
+    silently degrade). 'ppm' is the dependency-free REAL codec (pure
+    stdlib netpbm P5/P6 — see :func:`_ppm_parse`): real pixel parsing
+    and resampling that executes in any environment, so the real-codec
+    seam is exercised even where PIL cannot be installed."""
     if codec == "fake":
         return "fake"
+    if codec == "ppm":
+        return "ppm"
     import importlib.util
 
     have_pil = importlib.util.find_spec("PIL") is not None
@@ -133,7 +138,65 @@ def _resolve_codec(codec: str) -> str:
                 "codec='pil' requested but PIL is not installed"
             )
         return "pil"
-    raise ValueError(f"unknown codec {codec!r} (use auto|pil|fake)")
+    raise ValueError(f"unknown codec {codec!r} (use auto|pil|ppm|fake)")
+
+
+def _ppm_parse(b: bytes) -> "tuple[int, int, int, bytes]":
+    """Parse a binary netpbm image (P5 grayscale / P6 RGB, maxval 255):
+    → (width, height, n_channels, pixel bytes). Pure stdlib — the
+    format is three whitespace-separated header tokens (with
+    ``#``-comment support) followed by raw samples, which makes it the
+    one REAL image codec an engine can carry with zero dependencies."""
+    if len(b) < 2 or b[0:1] != b"P" or b[1:2] not in (b"5", b"6"):
+        raise ValueError("not a binary netpbm image (want P5/P6 magic)")
+    channels = 3 if b[1:2] == b"6" else 1
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(b) and b[pos:pos + 1].isspace():
+            pos += 1
+        if b[pos:pos + 1] == b"#":
+            while pos < len(b) and b[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos:pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated netpbm header")
+        tokens.append(int(b[start:pos]))
+    pos += 1  # single whitespace after maxval, then raw samples
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported netpbm maxval {maxval} (want 255)")
+    need = w * h * channels
+    pix = b[pos:pos + need]
+    if len(pix) != need:
+        raise ValueError(
+            f"truncated netpbm payload: want {need} bytes, have {len(pix)}"
+        )
+    return w, h, channels, pix
+
+
+def _ppm_encode(w: int, h: int, channels: int, pix: bytes) -> bytes:
+    """Inverse of :func:`_ppm_parse` (P5 for 1 channel, P6 for 3)."""
+    magic = b"P6" if channels == 3 else b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode() + bytes(pix)
+
+
+def _ppm_resize_nn(
+    w: int, h: int, channels: int, pix: bytes, tw: int, th: int
+) -> bytes:
+    """Nearest-neighbor resample (floor sampling — deterministic,
+    engine-independent integer math)."""
+    out = bytearray(tw * th * channels)
+    for ty in range(th):
+        sy = min(h - 1, (ty * h) // th)
+        for tx in range(tw):
+            sx = min(w - 1, (tx * w) // tw)
+            s = (sy * w + sx) * channels
+            d = (ty * tw + tx) * channels
+            out[d:d + channels] = pix[s:s + channels]
+    return bytes(out)
 
 
 def decode_images(
@@ -191,6 +254,21 @@ def decode_images(
                             img.height,
                             len(img.getbands()),
                             round(sum(means) / (len(means) * 255.0), 6),
+                        )
+                    )
+            elif use == "ppm":
+                rows = []
+                for i, b in zip(pdf[id_col], pdf[bin_col]):
+                    w, h, ch, pix = _ppm_parse(bytes(b))
+                    rows.append(
+                        (
+                            i,
+                            w,
+                            h,
+                            ch,
+                            round(sum(pix) / (len(pix) * 255.0), 6)
+                            if pix
+                            else 0.0,
                         )
                     )
             else:
@@ -354,6 +432,30 @@ def resize_images(
                     out_buf = _io.BytesIO()
                     small.save(out_buf, format="PNG")
                     buf = out_buf.getvalue()
+                    rows.append(
+                        (
+                            i,
+                            target_w,
+                            target_h,
+                            buf,
+                            hashlib.md5(
+                                buf.hex().upper().encode()
+                            ).hexdigest(),
+                            len(buf),
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows, columns=[c.name for c in RESIZE_SCHEMA]
+                )
+                continue
+            if use == "ppm":
+                rows = []
+                for i, b in zip(pdf[id_col], pdf[bin_col]):
+                    w, h, ch, pix = _ppm_parse(bytes(b))
+                    small = _ppm_resize_nn(
+                        w, h, ch, pix, target_w, target_h
+                    )
+                    buf = _ppm_encode(target_w, target_h, ch, small)
                     rows.append(
                         (
                             i,
