@@ -58,34 +58,28 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # the auto-boost catches direct query/oracle edits and one-hop operator
 # module edits, but not deeper transitive changes).
 VERIFY_FIRST: list[str] = [
-    # Round 11: new queries this round (IVM MIN/MAX with per-group
-    # rescan fallback; incremental dedup cluster maintenance; the
-    # KMV bottom-k quantile sketch family; see per-query docs), plus
-    # the round-10-ADVICE-touched queries whose source/oracle changed
-    # (brr zero-guard; ppr/markov operator edits — semantics unchanged
-    # at the shipped data, re-verified locally on the full registry).
-    # The r10 driver window went 47/50 green (only the 3 permanent
-    # rows-only sketches non-green, by design). Round 11 RETIRED the
-    # rows-only set entirely — kmv_quantile_sketch_value replaced the
-    # approx-quantiles registration and the two FM queries replaced
-    # the HLL pair — so EVERY registered query now hash-verifies
-    # against its DuckDB oracle. Everything else rides the green-hash
-    # auto-boost.
-    "bloom_membership_audit",
-    "ivf_centroid_refresh_delta",
-    "fm_distinct_users_by_type",
-    "fm_mergeable_daily_users",
-    "dedup_incremental_components",
-    "pagerank_warm_start_delta",
-    "stream_cms_sketch_store",
-    "ivm_delta_minmax_view",
+    # Round 12: the four new ops-lifecycle queries (run-history column
+    # anomalies — the Q6 completion; _batch-log snapshot+truncate;
+    # file-level min/max data skipping; incremental LPA), then the
+    # queries whose source or oracle changed this round: the r11
+    # ADVICE fixes (ivm_delta_var_view decimal-widened read products +
+    # HUGEINT oracle; ivm_delta_topk_view defensive unsafe set;
+    # dedup_incremental_components label_col forwarding;
+    # markov_attribution_removal absorber-name guard;
+    # kmv_quantile_sketch_value integer DIV rank) and the warm-start
+    # PageRank exhibit trimmed 3→2 cold iterations (watch-list #1).
+    # All re-verified locally on sf0.001 + sf0.01 before rotation.
+    # The r11 driver window went 50/50 green.
+    "profile_anomaly_report",
+    "sketch_log_checkpoint_truncate",
+    "skipping_scan_value_range",
+    "lpa_incremental_delta",
     "ivm_delta_var_view",
     "ivm_delta_topk_view",
-    "ivm_delta_join_agg_view",
-    "kmv_quantile_sketch_value",
-    "brr_mean_ci_value",
-    "ppr_seed_expansion",
+    "pagerank_warm_start_delta",
+    "dedup_incremental_components",
     "markov_attribution_removal",
+    "kmv_quantile_sketch_value",
 ]
 
 
