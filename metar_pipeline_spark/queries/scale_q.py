@@ -2222,3 +2222,124 @@ def skipping_scan_value_range(spark, sf_dir):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+@register(
+    "ivm_log_checkpoint_truncate",
+    """
+    WITH st AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CASE WHEN event_id % 4 <> 3 AND event_id % 7 = 0
+                  THEN value + 1.0 ELSE value END AS v
+      FROM events
+      WHERE NOT (event_id % 4 <> 3 AND event_id % 7 <> 0
+                 AND event_id % 11 = 0)
+    )
+    SELECT event_type, day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS sum_value
+    FROM st GROUP BY 1, 2
+    """,
+    doc=(
+        "Snapshot-and-truncate over the IVM DELTA LOG — the second of "
+        "the three growing _batch stores (round-11 VERDICT #2; the "
+        "sketch log is q:sketch_log_checkpoint_truncate). The same "
+        "3-batch CDC changelog as stream_ivm_delta_view lands as "
+        "group-grain Z-set deltas (ivm.zset_weighted_agg) in a "
+        "replay-idempotent delta log; batches 0-1 are folded into a "
+        "durable VIEW-STATE snapshot (Z-set group sums — null-as-zero "
+        "adds, net-zero groups dropped, exact DECIMAL, so fold order "
+        "can never matter) and their partitions expired; batch 1 is "
+        "then maliciously replayed and batch 2 appended. The serving "
+        "view (snapshot ∪ strictly-later partitions, reduced by the "
+        "same Z-set merge) must equal the from-scratch recompute of "
+        "the final CDC state, which the oracle performs — "
+        "view-after-truncation ≡ full recompute, exact by "
+        "DECIMAL/integer arithmetic."
+    ),
+)
+def ivm_log_checkpoint_truncate(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from metar_pipeline_spark.operators.ivm import zset_weighted_agg
+    from metar_pipeline_spark.streaming.lifecycle import (
+        checkpoint_and_truncate,
+        serving_view,
+    )
+    from metar_pipeline_spark.streaming.pipeline import (
+        idempotent_batch_append,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    live = eid % 4 != 3
+    upd = live & (eid % 7 == 0)
+    dele = live & (eid % 7 != 0) & (eid % 11 == 0)
+    keys = ["event_type", "day"]
+    row = lambda v, w: [  # noqa: E731 — changelog row shape
+        "event_type",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        v.alias("v"),
+        F.lit(w).alias("_w"),
+    ]
+    b0 = events.filter(live).select(*row(F.col("value"), 1))
+    b1 = (
+        events.filter(upd)
+        .select(*row(F.col("value"), -1))
+        .unionByName(
+            events.filter(upd).select(*row(F.col("value") + 1.0, 1))
+        )
+        .unionByName(
+            events.filter(~live).select(*row(F.col("value"), 1))
+        )
+    )
+    b2 = events.filter(dele).select(*row(F.col("value"), -1))
+    deltas = [
+        zset_weighted_agg(
+            b, keys, sums={"total": F.col("v").cast("decimal(18,2)")}
+        )
+        for b in (b0, b1, b2)
+    ]
+
+    def zset_fold(snap, consumed):
+        u = consumed if snap is None else snap.unionByName(consumed)
+        return (
+            u.groupBy(*keys)
+            .agg(
+                F.sum("_n").cast("long").alias("_n"),
+                # exact decimal add; cast back so the snapshot schema
+                # is a fixpoint across checkpoint generations
+                F.sum("total").cast("decimal(18,2)").alias("total"),
+            )
+            .filter(F.col("_n") != 0)
+        )
+
+    tmp = tempfile.mkdtemp(prefix="ivm_lifecycle_")
+    log = os.path.join(tmp, "delta_log")
+    snaps = os.path.join(tmp, "view_snapshots")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        idempotent_batch_append(deltas[0], log, 0)
+        idempotent_batch_append(deltas[1], log, 1)
+        checkpoint_and_truncate(
+            spark, log, snaps, zset_fold, through_batch=1
+        )
+        # at-least-once upstream replays a consumed batch, then the
+        # next real batch arrives
+        idempotent_batch_append(deltas[1], log, 1)
+        idempotent_batch_append(deltas[2], log, 2)
+        view = zset_fold(None, serving_view(spark, log, snaps))
+        result = view.select(
+            "event_type",
+            "day",
+            F.col("_n").alias("n_events"),
+            F.round(F.col("total").cast("double"), 2).alias("sum_value"),
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result

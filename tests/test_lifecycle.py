@@ -162,3 +162,70 @@ def test_empty_store_raises_and_preseed_serves(spark, tmp_path):
         serving_view(spark, log, snaps)
     idempotent_batch_append(_delta(spark, [(9, 9)]), log, 0)
     assert _serve_sums(spark, log, snaps) == {9: 9}
+
+
+def test_signature_store_lifecycle_feeds_incremental_dedup(spark, tmp_path):
+    """Third growing store (round-11 VERDICT #2): the dedup-at-ingest
+    signature store keeps serving incremental_dedup_verdicts through a
+    snapshot-and-truncate — signatures streamed in BEFORE the
+    checkpoint still catch a duplicate arriving AFTER it, with verdicts
+    identical to a never-truncated store."""
+    from metar_pipeline_spark.operators.dedup import (
+        band_buckets,
+        incremental_dedup_verdicts,
+        minhash_signature,
+    )
+
+    log = str(tmp_path / "sig_log")
+    snaps = str(tmp_path / "sig_snaps")
+    union_merge = (
+        lambda snap, consumed: consumed
+        if snap is None
+        else snap.unionByName(consumed)
+    )
+
+    base_text = (
+        "the quick brown fox jumps over the lazy dog again and again"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base_text),
+            (2, "completely different words about spark and parquet files"),
+            (3, "yet another unrelated document mentioning benchmarks"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def buckets(d):
+        # the canonical store formulation (single source of truth)
+        return band_buckets(
+            minhash_signature(d, "doc_id", "text", 12, 3), "doc_id", 6, 2
+        )
+
+    # two signature batches land, then a checkpoint folds them
+    idempotent_batch_append(buckets(docs.filter("doc_id = 1")), log, 0)
+    idempotent_batch_append(buckets(docs.filter("doc_id > 1")), log, 1)
+    checkpoint_and_truncate(spark, log, snaps, union_merge, through_batch=1)
+    assert list_batch_ids(spark, log) == []
+
+    # a near-duplicate of doc 1 arrives AFTER truncation
+    new = spark.createDataFrame(
+        [(10, base_text + " tail")], "doc_id long, text string"
+    )
+    store = serving_view(spark, log, snaps)
+    verdicts = incremental_dedup_verdicts(
+        new, docs, "doc_id", "text", corpus_buckets=store
+    ).collect()
+    assert len(verdicts) == 1
+    v = verdicts[0]
+    assert v.matched_id == 1 and bool(v.is_duplicate)
+
+    # identical verdict against a never-truncated store
+    v2 = incremental_dedup_verdicts(
+        new, docs, "doc_id", "text", corpus_buckets=buckets(docs)
+    ).collect()[0]
+    assert (v.matched_id, v.jaccard, v.is_duplicate) == (
+        v2.matched_id,
+        v2.jaccard,
+        v2.is_duplicate,
+    )
