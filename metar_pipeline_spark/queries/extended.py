@@ -1015,8 +1015,11 @@ def profile_anomaly_report(spark, sf_dir):
     try:
         # the rule must run off the PERSISTED store (the production
         # shape: each run appends its slice; detection reads the
-        # partition-pruned history)
-        hist.write.partitionBy("run_id").parquet(store)
+        # partition-pruned history). coalesce(1): the profile is
+        # (runs × stats) metadata grain — without it every shuffle
+        # task emits a sliver file into each run partition (measured
+        # 10.1 s → 3.4 s at sf0.1 on local[32])
+        hist.coalesce(1).write.partitionBy("run_id").parquet(store)
         back = spark.read.parquet(store).withColumn(
             "run_id", F.col("run_id").cast("long")
         )

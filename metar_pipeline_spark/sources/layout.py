@@ -242,8 +242,17 @@ def skipping_scan(
     100% of a 100 TB table for a range predicate on an UNPARTITIONED
     column (partition pruning's complement; footer row-group pruning
     still applies inside each kept file). Semantics are
-    manifest-invariant: the row filter is applied regardless, so a
-    stale-but-superset manifest only costs I/O, never correctness."""
+    manifest-invariant: the row filter is applied regardless, so
+    loose/missing STATS only cost I/O, never correctness.
+
+    Staleness contract: the manifest is a FILE LIST, so any operation
+    that changes the file set (``compaction.compact_parquet_dir``,
+    ``merge.upsert_parquet`` rewrites) invalidates it — the next
+    skipping_scan fails LOUDLY on the vanished paths (never silently
+    returns a subset); rewrite the manifest after such maintenance
+    (``write_skipping_manifest``), exactly as Delta/Iceberg commit new
+    stats in the same transaction as the rewrite. Pinned in
+    tests/test_layout.py."""
     pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
     files = pruned_files(spark, manifest_path, col, lo, hi)
     if not files:

@@ -219,3 +219,40 @@ def test_skipping_manifest_rejects_unsupported_types(spark, tmp_path):
         build_skipping_manifest(spark, table, ["s"])
     with _pt.raises(ValueError, match="not in table schema"):
         build_skipping_manifest(spark, table, ["zzz"])
+
+
+def test_skipping_manifest_staleness_contract_under_compaction(
+    spark, tmp_path
+):
+    """Compaction changes the FILE SET: a stale manifest must fail
+    loudly (vanished paths), and a refresh restores pruning over the
+    rewritten files — the Delta/Iceberg rewrite+stats-commit contract
+    in plain-parquet form."""
+    import pytest as _pt
+
+    from metar_pipeline_spark.sources.compaction import compact_parquet_dir
+    from metar_pipeline_spark.sources.layout import (
+        skipping_scan,
+        write_range_layout,
+        write_skipping_manifest,
+    )
+
+    table = str(tmp_path / "ctable")
+    manifest = str(tmp_path / "cmanifest")
+    df = spark.range(0, 40_000).withColumn("v", F.col("id") % 100)
+    write_range_layout(df, table, ["id"], num_files=8)
+    write_skipping_manifest(spark, table, ["id"], manifest)
+    before = skipping_scan(spark, table, manifest, "id", 0, 999).count()
+    assert before == 1_000
+
+    # rewrite into one file: every manifest path vanishes
+    compact_parquet_dir(spark, table, target_file_bytes=1 << 30)
+    with _pt.raises(Exception, match="PATH_NOT_FOUND|does not exist"):
+        skipping_scan(spark, table, manifest, "id", 0, 999).count()
+
+    # refresh = the stats-commit step of the rewrite
+    write_skipping_manifest(spark, table, ["id"], manifest)
+    assert (
+        skipping_scan(spark, table, manifest, "id", 0, 999).count()
+        == 1_000
+    )
