@@ -259,3 +259,68 @@ def metrics_store_anomalies(
         F.col("e.value").cast("long").alias("value"),
     )
     return profile_anomalies(long, k=k, min_history=min_history)
+
+
+def profile_anomalies_iqr(
+    history: DataFrame,
+    k: int = 3,
+    min_history: int = 4,
+) -> DataFrame:
+    """Robust (quartile-fence) variant of :func:`profile_anomalies`:
+    flag the latest run's stat when it falls outside
+    ``[Q1 − k·IQR, Q3 + k·IQR]`` of its history. Median-based fences
+    survive what breaks the k·σ rule operationally — a single corrupt
+    run in the HISTORY inflates σ enough to mask every later anomaly,
+    while quartiles barely move (the standard robust-statistics
+    argument; Tukey's fences with a wider k).
+
+    Exactness: the quartiles are exact ORDER STATISTICS over the
+    bounded history sample — Q_p = the ceil(n·p/100)-th smallest value
+    (1-based, the engine-portable integer rank (n·p + 99) DIV 100, the
+    same contract as sketches.kmv_quantile_estimate) — and the fence
+    comparison is pure BIGINT arithmetic, so a SQL replay agrees
+    bit-for-bit. No floats anywhere.
+
+    Scale shape: per (column, stat) the history is ≤ N runs, so the
+    collect_list → array_sort ranking runs inside one hash aggregate at
+    metadata grain — no corpus data, no windows."""
+    latest_run = history.agg(
+        F.max("run_id").cast("long").alias("__latest")
+    )
+    tagged = history.join(F.broadcast(latest_run))
+    h = tagged.filter(F.col("run_id") < F.col("__latest"))
+    latest = tagged.filter(F.col("run_id") == F.col("__latest")).select(
+        "column_name", "stat", "run_id", "value"
+    )
+    g = h.groupBy("column_name", "stat").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.array_sort(F.collect_list("value")).alias("__vs"),
+    )
+    q = g.select(
+        "column_name",
+        "stat",
+        F.col("__n").alias("hist_n"),
+        F.element_at(
+            F.col("__vs"), F.expr("CAST((__n * 25 + 99) DIV 100 AS INT)")
+        ).alias("q1"),
+        F.element_at(
+            F.col("__vs"), F.expr("CAST((__n * 75 + 99) DIV 100 AS INT)")
+        ).alias("q3"),
+    )
+    j = latest.join(q, ["column_name", "stat"], "left")
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.col("q1") - F.lit(int(k)) * iqr
+    hi = F.col("q3") + F.lit(int(k)) * iqr
+    return j.select(
+        "column_name",
+        "stat",
+        "run_id",
+        "value",
+        F.coalesce(F.col("hist_n"), F.lit(0)).alias("hist_n"),
+        "q1",
+        "q3",
+        (
+            (F.coalesce(F.col("hist_n"), F.lit(0)) >= int(min_history))
+            & ((F.col("value") < lo) | (F.col("value") > hi))
+        ).alias("is_anomaly"),
+    )

@@ -887,6 +887,40 @@ def try_function_surface(spark, sf_dir):
     )
 
 
+def _poisoned_run_profiles(spark, sf_dir):
+    """Shared by the σ and IQR anomaly gate exhibits: events replayed
+    as daily ingest runs, the LATEST run poisoned (half the user_ids
+    nulled, values ×10), profiled to exact-BIGINT long rows."""
+    from metar_pipeline_spark.quality.anomalies import grouped_profile_long
+
+    ev = load_table(spark, sf_dir, "events")
+    run = F.datediff(
+        F.to_date("ts"), F.lit("2024-01-01").cast("date")
+    ).alias("run_id")
+    base = ev.select(run, "user_id", "value")
+    mx = base.agg(F.max("run_id").alias("__mx"))
+    tagged = base.join(F.broadcast(mx))
+    is_last = F.col("run_id") == F.col("__mx")
+    poisoned = tagged.select(
+        "run_id",
+        F.when(
+            is_last & (F.col("user_id") % 2 == 0), F.lit(None)
+        )
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+        F.when(is_last, F.col("value") * 10)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    return grouped_profile_long(
+        poisoned,
+        "run_id",
+        ["user_id"],
+        {"value": F.floor(F.col("value") * 100).cast("long")},
+    )
+
+
+
 @register(
     "profile_anomaly_report",
     """
@@ -980,36 +1014,9 @@ def profile_anomaly_report(spark, sf_dir):
     import shutil
     import tempfile
 
-    from metar_pipeline_spark.quality.anomalies import (
-        grouped_profile_long,
-        profile_anomalies,
-    )
+    from metar_pipeline_spark.quality.anomalies import profile_anomalies
 
-    ev = load_table(spark, sf_dir, "events")
-    run = F.datediff(
-        F.to_date("ts"), F.lit("2024-01-01").cast("date")
-    ).alias("run_id")
-    base = ev.select(run, "user_id", "value")
-    mx = base.agg(F.max("run_id").alias("__mx"))
-    tagged = base.join(F.broadcast(mx))
-    is_last = F.col("run_id") == F.col("__mx")
-    poisoned = tagged.select(
-        "run_id",
-        F.when(
-            is_last & (F.col("user_id") % 2 == 0), F.lit(None)
-        )
-        .otherwise(F.col("user_id"))
-        .alias("user_id"),
-        F.when(is_last, F.col("value") * 10)
-        .otherwise(F.col("value"))
-        .alias("value"),
-    )
-    hist = grouped_profile_long(
-        poisoned,
-        "run_id",
-        ["user_id"],
-        {"value": F.floor(F.col("value") * 100).cast("long")},
-    )
+    hist = _poisoned_run_profiles(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="profile_store_")
     store = os.path.join(tmp, "metrics")
     try:
@@ -1029,3 +1036,93 @@ def profile_anomaly_report(spark, sf_dir):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+@register(
+    "profile_anomaly_iqr_report",
+    """
+    WITH base AS (
+      SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS run_id,
+             user_id, value
+      FROM events
+    ),
+    mx AS (SELECT MAX(run_id) AS m FROM base),
+    p AS (
+      SELECT run_id,
+             CASE WHEN run_id = (SELECT m FROM mx) AND user_id % 2 = 0
+                  THEN NULL ELSE user_id END AS user_id,
+             CASE WHEN run_id = (SELECT m FROM mx)
+                  THEN value * 10 ELSE value END AS value
+      FROM base
+    ),
+    prof AS (
+      SELECT run_id, 'user_id' AS column_name, 'count' AS stat,
+             CAST(COUNT(user_id) AS BIGINT) AS value
+      FROM p GROUP BY run_id
+      UNION ALL
+      SELECT run_id, 'user_id', 'null_count',
+             CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM p GROUP BY run_id
+      UNION ALL
+      SELECT run_id, 'user_id', 'null_ppm',
+             CAST((2 * 1000000 *
+                   SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                   + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+      FROM p GROUP BY run_id
+      UNION ALL
+      SELECT run_id, 'value', 'min_i',
+             CAST(MIN(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+      FROM p GROUP BY run_id
+      UNION ALL
+      SELECT run_id, 'value', 'max_i',
+             CAST(MAX(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+      FROM p GROUP BY run_id
+    ),
+    lt AS (SELECT MAX(run_id) AS lr FROM prof),
+    h AS (
+      SELECT column_name, stat, value,
+             ROW_NUMBER() OVER (PARTITION BY column_name, stat
+                                ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY column_name, stat) AS n
+      FROM prof WHERE run_id < (SELECT lr FROM lt)
+    ),
+    q AS (
+      SELECT column_name, stat, CAST(MAX(n) AS BIGINT) AS hist_n,
+             MAX(CASE WHEN rn = (n * 25 + 99) // 100 THEN value END)
+               AS q1,
+             MAX(CASE WHEN rn = (n * 75 + 99) // 100 THEN value END)
+               AS q3
+      FROM h GROUP BY 1, 2
+    ),
+    l AS (SELECT * FROM prof WHERE run_id = (SELECT lr FROM lt))
+    SELECT l.column_name, l.stat,
+           CAST(l.run_id AS BIGINT) AS run_id, l.value,
+           COALESCE(q.hist_n, 0) AS hist_n, q.q1, q.q3,
+           (COALESCE(q.hist_n, 0) >= 4 AND
+            (l.value < q.q1 - 3 * (q.q3 - q.q1)
+             OR l.value > q.q3 + 3 * (q.q3 - q.q1))) AS is_anomaly
+    FROM l LEFT JOIN q USING (column_name, stat)
+    """,
+    doc=(
+        "Robust (quartile-fence) twin of profile_anomaly_report — the "
+        "second detection rule elementary.column_anomalies users reach "
+        "for when the k·σ rule is poisoned by its own history (one "
+        "corrupt run inflates σ and masks every later anomaly; "
+        "quartiles barely move — pinned in tests/test_operators.py). "
+        "Same 30-run poisoned profile store; quartiles are exact "
+        "integer ORDER STATISTICS (rank (n·p+99) DIV 100, the "
+        "kmv_quantile_estimate contract) and the Tukey fences "
+        "[Q1−3·IQR, Q3+3·IQR] compare in pure BIGINT — the SQL replay "
+        "is bit-exact. Metadata grain throughout."
+    ),
+)
+def profile_anomaly_iqr_report(spark, sf_dir):
+    from metar_pipeline_spark.quality.anomalies import (
+        profile_anomalies_iqr,
+    )
+
+    return profile_anomalies_iqr(
+        _poisoned_run_profiles(spark, sf_dir), k=3, min_history=4
+    )

@@ -573,3 +573,38 @@ def test_grouped_profile_long_matches_batch_form(spark):
     assert g[(0, "u", "null_ppm")] == 333333  # half-up 1/3
     assert g[(1, "u", "null_ppm")] == 500000
     assert g[(0, "v", "max_i")] == 30 and g[(1, "v", "min_i")] == 5
+
+
+def test_profile_anomalies_iqr_resists_history_poisoning(spark):
+    """The robustness case for quartile fences: ONE corrupt run in the
+    history inflates σ enough that the k·σ rule misses a later real
+    anomaly, while the IQR fences (history quartiles untouched by the
+    outlier) still flag it. Both rules evaluated in exact integers."""
+    from metar_pipeline_spark.quality.anomalies import (
+        profile_anomalies,
+        profile_anomalies_iqr,
+    )
+
+    rows = [(i, "c", "X", v) for i, v in enumerate([10, 10, 10, 10, 10, 1000])]
+    rows.append((6, "c", "X", 200))  # the real anomaly, post-poison
+    # a clean stat rides along: constant history, constant latest
+    rows += [(i, "c", "Y", 7) for i in range(7)]
+    hist = spark.createDataFrame(
+        rows, "run_id long, column_name string, stat string, value long"
+    )
+    sigma = {r.stat: r for r in profile_anomalies(hist, k=3).collect()}
+    iqr = {r.stat: r for r in profile_anomalies_iqr(hist, k=3).collect()}
+    # σ: |200-175| = 25 « 3·369 — masked by the poisoned history
+    assert not sigma["X"].is_anomaly
+    # IQR: history quartiles are both 10 → fences [10,10] → flagged
+    assert iqr["X"].is_anomaly
+    assert (iqr["X"].q1, iqr["X"].q3) == (10, 10)
+    assert not sigma["Y"].is_anomaly and not iqr["Y"].is_anomaly
+    # insufficient history never flags (IQR min_history=4)
+    short = spark.createDataFrame(
+        [(0, "c", "Z", 1), (1, "c", "Z", 1), (2, "c", "Z", 1),
+         (3, "c", "Z", 999)],
+        "run_id long, column_name string, stat string, value long",
+    )
+    z = profile_anomalies_iqr(short, k=3, min_history=4).collect()[0]
+    assert not z.is_anomaly and z.hist_n == 3
