@@ -200,6 +200,7 @@ def metrics_store_anomalies(
     layer: str = "stg",
     k: int = 3,
     min_history: int = 3,
+    rule: str = "sigma",
 ) -> DataFrame:
     """Adapter over the medallion ``_metrics`` store
     (``plans/medallion.py:_append_batch_metrics`` schema: one wide row
@@ -258,7 +259,11 @@ def metrics_store_anomalies(
         "e.stat",
         F.col("e.value").cast("long").alias("value"),
     )
-    return profile_anomalies(long, k=k, min_history=min_history)
+    if rule == "sigma":
+        return profile_anomalies(long, k=k, min_history=min_history)
+    if rule == "iqr":
+        return profile_anomalies_iqr(long, k=k, min_history=min_history)
+    raise ValueError(f"unknown anomaly rule {rule!r} (use sigma|iqr)")
 
 
 def profile_anomalies_iqr(

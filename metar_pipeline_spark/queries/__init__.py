@@ -71,7 +71,9 @@ VERIFY_FIRST: list[str] = [
     # All re-verified locally on sf0.001 + sf0.01 before rotation.
     # The r11 driver window went 50/50 green.
     "profile_anomaly_report",
+    "profile_anomaly_iqr_report",
     "sketch_log_checkpoint_truncate",
+    "ivm_log_checkpoint_truncate",
     "skipping_scan_value_range",
     "lpa_incremental_delta",
     "ivm_delta_var_view",

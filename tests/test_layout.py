@@ -256,3 +256,32 @@ def test_skipping_manifest_staleness_contract_under_compaction(
         skipping_scan(spark, table, manifest, "id", 0, 999).count()
         == 1_000
     )
+
+
+def test_skipping_manifest_composes_with_zorder(spark, tmp_path):
+    """Z-order + manifest: box predicates on EITHER key prune files —
+    the two-column complement of the range-layout pin (Z-curve tiles
+    give each file a bounded footprint in both dimensions)."""
+    from metar_pipeline_spark.sources.layout import (
+        pruned_files,
+        skipping_scan,
+        write_skipping_manifest,
+        write_zorder_layout,
+    )
+
+    table = str(tmp_path / "ztable")
+    manifest = str(tmp_path / "zmanifest")
+    df = spark.range(0, 65_536).select(
+        (F.col("id") % 256).alias("x"),
+        (F.col("id") / 256).cast("long").alias("y"),
+    )
+    write_zorder_layout(df, table, "x", "y", num_files=16, bits=8)
+    write_skipping_manifest(spark, table, ["x", "y"], manifest)
+    n_files = spark.read.parquet(manifest).count()
+    assert n_files >= 8
+
+    for col in ("x", "y"):
+        touched = pruned_files(spark, manifest, col, 0, 15)
+        assert len(touched) < n_files  # both dimensions prune
+        got = skipping_scan(spark, table, manifest, col, 0, 15).count()
+        assert got == 16 * 256  # 16 of 256 values in that dimension

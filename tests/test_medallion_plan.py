@@ -227,6 +227,17 @@ def test_metrics_store_anomaly_rule(spark, tmp_path):
     assert not rep[("observed", "null_count")].is_anomaly
     assert rep[("icao", "null_count")].hist_n == 4
 
+    # robust-rule dispatch over the same store: constant-zero history
+    # quartiles give [0,0] fences — the poisoned run flags there too
+    iqr = {
+        (r.column_name, r.stat): r
+        for r in metrics_store_anomalies(
+            metrics, rule="iqr", min_history=4
+        ).collect()
+    }
+    assert iqr[("icao", "null_count")].is_anomaly
+    assert not iqr[("_table", "count")].is_anomaly
+
     # a clean run on top: latest is healthy again, nothing flags (the
     # poisoned run is now merely one history point)
     stg_stage(spark, _normalized(spark, _docs(icaos, 6, -5.0)), base)
