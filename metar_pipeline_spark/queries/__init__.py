@@ -76,6 +76,7 @@ VERIFY_FIRST: list[str] = [
     "ivm_log_checkpoint_truncate",
     "skipping_scan_value_range",
     "lpa_incremental_delta",
+    "ivm_kmv_quantile_view",
     "ivm_delta_var_view",
     "ivm_delta_topk_view",
     "pagerank_warm_start_delta",

@@ -2343,3 +2343,162 @@ def ivm_log_checkpoint_truncate(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+def _ivm_kmv_oracle(k: int = 32, pcts=(25, 50, 75, 90)) -> str:
+    """Full-recompute twin of ivm_kmv_quantile_view: rebuild the KMV
+    sample from the post-CDC state and take the same integer-rank
+    order statistics."""
+    from metar_pipeline_spark.operators.sketches import _CMS_P, fm_constants
+
+    a1, b1, a2 = fm_constants(0)
+    picks = ",\n           ".join(
+        f"round(MAX(CASE WHEN rn = CAST((n * {p} + 99) // 100 AS INT)"
+        f" THEN value END), 6) AS p{p}"
+        for p in pcts
+    )
+    return f"""
+    WITH st AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             event_id,
+             CASE WHEN event_id % 5 <> 0 AND event_id % 101 = 0
+                  THEN value + 0.5 ELSE value END AS value
+      FROM events
+      WHERE value IS NOT NULL
+        AND NOT (event_id % 5 <> 0 AND event_id % 101 <> 0
+                 AND event_id % 97 = 0)
+    ),
+    hx AS (
+      SELECT event_type, day, event_id, value,
+             (event_id * {a1} + {b1}) % {_CMS_P} AS h1
+      FROM st
+    ),
+    hu AS (
+      SELECT event_type, day, event_id, value,
+             (h1 * h1 + h1 * {a2}) % {_CMS_P} AS h
+      FROM hx
+    ),
+    samp AS (
+      SELECT * FROM hu
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY event_type, day ORDER BY h, event_id
+      ) <= {k}
+    ),
+    r AS (
+      SELECT event_type, day, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type, day ORDER BY value, event_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type, day) AS n
+      FROM samp
+    )
+    SELECT event_type, day, CAST(MAX(n) AS BIGINT) AS n_sample,
+           {picks}
+    FROM r GROUP BY event_type, day
+    """
+
+
+@register(
+    "ivm_kmv_quantile_view",
+    _ivm_kmv_oracle(),
+    doc=(
+        "IVM for a QUANTILE view — the sketch-backed completion of the "
+        "maintained-view family (COUNT/SUM: ivm_delta_agg_view, "
+        "MIN/MAX: minmax, TOP-K: topk, variance: var; quantiles close "
+        "it): a per-type KMV bottom-k sample IS a top-k by ascending "
+        "fixed integer hash, so it maintains under a CDC Z-set with "
+        "the ALREADY-VERIFIED ivm.apply_topk_delta — inserts re-rank "
+        "at view grain; a retraction (delete, or the retract half of "
+        "an update) hitting a SAMPLED id rescans only that group from "
+        "the post-batch base; non-member retractions are provably "
+        "no-ops (removing an element larger than the k-th smallest "
+        "hash cannot change the bottom-k), and updates keep membership "
+        "invariant (the hash is on the id) so only sampled-member "
+        "updates pay a rescan. Values join back to the post-state at "
+        "sample grain (broadcast, ≤k·|groups| rows); estimates are the "
+        "kmv_quantile_estimate exact order statistics at integer "
+        "DIV ranks. Oracle = full sample recompute from the new state "
+        "— maintenance ≡ recompute at the gate. (type, day) grain with "
+        "k=32: at every SF some groups see no retraction of a sampled "
+        "id (pure algebra) while others rescan — both paths exercised "
+        "at the gate (a type-only grain measured 5/5 groups rescanning)."
+    ),
+)
+def ivm_kmv_quantile_view(spark, sf_dir):
+    from metar_pipeline_spark.operators.ivm import apply_topk_delta
+    from metar_pipeline_spark.operators.ranking import grouped_topk
+    from metar_pipeline_spark.operators.sketches import (
+        _CMS_P as P,
+        fm_constants,
+    )
+    from metar_pipeline_spark.operators.sketches import (
+        kmv_quantile_estimate,
+    )
+
+    k = 32
+    a1, b1, a2 = fm_constants(0)
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    eid = F.col("event_id")
+    is_ins = eid % 5 == 0
+    is_upd = (eid % 5 != 0) & (eid % 101 == 0)
+    is_del = (eid % 5 != 0) & (eid % 101 != 0) & (eid % 97 == 0)
+    h1 = F.pmod(eid.cast("bigint") * F.lit(a1) + F.lit(b1), F.lit(P))
+    score = (-F.pmod(h1 * h1 + h1 * F.lit(a2), F.lit(P))).alias("score")
+    groups = ["event_type", "day"]
+    base = events.select(
+        "event_type",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        "event_id",
+        score,
+        "value",
+    )
+    salt = F.pmod(F.col("event_id"), F.lit(32))
+    # the STORED sample: pre-batch bottom-k (= top-k by negated hash)
+    view = grouped_topk(
+        base.filter(~is_ins).select(*groups, "event_id", "score"),
+        groups,
+        [F.desc("score"), F.asc("event_id")],
+        k,
+        salt=salt,
+    ).drop("rank")
+    ids = [*groups, "event_id", "score"]
+    dz = (
+        base.filter(is_ins).select(*ids).withColumn("_w", F.lit(1))
+        .unionByName(
+            base.filter(is_upd).select(*ids).withColumn("_w", F.lit(-1))
+        )
+        .unionByName(
+            base.filter(is_upd).select(*ids).withColumn("_w", F.lit(1))
+        )
+        .unionByName(
+            base.filter(is_del).select(*ids).withColumn("_w", F.lit(-1))
+        )
+    )
+    base_new = base.filter(~is_del).withColumn(
+        "value",
+        F.when(is_upd, F.col("value") + 0.5).otherwise(F.col("value")),
+    )
+    sample = apply_topk_delta(
+        view,
+        dz,
+        base_new.select(*ids),
+        groups,
+        "event_id",
+        "score",
+        k,
+    )
+    # current values at sample grain (≤ k·|groups| rows — broadcast)
+    joined = base_new.select(*groups, "event_id", "value").join(
+        F.broadcast(sample.select(*groups, "event_id")),
+        [*groups, "event_id"],
+    )
+    est = kmv_quantile_estimate(
+        joined, groups, "value", "event_id", [25, 50, 75, 90]
+    )
+    return est.select(
+        *groups,
+        "n_sample",
+        *[F.round(F.col(f"p{p}"), 6).alias(f"p{p}") for p in (25, 50, 75, 90)],
+    )
