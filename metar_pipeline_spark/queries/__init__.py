@@ -77,6 +77,7 @@ VERIFY_FIRST: list[str] = [
     "skipping_scan_value_range",
     "lpa_incremental_delta",
     "ivm_kmv_quantile_view",
+    "stream_profile_anomaly_store",
     "ivm_delta_var_view",
     "ivm_delta_topk_view",
     "pagerank_warm_start_delta",

@@ -2502,3 +2502,156 @@ def ivm_kmv_quantile_view(spark, sf_dir):
         "n_sample",
         *[F.round(F.col(f"p{p}"), 6).alias(f"p{p}") for p in (25, 50, 75, 90)],
     )
+
+
+@register(
+    "stream_profile_anomaly_store",
+    """
+    WITH p AS (
+      SELECT event_id % 5 AS run_id,
+             CASE WHEN event_id % 5 = 4 AND user_id % 2 = 0
+                  THEN NULL ELSE user_id END AS user_id,
+             value
+      FROM events
+    ),
+    prof AS (
+      SELECT run_id, 'user_id' AS column_name, 'count' AS stat,
+             CAST(COUNT(user_id) AS BIGINT) AS value
+      FROM p GROUP BY run_id
+      UNION ALL
+      SELECT run_id, 'user_id', 'null_count',
+             CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM p GROUP BY run_id
+      UNION ALL
+      SELECT run_id, 'user_id', 'null_ppm',
+             CAST((2 * 1000000 *
+                   SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                   + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+      FROM p GROUP BY run_id
+      UNION ALL
+      SELECT run_id, 'value', 'min_i',
+             CAST(MIN(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+      FROM p GROUP BY run_id
+      UNION ALL
+      SELECT run_id, 'value', 'max_i',
+             CAST(MAX(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+      FROM p GROUP BY run_id
+    ),
+    lt AS (SELECT MAX(run_id) AS lr FROM prof),
+    h AS (
+      SELECT column_name, stat,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(CAST(value AS HUGEINT)) AS HUGEINT) AS s,
+             CAST(SUM(CAST(value AS HUGEINT) * CAST(value AS HUGEINT))
+                  AS HUGEINT) AS q
+      FROM prof WHERE run_id < (SELECT lr FROM lt)
+      GROUP BY 1, 2
+    ),
+    l AS (SELECT * FROM prof WHERE run_id = (SELECT lr FROM lt))
+    SELECT l.column_name, l.stat,
+           CAST(l.run_id AS BIGINT) AS run_id,
+           l.value,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS hist_n,
+           CASE WHEN COALESCE(h.n, 0) > 0
+                THEN CAST((2 * h.s + h.n) // (2 * h.n) AS BIGINT)
+           END AS hist_mean_i,
+           (COALESCE(h.n, 0) >= 3 AND
+            (h.n * CAST(l.value AS HUGEINT) - h.s)
+              * (h.n * CAST(l.value AS HUGEINT) - h.s)
+              > 9 * (h.n * h.q - h.s * h.s)) AS is_anomaly
+    FROM l LEFT JOIN h USING (column_name, stat)
+    """,
+    doc=(
+        "Q6 riding the REAL streaming loop — the monitoring story "
+        "end-to-end: 5 micro-batches (event_id mod 5, "
+        "maxFilesPerTrigger=1), each reduced IN the foreachBatch to "
+        "its exact-BIGINT column profile (quality.anomalies."
+        "column_profile_long riding the batch's only scan) and "
+        "persisted replay-idempotently into the _batch-partitioned "
+        "metrics log; the LAST batch arrives poisoned (half its "
+        "user_ids null). The k·σ rule then runs off the persisted "
+        "store and flags exactly the poisoned run's null stats — the "
+        "oracle replays the per-batch profiles and the rule from the "
+        "raw table. The store grows 5 rows × stats per batch (KB/"
+        "year); its retention is the proven snapshot-and-truncate "
+        "lifecycle (q:sketch_log_checkpoint_truncate)."
+    ),
+)
+def stream_profile_anomaly_store(spark, sf_dir):
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from metar_pipeline_spark.quality.anomalies import (
+        column_profile_long,
+        profile_anomalies,
+    )
+    from metar_pipeline_spark.streaming.pipeline import (
+        idempotent_batch_append,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    batches = [
+        events.filter(eid % 5 == i).select(
+            "event_id",
+            F.when(
+                F.lit(i == 4) & (F.col("user_id") % 2 == 0), F.lit(None)
+            )
+            .otherwise(F.col("user_id"))
+            .alias("user_id"),
+            "value",
+        )
+        for i in range(5)
+    ]
+    tmp = tempfile.mkdtemp(prefix="stream_profile_")
+    src = os.path.join(tmp, "src")
+    ckpt = os.path.join(tmp, "_ckpt")
+    log = os.path.join(tmp, "metrics_log")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        import time as _t
+
+        now = _t.time()
+        for i, b in enumerate(batches):
+            d = os.path.join(src, f"b{i}")
+            b.coalesce(1).write.parquet(d)
+            # FileStreamSource orders by mtime — pin the replay order
+            for fn in glob.glob(os.path.join(d, "*")):
+                t_i = now - 60 + i * 10
+                os.utime(fn, (t_i, t_i))
+        schema = spark.read.parquet(os.path.join(src, "b0")).schema
+
+        def fold(batch_df, batch_id):
+            prof = column_profile_long(
+                batch_df,
+                batch_id,
+                ["user_id"],
+                {"value": F.floor(F.col("value") * 100).cast("long")},
+            )
+            idempotent_batch_append(prof.coalesce(1), log, batch_id)
+
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        store = spark.read.parquet(log).select(
+            "run_id", "column_name", "stat", "value"
+        )
+        result = profile_anomalies(
+            store, k=3, min_history=3
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
