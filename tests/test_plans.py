@@ -203,10 +203,14 @@ def test_package_has_no_driver_side_materialization():
     # ALLOWLISTED file reads a dimension-grain aggregated frame (pca.py
     # collects the d per-dim means and the d*(d+1)/2 Gram cells for the
     # driver-side eigensolve — bounded by embedding width, never data;
-    # the MLlib computeGramianMatrix shape). Both conditions are
+    # the MLlib computeGramianMatrix shape; layout.py collects the
+    # PRUNED FILE LIST from the skipping manifest — one row per file,
+    # metadata grain, and it must reach the driver to become the
+    # spark.read.parquet(*files) argument, exactly like Delta/Iceberg
+    # planning reads their manifests driver-side). Both conditions are
     # required, so an untagged collect anywhere — or a tagged one in
     # any other file — still fails the lint.
-    bounded_collect_files = {"pca.py"}
+    bounded_collect_files = {"pca.py", "layout.py"}
     offenders = []
     for f in sorted(pkg.rglob("*.py")):
         text = f.read_text()
