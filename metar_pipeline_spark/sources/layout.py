@@ -149,12 +149,31 @@ def build_skipping_manifest(
     (all-null column, stats-less writer) yield NULL min/max — skipping
     then KEEPS the file (can't prove exclusion), never drops it.
     """
-    import os
+    ddl = _manifest_schema(_table_schema(spark, table_path), cols)
+    files = _list_data_files(spark, table_path)
+    return _manifest_for_files(spark, files, cols, ddl)
 
+
+def _table_schema(spark, table_path: str):
+    """Schema of a parquet table root — tolerant of plain (non-hive)
+    subdirectory layouts such as streaming batch drops, which the
+    default reader refuses to infer."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(table_path).schema
+    except AnalysisException:
+        return (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(table_path)
+            .schema
+        )
+
+
+def _list_data_files(spark, table_path: str) -> "list[str]":
+    """Recursive data-file listing (Spark's hidden-path rule applied)."""
     from metar_pipeline_spark.sources.merge import _hadoop_fs
 
-    table_schema = spark.read.parquet(table_path).schema
-    ddl = _manifest_schema(table_schema, cols)
     fs, hpath, _ = _hadoop_fs(spark, table_path)
     files = []
     it = fs.listFiles(hpath, True)
@@ -163,6 +182,10 @@ def build_skipping_manifest(
         name = st.getPath().getName()
         if st.isFile() and not name.startswith(("_", ".")):
             files.append(st.getPath().toString())
+    return files
+
+
+def _manifest_for_files(spark, files: "list[str]", cols, ddl: str):
     paths = spark.createDataFrame([(f,) for f in files], "file string")
     want = list(cols)
 
@@ -214,6 +237,59 @@ def write_skipping_manifest(
     ).parquet(manifest_path)
 
 
+def refresh_skipping_manifest(
+    spark, table_path: str, cols: "list[str]", manifest_path: str
+) -> "tuple[int, int]":
+    """INCREMENTAL manifest maintenance: footer-read only files that are
+    NEW since the last manifest, drop rows for files that vanished
+    (compaction, merge rewrites, partition expiry). Returns
+    (n_added, n_removed).
+
+    At a streaming-append cadence this is the difference between
+    re-reading every footer per cycle and reading O(|new files|) — the
+    same incremental-first contract as the rest of the engine (Delta
+    gets it from txn-log deltas; this is the plain-parquet form). The
+    rewrite is staged + aside-swapped so a reader never sees a missing
+    manifest. Falls back to a full build when no manifest exists yet.
+    Retained rows keep their recorded stats verbatim, so refresh ∘
+    refresh ≡ full rebuild (pinned in tests/test_layout.py)."""
+    from metar_pipeline_spark.sources.merge import _hadoop_fs
+
+    mfs, m_h, _ = _hadoop_fs(spark, manifest_path)
+    current = _list_data_files(spark, table_path)
+    if not mfs.exists(m_h):
+        write_skipping_manifest(spark, table_path, cols, manifest_path)
+        return len(current), 0
+    old = spark.read.parquet(manifest_path)
+    rows = old.select("file").collect()  # bounded-collect: manifest grain
+    known = {r.file for r in rows}
+    cur = set(current)
+    new_files = sorted(cur - known)
+    vanished = sorted(known - cur)
+    if not new_files and not vanished:
+        return 0, 0
+    ddl = _manifest_schema(_table_schema(spark, table_path), cols)
+    kept = old
+    if vanished:
+        kept = kept.filter(~F.col("file").isin(vanished))
+    merged = kept
+    if new_files:
+        merged = kept.unionByName(
+            _manifest_for_files(spark, new_files, cols, ddl)
+        )
+    root = manifest_path.rstrip("/")
+    staging = f"{root}.__staging__"
+    aside = f"{root}.__old__"
+    merged.write.mode("overwrite").parquet(staging)
+    _, s_h, _ = _hadoop_fs(spark, staging)
+    _, a_h, _ = _hadoop_fs(spark, aside)
+    mfs.delete(a_h, True)  # clear any prior crashed attempt
+    mfs.rename(m_h, a_h)
+    mfs.rename(s_h, m_h)
+    mfs.delete(a_h, True)
+    return len(new_files), len(vanished)
+
+
 def pruned_files(
     spark, manifest_path: str, col: str, lo, hi
 ) -> "list[str]":
@@ -256,7 +332,18 @@ def skipping_scan(
     pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
     files = pruned_files(spark, manifest_path, col, lo, hi)
     if not files:
-        return spark.read.parquet(table_path).filter(F.lit(False))
+        # empty-but-schema-stable scan: read ONE listed data file (with
+        # basePath, so hive partition columns survive) under an
+        # always-false predicate — a plain root read would refuse
+        # non-hive subdirectory layouts (streaming batch drops)
+        all_files = _list_data_files(spark, table_path)
+        if not all_files:
+            return spark.read.parquet(table_path).filter(F.lit(False))
+        return (
+            spark.read.option("basePath", table_path)
+            .parquet(all_files[0])
+            .filter(F.lit(False))
+        )
     # basePath keeps hive partition columns alive when the table is
     # partitioned and we hand Spark leaf files directly
     base = spark.read.option("basePath", table_path).parquet(*files)

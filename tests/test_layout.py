@@ -285,3 +285,68 @@ def test_skipping_manifest_composes_with_zorder(spark, tmp_path):
         assert len(touched) < n_files  # both dimensions prune
         got = skipping_scan(spark, table, manifest, col, 0, 15).count()
         assert got == 16 * 256  # 16 of 256 values in that dimension
+
+
+def test_refresh_skipping_manifest_incremental(spark, tmp_path):
+    """Incremental manifest maintenance: appends footer-read only the
+    NEW files, expiry drops only vanished rows, refresh ∘ refresh ≡
+    full rebuild, and pruning stays correct throughout."""
+    from metar_pipeline_spark.sources.layout import (
+        build_skipping_manifest,
+        refresh_skipping_manifest,
+        skipping_scan,
+    )
+
+    table = str(tmp_path / "rtable")
+    manifest = str(tmp_path / "rmanifest")
+
+    def batch(lo, hi, sub):
+        spark.range(lo, hi).withColumn("v", F.col("id") % 7).coalesce(
+            1
+        ).write.mode("append").parquet(table + "/" + sub)
+
+    batch(0, 1000, "b0")
+    # first refresh with no manifest = full build
+    added, removed = refresh_skipping_manifest(
+        spark, table, ["id"], manifest
+    )
+    assert (added, removed) == (1, 0)
+
+    # two appended files: only they are new
+    batch(1000, 2000, "b1")
+    batch(2000, 3000, "b2")
+    added, removed = refresh_skipping_manifest(
+        spark, table, ["id"], manifest
+    )
+    assert (added, removed) == (2, 0)
+    # no-op refresh
+    assert refresh_skipping_manifest(spark, table, ["id"], manifest) == (
+        0,
+        0,
+    )
+
+    # expiry: drop one batch directory → one vanished row
+    import shutil as _sh
+
+    _sh.rmtree(table + "/b1")
+    added, removed = refresh_skipping_manifest(
+        spark, table, ["id"], manifest
+    )
+    assert (added, removed) == (0, 1)
+
+    # refreshed manifest ≡ full rebuild, and pruning is correct
+    got = sorted(
+        map(tuple, spark.read.parquet(manifest).collect())
+    )
+    want = sorted(
+        map(tuple, build_skipping_manifest(spark, table, ["id"]).collect())
+    )
+    assert got == want
+    assert (
+        skipping_scan(spark, table, manifest, "id", 2500, 2599).count()
+        == 100
+    )
+    assert (
+        skipping_scan(spark, table, manifest, "id", 1200, 1299).count()
+        == 0  # expired range
+    )
