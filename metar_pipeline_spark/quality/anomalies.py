@@ -135,6 +135,7 @@ def profile_anomalies(
     history: DataFrame,
     k: int = 3,
     min_history: int = 3,
+    season_of=None,
 ) -> DataFrame:
     """Flag the LATEST run's stats against their run history — the
     ``elementary.column_anomalies`` contract.
@@ -152,6 +153,13 @@ def profile_anomalies(
     flag); a stat with insufficient history reports is_anomaly=false
     with its hist_n so callers can see why.
 
+    ``season_of`` (optional): a callable Column→Column mapping a run id
+    to its season bucket (e.g. ``lambda r: F.pmod(r, 7)`` for
+    day-of-week over daily run ids — the elementary
+    ``seasonality: day_of_week`` config). When set, the history is
+    restricted to runs in the SAME season as the latest run, so a
+    weekend-shaped stat is judged against weekends only.
+
     Returns ``(column_name, stat, run_id, value, hist_n, hist_mean_i,
     is_anomaly)`` — hist_mean_i is the half-up integer mean of the
     history. Group grain: (columns × stats) rows, broadcastable.
@@ -160,7 +168,12 @@ def profile_anomalies(
         F.max("run_id").cast("long").alias("__latest")
     )
     tagged = history.join(F.broadcast(latest_run))
-    h = tagged.filter(F.col("run_id") < F.col("__latest"))
+    in_hist = F.col("run_id") < F.col("__latest")
+    if season_of is not None:
+        in_hist = in_hist & (
+            season_of(F.col("run_id")) == season_of(F.col("__latest"))
+        )
+    h = tagged.filter(in_hist)
     latest = tagged.filter(F.col("run_id") == F.col("__latest")).select(
         "column_name", "stat", "run_id", "value"
     )
@@ -270,6 +283,7 @@ def profile_anomalies_iqr(
     history: DataFrame,
     k: int = 3,
     min_history: int = 4,
+    season_of=None,
 ) -> DataFrame:
     """Robust (quartile-fence) variant of :func:`profile_anomalies`:
     flag the latest run's stat when it falls outside
@@ -293,7 +307,12 @@ def profile_anomalies_iqr(
         F.max("run_id").cast("long").alias("__latest")
     )
     tagged = history.join(F.broadcast(latest_run))
-    h = tagged.filter(F.col("run_id") < F.col("__latest"))
+    in_hist = F.col("run_id") < F.col("__latest")
+    if season_of is not None:  # same-season history (see profile_anomalies)
+        in_hist = in_hist & (
+            season_of(F.col("run_id")) == season_of(F.col("__latest"))
+        )
+    h = tagged.filter(in_hist)
     latest = tagged.filter(F.col("run_id") == F.col("__latest")).select(
         "column_name", "stat", "run_id", "value"
     )

@@ -608,3 +608,43 @@ def test_profile_anomalies_iqr_resists_history_poisoning(spark):
     )
     z = profile_anomalies_iqr(short, k=3, min_history=4).collect()[0]
     assert not z.is_anomaly and z.hist_n == 3
+
+
+def test_profile_anomalies_day_of_week_seasonality(spark):
+    """elementary's `seasonality: day_of_week`: a weekend-shaped count
+    judged against ALL days flags (false positive); judged against the
+    same weekday bucket it is normal — and a genuinely corrupt weekend
+    run still flags seasonally."""
+    from pyspark.sql import functions as F2
+
+    from metar_pipeline_spark.quality.anomalies import profile_anomalies
+
+    dow = lambda r: F2.pmod(r, F2.lit(7))  # noqa: E731
+    rows = []
+    for d in range(28):  # 4 weeks of history, mild day-to-day jitter
+        v = (1000 + d) if d % 7 in (5, 6) else (100 + d)
+        rows.append((d, "c", "count", v))
+    # latest run: day 33 (a Saturday, 33 % 7 == 5) with a normal
+    # weekend count (inside the Saturday jitter band)
+    rows.append((33, "c", "count", 1005))
+    hist = spark.createDataFrame(
+        rows, "run_id long, column_name string, stat string, value long"
+    )
+    unseasonal = profile_anomalies(hist, k=3).collect()[0]
+    seasonal = profile_anomalies(hist, k=3, season_of=dow).collect()[0]
+    # unseasonal: history is ALL 28 runs and the mean is polluted by
+    # the weekday/weekend mix (the bimodal σ is so inflated that even
+    # this rule stays quiet — exactly why the mean is useless here)
+    vals = [v for (_, _, _, v) in rows[:-1]]
+    mean_i = (2 * sum(vals) + len(vals)) // (2 * len(vals))  # half-up
+    assert unseasonal.hist_n == 28 and unseasonal.hist_mean_i == mean_i
+    # seasonal: judged against the 4 prior Saturdays only
+    assert not seasonal.is_anomaly
+    assert seasonal.hist_n == 4  # Saturdays 5,12,19,26 only
+    assert seasonal.hist_mean_i == 1016  # half-up mean of 1005..1026
+    # a truly corrupt Saturday still flags under the seasonal rule
+    bad = spark.createDataFrame(
+        rows[:-1] + [(33, "c", "count", 5)],
+        "run_id long, column_name string, stat string, value long",
+    )
+    assert profile_anomalies(bad, k=3, season_of=dow).collect()[0].is_anomaly
