@@ -407,3 +407,102 @@ def incremental_lpa(
     )
     inner = ball.filter(F.col("hop") <= k).select("node")
     return sub_labels.join(F.broadcast(inner), "node", "semi")
+
+
+def node_triangle_counts(
+    edges: DataFrame, a: str = "id_a", b: str = "id_b"
+) -> DataFrame:
+    """(node, n_triangles) for every node in ≥1 triangle — the per-node
+    grain of :func:`triangle_census` (local clustering, dedup-cluster
+    density audits). Same ordered two-hop enumeration (each triangle
+    a<b<c found once), then one narrow explode of the 3-node triple and
+    a node-grain hash aggregate."""
+    lo, hi = F.least(F.col(a), F.col(b)), F.greatest(F.col(a), F.col(b))
+    e = (
+        edges.select(lo.alias("a"), hi.alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused by both joins
+    )
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e.alias("e3"),
+            (F.col("e1.a") == F.col("e3.a"))
+            & (F.col("e2.b") == F.col("e3.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    return (
+        tri.select(
+            F.explode(F.array("x", "y", "z")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+
+
+def incremental_triangle_counts(
+    all_edges: DataFrame,
+    delta_edges: DataFrame,
+    a: str = "id_a",
+    b: str = "id_b",
+) -> DataFrame:
+    """Maintain PER-NODE triangle counts under EDGE ADDITIONS — the
+    third member of the incremental graph family (components:
+    ``dedup.incremental_components``; communities:
+    :func:`incremental_lpa`; now the density statistic).
+
+    Exactness: every triangle GAINED by the batch contains at least one
+    Δ edge, so enumerate exactly those — for each Δ edge (u, v), every
+    common neighbor w in the POST-batch graph closes {u, v, w}. A
+    triangle with 2 or 3 new edges is discovered by each of them; the
+    canonical SORTED TRIPLE + distinct collapses it to one row, so the
+    count is exact relationally (no sequential edge ordering needed).
+    Per-node increments are a count over the distinct-triple explode;
+    only nodes in a gained triangle are emitted — the store is never
+    read here (the caller upserts old + delta).
+
+    Precondition: ``delta_edges`` are genuinely new (disjoint from the
+    pre-batch edge set) — the same ingest contract as
+    ``incremental_components``. Returns ``(node, d_triangles)``.
+
+    Scale shape: one |Δ|-driven pair of adjacency equi-joins (the edge
+    table probed by the broadcast-size Δ frame — bucketed storage makes
+    each probe partition-pruned), one explode at gained-triangle grain,
+    one node-grain hash agg. Never corpus-grain.
+    """
+    lo, hi = F.least(F.col(a), F.col(b)), F.greatest(F.col(a), F.col(b))
+    adj = (
+        all_edges.select(F.col(a).alias("x"), F.col(b).alias("y"))
+        .unionAll(
+            all_edges.select(F.col(b).alias("x"), F.col(a).alias("y"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # probed twice by the Δ joins
+    )
+    d = (
+        delta_edges.select(lo.alias("u"), hi.alias("v"))
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    n1 = adj.select(F.col("x").alias("u"), F.col("y").alias("w"))
+    n2 = adj.select(F.col("x").alias("v"), F.col("y").alias("w"))
+    closed = (
+        d.join(n1, "u")
+        .join(n2, ["v", "w"])
+        .filter((F.col("w") != F.col("u")) & (F.col("w") != F.col("v")))
+    )
+    triples = closed.select(
+        F.array_sort(F.array("u", "v", "w")).alias("t")
+    ).distinct()
+    return (
+        triples.select(F.explode("t").alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d_triangles"))
+    )

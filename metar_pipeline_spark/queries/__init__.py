@@ -78,6 +78,7 @@ VERIFY_FIRST: list[str] = [
     "lpa_incremental_delta",
     "ivm_kmv_quantile_view",
     "stream_profile_anomaly_store",
+    "triangle_incremental_delta",
     "ivm_delta_var_view",
     "ivm_delta_topk_view",
     "pagerank_warm_start_delta",

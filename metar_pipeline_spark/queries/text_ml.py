@@ -4078,3 +4078,105 @@ def lpa_incremental_delta(spark, sf_dir):
         F.col("label").alias("community_id"),
         "in_delta",
     )
+
+
+@register(
+    "triangle_incremental_delta",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, lang, source, list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS s
+      FROM documents
+    ),
+    p AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM tk a JOIN tk b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE round(len(list_intersect(a.s, b.s))
+                  / greatest(len(a.s) + len(b.s)
+                             - len(list_intersect(a.s, b.s)), 1), 6)
+            >= 0.8
+    ),
+    e AS (SELECT id_a AS a, id_b AS b FROM p),
+    t AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1 JOIN e e2 ON e1.b = e2.a
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    cnt AS (
+      SELECT v AS node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM (SELECT x AS v FROM t UNION ALL SELECT y FROM t
+            UNION ALL SELECT z FROM t)
+      GROUP BY v
+    ),
+    eo AS (
+      SELECT a, b FROM e WHERE a % 10 <> 0 AND b % 10 <> 0
+    ),
+    t0 AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM eo e1 JOIN eo e2 ON e1.b = e2.a
+                 JOIN eo e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    cnt0 AS (
+      SELECT v AS node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM (SELECT x AS v FROM t0 UNION ALL SELECT y FROM t0
+            UNION ALL SELECT z FROM t0)
+      GROUP BY v
+    )
+    SELECT n.node AS doc_id, n.n_triangles,
+           (COALESCE(o.n_triangles, 0) <> n.n_triangles) AS in_delta
+    FROM cnt n LEFT JOIN cnt0 o ON n.node = o.node
+    """,
+    doc=(
+        "INCREMENTAL per-node triangle-count maintenance under edge "
+        "additions — the third member of the incremental graph family "
+        "(components: dedup_incremental_components; communities: "
+        "lpa_incremental_delta; now the density statistic behind "
+        "transitivity/clustering audits): the 10% batch's unigram-"
+        "jaccard near-dup edges (dense: dedup clusters are cliquish — "
+        "163+ triangle nodes at sf0.001, where the cosine graph had "
+        "zero) arrive against a persisted (node, n_triangles) store. "
+        "Every gained triangle contains ≥1 new edge, so "
+        "graph.incremental_triangle_counts enumerates exactly those "
+        "(Δ edge × post-batch common neighbors), collapses multi-new-"
+        "edge triangles via the canonical sorted-triple DISTINCT, and "
+        "emits node-grain increments — |Δ|-driven adjacency probes, "
+        "the store never read by maintenance (it enters the serving "
+        "assembly via a broadcast anti-join only). Oracle = full "
+        "per-node census over the post-batch graph with the pre-batch "
+        "census diffed for the write-set flag — maintenance ≡ "
+        "recompute at the gate."
+    ),
+)
+def triangle_incremental_delta(spark, sf_dir):
+    from metar_pipeline_spark.operators.graph import (
+        incremental_triangle_counts,
+        node_triangle_counts,
+    )
+
+    pairs = (
+        dedup_unigram_jaccard_pairs(spark, sf_dir)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)  # feeds both splits + the adjacency
+    )
+    both_old = (F.col("id_a") % 10 != 0) & (F.col("id_b") % 10 != 0)
+    # the simulated persisted store: pre-batch per-node counts
+    store = node_triangle_counts(pairs.filter(both_old)).localCheckpoint(
+        eager=True
+    )
+    dz = incremental_triangle_counts(
+        pairs, pairs.filter(~both_old)
+    ).localCheckpoint(eager=True)  # feeds anti + merge
+    unchanged = store.join(
+        F.broadcast(dz.select("node")), "node", "anti"
+    ).withColumn("in_delta", F.lit(False))
+    merged = dz.join(store, "node", "left").select(
+        "node",
+        (
+            F.coalesce(F.col("n_triangles"), F.lit(0))
+            + F.col("d_triangles")
+        ).alias("n_triangles"),
+        F.lit(True).alias("in_delta"),
+    )
+    return unchanged.unionByName(merged).select(
+        F.col("node").alias("doc_id"), "n_triangles", "in_delta"
+    )

@@ -616,3 +616,47 @@ def test_incremental_lpa_law_on_pseudo_random_graph(spark):
     # brand-new nodes are always in the write set
     got_nodes = {r.node for r in dz.collect()}
     assert {200, 201, 202, 203, 204} <= got_nodes
+
+
+def test_incremental_triangle_counts_law(spark):
+    """Additions-only triangle maintenance ≡ full per-node recompute,
+    including triangles with 2 and 3 new edges (the canonical-triple
+    dedup): K4 grown edge by edge, plus a batch forming a brand-new
+    triangle among ONLY new edges."""
+    from metar_pipeline_spark.operators.graph import (
+        incremental_triangle_counts,
+        node_triangle_counts,
+    )
+
+    # old graph: path 1-2-3-4 plus edge 1-3 (one triangle {1,2,3})
+    old = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3)], "id_a long, id_b long"
+    )
+    # batch: 1-4 and 2-4 (completes K4 — new triangles {1,3,4} [1 new
+    # edge], {2,3,4} [1 new], {1,2,4} [2 new edges]) plus a disjoint
+    # all-new triangle {10,11,12} (3 new edges)
+    delta = spark.createDataFrame(
+        [(1, 4), (2, 4), (10, 11), (11, 12), (10, 12)],
+        "id_a long, id_b long",
+    )
+    all_edges = old.unionByName(delta)
+    old_counts = {
+        r.node: r.n_triangles for r in node_triangle_counts(old).collect()
+    }
+    dz = {
+        r.node: r.d_triangles
+        for r in incremental_triangle_counts(all_edges, delta).collect()
+    }
+    merged = {
+        n: old_counts.get(n, 0) + dz.get(n, 0)
+        for n in set(old_counts) | set(dz)
+    }
+    truth = {
+        r.node: r.n_triangles
+        for r in node_triangle_counts(all_edges).collect()
+    }
+    assert merged == truth
+    # K4: every node in 3 triangles; the standalone triangle: 1 each
+    assert truth == {1: 3, 2: 3, 3: 3, 4: 3, 10: 1, 11: 1, 12: 1}
+    # node 3 gained exactly the 2 new triangles through it
+    assert dz[3] == 2 and 3 in old_counts
