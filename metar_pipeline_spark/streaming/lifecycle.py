@@ -88,10 +88,29 @@ def latest_snapshot_id(spark: SparkSession, snap_path: str) -> "int | None":
 
 
 def read_snapshot(
-    spark: SparkSession, snap_path: str
+    spark: SparkSession, snap_path: str, as_of: "int | None" = None
 ) -> "tuple[DataFrame | None, int | None]":
-    """(latest snapshot frame, its through-batch id) — (None, None)
-    before the first checkpoint."""
+    """(snapshot frame, its through-batch id) — the LATEST snapshot by
+    default, or a specific retained version via ``as_of`` (the
+    time-travel/rollback read; versions survive per the
+    ``keep_snapshots`` retention of :func:`checkpoint_and_truncate`).
+    (None, None) before the first checkpoint; a missing ``as_of``
+    version raises."""
+    if as_of is not None:
+        fs, h, _ = _hadoop_fs(
+            spark, f"{snap_path.rstrip('/')}/{SNAP_PREFIX}{int(as_of)}"
+        )
+        if not fs.exists(h):
+            raise ValueError(
+                f"no retained snapshot {SNAP_PREFIX}{as_of} under "
+                f"{snap_path} (raise keep_snapshots to retain history)"
+            )
+        return (
+            spark.read.parquet(
+                f"{snap_path.rstrip('/')}/{SNAP_PREFIX}{int(as_of)}"
+            ),
+            int(as_of),
+        )
     sid = latest_snapshot_id(spark, snap_path)
     if sid is None:
         return None, None
@@ -108,6 +127,7 @@ def checkpoint_and_truncate(
     merge_fn: MergeFn,
     through_batch: int,
     batch_col: str = "_batch",
+    keep_snapshots: int = 1,
 ) -> "int | None":
     """Fold log partitions ``<= through_batch`` into a durable snapshot,
     then expire them. Returns the new snapshot id (== the highest batch
@@ -119,6 +139,12 @@ def checkpoint_and_truncate(
     (partition-pruned), so a replayed already-consumed batch sitting in
     the log is never folded twice. Idempotent: re-running with the same
     ``through_batch`` only re-deletes stragglers.
+
+    ``keep_snapshots``: how many newest snapshot versions to retain
+    (default 1 — serving needs only the latest; raise it for a
+    time-travel/rollback window readable via
+    ``read_snapshot(..., as_of=<id>)`` — each retained version costs
+    one state-grain copy, the Delta/Iceberg snapshot-retention trade).
     """
     fs, log_h, _ = _hadoop_fs(spark, log_path)
     prev = latest_snapshot_id(spark, snap_path)
@@ -155,15 +181,21 @@ def checkpoint_and_truncate(
             v = name[len(batch_col) + 1:]
             if _INT_RE.match(v) and int(v) <= bound:
                 fs.delete(st.getPath(), True)
-    # retire superseded snapshots LAST (the new one is already live)
+    # retire superseded snapshots LAST (the new one is already live),
+    # keeping the newest `keep_snapshots` versions as the time-travel
+    # window
     if new_id is not None:
         sfs, snap_h, _ = _hadoop_fs(spark, snap_path)
+        versions = []
         for st in sfs.listStatus(snap_h):
             name = st.getPath().getName()
             if name.startswith(SNAP_PREFIX):
                 v = name[len(SNAP_PREFIX):]
-                if _INT_RE.match(v) and int(v) < new_id:
-                    sfs.delete(st.getPath(), True)
+                if _INT_RE.match(v):
+                    versions.append((int(v), st.getPath()))
+        versions.sort(reverse=True)
+        for _v, path in versions[max(1, int(keep_snapshots)):]:
+            sfs.delete(path, True)
     return new_id
 
 

@@ -229,3 +229,29 @@ def test_signature_store_lifecycle_feeds_incremental_dedup(spark, tmp_path):
         v2.jaccard,
         v2.is_duplicate,
     )
+
+
+def test_snapshot_retention_and_time_travel(spark, tmp_path):
+    """keep_snapshots retains a rollback window: older versions stay
+    readable via read_snapshot(as_of=...), serving always uses the
+    newest, and the window slides (oldest version expires)."""
+    from metar_pipeline_spark.streaming.lifecycle import read_snapshot
+
+    log = str(tmp_path / "log")
+    snaps = str(tmp_path / "snaps")
+    for b in range(3):
+        idempotent_batch_append(_delta(spark, [(1, 10 ** b)]), log, b)
+        checkpoint_and_truncate(
+            spark, log, snaps, _sum_merge, through_batch=b,
+            keep_snapshots=2,
+        )
+    dirs = sorted(d for d in os.listdir(snaps) if d.startswith("_snap="))
+    assert dirs == ["_snap=1", "_snap=2"]  # window of 2, oldest expired
+    cur, sid = read_snapshot(spark, snaps)
+    assert sid == 2 and {(r.k, r.d) for r in cur.collect()} == {(1, 111)}
+    old, oid = read_snapshot(spark, snaps, as_of=1)
+    assert oid == 1 and {(r.k, r.d) for r in old.collect()} == {(1, 11)}
+    with pytest.raises(ValueError, match="no retained snapshot"):
+        read_snapshot(spark, snaps, as_of=0)
+    # serving still reads the newest
+    assert _serve_sums(spark, log, snaps) == {1: 111}
