@@ -45,7 +45,8 @@ def stg_stage(
     normalized: DataFrame,
     base_dir: str,
     run_id: int | None = None,
-) -> None:
+    anomaly_guard: "dict | None" = None,
+) -> "dict":
     """stg: typed observations, strict watermark, merge by id.
 
     Batch profile metrics (row count, null rates, observed bounds) ride
@@ -55,6 +56,21 @@ def stg_stage(
     reference's elementary column_anomalies/schema_changes monitors
     (/root/reference/dbt/models/stg/schema.yml:9,17) as engine-native
     observability (SURVEY.md Q6).
+
+    ``anomaly_guard`` (optional) is the CIRCUIT BREAKER — the engine
+    analogue of elementary tests at ``severity: error`` blocking the
+    dbt build: BEFORE merging, the batch's profile is judged against
+    the run history (``quality.anomalies.metrics_store_anomalies``
+    semantics, keys: ``rule`` 'sigma'|'iqr', ``k``, ``min_history``);
+    an anomalous batch is written to ``_quarantine_stg/_run=<hw>``
+    (idempotent partition overwrite) and the merge, metrics append and
+    schema snapshot are all SKIPPED — the lake keeps serving the last
+    good state, and the store's history is never polluted by the batch
+    it just rejected. Cost: one extra aggregate over the BATCH (never
+    the store). Insufficient history never blocks.
+
+    Returns ``{"status": "merged"|"quarantined"|"empty", "flags": df}``
+    (``flags`` only when the guard evaluated).
     """
     from pyspark.sql import Observation
 
@@ -63,6 +79,61 @@ def stg_stage(
     fresh = high_watermark_filter(
         normalized, existing, "observed", inclusive=False
     )
+    if anomaly_guard is not None:
+        g = dict(anomaly_guard)
+        probe = fresh.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("observed").isNull().cast("long")).alias(
+                "null_observed"
+            ),
+            F.sum(F.col("icao").isNull().cast("long")).alias("null_icao"),
+            F.unix_timestamp(F.max("observed")).alias("hw"),
+        ).first()
+        hist = _read_if_exists(spark, os.path.join(base_dir, "_metrics"))
+        if probe["n_rows"] and hist is not None:
+            from metar_pipeline_spark.quality.anomalies import (
+                metrics_store_anomalies,
+            )
+
+            cand = spark.range(1).select(
+                F.lit("stg").alias("layer"),
+                F.lit(probe["hw"]).cast("long").alias(
+                    "max_observed_epoch"
+                ),
+                F.lit(probe["n_rows"]).cast("long").alias("n_rows"),
+                F.lit(probe["null_observed"] or 0)
+                .cast("long")
+                .alias("null_observed"),
+                F.lit(probe["null_icao"] or 0).cast("long").alias(
+                    "null_icao"
+                ),
+            )
+            flags = metrics_store_anomalies(
+                hist.select(
+                    "layer",
+                    "max_observed_epoch",
+                    "n_rows",
+                    "null_observed",
+                    "null_icao",
+                ).unionByName(cand),
+                layer="stg",
+                rule=g.get("rule", "sigma"),
+                k=g.get("k", 3),
+                min_history=g.get("min_history", 3),
+            ).localCheckpoint(eager=True)  # metadata grain; count + caller
+            if flags.filter(F.col("is_anomaly")).count() > 0:
+                (
+                    fresh.withColumn("_run", F.lit(int(probe["hw"])))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("_run")
+                    .parquet(os.path.join(base_dir, "_quarantine_stg"))
+                )
+                return {"status": "quarantined", "flags": flags}
+        else:
+            flags = None
+    else:
+        flags = None
     obs = Observation("stg_batch")
     fresh = fresh.observe(
         obs,
@@ -106,7 +177,7 @@ def stg_stage(
             # Empty batch (everything behind the watermark): no fresh
             # data, nothing to snapshot — and no stable identity to
             # key an overwrite on.
-            return
+            return {"status": "empty", "flags": flags}
         # The epoch comes straight from the observe metrics (round-9
         # ADVICE): a driver-side hw.timestamp() interpreted the naive
         # collected datetime in the HOST'S local timezone, so a tz
@@ -117,6 +188,7 @@ def stg_stage(
         # pure function of the data under the UTC session tz.
         run_id = int(hw)
     record_schema_snapshot(normalized, snap_store, run_id)
+    return {"status": "merged", "flags": flags}
 
 
 def _append_batch_metrics(

@@ -245,3 +245,63 @@ def test_metrics_store_anomaly_rule(spark, tmp_path):
         spark.read.parquet(base + "/_metrics")
     ).collect()
     assert rep2 and not any(r.is_anomaly for r in rep2)
+
+
+def test_stg_anomaly_circuit_breaker(spark, tmp_path):
+    """The elementary severity:error analogue: a poisoned batch is
+    QUARANTINED before the merge — stg, the metrics history, and the
+    schema snapshots all keep their last good state — and a clean
+    follow-up batch merges normally (history never polluted by the
+    rejected batch). Insufficient history never blocks."""
+    import os as _os
+
+    from metar_pipeline_spark.plans.medallion import stg_stage
+
+    base = str(tmp_path / "lake")
+    icaos = ["UUEE", "ULLI", "URSS"]
+    guard = {"rule": "sigma", "k": 3, "min_history": 3}
+    # first batches: guard active but history insufficient → merges
+    for day in (1, 2, 3, 4):
+        r = stg_stage(
+            spark,
+            _normalized(spark, _docs(icaos, day, -5.0)),
+            base,
+            anomaly_guard=guard,
+        )
+        assert r["status"] == "merged"
+    n_before = spark.read.parquet(base + "/stg").count()
+    n_metrics = spark.read.parquet(base + "/_metrics").count()
+
+    bad = _normalized(spark, _docs(icaos, 5, -5.0)).withColumn(
+        "icao",
+        F.when(F.col("icao") == "UUEE", F.col("icao")).otherwise(
+            F.lit(None).cast("string")
+        ),
+    )
+    r = stg_stage(spark, bad, base, anomaly_guard=guard)
+    assert r["status"] == "quarantined"
+    flagged = {
+        (x.column_name, x.stat)
+        for x in r["flags"].filter("is_anomaly").collect()
+    }
+    assert ("icao", "null_count") in flagged
+    # nothing merged, history unpolluted, batch preserved for triage
+    assert spark.read.parquet(base + "/stg").count() == n_before
+    assert spark.read.parquet(base + "/_metrics").count() == n_metrics
+    q = spark.read.parquet(base + "/_quarantine_stg")
+    assert q.count() == 3 and q.select("_run").distinct().count() == 1
+    # re-running the same poisoned batch is idempotent (same _run dir)
+    r2 = stg_stage(spark, bad, base, anomaly_guard=guard)
+    assert r2["status"] == "quarantined"
+    assert spark.read.parquet(base + "/_quarantine_stg").count() == 3
+
+    # a clean later batch sails through — the breaker resets itself
+    r3 = stg_stage(
+        spark,
+        _normalized(spark, _docs(icaos, 6, -5.0)),
+        base,
+        anomaly_guard=guard,
+    )
+    assert r3["status"] == "merged"
+    assert spark.read.parquet(base + "/stg").count() == n_before + 3
+    assert _os.path.isdir(base + "/_quarantine_stg")
