@@ -1,0 +1,147 @@
+"""Scheduled table maintenance — one entrypoint for the ops lifecycle.
+
+The reference delegates all upkeep to Postgres autovacuum and an
+Airflow schedule (infra/airflow/dags/metar_pipeline_dag.py); a parquet
+lake at 100 TB needs the equivalent run explicitly. This module is the
+nightly-maintenance composition of the engine's verified pieces — what
+an operator actually schedules:
+
+- ``compact``        → :func:`sources.compaction.compact_parquet_dir` /
+                       ``compact_partitions`` (small-file rewrite)
+- ``expire``         → :func:`sources.compaction.expire_partitions`
+                       (date-partition retention, directory surgery)
+- ``checkpoint_log`` → :func:`streaming.lifecycle.checkpoint_and_truncate`
+                       (fold + truncate a ``_batch`` store)
+- ``refresh_manifest`` → :func:`sources.layout.refresh_skipping_manifest`
+                       (incremental footer stats for data skipping)
+- ``monitor``        → :func:`quality.anomalies.metrics_store_anomalies`
+                       (run-history anomaly flags over a metrics store)
+
+Each task is independent and isolated: a failing task records its error
+and the runner continues (the ops-runner contract — one bad table must
+not block retention everywhere else). The report is returned as a
+DataFrame so it can be appended to an ops log like any other table.
+
+Scale notes: every task here is metadata-driven (directory listings,
+footer reads, store-grain folds) — the runner never scans fact data
+itself; the heavy I/O (compaction rewrite) is bounded to the targeted
+paths.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+REPORT_SCHEMA = (
+    "task string, target string, ok boolean, detail string, error string"
+)
+
+
+def _run_one(spark: SparkSession, t: "dict[str, Any]") -> "tuple[str, str]":
+    kind = t["task"]
+    if kind == "compact":
+        from metar_pipeline_spark.sources.compaction import (
+            compact_parquet_dir,
+            compact_partitions,
+        )
+
+        if "partition_col" in t:
+            out = compact_partitions(
+                spark,
+                t["path"],
+                t["partition_col"],
+                target_file_bytes=t.get("target_file_bytes", 128 << 20),
+                min_files_to_compact=t.get("min_files_to_compact", 2),
+            )
+            return t["path"], f"compacted_partitions={len(out)}"
+        n = compact_parquet_dir(
+            spark,
+            t["path"],
+            target_file_bytes=t.get("target_file_bytes", 128 << 20),
+            min_files_to_compact=t.get("min_files_to_compact", 2),
+        )
+        return t["path"], f"n_files={n}"
+    if kind == "expire":
+        from metar_pipeline_spark.sources.compaction import expire_partitions
+
+        dropped = expire_partitions(
+            spark,
+            t["path"],
+            t["partition_col"],
+            t["keep_from"],
+            dry_run=t.get("dry_run", False),
+        )
+        return t["path"], f"dropped={len(dropped)}"
+    if kind == "checkpoint_log":
+        from metar_pipeline_spark.streaming.lifecycle import (
+            checkpoint_and_truncate,
+        )
+
+        sid = checkpoint_and_truncate(
+            spark,
+            t["log"],
+            t["snapshots"],
+            t["merge_fn"],
+            through_batch=t["through_batch"],
+            keep_snapshots=t.get("keep_snapshots", 1),
+        )
+        return t["log"], f"snapshot={sid}"
+    if kind == "refresh_manifest":
+        from metar_pipeline_spark.sources.layout import (
+            refresh_skipping_manifest,
+        )
+
+        added, removed = refresh_skipping_manifest(
+            spark, t["table"], t["cols"], t["manifest"]
+        )
+        return t["manifest"], f"added={added} removed={removed}"
+    if kind == "monitor":
+        from metar_pipeline_spark.quality.anomalies import (
+            metrics_store_anomalies,
+        )
+
+        metrics = spark.read.parquet(t["metrics"])
+        flags = metrics_store_anomalies(
+            metrics,
+            layer=t.get("layer", "stg"),
+            k=t.get("k", 3),
+            min_history=t.get("min_history", 3),
+            rule=t.get("rule", "sigma"),
+        )
+        n_bad = flags.filter("is_anomaly").count()
+        return t["metrics"], f"anomalies={n_bad}"
+    raise ValueError(f"unknown maintenance task {kind!r}")
+
+
+def run_maintenance(
+    spark: SparkSession, tasks: "list[dict[str, Any]]"
+) -> DataFrame:
+    """Run the maintenance ``tasks`` in order; one report row each.
+    A task failure is recorded (ok=false, error) and the run continues.
+    Append the returned frame to an ops log for run-history auditing
+    (it is itself a fine :mod:`quality.anomalies` input once keyed)."""
+    rows = []
+    for t in tasks:
+        kind = str(t.get("task"))
+        try:
+            target, detail = _run_one(spark, t)
+            rows.append((kind, target, True, detail, None))
+        except Exception as e:  # noqa: BLE001 — ops-runner isolation
+            rows.append(
+                (
+                    kind,
+                    str(
+                        t.get("path")
+                        or t.get("log")
+                        or t.get("table")
+                        or t.get("metrics")
+                        or ""
+                    ),
+                    False,
+                    None,
+                    f"{type(e).__name__}: {e}",
+                )
+            )
+    return spark.createDataFrame(rows, REPORT_SCHEMA)

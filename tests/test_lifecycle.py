@@ -255,3 +255,98 @@ def test_snapshot_retention_and_time_travel(spark, tmp_path):
         read_snapshot(spark, snaps, as_of=0)
     # serving still reads the newest
     assert _serve_sums(spark, log, snaps) == {1: 111}
+
+
+def test_run_maintenance_end_to_end(spark, tmp_path):
+    """The nightly-maintenance composition: checkpoint a delta log,
+    expire old date partitions, compact a small-file table, refresh its
+    skipping manifest, and run the anomaly monitor — one report row per
+    task, failures isolated."""
+    from metar_pipeline_spark.plans.maintenance import run_maintenance
+    from metar_pipeline_spark.sources.layout import (
+        skipping_scan,
+        write_skipping_manifest,
+    )
+
+    # a _batch delta log
+    log = str(tmp_path / "log")
+    snaps = str(tmp_path / "snaps")
+    for b in range(3):
+        idempotent_batch_append(_delta(spark, [(b, b + 1)]), log, b)
+    # a date-partitioned table with an expired day
+    dated = str(tmp_path / "dated")
+    spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-02-01", 2)], "d string, v long"
+    ).write.partitionBy("d").parquet(dated)
+    # a small-file table + its manifest
+    table = str(tmp_path / "smallfiles")
+    for i in range(4):
+        spark.range(i * 100, (i + 1) * 100).coalesce(1).write.mode(
+            "append"
+        ).parquet(table)
+    manifest = str(tmp_path / "manifest")
+    write_skipping_manifest(spark, table, ["id"], manifest)
+    # a metrics store (healthy history + healthy latest)
+    metrics = str(tmp_path / "metrics")
+    spark.createDataFrame(
+        [("stg", 100 + i, 3, 0, 0) for i in range(5)],
+        "layer string, max_observed_epoch long, n_rows long,"
+        " null_observed long, null_icao long",
+    ).write.parquet(metrics)
+
+    report = run_maintenance(
+        spark,
+        [
+            {
+                "task": "checkpoint_log",
+                "log": log,
+                "snapshots": snaps,
+                "merge_fn": _sum_merge,
+                "through_batch": 1,
+            },
+            {
+                "task": "expire",
+                "path": dated,
+                "partition_col": "d",
+                "keep_from": "2024-02-01",
+            },
+            {
+                "task": "compact",
+                "path": table,
+                "target_file_bytes": 1 << 30,
+            },
+            # compaction invalidated the manifest — refresh is the
+            # stats-commit step of the rewrite, in the same run
+            {
+                "task": "refresh_manifest",
+                "table": table,
+                "cols": ["id"],
+                "manifest": manifest,
+            },
+            {"task": "monitor", "metrics": metrics},
+            {"task": "expire", "path": str(tmp_path / "missing"),
+             "partition_col": "d", "keep_from": "2024-01-01"},
+        ],
+    )
+    rows = report.collect()
+    assert [r.ok for r in rows] == [True] * 5 + [False]
+    by = {(r.task, r.target): r.detail for r in rows if r.ok}
+    assert by[("checkpoint_log", log)] == "snapshot=1"
+    assert by[("expire", dated)] == "dropped=1"
+    assert by[("compact", table)] == "n_files=1"
+    assert by[("refresh_manifest", manifest)] == "added=1 removed=4"
+    assert by[("monitor", metrics)] == "anomalies=0"
+    assert "missing" in rows[-1].error or rows[-1].error
+    # the lake is actually maintained: log truncated, day dropped,
+    # manifest serves the rewritten file set
+    assert list_batch_ids(spark, log) == [2]
+    assert _serve_sums(spark, log, snaps) == {0: 1, 1: 2, 2: 3}
+    import os as _os
+
+    assert sorted(
+        d for d in _os.listdir(dated) if d.startswith("d=")
+    ) == ["d=2024-02-01"]
+    assert (
+        skipping_scan(spark, table, manifest, "id", 150, 249).count()
+        == 100
+    )
