@@ -348,3 +348,50 @@ def skipping_scan(
     # partitioned and we hand Spark leaf files directly
     base = spark.read.option("basePath", table_path).parquet(*files)
     return base.filter(pred)
+
+
+def pruned_files_multi(
+    spark, manifest_path: str, preds: "dict[str, tuple]"
+) -> "list[str]":
+    """Conjunctive multi-column pruning: keep a file only if EVERY
+    ``col: (lo, hi)`` predicate may match it (per-column exclusion is
+    independent, so the keep-conditions AND together). Missing stats on
+    a column keep the file for that column, as in :func:`pruned_files`.
+    The Z-order layout is the natural producer: box predicates prune on
+    both keys at once."""
+    m = spark.read.parquet(manifest_path)
+    cond = F.lit(True)
+    for col, (lo, hi) in preds.items():
+        keep = ~(
+            (F.col(f"{col}__max") < F.lit(lo))
+            | (F.col(f"{col}__min") > F.lit(hi))
+        )
+        cond = cond & (keep | F.col(f"{col}__min").isNull())
+    rows = m.filter(cond).select("file").collect()  # bounded-collect: manifest grain
+    return [r.file for r in rows]
+
+
+def skipping_scan_multi(
+    spark, table_path: str, manifest_path: str, preds: "dict[str, tuple]"
+) -> DataFrame:
+    """:func:`skipping_scan` for a conjunction of range predicates —
+    the box-query form over a Z-ordered layout. Same manifest-invariant
+    contract: every row predicate is applied regardless."""
+    pred = F.lit(True)
+    for col, (lo, hi) in preds.items():
+        pred = pred & (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    files = pruned_files_multi(spark, manifest_path, preds)
+    if not files:
+        all_files = _list_data_files(spark, table_path)
+        if not all_files:
+            return spark.read.parquet(table_path).filter(F.lit(False))
+        return (
+            spark.read.option("basePath", table_path)
+            .parquet(all_files[0])
+            .filter(F.lit(False))
+        )
+    return (
+        spark.read.option("basePath", table_path)
+        .parquet(*files)
+        .filter(pred)
+    )

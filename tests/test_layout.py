@@ -350,3 +350,47 @@ def test_refresh_skipping_manifest_incremental(spark, tmp_path):
         skipping_scan(spark, table, manifest, "id", 1200, 1299).count()
         == 0  # expired range
     )
+
+
+def test_skipping_scan_multi_box_predicate_on_zorder(spark, tmp_path):
+    """Conjunctive (box) pruning over a Z-ordered layout: the AND of
+    two range predicates touches fewer files than either alone, and the
+    result equals the full-scan filter."""
+    from metar_pipeline_spark.sources.layout import (
+        pruned_files,
+        pruned_files_multi,
+        skipping_scan_multi,
+        write_skipping_manifest,
+        write_zorder_layout,
+    )
+
+    table = str(tmp_path / "box")
+    manifest = str(tmp_path / "boxmanifest")
+    df = spark.range(0, 65_536).select(
+        (F.col("id") % 256).alias("x"),
+        (F.col("id") / 256).cast("long").alias("y"),
+    )
+    write_zorder_layout(df, table, "x", "y", num_files=16, bits=8)
+    write_skipping_manifest(spark, table, ["x", "y"], manifest)
+
+    box = {"x": (0, 31), "y": (0, 31)}
+    both = pruned_files_multi(spark, manifest, box)
+    only_x = pruned_files(spark, manifest, "x", 0, 31)
+    only_y = pruned_files(spark, manifest, "y", 0, 31)
+    assert set(both) <= set(only_x) and set(both) <= set(only_y)
+    assert len(both) < min(len(only_x), len(only_y))
+    got = skipping_scan_multi(spark, table, manifest, box)
+    assert got.count() == 32 * 32
+    full = spark.read.parquet(table).filter(
+        F.col("x").between(0, 31) & F.col("y").between(0, 31)
+    )
+    assert got.agg(F.sum(F.col("x") + F.col("y"))).first()[0] == full.agg(
+        F.sum(F.col("x") + F.col("y"))
+    ).first()[0]
+    # empty box: schema-stable zero rows
+    assert (
+        skipping_scan_multi(
+            spark, table, manifest, {"x": (500, 600), "y": (0, 1)}
+        ).count()
+        == 0
+    )
