@@ -75,6 +75,7 @@ VERIFY_FIRST: list[str] = [
     "sketch_log_checkpoint_truncate",
     "ivm_log_checkpoint_truncate",
     "skipping_scan_value_range",
+    "skipping_scan_box_zorder",
     "lpa_incremental_delta",
     "ivm_kmv_quantile_view",
     "stream_profile_anomaly_store",

@@ -2655,3 +2655,75 @@ def stream_profile_anomaly_store(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+@register(
+    "skipping_scan_box_zorder",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(user_id) AS BIGINT) AS sum_users
+    FROM events
+    WHERE CAST(FLOOR(value * 100) AS BIGINT) BETWEEN 5000 AND 20000
+      AND user_id % 100 BETWEEN 10 AND 39
+    GROUP BY event_type
+    """,
+    doc=(
+        "Multi-column (box) data skipping over a Z-ORDERED layout — "
+        "the two-dimensional completion of skipping_scan_value_range: "
+        "events are laid out along the Morton curve of (cents, "
+        "user-id bucket) (sources/layout.write_zorder_layout — both "
+        "share file locality), the footer manifest covers both "
+        "columns, and a conjunctive box predicate opens only files "
+        "the manifest cannot exclude on EITHER dimension "
+        "(layout.skipping_scan_multi — per-column exclusions AND "
+        "together, so the box touches strictly fewer files than "
+        "either range alone, pinned in tests/test_layout.py). "
+        "Manifest-invariant as before: the row filter always applies, "
+        "so the oracle is the plain full-scan predicate."
+    ),
+)
+def skipping_scan_box_zorder(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from metar_pipeline_spark.sources.layout import (
+        skipping_scan_multi,
+        write_skipping_manifest,
+        write_zorder_layout,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        (F.col("user_id") % 100).alias("u_bucket"),
+        F.floor(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    tmp = tempfile.mkdtemp(prefix="skipping_box_")
+    table = os.path.join(tmp, "events_z")
+    manifest = os.path.join(tmp, "manifest")
+    try:
+        write_zorder_layout(
+            ev, table, "value_c", "u_bucket", num_files=16, bits=10
+        )
+        write_skipping_manifest(
+            spark, table, ["value_c", "u_bucket"], manifest
+        )
+        pruned = skipping_scan_multi(
+            spark,
+            table,
+            manifest,
+            {"value_c": (5000, 20000), "u_bucket": (10, 39)},
+        )
+        result = (
+            pruned.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum("user_id").cast("long").alias("sum_users"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
