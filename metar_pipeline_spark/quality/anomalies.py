@@ -197,9 +197,17 @@ def profile_anomalies(
         "run_id",
         "value",
         F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("hist_n"),
+        # FLOOR division, not DIV: Spark's DIV truncates toward zero
+        # while DuckDB's // floors, so a NEGATIVE sum (signed stats
+        # like temperature bounds) would diverge by 1 across engines —
+        # caught by the exact-rational hypothesis law. (m − pmod(m,d))
+        # is exactly divisible, so the DIV afterwards IS floor.
         F.when(
             F.coalesce(F.col("__n"), F.lit(0)) > 0,
-            F.expr("(2 * __s + __n) DIV (2 * __n)"),
+            F.expr(
+                "((2 * __s + __n) - pmod(2 * __s + __n, 2 * __n))"
+                " DIV (2 * __n)"
+            ),
         ).cast("long").alias("hist_mean_i"),
         (
             (F.coalesce(F.col("__n"), F.lit(0)) >= int(min_history))
