@@ -10,6 +10,8 @@ an operator actually schedules:
                        ``compact_partitions`` (small-file rewrite)
 - ``expire``         → :func:`sources.compaction.expire_partitions`
                        (date-partition retention, directory surgery)
+- ``expire_runs``    → :func:`sources.compaction.expire_integer_partitions`
+                       (newest-N retention for ``_run=``/``_batch=`` stores)
 - ``checkpoint_log`` → :func:`streaming.lifecycle.checkpoint_and_truncate`
                        (fold + truncate a ``_batch`` store)
 - ``refresh_manifest`` → :func:`sources.layout.refresh_skipping_manifest`
@@ -71,6 +73,19 @@ def _run_one(spark: SparkSession, t: "dict[str, Any]") -> "tuple[str, str]":
             t["path"],
             t["partition_col"],
             t["keep_from"],
+            dry_run=t.get("dry_run", False),
+        )
+        return t["path"], f"dropped={len(dropped)}"
+    if kind == "expire_runs":
+        from metar_pipeline_spark.sources.compaction import (
+            expire_integer_partitions,
+        )
+
+        dropped = expire_integer_partitions(
+            spark,
+            t["path"],
+            t.get("partition_col", "_run"),
+            t["keep_last"],
             dry_run=t.get("dry_run", False),
         )
         return t["path"], f"dropped={len(dropped)}"

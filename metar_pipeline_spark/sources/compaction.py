@@ -246,3 +246,43 @@ def expire_partitions(
                 fs.delete(st.getPath(), True)
             dropped.append(value)
     return sorted(dropped)
+
+
+def expire_integer_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    keep_last: int,
+    *,
+    dry_run: bool = False,
+) -> "list[int]":
+    """Retention for an INTEGER-partitioned store: keep the newest
+    ``keep_last`` ``{partition_col}=<n>`` directories, drop the rest —
+    the ``_run=``/``_batch=`` counterpart of :func:`expire_partitions`
+    (the medallion schema-snapshot and quarantine stores grow one
+    partition per run forever; their history is only consulted a few
+    runs deep). Directory surgery only, newest-N semantics (ids are
+    compared numerically, never lexically); non-integer values are
+    always kept and ``keep_last`` must be ≥ 1 (the store must never be
+    emptied by retention). Returns the dropped ids, ascending."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    fs, hpath, _ = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return []
+    prefix = f"{partition_col}="
+    parts = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(prefix):
+            v = name[len(prefix):]
+            if re.match(r"^-?\d+$", v):
+                parts.append((int(v), st.getPath()))
+    parts.sort()
+    doomed = parts[:-keep_last] if len(parts) > keep_last else []
+    dropped = []
+    for v, p in doomed:
+        if not dry_run:
+            fs.delete(p, True)
+        dropped.append(v)
+    return dropped

@@ -287,6 +287,11 @@ def test_run_maintenance_end_to_end(spark, tmp_path):
     manifest = str(tmp_path / "manifest")
     write_skipping_manifest(spark, table, ["id"], manifest)
     # a metrics store (healthy history + healthy latest)
+    runstore = str(tmp_path / "runstore")
+    for rid in (1, 2, 3):
+        spark.createDataFrame([(rid,)], "v long").write.parquet(
+            runstore + f"/_run={rid}"
+        )
     metrics = str(tmp_path / "metrics")
     spark.createDataFrame(
         [("stg", 100 + i, 3, 0, 0) for i in range(5)],
@@ -324,18 +329,24 @@ def test_run_maintenance_end_to_end(spark, tmp_path):
                 "manifest": manifest,
             },
             {"task": "monitor", "metrics": metrics},
+            {
+                "task": "expire_runs",
+                "path": runstore,
+                "keep_last": 2,
+            },
             {"task": "expire", "path": str(tmp_path / "missing"),
              "partition_col": "d", "keep_from": "2024-01-01"},
         ],
     )
     rows = report.collect()
-    assert [r.ok for r in rows] == [True] * 5 + [False]
+    assert [r.ok for r in rows] == [True] * 6 + [False]
     by = {(r.task, r.target): r.detail for r in rows if r.ok}
     assert by[("checkpoint_log", log)] == "snapshot=1"
     assert by[("expire", dated)] == "dropped=1"
     assert by[("compact", table)] == "n_files=1"
     assert by[("refresh_manifest", manifest)] == "added=1 removed=4"
     assert by[("monitor", metrics)] == "anomalies=0"
+    assert by[("expire_runs", runstore)] == "dropped=1"
     assert "missing" in rows[-1].error or rows[-1].error
     # the lake is actually maintained: log truncated, day dropped,
     # manifest serves the rewritten file set
@@ -350,3 +361,36 @@ def test_run_maintenance_end_to_end(spark, tmp_path):
         skipping_scan(spark, table, manifest, "id", 150, 249).count()
         == 100
     )
+
+
+def test_expire_integer_partitions_run_stores(spark, tmp_path):
+    """Retention for _run=-partitioned stores (schema snapshots /
+    quarantine): newest-N kept by NUMERIC order, non-integer dirs
+    untouched, dry-run reports without deleting, empties never."""
+    from metar_pipeline_spark.sources.compaction import (
+        expire_integer_partitions,
+    )
+
+    store = str(tmp_path / "snapstore")
+    # ids straddle a lexicographic trap: 9 < 10 numerically
+    for rid in (9, 10, 11, 2):
+        spark.createDataFrame([(rid,)], "v long").write.parquet(
+            store + f"/_run={rid}"
+        )
+    with pytest.raises(ValueError, match="keep_last"):
+        expire_integer_partitions(spark, store, "_run", 0)
+    assert expire_integer_partitions(
+        spark, store, "_run", 2, dry_run=True
+    ) == [2, 9]
+    assert sorted(os.listdir(store)) == [
+        "_run=10", "_run=11", "_run=2", "_run=9"
+    ]
+    assert expire_integer_partitions(spark, store, "_run", 2) == [2, 9]
+    assert sorted(os.listdir(store)) == ["_run=10", "_run=11"]
+    # idempotent; never empties
+    assert expire_integer_partitions(spark, store, "_run", 2) == []
+    assert expire_integer_partitions(spark, store, "_run", 5) == []
+    # missing store: no-op
+    assert expire_integer_partitions(
+        spark, str(tmp_path / "nope"), "_run", 3
+    ) == []
