@@ -373,35 +373,71 @@ def incremental_lpa(
     label is provably unchanged (and is never read here: the caller
     upserts the delta, the store itself enters no join at all).
 
-    Scale shape: seed discovery is |Δ|-grain; the 2k-hop ball grows by
-    frontier⋈edges equi-joins (frontier broadcast, ``bfs_min_hops``);
-    the induced subgraph is two broadcast semi-joins of the edge table
-    against the ball; the LPA rounds then run on O(|ball|) rows. With
-    the edge table bucketed by node id every frontier probe prunes to
-    the touched buckets — per-batch work is affected-subgraph-bounded,
-    never corpus-bounded.
+    Scale shape (round-13 ADVICE: NO corpus-grain shuffle anywhere):
+    seed discovery is |Δ|-grain; the 2k-hop ball grows by probing the
+    RAW (asymmetric) edge table on BOTH endpoint columns with a
+    broadcast frontier — symmetrization of the whole corpus (a
+    corpus-wide unionAll+distinct+checkpoint) never happens. Each
+    round is therefore a pruned SCAN of the edge table (broadcast
+    semi-grain joins, zero shuffle; a by-node bucketed/partitioned
+    layout prunes the scan itself); the only distincts and the only
+    symmetrized edge set are BALL-grain — the induced subgraph the
+    k LPA rounds then run on. Per-batch shuffle work is
+    affected-subgraph-bounded; corpus cost is O(2k) pruned scans.
     """
     k = int(iterations)
-    sym = (
-        all_edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-        .unionAll(
-            all_edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)  # feeds BFS rounds + induced cut
-    )
+    raw = all_edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     seeds = (
         delta_edges.select(F.col(a).alias("node"))
         .union(delta_edges.select(F.col(b).alias("node")))
         .distinct()
     )
-    ball = bfs_min_hops(sym, seeds, max_hops=2 * k).localCheckpoint(
-        eager=True
-    )  # (node, hop) — delta-ball grain; feeds two semi-joins + filter
+    # Undirected BFS over the raw edge list: per round the broadcast
+    # frontier probes src and dst separately (two broadcast equi-joins
+    # against the scan — the checkpointed frontier has no stats, so
+    # the broadcast hint is explicit per the round-12 pitfall).
+    visited = (
+        seeds.select("node", F.lit(0).cast("int").alias("hop"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("node")
+    for level in range(1, 2 * k + 1):
+        fb = F.broadcast(frontier)
+        nxt = (
+            raw.join(fb.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .unionAll(
+                raw.join(fb.withColumnRenamed("node", "dst"), "dst")
+                .select(F.col("src").alias("node"))
+            )
+            .distinct()  # frontier-neighborhood grain
+            .join(
+                F.broadcast(visited.select("node")), "node", "left_anti"
+            )
+            .select("node", F.lit(level).cast("int").alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.head(1):
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    ball = visited
     bn = ball.select("node")
-    sub = sym.join(
+    # Induced subgraph: two broadcast semi-joins of the raw edges
+    # against the ball, THEN symmetrize — the unionAll+distinct is
+    # ball-grain, never corpus-grain.
+    sub_raw = raw.join(
         F.broadcast(bn.withColumnRenamed("node", "src")), "src", "semi"
     ).join(F.broadcast(bn.withColumnRenamed("node", "dst")), "dst", "semi")
+    sub = (
+        sub_raw.unionAll(
+            sub_raw.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # ball-grain; feeds k LPA rounds
+    )
     sub_labels = label_propagation(
         sub, a="src", b="dst", iterations=k
     )
@@ -472,27 +508,40 @@ def incremental_triangle_counts(
     pre-batch edge set) — the same ingest contract as
     ``incremental_components``. Returns ``(node, d_triangles)``.
 
-    Scale shape: one |Δ|-driven pair of adjacency equi-joins (the edge
-    table probed by the broadcast-size Δ frame — bucketed storage makes
-    each probe partition-pruned), one explode at gained-triangle grain,
-    one node-grain hash agg. Never corpus-grain.
+    Scale shape (round-13 ADVICE: NO corpus-grain shuffle): the
+    adjacency probed for common neighbors is restricted FIRST — the
+    raw edge table is semi-joined by the broadcast Δ-endpoint set on
+    each endpoint column (pruned scans, zero shuffle), and only that
+    Δ-incident slice is symmetrized/distinct-ed (degree-of-Δ grain,
+    never corpus grain). Then one explode at gained-triangle grain
+    and one node-grain hash agg.
     """
     lo, hi = F.least(F.col(a), F.col(b)), F.greatest(F.col(a), F.col(b))
-    adj = (
-        all_edges.select(F.col(a).alias("x"), F.col(b).alias("y"))
-        .unionAll(
-            all_edges.select(F.col(b).alias("x"), F.col(a).alias("y"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)  # probed twice by the Δ joins
-    )
     d = (
         delta_edges.select(lo.alias("u"), hi.alias("v"))
         .filter(F.col("u") < F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)  # Δ-grain; probed 3×
     )
-    n1 = adj.select(F.col("x").alias("u"), F.col("y").alias("w"))
-    n2 = adj.select(F.col("x").alias("v"), F.col("y").alias("w"))
+    ends = d.select(F.col("u").alias("n")).union(
+        d.select(F.col("v").alias("n"))
+    ).distinct()
+    raw = all_edges.select(F.col(a).alias("x"), F.col(b).alias("y"))
+    adj = (
+        raw.join(
+            F.broadcast(ends.withColumnRenamed("n", "x")), "x", "semi"
+        )
+        .select(F.col("x").alias("n"), F.col("y").alias("w"))
+        .unionAll(
+            raw.join(
+                F.broadcast(ends.withColumnRenamed("n", "y")), "y", "semi"
+            ).select(F.col("y").alias("n"), F.col("x").alias("w"))
+        )
+        .distinct()  # Δ-incident adjacency grain
+        .localCheckpoint(eager=True)  # probed twice by the Δ joins
+    )
+    n1 = adj.select(F.col("n").alias("u"), F.col("w"))
+    n2 = adj.select(F.col("n").alias("v"), F.col("w"))
     closed = (
         d.join(n1, "u")
         .join(n2, ["v", "w"])

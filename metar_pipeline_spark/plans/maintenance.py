@@ -18,6 +18,15 @@ an operator actually schedules:
                        (incremental footer stats for data skipping)
 - ``monitor``        → :func:`quality.anomalies.metrics_store_anomalies`
                        (run-history anomaly flags over a metrics store)
+- ``vacuum``         → :func:`sources.vacuum.vacuum_store`
+                       (orphan-file GC with a safety horizon; restores
+                       stranded asides, deletes dead staging/snapshots)
+- ``compact_versioned`` / ``expire_versions``
+                     → :mod:`sources.txn` (optimistic-commit compaction
+                       and commit-log retention for versioned stores —
+                       maintenance through the SAME protocol the ingest
+                       writers use, so a racing merge conflicts cleanly
+                       instead of corrupting)
 
 Each task is independent and isolated: a failing task records its error
 and the runner continues (the ops-runner contract — one bad table must
@@ -112,6 +121,44 @@ def _run_one(spark: SparkSession, t: "dict[str, Any]") -> "tuple[str, str]":
             spark, t["table"], t["cols"], t["manifest"]
         )
         return t["manifest"], f"added={added} removed={removed}"
+    if kind == "vacuum":
+        from metar_pipeline_spark.sources.vacuum import vacuum_store
+
+        report = vacuum_store(
+            spark,
+            t["path"],
+            older_than_seconds=t.get(
+                "older_than_seconds", 7 * 24 * 3600
+            ),
+        )
+        by_action: "dict[str, int]" = {}
+        for r in report:
+            by_action[r["action"]] = by_action.get(r["action"], 0) + 1
+        return t["path"], " ".join(
+            f"{k}={v}" for k, v in sorted(by_action.items())
+        ) or "clean"
+    if kind == "compact_versioned":
+        from metar_pipeline_spark.sources.txn import (
+            VersionedStore,
+            compact_versioned,
+        )
+
+        v = compact_versioned(
+            VersionedStore(spark, t["path"]),
+            target_file_bytes=t.get("target_file_bytes", 128 << 20),
+            min_files_to_compact=t.get("min_files_to_compact", 2),
+        )
+        return t["path"], f"version={v}" if v is not None else "noop"
+    if kind == "expire_versions":
+        from metar_pipeline_spark.sources.txn import (
+            VersionedStore,
+            expire_versions,
+        )
+
+        dropped = expire_versions(
+            VersionedStore(spark, t["path"]), t["keep_last"]
+        )
+        return t["path"], f"dropped={len(dropped)}"
     if kind == "monitor":
         from metar_pipeline_spark.quality.anomalies import (
             metrics_store_anomalies,

@@ -122,12 +122,32 @@ def stg_stage(
                 min_history=g.get("min_history", 3),
             ).localCheckpoint(eager=True)  # metadata grain; count + caller
             if flags.filter(F.col("is_anomaly")).count() > 0:
+                # Quarantine CONTRACT (round-13 ADVICE): a quarantined
+                # batch never advances the watermark, so the pipeline
+                # stays BLOCKED on this source until an operator
+                # intervenes (fix upstream and let a clean batch
+                # through, or raise the guard's k). On a retry the
+                # same poisoned rows re-present under a NEW _run=<hw>
+                # partition (hw grows with fresh arrivals) — so rows
+                # already quarantined are anti-joined out by id first:
+                # partitions then tile (each row appears in exactly
+                # one _run partition) instead of overlapping, and the
+                # quarantine store reads as one deduplicated frame.
+                # Rerunning the SAME batch still idempotently
+                # overwrites its own partition (dynamic overwrite).
+                qpath = os.path.join(base_dir, "_quarantine_stg")
+                prior = _read_if_exists(spark, qpath)
+                q = fresh
+                if prior is not None:
+                    q = fresh.join(
+                        prior.select("id").distinct(), "id", "left_anti"
+                    )
                 (
-                    fresh.withColumn("_run", F.lit(int(probe["hw"])))
+                    q.withColumn("_run", F.lit(int(probe["hw"])))
                     .write.mode("overwrite")
                     .option("partitionOverwriteMode", "dynamic")
                     .partitionBy("_run")
-                    .parquet(os.path.join(base_dir, "_quarantine_stg"))
+                    .parquet(qpath)
                 )
                 return {"status": "quarantined", "flags": flags}
         else:

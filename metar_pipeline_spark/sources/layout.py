@@ -171,17 +171,27 @@ def _table_schema(spark, table_path: str):
 
 
 def _list_data_files(spark, table_path: str) -> "list[str]":
-    """Recursive data-file listing (Spark's hidden-path rule applied)."""
+    """Recursive data-file listing under Spark's FULL hidden-path rule:
+    a file is excluded if ANY path component below the table root —
+    not just its own basename — starts with ``_`` or ``.`` (Spark's
+    reader skips whole hidden subtrees, e.g. ``_quarantine_stg/`` or a
+    dot-staging dir, so a manifest that listed files under them would
+    carry rows the table scan never serves)."""
     from metar_pipeline_spark.sources.merge import _hadoop_fs
 
     fs, hpath, _ = _hadoop_fs(spark, table_path)
+    root = hpath.toUri().getPath().rstrip("/")
     files = []
     it = fs.listFiles(hpath, True)
     while it.hasNext():
         st = it.next()
-        name = st.getPath().getName()
-        if st.isFile() and not name.startswith(("_", ".")):
-            files.append(st.getPath().toString())
+        if not st.isFile():
+            continue
+        rel = st.getPath().toUri().getPath()
+        rel = rel[len(root):].lstrip("/") if rel.startswith(root) else rel
+        if any(part.startswith(("_", ".")) for part in rel.split("/")):
+            continue
+        files.append(st.getPath().toString())
     return files
 
 
@@ -248,14 +258,38 @@ def refresh_skipping_manifest(
     At a streaming-append cadence this is the difference between
     re-reading every footer per cycle and reading O(|new files|) — the
     same incremental-first contract as the rest of the engine (Delta
-    gets it from txn-log deltas; this is the plain-parquet form). The
-    rewrite is staged + aside-swapped so a reader never sees a missing
-    manifest. Falls back to a full build when no manifest exists yet.
-    Retained rows keep their recorded stats verbatim, so refresh ∘
-    refresh ≡ full rebuild (pinned in tests/test_layout.py)."""
+    gets it from txn-log deltas; this is the plain-parquet form).
+    Falls back to a full build when no manifest exists yet. Retained
+    rows keep their recorded stats verbatim, so refresh ∘ refresh ≡
+    full rebuild (pinned in tests/test_layout.py).
+
+    Concurrency contract (single maintenance writer, reader-retry):
+    the rewrite is staged under DOT-PREFIXED hidden siblings and
+    swapped by rename(live→aside); rename(staging→live) — so a
+    concurrent reader can observe a brief manifest-absent window
+    between the two renames and should simply retry (exactly the
+    window Delta's `_last_checkpoint` pointer papers over; a plain
+    directory store cannot replace a dir atomically). A crash inside
+    the window is self-healing: on entry this function restores a
+    stranded aside whose live path is absent and clears any stale
+    staging/aside leftovers, so no state is lost and the gap never
+    outlives one refresh cycle."""
     from metar_pipeline_spark.sources.merge import _hadoop_fs
 
     mfs, m_h, _ = _hadoop_fs(spark, manifest_path)
+    root = manifest_path.rstrip("/")
+    parent, name = root.rsplit("/", 1)
+    staging = f"{parent}/.{name}.__staging__"
+    aside = f"{parent}/.{name}.__old__"
+    _, s_h, _ = _hadoop_fs(spark, staging)
+    _, a_h, _ = _hadoop_fs(spark, aside)
+    # Entry recovery: a crash between the two swap renames strands the
+    # manifest in the aside with no live dir — restore it; any other
+    # stale staging/aside is a dead leftover from a crashed attempt.
+    if mfs.exists(a_h) and not mfs.exists(m_h):
+        mfs.rename(a_h, m_h)
+    mfs.delete(s_h, True)
+    mfs.delete(a_h, True)
     current = _list_data_files(spark, table_path)
     if not mfs.exists(m_h):
         write_skipping_manifest(spark, table_path, cols, manifest_path)
@@ -277,13 +311,7 @@ def refresh_skipping_manifest(
         merged = kept.unionByName(
             _manifest_for_files(spark, new_files, cols, ddl)
         )
-    root = manifest_path.rstrip("/")
-    staging = f"{root}.__staging__"
-    aside = f"{root}.__old__"
     merged.write.mode("overwrite").parquet(staging)
-    _, s_h, _ = _hadoop_fs(spark, staging)
-    _, a_h, _ = _hadoop_fs(spark, aside)
-    mfs.delete(a_h, True)  # clear any prior crashed attempt
     mfs.rename(m_h, a_h)
     mfs.rename(s_h, m_h)
     mfs.delete(a_h, True)
