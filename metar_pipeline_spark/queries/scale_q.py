@@ -2727,3 +2727,189 @@ def skipping_scan_box_zorder(spark, sf_dir):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+@register(
+    "versioned_store_time_travel",
+    """
+    WITH w AS (
+      SELECT v.version, o_custkey, MAX(o_orderkey) AS winner
+      FROM orders o CROSS JOIN (VALUES (0), (1), (2)) AS v(version)
+      WHERE (o_orderkey % 4) <= v.version
+      GROUP BY 1, 2
+    )
+    SELECT CAST(version AS INTEGER) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(winner) AS BIGINT) AS sum_winner_keys
+    FROM w
+    GROUP BY 1
+    """,
+    doc=(
+        "Optimistic-concurrency commit protocol with as-of time travel "
+        "(round-12 VERDICT #1 — the Postgres transaction the reference "
+        "leans on at src/etl/mongo_to_postgres.py:89-112, rebuilt for "
+        "plain parquet as a Delta-style numbered commit log claimed by "
+        "atomic rename, sources/txn.py). Three order batches "
+        "(o_orderkey mod 4 = generation) MERGE through "
+        "upsert_versioned — each commit an immutable snapshot dir "
+        "referenced by its claimed commit file — and the query reads "
+        "the store AS OF every version: per-version key counts and "
+        "the sum of each key's last-writer-wins winner orderkey. The "
+        "oracle replays the cumulative merge per version in SQL; a "
+        "hash match proves both the merge semantics and that history "
+        "is immutable (old versions re-read exactly, never "
+        "reconstructed). Interleaved-writer conflict/retry is pinned "
+        "in tests/test_txn.py; vacuum GC of loser snapshots in "
+        "tests/test_vacuum.py."
+    ),
+)
+def versioned_store_time_travel(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from metar_pipeline_spark.sources.txn import (
+        VersionedStore,
+        upsert_versioned,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="versioned_store_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        store = VersionedStore(spark, os.path.join(tmp, "orders_v"))
+        for gen in range(3):
+            batch = orders.filter(
+                F.col("o_orderkey") % 4 == gen
+            ).select("o_custkey", "o_orderkey")
+            upsert_versioned(
+                store, batch, keys=["o_custkey"], order_col="o_orderkey"
+            )
+        out = None
+        for v in range(3):
+            agg = (
+                store.read(as_of=v)
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_keys"),
+                    F.sum("o_orderkey").cast("long").alias(
+                        "sum_winner_keys"
+                    ),
+                )
+                .select(
+                    F.lit(v).cast("int").alias("version"),
+                    "n_keys",
+                    "sum_winner_keys",
+                )
+            )
+            out = agg if out is None else out.unionByName(agg)
+        result = out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
+
+
+@register(
+    "wap_publish_gate",
+    """
+    WITH b0 AS (SELECT * FROM events WHERE event_id % 3 = 0),
+         b1 AS (SELECT * FROM events WHERE event_id % 3 = 1)
+    SELECT 'after_failed_publish' AS phase, CAST(0 AS INTEGER) AS version,
+           CAST((SELECT COUNT(*) FROM b0) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'rejected_staged', CAST(-1 AS INTEGER),
+           CAST((SELECT COUNT(*) FROM b0)
+                + (SELECT COUNT(*) FROM b1) AS BIGINT)
+    UNION ALL
+    SELECT 'after_clean_publish', CAST(1 AS INTEGER),
+           CAST((SELECT COUNT(*) FROM b0)
+                + (SELECT COUNT(*) FROM b1) AS BIGINT)
+    """,
+    doc=(
+        "Write-Audit-Publish over the commit protocol (round-12 "
+        "VERDICT #5): a poisoned batch (event_type nulled on every "
+        "7th id) is STAGED as an unclaimed snapshot, audited with the "
+        "dbt-style Q1/Q2 assertions against the staged FILES, and "
+        "rejected — the published version is untouched (phase row 1: "
+        "still version 0 with the v0 row count) while the staged "
+        "snapshot remains inspectable for triage (phase row 2: its "
+        "full row count under version sentinel -1). The clean retry "
+        "publishes as version 1 (phase row 3). The oracle recomputes "
+        "every phase's expected count from the raw events — a hash "
+        "match proves the failing publish had no observable effect "
+        "on the serving store, which is the entire WAP contract "
+        "(Iceberg's audit-branch pattern in its minimal form)."
+    ),
+)
+def wap_publish_gate(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from metar_pipeline_spark.quality.assertions import not_null, unique
+    from metar_pipeline_spark.sources.txn import (
+        VersionedStore,
+        write_audit_publish,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.select("event_id", "user_id", "event_type", "value")
+    b0 = base.filter(F.col("event_id") % 3 == 0)
+    b1 = base.filter(F.col("event_id") % 3 == 1)
+    tmp = tempfile.mkdtemp(prefix="wap_gate_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    audits = [
+        lambda df: not_null(df, "event_type"),
+        lambda df: unique(df, "event_id"),
+    ]
+    try:
+        store = VersionedStore(spark, os.path.join(tmp, "serving"))
+        store.commit(b0, "init", read_version=-1)
+        poisoned = b0.unionByName(
+            b1.withColumn(
+                "event_type",
+                F.when(
+                    F.col("event_id") % 7 == 0, F.lit(None).cast("string")
+                ).otherwise(F.col("event_type")),
+            )
+        )
+        r1 = write_audit_publish(store, poisoned, audits)
+        assert r1["status"] == "rejected"
+
+        def phase_row(phase):
+            return (
+                store.read()
+                .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+                .select(
+                    F.lit(phase).alias("phase"),
+                    F.lit(store.latest_version()).cast("int").alias(
+                        "version"
+                    ),
+                    "n_rows",
+                )
+            )
+
+        after_fail = phase_row("after_failed_publish")
+        staged = (
+            spark.read.parquet(r1["staged_path"])
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+            .select(
+                F.lit("rejected_staged").alias("phase"),
+                F.lit(-1).cast("int").alias("version"),
+                "n_rows",
+            )
+        )
+        r2 = write_audit_publish(store, b0.unionByName(b1), audits)
+        assert r2["status"] == "published"
+        after_clean = phase_row("after_clean_publish")
+        result = (
+            after_fail.unionByName(staged)
+            .unionByName(after_clean)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
