@@ -313,3 +313,96 @@ class TestPpmRealCodec:
             _ppm_parse(b"P6\n2 2\n65535\n" + b"\x00" * 24)
         with _pt.raises(ValueError, match="truncated netpbm payload"):
             _ppm_parse(b"P6\n4 4\n255\n" + b"\x00" * 5)
+
+
+class TestWavCodec:
+    """Real RIFF/PCM audio codec (the netpbm precedent, 2nd modality):
+    stdlib-wave encoder vs independent chunk-walker parser."""
+
+    def test_roundtrip_16bit_mono(self):
+        from metar_pipeline_spark.operators.multimodal import (
+            _wav_encode,
+            _wav_parse,
+        )
+
+        samples = [0, 1000, -1000, 32767, -32768, 0]
+        rate, nch, width, nf, out = _wav_parse(
+            _wav_encode(44100, 1, 2, samples)
+        )
+        assert (rate, nch, width, nf) == (44100, 1, 2, 6)
+        assert out == samples
+
+    def test_roundtrip_8bit_and_stereo(self):
+        from metar_pipeline_spark.operators.multimodal import (
+            _wav_encode,
+            _wav_parse,
+        )
+
+        rate, nch, width, nf, out = _wav_parse(
+            _wav_encode(8000, 1, 1, [-128, 0, 127])
+        )
+        assert (width, nf, out) == (1, 3, [-128, 0, 127])
+        # stereo: frames = samples / channels, interleaving preserved
+        rate, nch, width, nf, out = _wav_parse(
+            _wav_encode(16000, 2, 2, [1, -1, 2, -2])
+        )
+        assert (nch, nf, out) == (2, 2, [1, -1, 2, -2])
+
+    def test_malformed_inputs_raise(self):
+        import pytest as _pytest
+
+        from metar_pipeline_spark.operators.multimodal import (
+            _wav_encode,
+            _wav_parse,
+        )
+
+        good = _wav_encode(8000, 1, 2, [1, 2, 3])
+        cases = [
+            b"",                          # empty
+            b"RIFX" + good[4:],           # bad magic
+            good[:4] + good[4:8] + b"AVI " + good[12:],  # not WAVE
+            good[:30],                    # truncated mid-fmt/data
+            good[:-3],                    # truncated payload
+        ]
+        for bad in cases:
+            with _pytest.raises(ValueError):
+                _wav_parse(bad)
+        # non-PCM format code (fmt chunk code=3 float)
+        import struct as _struct
+
+        idx = good.index(b"fmt ") + 8
+        nonpcm = good[:idx] + _struct.pack("<H", 3) + good[idx + 2:]
+        with _pytest.raises(ValueError):
+            _wav_parse(nonpcm)
+
+    def test_spark_synthesize_and_extract(self, spark):
+        """Real WAV bytes through the real mapInPandas seam: synthesize
+        from text, parse back, features match a numpy replay."""
+        import numpy as np
+
+        from metar_pipeline_spark.operators import multimodal as mm
+
+        df = spark.createDataFrame(
+            [(1, "abc"), (2, ""), (3, "\x00\x7f~x")],
+            "doc_id bigint, text string",
+        )
+        wavs = mm.synthesize_wav(df, "doc_id", "text", rate=8000)
+        rows = {
+            r["doc_id"]: r
+            for r in mm.extract_wav_features(wavs, "doc_id", "wav").collect()
+        }
+        for i, text in ((1, "abc"), (2, ""), (3, "\x00\x7f~x")):
+            s = np.array(
+                [(b - 128) * 256 for b in text.encode()], dtype=np.int64
+            )
+            r = rows[i]
+            assert r["n_frames"] == s.size
+            assert r["sample_rate"] == 8000
+            assert r["sample_width"] == 2
+            assert r["duration_ms"] == (s.size * 1000) // 8000
+            assert r["peak_abs"] == (int(np.abs(s).max()) if s.size else 0)
+            assert r["sum_sq"] == (int((s * s).sum()) if s.size else 0)
+            sg = np.sign(s)
+            assert r["zero_crossings"] == (
+                int(((sg[1:] * sg[:-1]) < 0).sum()) if s.size else 0
+            )
