@@ -72,6 +72,8 @@ def _run_one(spark: SparkSession, t: "dict[str, Any]") -> "tuple[str, str]":
             t["path"],
             target_file_bytes=t.get("target_file_bytes", 128 << 20),
             min_files_to_compact=t.get("min_files_to_compact", 2),
+            manifest_cols=t.get("manifest_cols"),
+            manifest_path=t.get("manifest"),
         )
         return t["path"], f"n_files={n}"
     if kind == "expire":

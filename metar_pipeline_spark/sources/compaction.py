@@ -46,6 +46,8 @@ def compact_parquet_dir(
     path: str,
     target_file_bytes: int = DEFAULT_TARGET_BYTES,
     min_files_to_compact: int = 2,
+    manifest_cols: "list[str] | None" = None,
+    manifest_path: "str | None" = None,
 ) -> int:
     """Rewrite ``path`` into ``ceil(total_bytes / target_file_bytes)``
     files. Returns the new file count (or the old one if no-op).
@@ -55,6 +57,12 @@ def compact_parquet_dir(
     produce skewed outputs when input files are uneven; one extra
     shuffle of data that is being fully rewritten anyway is the right
     trade at scale.
+
+    ``manifest_cols``/``manifest_path``: compaction replaces the whole
+    file set — the canonical way a data-skipping manifest goes stale.
+    Passing both refreshes it in the write path (see
+    ``merge.upsert_parquet``), so ``layout.skipping_scan`` stays green
+    across maintenance with no caller discipline required.
     """
     n_files, total = dir_stats(spark, path)
     n_target = max(1, math.ceil(total / target_file_bytes))
@@ -70,6 +78,14 @@ def compact_parquet_dir(
     fs.delete(tpath, True)
     fs.rename(spath, tpath)
     new_n, _ = dir_stats(spark, path)
+    if manifest_path is not None:
+        from metar_pipeline_spark.sources.layout import (
+            refresh_skipping_manifest,
+        )
+
+        refresh_skipping_manifest(
+            spark, path, list(manifest_cols or []), manifest_path
+        )
     return new_n
 
 

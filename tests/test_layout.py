@@ -394,3 +394,62 @@ def test_skipping_scan_multi_box_predicate_on_zorder(spark, tmp_path):
         ).count()
         == 0
     )
+
+
+def test_manifest_auto_refresh_through_writers(spark, tmp_path):
+    """Round-12 VERDICT #6: a merge + compaction cycle keeps
+    skipping_scan green WITHOUT any explicit refresh call — the
+    writers themselves keep the manifest fresh when given its path."""
+    from metar_pipeline_spark.sources.compaction import compact_parquet_dir
+    from metar_pipeline_spark.sources.layout import (
+        skipping_scan,
+        write_skipping_manifest,
+    )
+    from metar_pipeline_spark.sources.merge import upsert_parquet
+
+    table = str(tmp_path / "t")
+    manifest = str(tmp_path / "t_manifest")
+
+    def batch(lo, hi, gen):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10).alias("v"),
+            F.lit(gen).cast("long").alias("gen"),
+        )
+
+    # first merge creates table + manifest
+    upsert_parquet(
+        spark, batch(0, 100, 0), table, keys=["k"], order_col="gen",
+        manifest_cols=["v"], manifest_path=manifest,
+    )
+    assert skipping_scan(spark, table, manifest, "v", 100, 300).count() == 21
+    # second merge rewrites the file set; manifest must follow
+    upsert_parquet(
+        spark, batch(50, 150, 1), table, keys=["k"], order_col="gen",
+        manifest_cols=["v"], manifest_path=manifest,
+    )
+    got = skipping_scan(spark, table, manifest, "v", 100, 300)
+    assert got.count() == 21
+    assert got.filter("k = 12").first().gen == 0  # untouched key
+    merged = skipping_scan(spark, table, manifest, "v", 500, 700)
+    assert merged.count() == 21
+    assert merged.filter("k = 52").first().gen == 1  # merged key
+    # compaction replaces every file; manifest must follow again
+    compact_parquet_dir(
+        spark, table, target_file_bytes=1 << 30, min_files_to_compact=1,
+        manifest_cols=["v"], manifest_path=manifest,
+    )
+    assert skipping_scan(spark, table, manifest, "v", 100, 300).count() == 21
+
+    # the stale-manifest contract is unchanged when the caller opts out:
+    # a refresh-less rewrite still fails LOUDLY on vanished files
+    write_skipping_manifest(spark, table, ["v"], manifest)
+    upsert_parquet(spark, batch(0, 10, 2), table, keys=["k"], order_col="gen")
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises(Exception) as ei:
+        skipping_scan(spark, table, manifest, "v", 100, 300).count()
+    assert isinstance(ei.value, Py4JJavaError) or "PATH_NOT_FOUND" in str(
+        ei.value
+    )
