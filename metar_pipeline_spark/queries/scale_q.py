@@ -2913,3 +2913,74 @@ def wap_publish_gate(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+@register(
+    "versioned_store_changes",
+    """
+    WITH v0 AS (
+      SELECT o_custkey, MAX(o_orderkey) AS w
+      FROM orders WHERE o_orderkey % 4 = 0 GROUP BY 1
+    ), v2 AS (
+      SELECT o_custkey, MAX(o_orderkey) AS w
+      FROM orders WHERE o_orderkey % 4 <= 2 GROUP BY 1
+    ), d AS (
+      SELECT coalesce(v0.o_custkey, v2.o_custkey) AS k,
+             CASE WHEN v0.o_custkey IS NULL THEN 'inserted'
+                  WHEN v2.o_custkey IS NULL THEN 'deleted'
+                  WHEN v0.w <> v2.w THEN 'updated'
+                  ELSE 'unchanged' END AS change_type
+      FROM v0 FULL OUTER JOIN v2 ON v0.o_custkey = v2.o_custkey
+    )
+    SELECT change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_checksum
+    FROM d GROUP BY 1
+    """,
+    doc=(
+        "Change feed BETWEEN committed versions, derived on read from "
+        "immutable snapshots (sources/txn.table_changes — the Delta "
+        "Change-Data-Feed idea without write-path bookkeeping): the "
+        "same three-merge store as versioned_store_time_travel, "
+        "diffed v0→v2 with a full-outer fingerprint join "
+        "(operators/diffops.snapshot_diff) and rolled up to "
+        "(change_type, n_rows, key_checksum). The oracle recomputes "
+        "both cumulative last-writer-wins states and classifies every "
+        "key in SQL — a hash match proves the feed is exactly the "
+        "semantic difference of the two merges, reproducible forever "
+        "from the immutable version dirs."
+    ),
+)
+def versioned_store_changes(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from metar_pipeline_spark.operators.diffops import diff_summary
+    from metar_pipeline_spark.sources.txn import (
+        VersionedStore,
+        table_changes,
+        upsert_versioned,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="versioned_cdf_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        store = VersionedStore(spark, os.path.join(tmp, "orders_v"))
+        for gen in range(3):
+            batch = orders.filter(
+                F.col("o_orderkey") % 4 == gen
+            ).select("o_custkey", "o_orderkey")
+            upsert_versioned(
+                store, batch, keys=["o_custkey"], order_col="o_orderkey"
+            )
+        feed = table_changes(store, 0, 2, "o_custkey", ["o_orderkey"])
+        result = diff_summary(feed, "o_custkey").localCheckpoint(
+            eager=True
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result

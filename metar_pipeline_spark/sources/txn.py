@@ -323,6 +323,31 @@ def compact_versioned(
     raise CommitConflict(store.latest_version() + 1)
 
 
+def table_changes(
+    store: VersionedStore,
+    from_version: int,
+    to_version: int,
+    key_col: str,
+    compare_cols: "list[str]",
+) -> DataFrame:
+    """Per-key change feed between two committed versions — the Delta
+    Change-Data-Feed idea derived ON READ from immutable snapshots
+    (no write-path bookkeeping): full-outer fingerprint join of the
+    two versions via :func:`operators.diffops.snapshot_diff`, yielding
+    (key, change_type ∈ inserted/deleted/updated/unchanged). Because
+    versions are immutable dirs, the feed is reproducible forever
+    (until retention expires a side). Downstream consumers: CDC apply
+    (sources/cdc.apply_changelog), incremental-view deltas, audits."""
+    from metar_pipeline_spark.operators.diffops import snapshot_diff
+
+    return snapshot_diff(
+        store.read(as_of=from_version),
+        store.read(as_of=to_version),
+        key_col,
+        compare_cols,
+    )
+
+
 def write_audit_publish(
     store: VersionedStore,
     df: DataFrame,

@@ -178,3 +178,39 @@ def test_crash_between_stage_and_claim_is_invisible(spark, tmp_path):
     # two data dirs on disk, one referenced
     data_dirs = os.listdir(str(tmp_path / "t" / "_data"))
     assert len(data_dirs) == 2
+
+
+def test_partitioned_snapshots_roundtrip_and_changes(spark, tmp_path):
+    """partition_cols flows through stage/commit; hive layout survives
+    the read back, and table_changes classifies keys correctly."""
+    from metar_pipeline_spark.sources.txn import table_changes
+
+    store = VersionedStore(spark, str(tmp_path / "t"))
+    df0 = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)],
+        "id long, part string, v long",
+    )
+    store.commit(df0, "init", -1, partition_cols=["part"])
+    df1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 99), (4, "b", 40)],
+        "id long, part string, v long",
+    )
+    store.commit(df1, "merge", 0, partition_cols=["part"])
+    snap = store.read(as_of=1)
+    assert set(snap.columns) == {"id", "part", "v"}
+    # hive partition dirs exist in the snapshot
+    assert any(
+        d.startswith("part=")
+        for d in os.listdir(store.snapshot_path(1))
+        if not d.startswith(("_", "."))
+    )
+    feed = {
+        r.id: r.change_type
+        for r in table_changes(store, 0, 1, "id", ["v"]).collect()
+    }
+    assert feed == {
+        1: "unchanged",
+        2: "updated",
+        3: "deleted",
+        4: "inserted",
+    }
