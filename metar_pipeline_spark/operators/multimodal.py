@@ -518,6 +518,55 @@ def extract_wav_features(
     )
 
 
+def resample_wav(
+    df: DataFrame,
+    factor: int,
+    id_col: str = "doc_id",
+    bin_col: str = "wav",
+    out_col: str = "resampled",
+) -> DataFrame:
+    """Real audio TRANSFORM through the real codec (the audio twin of
+    ``resize_images(codec='ppm')``): decimate by keeping every
+    ``factor``-th FRAME (all channels of it), re-encode as WAV at
+    ``rate // factor`` — deterministic integer decimation, no
+    interpolation, so both engines can replay the surviving sample
+    set exactly. parse → transform → encode all happen inside one
+    Arrow batch; output carries the new bytes + byte count."""
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(out_col, T.BinaryType()),
+            T.StructField("out_rate", T.IntegerType()),
+            T.StructField("out_frames", T.IntegerType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[bin_col]):
+                rate, nch, width, n_frames, samples = _wav_parse(bytes(b))
+                kept = []
+                for f in range(0, n_frames, factor):
+                    kept.extend(samples[f * nch:(f + 1) * nch])
+                new_rate = max(1, rate // factor)
+                rows.append(
+                    (
+                        i,
+                        _wav_encode(new_rate, nch, width, kept),
+                        new_rate,
+                        len(kept) // nch if nch else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[c.name for c in schema]
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(kernel, schema)
+
+
 def extract_audio_features(
     df: DataFrame, id_col: str = "doc_id", bin_col: str = "content"
 ) -> DataFrame:

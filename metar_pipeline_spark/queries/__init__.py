@@ -58,34 +58,28 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # the auto-boost catches direct query/oracle edits and one-hop operator
 # module edits, but not deeper transitive changes).
 VERIFY_FIRST: list[str] = [
-    # Round 12: the four new ops-lifecycle queries (run-history column
-    # anomalies — the Q6 completion; _batch-log snapshot+truncate;
-    # file-level min/max data skipping; incremental LPA), then the
-    # queries whose source or oracle changed this round: the r11
-    # ADVICE fixes (ivm_delta_var_view decimal-widened read products +
-    # HUGEINT oracle; ivm_delta_topk_view defensive unsafe set;
-    # dedup_incremental_components label_col forwarding;
-    # markov_attribution_removal absorber-name guard;
-    # kmv_quantile_sketch_value integer DIV rank) and the warm-start
-    # PageRank exhibit trimmed 3→2 cold iterations (watch-list #1).
+    # Round 13: the four NEW queries (optimistic-commit versioned
+    # store with as-of time travel; read-derived change feed between
+    # versions; write-audit-publish gate; the real WAV/PCM audio
+    # codec), then the queries whose implementing source changed this
+    # round: incremental LPA / triangle counts (corpus-grain
+    # symmetrization removed per r12 ADVICE — frontier-pruned raw-edge
+    # probes), the skipping scans (hidden-ancestor listing + hardened
+    # manifest swap + writer auto-refresh), and medallion_end_to_end
+    # (quarantine dedupe; upsert_parquet manifest kwargs).
     # All re-verified locally on sf0.001 + sf0.01 before rotation.
-    # The r11 driver window went 50/50 green.
-    "profile_anomaly_report",
-    "profile_anomaly_iqr_report",
-    "sketch_log_checkpoint_truncate",
-    "ivm_log_checkpoint_truncate",
+    # The r12 driver window went 50/50 green.
+    "versioned_store_time_travel",
+    "versioned_store_changes",
+    "wap_publish_gate",
+    "stream_versioned_ingest",
+    "audio_wav_features",
+    "audio_wav_resample",
+    "lpa_incremental_delta",
+    "triangle_incremental_delta",
     "skipping_scan_value_range",
     "skipping_scan_box_zorder",
-    "lpa_incremental_delta",
-    "ivm_kmv_quantile_view",
-    "stream_profile_anomaly_store",
-    "triangle_incremental_delta",
-    "ivm_delta_var_view",
-    "ivm_delta_topk_view",
-    "pagerank_warm_start_delta",
-    "dedup_incremental_components",
-    "markov_attribution_removal",
-    "kmv_quantile_sketch_value",
+    "medallion_end_to_end",
 ]
 
 

@@ -377,3 +377,56 @@ def audio_wav_features(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     wavs = mm.synthesize_wav(docs, "doc_id", "text", rate=8000)
     return mm.extract_wav_features(wavs, "doc_id", "wav")
+
+
+@register(
+    "audio_wav_resample",
+    """
+    WITH c AS (
+      SELECT doc_id, upper(hex(encode(text))) AS h FROM documents
+    ), b AS (
+      SELECT doc_id, k, ('0x' || substr(h, k * 2 + 1, 2))::INT - 128 AS q
+      FROM c, LATERAL (
+        SELECT unnest(generate_series(0, length(h) // 2 - 1)) AS k
+      ) ks
+      WHERE k % 3 = 0
+    ), p AS (
+      SELECT doc_id, k, q,
+             lag(q) OVER (PARTITION BY doc_id ORDER BY k) AS pq
+      FROM b
+    ), s AS (
+      SELECT doc_id,
+             count(*) AS n,
+             max(abs(q)) * 256 AS peak,
+             65536 * sum(q * q) AS ssq,
+             sum(CASE WHEN sign(q) * sign(pq) < 0 THEN 1 ELSE 0 END) AS zc
+      FROM p GROUP BY 1
+    )
+    SELECT c.doc_id,
+           CAST(coalesce(s.n, 0) AS INTEGER) AS n_frames,
+           CAST(2666 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(2 AS INTEGER) AS sample_width,
+           CAST(coalesce(s.n, 0) * 1000 // 2666 AS BIGINT) AS duration_ms,
+           CAST(coalesce(s.peak, 0) AS BIGINT) AS peak_abs,
+           CAST(coalesce(s.ssq, 0) AS BIGINT) AS sum_sq,
+           CAST(coalesce(s.zc, 0) AS BIGINT) AS zero_crossings
+    FROM c LEFT JOIN s USING (doc_id)
+    """,
+    doc=(
+        "Real audio TRANSFORM through the real codec (the audio twin "
+        "of the netpbm resize): synthesized WAVs are decimated 3:1 "
+        "(multimodal.resample_wav keeps every 3rd frame and re-encodes "
+        "at rate//3 — parse → transform → encode inside one Arrow "
+        "batch), then the resampled BYTES are parsed back by the "
+        "chunk-walker and feature-extracted. The oracle replays the "
+        "surviving sample set (k mod 3 = 0) from the raw text bytes: "
+        "a hash match proves the decimation happened on real PCM "
+        "frames and re-encoded losslessly, not on a digest stub."
+    ),
+)
+def audio_wav_resample(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wavs = mm.synthesize_wav(docs, "doc_id", "text", rate=8000)
+    small = mm.resample_wav(wavs, 3, "doc_id", "wav")
+    return mm.extract_wav_features(small, "doc_id", "resampled")

@@ -2984,3 +2984,93 @@ def versioned_store_changes(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+@register(
+    "stream_versioned_ingest",
+    """
+    WITH w AS (
+      SELECT user_id, MAX(event_id) AS weid FROM events GROUP BY 1
+    )
+    SELECT CAST(4 AS INTEGER) AS n_versions,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(weid) AS BIGINT) AS sum_winner_event_ids
+    FROM w
+    """,
+    doc=(
+        "Structured-Streaming ingest THROUGH the optimistic commit "
+        "protocol: the fact file streams as 4 real micro-batches "
+        "(maxFilesPerTrigger=1), each foreachBatch MERGING its rows "
+        "into a VersionedStore via upsert_versioned (last-writer-wins "
+        "per user_id by event_id) — every micro-batch lands as one "
+        "claimed commit, so the store's history is an auditable "
+        "one-version-per-batch log and a crash between batches leaves "
+        "a consistent committed prefix (the exactly-once story "
+        "foreachBatch alone does not give a plain-parquet sink). The "
+        "result reads the FINAL version plus the commit count; the "
+        "oracle replays the cumulative merge as a plain per-user "
+        "argmax over the whole fact — batch boundaries must not leak "
+        "into the final state."
+    ),
+)
+def stream_versioned_ingest(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from metar_pipeline_spark.sources.txn import (
+        VersionedStore,
+        upsert_versioned,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="stream_versioned_")
+    src = os.path.join(tmp, "src")
+    ckpt = os.path.join(tmp, "_ckpt")
+    events.select("event_id", "user_id", "value").repartition(
+        4, F.col("event_id")
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    store = VersionedStore(spark, os.path.join(tmp, "serving"))
+
+    def ingest(batch_df, _batch_id):
+        upsert_versioned(
+            store,
+            batch_df.select("event_id", "user_id"),
+            keys=["user_id"],
+            order_col="event_id",
+        )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_versions = store.latest_version() + 1
+        result = (
+            store.read()
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_users"),
+                F.sum("event_id").cast("long").alias(
+                    "sum_winner_event_ids"
+                ),
+            )
+            .select(
+                F.lit(n_versions).cast("int").alias("n_versions"),
+                "n_users",
+                "sum_winner_event_ids",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result

@@ -406,3 +406,25 @@ class TestWavCodec:
             assert r["zero_crossings"] == (
                 int(((sg[1:] * sg[:-1]) < 0).sum()) if s.size else 0
             )
+
+    def test_resample_wav_stereo_decimation(self, spark):
+        """Decimation keeps whole FRAMES (both channels) and halves the
+        rate — checked against a hand-computed surviving sample set."""
+        from metar_pipeline_spark.operators import multimodal as mm
+        from metar_pipeline_spark.operators.multimodal import (
+            _wav_encode,
+            _wav_parse,
+        )
+
+        # stereo frames: (L, R) = (10k, -10k), (20k, -20k), (30k, -30k),
+        # (0, 5); keep frames 0 and 2
+        samples = [10000, -10000, 20000, -20000, 30000, -30000, 0, 5]
+        df = spark.createDataFrame(
+            [(1, bytearray(_wav_encode(8000, 2, 2, samples)))],
+            "doc_id bigint, wav binary",
+        )
+        out = mm.resample_wav(df, 2, "doc_id", "wav").collect()[0]
+        assert (out["out_rate"], out["out_frames"]) == (4000, 2)
+        rate, nch, width, nf, kept = _wav_parse(bytes(out["resampled"]))
+        assert (rate, nch, nf) == (4000, 2, 2)
+        assert kept == [10000, -10000, 30000, -30000]
