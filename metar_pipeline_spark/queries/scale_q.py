@@ -3033,12 +3033,17 @@ def stream_versioned_ingest(spark, sf_dir):
     schema = spark.read.parquet(src).schema
     store = VersionedStore(spark, os.path.join(tmp, "serving"))
 
-    def ingest(batch_df, _batch_id):
+    def ingest(batch_df, batch_id):
+        # app identity makes a foreachBatch RETRY of the same batch a
+        # no-op returning the already-claimed version (exactly-once
+        # commits over at-least-once delivery — Delta's txnAppId idea)
         upsert_versioned(
             store,
             batch_df.select("event_id", "user_id"),
             keys=["user_id"],
             order_col="event_id",
+            app_id="stream_versioned_ingest",
+            app_batch=int(batch_id),
         )
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")

@@ -82,6 +82,8 @@ class Commit:
     action: str
     data: str  # snapshot dir, relative to the store root
     writer: str
+    app_id: "str | None" = None  # idempotent-writer identity (optional)
+    app_batch: "int | None" = None
 
 
 def _read_small_file(fs, path_obj, jvm) -> str:
@@ -145,12 +147,15 @@ class VersionedStore:
                 f"version {version} does not exist in {self.root}"
             )
         meta = json.loads(_read_small_file(self._fs, p, self._jvm))
+        ab = meta.get("app_batch")
         return Commit(
             version=int(meta["version"]),
             parent=int(meta["parent"]),
             action=str(meta["action"]),
             data=str(meta["data"]),
             writer=str(meta["writer"]),
+            app_id=meta.get("app_id"),
+            app_batch=int(ab) if ab is not None else None,
         )
 
     def history(self) -> DataFrame:
@@ -163,8 +168,20 @@ class VersionedStore:
         return self.spark.createDataFrame(
             rows,
             "version long, parent long, action string, data string,"
-            " writer string",
+            " writer string, app_id string, app_batch long",
         )
+
+    def committed_app_batch(
+        self, app_id: str, app_batch: int
+    ) -> "int | None":
+        """The version that already carries (app_id, app_batch), or
+        None — the Delta txnAppId/txnVersion idempotent-writer check.
+        Commit-log-grain scan (retention keeps it bounded)."""
+        for v in reversed(self._commit_versions()):
+            c = self.get_commit(v)
+            if c.app_id == app_id and c.app_batch == int(app_batch):
+                return v
+        return None
 
     # -- reads ------------------------------------------------------------
     def read(self, as_of: "int | None" = None) -> DataFrame:
@@ -194,11 +211,20 @@ class VersionedStore:
         w.parquet(f"{self.root}/{rel}")
         return rel
 
-    def claim(self, staged_rel: str, action: str, read_version: int) -> int:
+    def claim(
+        self,
+        staged_rel: str,
+        action: str,
+        read_version: int,
+        app_id: "str | None" = None,
+        app_batch: "int | None" = None,
+    ) -> int:
         """Atomically claim version ``read_version + 1`` for the staged
         snapshot. Raises :class:`CommitConflict` if another writer got
         there first (the staged dir is left in place for the caller to
-        retry with; vacuum sweeps abandoned ones)."""
+        retry with; vacuum sweeps abandoned ones). ``app_id`` /
+        ``app_batch`` record an idempotent-writer identity in the
+        commit (see :meth:`committed_app_batch`)."""
         n = int(read_version) + 1
         token = staged_rel.rsplit("/", 1)[-1]
         final = self._path(f"{_COMMITS}/{n:0{_PAD}d}.json")
@@ -207,19 +233,17 @@ class VersionedStore:
         if self._fs.exists(final):
             raise CommitConflict(n)
         tmp = self._path(f"{_COMMITS}/.tmp-{token}.json")
-        _write_small_file(
-            self._fs,
-            tmp,
-            json.dumps(
-                {
-                    "version": n,
-                    "parent": int(read_version),
-                    "action": action,
-                    "data": staged_rel,
-                    "writer": token,
-                }
-            ),
-        )
+        meta = {
+            "version": n,
+            "parent": int(read_version),
+            "action": action,
+            "data": staged_rel,
+            "writer": token,
+        }
+        if app_id is not None:
+            meta["app_id"] = app_id
+            meta["app_batch"] = int(app_batch or 0)
+        _write_small_file(self._fs, tmp, json.dumps(meta))
         # the one atomic step: rename fails iff the destination exists
         if not self._fs.rename(tmp, final):
             self._fs.delete(tmp, False)
@@ -232,13 +256,15 @@ class VersionedStore:
         action: str,
         read_version: int,
         partition_cols: "list[str] | None" = None,
+        app_id: "str | None" = None,
+        app_batch: "int | None" = None,
     ) -> int:
         """stage + claim in one call (full-snapshot commit). On
         conflict the orphan snapshot is deleted before re-raising —
         the caller must recompute against the new latest anyway."""
         rel = self.stage(df, partition_cols)
         try:
-            return self.claim(rel, action, read_version)
+            return self.claim(rel, action, read_version, app_id, app_batch)
         except CommitConflict:
             self._fs.delete(self._path(rel), True)
             raise
@@ -249,19 +275,37 @@ class VersionedStore:
         action: str,
         partition_cols: "list[str] | None" = None,
         max_retries: int = 5,
+        app_id: "str | None" = None,
+        app_batch: "int | None" = None,
     ) -> int:
         """Optimistic-retry loop: read latest → ``compute_fn(current)``
         → claim; on conflict, recompute against the NEW latest and try
         again. ``compute_fn`` receives the current table DataFrame (or
         None for an empty store) and returns the full next snapshot —
         it must be a pure function of its input for retries to be
-        correct (exactly Delta's recommendation for merge/compact)."""
+        correct (exactly Delta's recommendation for merge/compact).
+
+        With ``app_id``/``app_batch`` the commit is IDEMPOTENT per
+        writer identity (Delta's txnAppId/txnVersion): if that batch
+        already committed — e.g. a foreachBatch retry after a sink
+        success but driver crash — the existing version is returned
+        and nothing is written, upgrading at-least-once streaming
+        delivery to exactly-once commits."""
         for _ in range(int(max_retries) + 1):
+            if app_id is not None:
+                seen = self.committed_app_batch(app_id, app_batch or 0)
+                if seen is not None:
+                    return seen
             v = self.latest_version()
             current = self.read() if v >= 0 else None
             try:
                 return self.commit(
-                    compute_fn(current), action, v, partition_cols
+                    compute_fn(current),
+                    action,
+                    v,
+                    partition_cols,
+                    app_id,
+                    app_batch,
                 )
             except CommitConflict:
                 continue
@@ -277,16 +321,22 @@ def upsert_versioned(
     keys: "list[str]",
     order_col: str,
     partition_cols: "list[str] | None" = None,
+    app_id: "str | None" = None,
+    app_batch: "int | None" = None,
 ) -> int:
     """MERGE ``batch`` into a versioned store — the multi-writer-safe
     twin of :func:`sources.merge.upsert_parquet`: same last-writer-wins
     semantics (merge_last_writer_wins), but the rewrite lands as an
     optimistic commit, so a racing compaction or second merge loses
-    cleanly and retries instead of corrupting. Returns the version."""
+    cleanly and retries instead of corrupting. Returns the version.
+    ``app_id``/``app_batch`` make the merge idempotent per writer
+    identity (streaming foreachBatch retries commit exactly once)."""
     return store.commit_with_retry(
         lambda cur: merge_last_writer_wins(cur, batch, keys, order_col),
         action="merge",
         partition_cols=partition_cols,
+        app_id=app_id,
+        app_batch=app_batch,
     )
 
 

@@ -214,3 +214,61 @@ def test_partitioned_snapshots_roundtrip_and_changes(spark, tmp_path):
         3: "deleted",
         4: "inserted",
     }
+
+
+def test_idempotent_app_batch_commits(spark, tmp_path):
+    """Delta txnAppId/txnVersion semantics: re-committing the same
+    (app_id, app_batch) — a foreachBatch retry — is a no-op that
+    returns the already-claimed version; a NEW batch id commits."""
+    store = VersionedStore(spark, str(tmp_path / "t"))
+    v0 = upsert_versioned(
+        store, _batch(spark, [1, 2], 0), ["id"], "gen",
+        app_id="ingest", app_batch=0,
+    )
+    v_retry = upsert_versioned(
+        store, _batch(spark, [1, 2], 0), ["id"], "gen",
+        app_id="ingest", app_batch=0,
+    )
+    assert (v0, v_retry) == (0, 0)
+    assert store.latest_version() == 0  # no duplicate version
+    v1 = upsert_versioned(
+        store, _batch(spark, [3], 1), ["id"], "gen",
+        app_id="ingest", app_batch=1,
+    )
+    assert v1 == 1 and store.read().count() == 3
+    h = {r.version: (r.app_id, r.app_batch) for r in store.history().collect()}
+    assert h == {0: ("ingest", 0), 1: ("ingest", 1)}
+
+
+def test_concurrent_threaded_writers_all_land(spark, tmp_path):
+    """8 genuinely concurrent writers (threads sharing one store root,
+    separate VersionedStore instances — coordination is purely through
+    the filesystem) each merge their own key via commit_with_retry.
+    Every effect must land exactly once, versions must be contiguous."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    root = str(tmp_path / "t")
+    VersionedStore(spark, root).commit(
+        _batch(spark, [999], 0), "init", read_version=-1
+    )
+
+    from metar_pipeline_spark.sources.merge import merge_last_writer_wins
+
+    def writer(i):
+        s = VersionedStore(spark, root)
+        return s.commit_with_retry(
+            lambda cur: merge_last_writer_wins(
+                cur, _batch(spark, [i], 1), ["id"], "gen"
+            ),
+            action=f"merge_{i}",
+            max_retries=30,
+        )
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        versions = list(ex.map(writer, range(8)))
+
+    store = VersionedStore(spark, root)
+    assert sorted(versions) == list(range(1, 9))  # contiguous, unique
+    assert store.latest_version() == 8
+    final = {r.id for r in store.read().collect()}
+    assert final == {999, 0, 1, 2, 3, 4, 5, 6, 7}  # nothing lost
