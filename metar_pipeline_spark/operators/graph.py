@@ -384,6 +384,13 @@ def incremental_lpa(
     symmetrized edge set are BALL-grain — the induced subgraph the
     k LPA rounds then run on. Per-batch shuffle work is
     affected-subgraph-bounded; corpus cost is O(2k) pruned scans.
+
+    Caller contract: pass ``all_edges`` as a STORED table or a
+    checkpointed frame — each BFS round re-probes it, so a lazily
+    derived frame (scan+union+filter) would re-evaluate its whole
+    lineage per round (the gate query checkpoints its candidate-pair
+    frame once; measured 6.2 → 4.9 s at sf0.1 vs the old corpus-wide
+    symmetrize+distinct).
     """
     k = int(iterations)
     raw = all_edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
