@@ -1,0 +1,346 @@
+"""File-action commit log — O(changed files) commits for versioned
+tables.
+
+:mod:`sources.txn` gives multi-writer safety with FULL-SNAPSHOT
+commits: every version stages a complete copy of the table. Right for
+compact serving stores (the snapshot IS the product of a merge), but
+at 100 TB an append of one micro-batch must not rewrite — or even
+re-reference by copy — the other 99.99% of the table. This module is
+the incremental half of the protocol, the same public design Delta
+Lake's transaction log implements (VLDB 2020): a commit records
+file-level ACTIONS, not data.
+
+Layout::
+
+    root/_commits/<n>.json          {"op", "add": [...], "remove": [...]}
+    root/_commits/_checkpoint.<n>.json   consolidated live set at n
+    root/_data/<token>/...          immutable data files (never rewritten)
+
+- **Version n's table = replay of actions 0..n** (or from the newest
+  checkpoint ≤ n): live files = ∪adds − ∪removes. The log is
+  commit-grain metadata (KBs); the data files are written exactly
+  once and never touched again.
+- **Claims are the same atomic-rename CAS** as :mod:`sources.txn` —
+  exactly one writer wins each version number.
+- **Appends always commute**: a lost race retries the CLAIM only (the
+  already-written files are still brand-new) — no recompute, no data
+  rewrite. This is what makes high-frequency multi-writer ingest
+  cheap: conflict cost is one rename retry.
+- **Partition overwrites** (the backfill shape) remove whatever is
+  live in the targeted partitions and add the replacement files.
+  On a lost race the overwrite re-resolves against the new latest and
+  retries — last-writer-wins at PARTITION grain under snapshot
+  isolation (a torn mix of two writers is impossible; the claim CAS
+  serializes them). Writers targeting disjoint partitions therefore
+  both land, each paying only its own partitions.
+- **Time travel**: ``read(as_of=n)`` replays to n; removed files stay
+  on disk until retention (``checkpoint`` + ``expire_commits``) and
+  vacuum reclaim them, exactly Delta's VACUUM discipline.
+
+Driver-side work is commit-log grain only (tiny json per commit; the
+file lists inside are one string per file — the same thing Delta's
+driver holds when planning a scan).
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from metar_pipeline_spark.sources.merge import _hadoop_fs
+from metar_pipeline_spark.sources.txn import (
+    CommitConflict,
+    _read_small_file,
+    _write_small_file,
+)
+
+_COMMITS = "_commits"
+_DATA = "_data"
+_PAD = 20
+
+
+class FileCommitLog:
+    """A file-action versioned table under ``root`` (layout above)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self._fs, self._root_h, self._jvm = _hadoop_fs(spark, self.root)
+
+    # -- log primitives ---------------------------------------------------
+    def _path(self, rel: str):
+        return self._jvm.org.apache.hadoop.fs.Path(f"{self.root}/{rel}")
+
+    def _commit_versions(self) -> "list[int]":
+        cdir = self._path(_COMMITS)
+        if not self._fs.exists(cdir):
+            return []
+        out = []
+        for st in self._fs.listStatus(cdir):
+            name = st.getPath().getName()
+            if name.endswith(".json") and not name.startswith(
+                (".", "_")
+            ):
+                stem = name[: -len(".json")]
+                if stem.isdigit():
+                    out.append(int(stem))
+        return sorted(out)
+
+    def _checkpoint_versions(self) -> "list[int]":
+        cdir = self._path(_COMMITS)
+        if not self._fs.exists(cdir):
+            return []
+        out = []
+        prefix, suffix = "_checkpoint.", ".json"
+        for st in self._fs.listStatus(cdir):
+            name = st.getPath().getName()
+            if name.startswith(prefix) and name.endswith(suffix):
+                stem = name[len(prefix): -len(suffix)]
+                if stem.isdigit():
+                    out.append(int(stem))
+        return sorted(out)
+
+    def latest_version(self) -> int:
+        vs = self._commit_versions()
+        cps = self._checkpoint_versions()
+        cand = (vs[-1:] or [-1]) + (cps[-1:] or [-1])
+        return max(cand)
+
+    def get_commit(self, version: int) -> dict:
+        p = self._path(f"{_COMMITS}/{version:0{_PAD}d}.json")
+        if not self._fs.exists(p):
+            raise ValueError(
+                f"commit {version} does not exist in {self.root}"
+            )
+        return json.loads(_read_small_file(self._fs, p, self._jvm))
+
+    # -- resolution -------------------------------------------------------
+    def live_files(self, as_of: "int | None" = None) -> "list[str]":
+        """Root-relative live data files at ``as_of`` (default latest):
+        newest checkpoint ≤ as_of, then replay of later commits.
+        Expired history (commits dropped below the checkpoint floor)
+        fails loudly, never silently partial."""
+        v = self.latest_version() if as_of is None else int(as_of)
+        if v < 0:
+            raise ValueError(f"empty file-commit log at {self.root}")
+        base: "list[str]" = []
+        start = 0
+        cps = [c for c in self._checkpoint_versions() if c <= v]
+        if cps:
+            cp = cps[-1]
+            meta = json.loads(
+                _read_small_file(
+                    self._fs,
+                    self._path(f"{_COMMITS}/_checkpoint.{cp}.json"),
+                    self._jvm,
+                )
+            )
+            base = list(meta["live"])
+            start = cp + 1
+        have = set(self._commit_versions())
+        live = set(base)
+        for n in range(start, v + 1):
+            if n not in have:
+                raise ValueError(
+                    f"version {n} expired from {self.root} (no commit "
+                    f"file and no covering checkpoint) — cannot "
+                    f"resolve as_of={v}"
+                )
+            c = self.get_commit(n)
+            live.difference_update(c.get("remove", []))
+            live.update(c.get("add", []))
+        return sorted(live)
+
+    def read(self, as_of: "int | None" = None) -> DataFrame:
+        """One scan per live TOKEN dir (each is a well-formed hive
+        mini-table, so partition columns survive basePath inference;
+        a single root-based read would see the token level as a
+        conflicting directory structure), unioned by name. The union
+        width is the number of retained commits — bounded by
+        checkpoint+expire retention, the same reason Delta
+        checkpoints its log."""
+        from functools import reduce
+
+        files = self.live_files(as_of)
+        if not files:
+            raise ValueError(
+                f"version resolves to zero live files in {self.root}"
+            )
+        by_token: "dict[str, list[str]]" = {}
+        for f in files:
+            by_token.setdefault(f.split("/")[1], []).append(f)
+        parts = [
+            self.spark.read.option(
+                "basePath", f"{self.root}/{_DATA}/{tok}"
+            ).parquet(*[f"{self.root}/{f}" for f in fl])
+            for tok, fl in sorted(by_token.items())
+        ]
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
+    # -- writes -----------------------------------------------------------
+    def _write_token_files(
+        self, df: DataFrame, partition_cols: "list[str] | None"
+    ) -> "tuple[str, list[str]]":
+        token = uuid.uuid4().hex
+        rel = f"{_DATA}/{token}"
+        w = df.write.mode("overwrite")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(f"{self.root}/{rel}")
+        from metar_pipeline_spark.sources.layout import _list_data_files
+
+        files = _list_data_files(self.spark, f"{self.root}/{rel}")
+        marker = f"/{rel}/"
+        out = []
+        for f in files:
+            i = f.find(marker)
+            out.append(f"{rel}/{f[i + len(marker):]}")
+        return token, sorted(out)
+
+    def _claim(self, n: int, meta: dict, token: str) -> None:
+        final = self._path(f"{_COMMITS}/{n:0{_PAD}d}.json")
+        self._fs.mkdirs(self._path(_COMMITS))
+        if self._fs.exists(final):
+            raise CommitConflict(n)
+        tmp = self._path(f"{_COMMITS}/.tmp-{token}.json")
+        _write_small_file(self._fs, tmp, json.dumps(meta))
+        if not self._fs.rename(tmp, final):
+            self._fs.delete(tmp, False)
+            raise CommitConflict(n)
+
+    def append(
+        self,
+        df: DataFrame,
+        partition_cols: "list[str] | None" = None,
+        max_retries: int = 20,
+    ) -> int:
+        """Append-only commit: write the batch's files ONCE, then claim
+        — on a lost race only the claim retries (appends commute), so
+        conflict cost is a rename, never a data rewrite. O(|batch|)
+        total, independent of table size."""
+        token, files = self._write_token_files(df, partition_cols)
+        for _ in range(int(max_retries) + 1):
+            v = self.latest_version()
+            try:
+                self._claim(
+                    v + 1,
+                    {"version": v + 1, "op": "append", "add": files,
+                     "remove": [], "writer": token},
+                    token,
+                )
+                return v + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(self.latest_version() + 1)
+
+    def overwrite_partitions(
+        self,
+        df: DataFrame,
+        part_col: str,
+        values: "list",
+        max_retries: int = 20,
+    ) -> int:
+        """Replace the listed hive partitions with ``df``'s files (the
+        backfill / late-data shape): removes whatever is live in those
+        partitions at claim time, adds the replacements. A lost race
+        re-resolves and retries — partition-grain last-writer-wins
+        under snapshot isolation; writers on disjoint partitions both
+        land untouched by each other. O(|affected partitions|)."""
+        token, files = self._write_token_files(df, [part_col])
+        prefixes = tuple(f"{part_col}={v}/" for v in values)
+        for f in files:
+            sub = f.split("/", 2)[2]  # strip _data/<token>/
+            if not sub.startswith(prefixes):
+                raise ValueError(
+                    f"replacement file {f!r} lies outside the declared "
+                    f"partitions {list(values)!r}"
+                )
+        for _ in range(int(max_retries) + 1):
+            v = self.latest_version()
+            doomed = [
+                f
+                for f in (self.live_files(v) if v >= 0 else [])
+                if f.split("/", 2)[2].startswith(prefixes)
+            ]
+            try:
+                self._claim(
+                    v + 1,
+                    {"version": v + 1, "op": "overwrite_partitions",
+                     "add": files, "remove": doomed, "writer": token,
+                     "partitions": [str(x) for x in values]},
+                    token,
+                )
+                return v + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(self.latest_version() + 1)
+
+    # -- lifecycle --------------------------------------------------------
+    def write_checkpoint(self) -> int:
+        """Consolidate the live set at the latest version into a
+        ``_checkpoint.<n>.json`` (Delta's log checkpoint): readers
+        start replay there, and commits at or below it become
+        expirable. Returns the checkpointed version."""
+        v = self.latest_version()
+        if v < 0:
+            raise ValueError("nothing to checkpoint")
+        live = self.live_files(v)
+        self._fs.mkdirs(self._path(_COMMITS))
+        tmp = self._path(f"{_COMMITS}/.tmp-cp-{uuid.uuid4().hex}.json")
+        _write_small_file(
+            self._fs, tmp, json.dumps({"version": v, "live": live})
+        )
+        final = self._path(f"{_COMMITS}/_checkpoint.{v}.json")
+        self._fs.delete(final, False)
+        self._fs.rename(tmp, final)
+        return v
+
+    def expire_commits(self) -> "list[int]":
+        """Drop commit files covered by the NEWEST checkpoint (history
+        below the checkpoint floor is no longer replayable — as_of
+        older than the floor then fails loudly; data files orphaned by
+        the drop become vacuum's to reclaim once unreferenced). Older
+        checkpoints are dropped too. Returns dropped commit versions."""
+        cps = self._checkpoint_versions()
+        if not cps:
+            return []
+        floor = cps[-1]
+        dropped = []
+        for n in self._commit_versions():
+            if n <= floor:
+                self._fs.delete(
+                    self._path(f"{_COMMITS}/{n:0{_PAD}d}.json"), False
+                )
+                dropped.append(n)
+        for c in cps[:-1]:
+            self._fs.delete(
+                self._path(f"{_COMMITS}/_checkpoint.{c}.json"), False
+            )
+        return dropped
+
+    def referenced_tokens(self) -> "set[str]":
+        """_data/<token> dirs referenced by any remaining commit or
+        checkpoint — vacuum's 'live' set for this layout."""
+        toks: "set[str]" = set()
+
+        def take(files):
+            for f in files:
+                parts = f.split("/")
+                if len(parts) >= 2 and parts[0] == _DATA:
+                    toks.add(parts[1])
+
+        for n in self._commit_versions():
+            c = self.get_commit(n)
+            take(c.get("add", []))
+        for cp in self._checkpoint_versions():
+            meta = json.loads(
+                _read_small_file(
+                    self._fs,
+                    self._path(f"{_COMMITS}/_checkpoint.{cp}.json"),
+                    self._jvm,
+                )
+            )
+            take(meta.get("live", []))
+        return toks

@@ -94,16 +94,29 @@ def vacuum_store(
         _, d_h, _ = _hadoop_fs(spark, dir_path)
         entries = list(fs.listStatus(d_h))
         names = {st.getPath().getName() for st in entries}
-        # versioned-store detection at THIS level
+        # versioned-store detection at THIS level (both layouts:
+        # txn full-snapshot commits reference one "data" dir;
+        # filelog commits/checkpoints reference file lists)
         referenced: "set[str] | None" = None
         if "_commits" in names and "_data" in names:
             referenced = set()
             _, c_h, _ = _hadoop_fs(spark, f"{dir_path}/_commits")
             for st in fs.listStatus(c_h):
                 n = st.getPath().getName()
-                if n.endswith(".json") and n[: -len(".json")].isdigit():
+                is_commit = (
+                    n.endswith(".json") and n[: -len(".json")].isdigit()
+                )
+                is_ckpt = n.startswith("_checkpoint.") and n.endswith(
+                    ".json"
+                )
+                if is_commit or is_ckpt:
                     meta = _read_commit(fs, st.getPath(), jvm)
-                    referenced.add(meta["data"].rsplit("/", 1)[-1])
+                    if "data" in meta:  # txn snapshot commit
+                        referenced.add(meta["data"].rsplit("/", 1)[-1])
+                    for f in meta.get("add", []) + meta.get("live", []):
+                        parts = f.split("/")
+                        if len(parts) >= 2 and parts[0] == "_data":
+                            referenced.add(parts[1])
                 elif n.startswith(".tmp-"):
                     if is_old(st):
                         fs.delete(st.getPath(), False)

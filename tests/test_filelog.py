@@ -1,0 +1,134 @@
+"""File-action commit log (sources/filelog.py) — O(changed files)
+commits: appends that retry claims without rewriting data, partition
+overwrites bounded to their partitions, log checkpoint + retention,
+and vacuum understanding the layout."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from metar_pipeline_spark.sources.filelog import FileCommitLog
+
+
+def _batch(spark, lo, hi, day):
+    return spark.createDataFrame(
+        [(i, day, i * 10) for i in range(lo, hi)],
+        "id long, day string, v long",
+    )
+
+
+def test_append_read_asof(spark, tmp_path):
+    log = FileCommitLog(spark, str(tmp_path / "t"))
+    with pytest.raises(ValueError):
+        log.read()
+    assert log.append(_batch(spark, 0, 5, "d1")) == 0
+    assert log.append(_batch(spark, 5, 8, "d1")) == 1
+    assert log.read().count() == 8
+    assert log.read(as_of=0).count() == 5
+    # appends never rewrite: version 1 keeps referencing v0's files
+    assert set(log.live_files(0)) <= set(log.live_files(1))
+
+
+def test_partition_overwrite_is_partition_bounded(spark, tmp_path):
+    log = FileCommitLog(spark, str(tmp_path / "t"))
+    log.append(
+        _batch(spark, 0, 4, "d1").unionByName(_batch(spark, 4, 8, "d2")),
+        partition_cols=["day"],
+    )
+    untouched_before = [
+        f for f in log.live_files() if "day=d2/" in f
+    ]
+    # late data replaces ONLY day=d1
+    log.overwrite_partitions(
+        _batch(spark, 100, 102, "d1"), "day", ["d1"]
+    )
+    rows = {(r.id, r.day) for r in log.read().collect()}
+    assert rows == {(100, "d1"), (101, "d1"), (4, "d2"), (5, "d2"),
+                    (6, "d2"), (7, "d2")}
+    # d2's physical files are byte-identical references
+    untouched_after = [f for f in log.live_files() if "day=d2/" in f]
+    assert untouched_after == untouched_before
+    # time travel still sees the pre-backfill day
+    old = {(r.id, r.day) for r in log.read(as_of=0).collect()
+           if r.day == "d1"}
+    assert old == {(0, "d1"), (1, "d1"), (2, "d1"), (3, "d1")}
+    # replacement files outside the declared partitions are refused
+    with pytest.raises(ValueError):
+        log.overwrite_partitions(
+            _batch(spark, 0, 2, "d9"), "day", ["d1"]
+        )
+
+
+def test_disjoint_partition_writers_both_land(spark, tmp_path):
+    """Two overwrites targeting DISJOINT partitions, interleaved: the
+    second claim conflicts on version but retries and lands without
+    touching the first writer's partition."""
+    log = FileCommitLog(spark, str(tmp_path / "t"))
+    log.append(
+        _batch(spark, 0, 2, "d1").unionByName(_batch(spark, 2, 4, "d2")),
+        partition_cols=["day"],
+    )
+    log.overwrite_partitions(_batch(spark, 10, 12, "d1"), "day", ["d1"])
+    log.overwrite_partitions(_batch(spark, 20, 22, "d2"), "day", ["d2"])
+    rows = {(r.id, r.day) for r in log.read().collect()}
+    assert rows == {(10, "d1"), (11, "d1"), (20, "d2"), (21, "d2")}
+
+
+def test_concurrent_threaded_appends(spark, tmp_path):
+    from concurrent.futures import ThreadPoolExecutor
+
+    root = str(tmp_path / "t")
+    FileCommitLog(spark, root).append(_batch(spark, 999, 1000, "d0"))
+
+    def writer(i):
+        return FileCommitLog(spark, root).append(
+            _batch(spark, i * 10, i * 10 + 2, f"d{i}"), max_retries=40
+        )
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        versions = list(ex.map(writer, range(8)))
+    log = FileCommitLog(spark, root)
+    assert sorted(versions) == list(range(1, 9))
+    assert log.read().count() == 1 + 16  # nothing lost
+
+
+def test_checkpoint_expire_and_loud_history_floor(spark, tmp_path):
+    log = FileCommitLog(spark, str(tmp_path / "t"))
+    for i in range(4):
+        log.append(_batch(spark, i * 10, i * 10 + 3, "d1"))
+    assert log.write_checkpoint() == 3
+    assert log.expire_commits() == [0, 1, 2, 3]
+    # resolution from the checkpoint alone still works
+    assert log.latest_version() == 3
+    assert log.read().count() == 12
+    # a post-checkpoint commit replays from the checkpoint
+    log.append(_batch(spark, 100, 101, "d1"))
+    assert log.read().count() == 13
+    # history below the floor is gone LOUDLY
+    with pytest.raises(ValueError):
+        log.live_files(1)
+
+
+def test_vacuum_reclaims_unreferenced_filelog_tokens(spark, tmp_path):
+    """After overwrite + checkpoint + expire, the replaced files'
+    token dirs become unreferenced; vacuum deletes exactly those."""
+    from metar_pipeline_spark.sources.vacuum import vacuum_store
+
+    root = str(tmp_path / "t")
+    log = FileCommitLog(spark, root)
+    log.append(_batch(spark, 0, 3, "d1"), partition_cols=["day"])
+    log.overwrite_partitions(_batch(spark, 10, 12, "d1"), "day", ["d1"])
+    # both tokens referenced while the full log remains: vacuum keeps all
+    rep = vacuum_store(spark, root, older_than_seconds=0)
+    assert not [r for r in rep if r["action"] == "deleted"]
+    assert len(os.listdir(f"{root}/_data")) == 2
+    # fold + expire: v0's add-only token is no longer referenced
+    log.write_checkpoint()
+    log.expire_commits()
+    assert len(log.referenced_tokens()) == 1
+    rep2 = vacuum_store(spark, root, older_than_seconds=0)
+    assert [r for r in rep2 if r["action"] == "deleted"]
+    assert len(os.listdir(f"{root}/_data")) == 1
+    assert log.read().count() == 2  # live data untouched
