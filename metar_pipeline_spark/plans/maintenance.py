@@ -27,6 +27,9 @@ an operator actually schedules:
                        maintenance through the SAME protocol the ingest
                        writers use, so a racing merge conflicts cleanly
                        instead of corrupting)
+- ``compact_filelog`` / ``checkpoint_filelog``
+                     → :mod:`sources.filelog` (token compaction and
+                       log checkpoint+expire for file-action tables)
 
 Each task is independent and isolated: a failing task records its error
 and the runner continues (the ops-runner contract — one bad table must
@@ -161,6 +164,21 @@ def _run_one(spark: SparkSession, t: "dict[str, Any]") -> "tuple[str, str]":
             VersionedStore(spark, t["path"]), t["keep_last"]
         )
         return t["path"], f"dropped={len(dropped)}"
+    if kind == "compact_filelog":
+        from metar_pipeline_spark.sources.filelog import FileCommitLog
+
+        v = FileCommitLog(spark, t["path"]).compact(
+            partition_cols=t.get("partition_cols"),
+            min_tokens=t.get("min_tokens", 2),
+        )
+        return t["path"], f"version={v}" if v is not None else "noop"
+    if kind == "checkpoint_filelog":
+        from metar_pipeline_spark.sources.filelog import FileCommitLog
+
+        log = FileCommitLog(spark, t["path"])
+        v = log.write_checkpoint()
+        dropped = log.expire_commits()
+        return t["path"], f"checkpoint={v} dropped={len(dropped)}"
     if kind == "monitor":
         from metar_pipeline_spark.quality.anomalies import (
             metrics_store_anomalies,

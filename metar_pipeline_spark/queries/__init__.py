@@ -73,6 +73,7 @@ VERIFY_FIRST: list[str] = [
     "versioned_store_changes",
     "wap_publish_gate",
     "stream_versioned_ingest",
+    "filelog_partition_backfill",
     "audio_wav_features",
     "audio_wav_resample",
     "lpa_incremental_delta",

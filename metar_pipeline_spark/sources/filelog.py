@@ -278,6 +278,45 @@ class FileCommitLog:
         raise CommitConflict(self.latest_version() + 1)
 
     # -- lifecycle --------------------------------------------------------
+    def compact(
+        self,
+        partition_cols: "list[str] | None" = None,
+        min_tokens: int = 2,
+        max_retries: int = 5,
+    ) -> "int | None":
+        """Rewrite the CURRENT live set into one fresh token dir and
+        commit remove(all-old)/add(new) — content unchanged, file and
+        token count collapsed. The filelog twin of
+        ``txn.compact_versioned``: checkpoint+expire bound the LOG,
+        this bounds the DATA (the per-token union width of ``read``
+        and the small-file count appends accrete). A lost race (e.g.
+        an append landing mid-compaction) re-resolves and recompacts
+        the new latest — never clobbers it. No-op (returns None) when
+        fewer than ``min_tokens`` token dirs are live."""
+        for _ in range(int(max_retries) + 1):
+            v = self.latest_version()
+            if v < 0:
+                return None
+            live = self.live_files(v)
+            tokens = {f.split("/")[1] for f in live}
+            if len(tokens) < int(min_tokens):
+                return None
+            token, files = self._write_token_files(
+                self.read(v), partition_cols
+            )
+            try:
+                self._claim(
+                    v + 1,
+                    {"version": v + 1, "op": "compact", "add": files,
+                     "remove": live, "writer": token},
+                    token,
+                )
+                return v + 1
+            except CommitConflict:
+                self._fs.delete(self._path(f"{_DATA}/{token}"), True)
+                continue
+        raise CommitConflict(self.latest_version() + 1)
+
     def write_checkpoint(self) -> int:
         """Consolidate the live set at the latest version into a
         ``_checkpoint.<n>.json`` (Delta's log checkpoint): readers

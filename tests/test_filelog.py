@@ -132,3 +132,59 @@ def test_vacuum_reclaims_unreferenced_filelog_tokens(spark, tmp_path):
     assert [r for r in rep2 if r["action"] == "deleted"]
     assert len(os.listdir(f"{root}/_data")) == 1
     assert log.read().count() == 2  # live data untouched
+
+
+def test_compact_collapses_tokens_content_unchanged(spark, tmp_path):
+    log = FileCommitLog(spark, str(tmp_path / "t"))
+    for i in range(4):
+        log.append(
+            _batch(spark, i * 10, i * 10 + 3, f"d{i % 2}"),
+            partition_cols=["day"],
+        )
+    before = {(r.id, r.day, r.v) for r in log.read().collect()}
+    assert len({f.split("/")[1] for f in log.live_files()}) == 4
+    v = log.compact(partition_cols=["day"])
+    assert v == 4
+    assert len({f.split("/")[1] for f in log.live_files()}) == 1
+    after = {(r.id, r.day, r.v) for r in log.read().collect()}
+    assert after == before
+    # pre-compaction version still resolvable (history intact)
+    assert log.read(as_of=3).count() == 12
+    # below threshold: no-op
+    assert log.compact(partition_cols=["day"]) is None
+    # checkpoint + expire + vacuum then reclaims the 4 old tokens
+    from metar_pipeline_spark.sources.vacuum import vacuum_store
+
+    log.write_checkpoint()
+    log.expire_commits()
+    rep = vacuum_store(
+        spark, str(tmp_path / "t"), older_than_seconds=0
+    )
+    assert len(
+        [r for r in rep if r["action"] == "deleted"]
+    ) == 4
+    assert {(r.id, r.day, r.v) for r in log.read().collect()} == before
+
+
+def test_filelog_maintenance_tasks(spark, tmp_path):
+    from metar_pipeline_spark.plans.maintenance import run_maintenance
+
+    root = str(tmp_path / "t")
+    log = FileCommitLog(spark, root)
+    for i in range(3):
+        log.append(_batch(spark, i * 10, i * 10 + 2, "d1"),
+                   partition_cols=["day"])
+    rep = run_maintenance(
+        spark,
+        [
+            {"task": "compact_filelog", "path": root,
+             "partition_cols": ["day"]},
+            {"task": "checkpoint_filelog", "path": root},
+            {"task": "vacuum", "path": root, "older_than_seconds": 0},
+        ],
+    ).collect()
+    assert all(r.ok for r in rep)
+    assert rep[0].detail == "version=3"
+    assert rep[1].detail.startswith("checkpoint=3 dropped=4")
+    assert log.read().count() == 6
+    assert len(os.listdir(f"{root}/_data")) == 1
