@@ -74,6 +74,7 @@ VERIFY_FIRST: list[str] = [
     "wap_publish_gate",
     "stream_versioned_ingest",
     "filelog_partition_backfill",
+    "filelog_stats_pruned_scan",
     "audio_wav_features",
     "audio_wav_resample",
     "lpa_incremental_delta",

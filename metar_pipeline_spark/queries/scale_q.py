@@ -3178,3 +3178,75 @@ def filelog_partition_backfill(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+@register(
+    "filelog_stats_pruned_scan",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events
+    WHERE CAST(FLOOR(value * 100) AS BIGINT) BETWEEN 10000 AND 15000
+    GROUP BY event_type
+    """,
+    doc=(
+        "Stats-in-log data skipping (the Delta design that makes the "
+        "standalone manifest's staleness problem structurally "
+        "impossible): each commit to a FileCommitLog captures its own "
+        "files' parquet-footer min/max ATOMICALLY with the file "
+        "actions (distributed footer reads via mapInPandas; "
+        "commit-grain json), so a range scan prunes from the log with "
+        "no separate refresh step ever. Events are range-laid-out on "
+        "cent-scaled value and appended as four disjoint-range "
+        "commits; read_pruned opens only the files the stats cannot "
+        "exclude. The aggregate is stats-INVARIANT (row filter always "
+        "applied) — the oracle is the plain full-scan predicate; the "
+        "pruned-file-count pin and checkpoint-survival live in "
+        "tests/test_filelog.py."
+    ),
+)
+def filelog_stats_pruned_scan(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from metar_pipeline_spark.sources.filelog import FileCommitLog
+
+    events = load_table(spark, sf_dir, "events")
+    # fixed cent-range banding (disjoint per-file ranges WITHOUT a
+    # global-sort window — ntile over an unpartitioned orderBy would
+    # be a single-task sort at scale)
+    cents = F.floor(F.col("value") * 100).cast("long")
+    base = events.select(
+        "event_id",
+        "event_type",
+        cents.alias("cents"),
+        F.least(F.lit(3), F.floor(cents / 5000)).cast("int").alias("band"),
+    )
+    tmp = tempfile.mkdtemp(prefix="filelog_stats_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        log = FileCommitLog(
+            spark, os.path.join(tmp, "fact"), stats_cols=["cents"]
+        )
+        banded = base.localCheckpoint(eager=True)  # 4 slices, one pass
+        for b in range(0, 4):
+            log.append(
+                banded.filter(F.col("band") == b).drop("band").coalesce(1)
+            )
+        result = (
+            log.read_pruned("cents", 10000, 15000)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result

@@ -61,12 +61,39 @@ _DATA = "_data"
 _PAD = 20
 
 
-class FileCommitLog:
-    """A file-action versioned table under ``root`` (layout above)."""
+def _json_stat(v):
+    """JSON-safe footer stat: dates/timestamps → ISO strings (which
+    order lexically the same as their values); numerics pass through."""
+    import datetime
 
-    def __init__(self, spark: SparkSession, root: str):
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    return v
+
+
+class FileCommitLog:
+    """A file-action versioned table under ``root`` (layout above).
+
+    ``stats_cols``: numeric columns whose per-file parquet-footer
+    min/max are captured IN each commit at write time (Delta's
+    stats-in-log design) — the write and its skipping stats then
+    commit atomically, so there is no separate manifest to go stale
+    (the failure mode :mod:`sources.layout`'s standalone manifests
+    must guard against). ``read_pruned`` consumes them. Footer reads
+    are distributed (``layout._manifest_for_files`` — mapInPandas);
+    only the commit-grain summary lands in the json. Date columns are
+    serialized as ISO strings (which order lexically); pass ISO
+    strings as bounds."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        stats_cols: "list[str] | None" = None,
+    ):
         self.spark = spark
         self.root = root.rstrip("/")
+        self.stats_cols = list(stats_cols or [])
         self._fs, self._root_h, self._jvm = _hadoop_fs(spark, self.root)
 
     # -- log primitives ---------------------------------------------------
@@ -179,10 +206,72 @@ class FileCommitLog:
         ]
         return reduce(lambda a, b: a.unionByName(b), parts)
 
+    def _live_with_stats(
+        self, as_of: "int | None" = None
+    ) -> "tuple[list[str], dict]":
+        """(live files, {file: stats}) — stats come from the commit
+        that ADDED each file (or the covering checkpoint); files
+        written without stats simply have no entry."""
+        v = self.latest_version() if as_of is None else int(as_of)
+        live = self.live_files(v)
+        stats: dict = {}
+        cps = [c for c in self._checkpoint_versions() if c <= v]
+        start = 0
+        if cps:
+            meta = json.loads(
+                _read_small_file(
+                    self._fs,
+                    self._path(f"{_COMMITS}/_checkpoint.{cps[-1]}.json"),
+                    self._jvm,
+                )
+            )
+            stats.update(meta.get("stats", {}))
+            start = cps[-1] + 1
+        for n in range(start, v + 1):
+            stats.update(self.get_commit(n).get("stats", {}))
+        keep = set(live)
+        return live, {f: s for f, s in stats.items() if f in keep}
+
+    def read_pruned(
+        self, col: str, lo, hi, as_of: "int | None" = None
+    ) -> DataFrame:
+        """``filter(lo <= col <= hi)`` reading ONLY the live files the
+        commit-captured stats cannot exclude (missing stats keep the
+        file). Manifest-invariant semantics: the row predicate applies
+        regardless, so stats only ever save I/O — and because the
+        stats committed WITH the files, they can never be stale
+        (``tests/test_filelog.py`` pins the pruned-file count)."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        live, stats = self._live_with_stats(as_of)
+        kept = []
+        for f in live:
+            s = stats.get(f, {}).get(col)
+            if s is not None and s[0] is not None and (
+                s[1] < lo or s[0] > hi
+            ):
+                continue
+            kept.append(f)
+        pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+        if not kept:
+            return self.read(as_of).filter(F.lit(False)).filter(pred)
+        by_token: "dict[str, list[str]]" = {}
+        for f in kept:
+            by_token.setdefault(f.split("/")[1], []).append(f)
+        parts = [
+            self.spark.read.option(
+                "basePath", f"{self.root}/{_DATA}/{tok}"
+            ).parquet(*[f"{self.root}/{f}" for f in fl])
+            for tok, fl in sorted(by_token.items())
+        ]
+        return reduce(lambda a, b: a.unionByName(b), parts).filter(pred)
+
     # -- writes -----------------------------------------------------------
     def _write_token_files(
         self, df: DataFrame, partition_cols: "list[str] | None"
-    ) -> "tuple[str, list[str]]":
+    ) -> "tuple[str, list[str], dict]":
         token = uuid.uuid4().hex
         rel = f"{_DATA}/{token}"
         w = df.write.mode("overwrite")
@@ -193,11 +282,36 @@ class FileCommitLog:
 
         files = _list_data_files(self.spark, f"{self.root}/{rel}")
         marker = f"/{rel}/"
-        out = []
+        out, by_abs = [], {}
         for f in files:
             i = f.find(marker)
-            out.append(f"{rel}/{f[i + len(marker):]}")
-        return token, sorted(out)
+            r = f"{rel}/{f[i + len(marker):]}"
+            out.append(r)
+            by_abs[f] = r
+        stats = {}
+        if self.stats_cols and files:
+            from metar_pipeline_spark.sources.layout import (
+                _manifest_for_files,
+                _manifest_schema,
+                _table_schema,
+            )
+
+            ddl = _manifest_schema(
+                _table_schema(self.spark, f"{self.root}/{rel}"),
+                self.stats_cols,
+            )
+            rows = _manifest_for_files(
+                self.spark, files, self.stats_cols, ddl
+            ).collect()  # bounded-collect: commit-grain (one row/file)
+            for r in rows:
+                d = {"n": r["n_rows"]}
+                for c in self.stats_cols:
+                    d[c] = [
+                        _json_stat(r[f"{c}__min"]),
+                        _json_stat(r[f"{c}__max"]),
+                    ]
+                stats[by_abs[r["file"]]] = d
+        return token, sorted(out), stats
 
     def _claim(self, n: int, meta: dict, token: str) -> None:
         final = self._path(f"{_COMMITS}/{n:0{_PAD}d}.json")
@@ -220,14 +334,14 @@ class FileCommitLog:
         — on a lost race only the claim retries (appends commute), so
         conflict cost is a rename, never a data rewrite. O(|batch|)
         total, independent of table size."""
-        token, files = self._write_token_files(df, partition_cols)
+        token, files, stats = self._write_token_files(df, partition_cols)
         for _ in range(int(max_retries) + 1):
             v = self.latest_version()
             try:
                 self._claim(
                     v + 1,
                     {"version": v + 1, "op": "append", "add": files,
-                     "remove": [], "writer": token},
+                     "remove": [], "writer": token, "stats": stats},
                     token,
                 )
                 return v + 1
@@ -248,7 +362,7 @@ class FileCommitLog:
         re-resolves and retries — partition-grain last-writer-wins
         under snapshot isolation; writers on disjoint partitions both
         land untouched by each other. O(|affected partitions|)."""
-        token, files = self._write_token_files(df, [part_col])
+        token, files, stats = self._write_token_files(df, [part_col])
         prefixes = tuple(f"{part_col}={v}/" for v in values)
         for f in files:
             sub = f.split("/", 2)[2]  # strip _data/<token>/
@@ -269,6 +383,7 @@ class FileCommitLog:
                     v + 1,
                     {"version": v + 1, "op": "overwrite_partitions",
                      "add": files, "remove": doomed, "writer": token,
+                     "stats": stats,
                      "partitions": [str(x) for x in values]},
                     token,
                 )
@@ -301,14 +416,14 @@ class FileCommitLog:
             tokens = {f.split("/")[1] for f in live}
             if len(tokens) < int(min_tokens):
                 return None
-            token, files = self._write_token_files(
+            token, files, stats = self._write_token_files(
                 self.read(v), partition_cols
             )
             try:
                 self._claim(
                     v + 1,
                     {"version": v + 1, "op": "compact", "add": files,
-                     "remove": live, "writer": token},
+                     "remove": live, "writer": token, "stats": stats},
                     token,
                 )
                 return v + 1
@@ -325,11 +440,13 @@ class FileCommitLog:
         v = self.latest_version()
         if v < 0:
             raise ValueError("nothing to checkpoint")
-        live = self.live_files(v)
+        live, stats = self._live_with_stats(v)
         self._fs.mkdirs(self._path(_COMMITS))
         tmp = self._path(f"{_COMMITS}/.tmp-cp-{uuid.uuid4().hex}.json")
         _write_small_file(
-            self._fs, tmp, json.dumps({"version": v, "live": live})
+            self._fs,
+            tmp,
+            json.dumps({"version": v, "live": live, "stats": stats}),
         )
         final = self._path(f"{_COMMITS}/_checkpoint.{v}.json")
         self._fs.delete(final, False)

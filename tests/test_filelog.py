@@ -188,3 +188,47 @@ def test_filelog_maintenance_tasks(spark, tmp_path):
     assert rep[1].detail.startswith("checkpoint=3 dropped=4")
     assert log.read().count() == 6
     assert len(os.listdir(f"{root}/_data")) == 1
+
+
+def test_stats_in_log_pruned_scan(spark, tmp_path):
+    """Delta's stats-in-log: footer min/max commit WITH the files, so
+    skipping can never go stale; pruning excludes provably-out files
+    and survives checkpoint+expire."""
+    from pyspark.sql import functions as F
+
+    log = FileCommitLog(
+        spark, str(tmp_path / "t"), stats_cols=["v"]
+    )
+    # three appends with disjoint v-ranges → per-file ranges disjoint
+    for i in range(3):
+        log.append(
+            spark.range(i * 100, i * 100 + 50)
+            .select(
+                F.col("id").alias("k"), (F.col("id") * 1).alias("v")
+            )
+            .coalesce(1)
+        )
+    live, stats = log._live_with_stats()
+    assert len(live) == 3 and len(stats) == 3
+    got = log.read_pruned("v", 110, 130)
+    assert got.count() == 21
+    # only the middle token's file survives pruning
+    kept = [
+        f
+        for f in live
+        if not (
+            stats[f]["v"][1] < 110 or stats[f]["v"][0] > 130
+        )
+    ]
+    assert len(kept) == 1
+    # semantics are stats-invariant: equals the full-scan filter
+    full = log.read().filter(F.col("v").between(110, 130))
+    assert got.agg(F.sum("v")).first()[0] == full.agg(F.sum("v")).first()[0]
+    # stats survive the log checkpoint + expiry
+    log.write_checkpoint()
+    log.expire_commits()
+    assert log.read_pruned("v", 110, 130).count() == 21
+    _, stats2 = log._live_with_stats()
+    assert len(stats2) == 3
+    # empty pruning result: schema-stable zero rows
+    assert log.read_pruned("v", 10_000, 10_001).count() == 0
