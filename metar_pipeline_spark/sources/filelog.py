@@ -40,6 +40,12 @@ Layout::
 Driver-side work is commit-log grain only (tiny json per commit; the
 file lists inside are one string per file — the same thing Delta's
 driver holds when planning a scan).
+
+Non-goals (documented, loud when hit): schema evolution across
+commits (reads union strictly by name and FAIL on a mismatch rather
+than null-filling silently); hive-special partition values needing
+escaping (overwrite_partitions validates its replacement files
+against the declared partition prefixes and refuses on mismatch).
 """
 
 from __future__ import annotations
