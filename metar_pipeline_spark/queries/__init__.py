@@ -81,7 +81,10 @@ VERIFY_FIRST: list[str] = [
     "triangle_incremental_delta",
     "skipping_scan_value_range",
     "skipping_scan_box_zorder",
-    "medallion_end_to_end",
+    # medallion_end_to_end: quarantine-path change re-verified at both
+    # SFs this round, but the query exercises the non-guard path and
+    # its verified-surface hash is unchanged — the stale-boost lint
+    # (test_rotation) correctly keeps it out of the window.
 ]
 
 
