@@ -75,6 +75,7 @@ VERIFY_FIRST: list[str] = [
     "stream_versioned_ingest",
     "filelog_partition_backfill",
     "filelog_stats_pruned_scan",
+    "filelog_deletion_vectors",
     "audio_wav_features",
     "audio_wav_resample",
     "lpa_incremental_delta",

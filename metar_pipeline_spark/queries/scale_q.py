@@ -3250,3 +3250,77 @@ def filelog_stats_pruned_scan(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+@register(
+    "filelog_deletion_vectors",
+    """
+    SELECT 'v0_all_rows' AS phase,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events
+    UNION ALL
+    SELECT 'v1_after_delete',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+    FROM events WHERE NOT (user_id % 7 = 0)
+    """,
+    doc=(
+        "Row-level DELETE via deletion vectors (the Delta/Iceberg v2 "
+        "position-delete design — the GDPR right-to-be-forgotten "
+        "shape at 100 TB): delete_where identifies matching rows by "
+        "(file, _metadata.row_index), commits them as a position "
+        "vector under _dv/, and NEVER rewrites a data file (pinned in "
+        "tests/test_filelog.py: the live file set is unchanged). "
+        "Readers anti-join active vectors; compaction later "
+        "materializes and spends them; vacuum reclaims spent vectors. "
+        "The result reads the pre-delete version (time travel — the "
+        "deleted users are still there at v0, which is also the audit "
+        "story) and the post-delete latest; the oracle recomputes "
+        "both from the raw fact. Delete cost: one scan + O(matched "
+        "rows) written, independent of table size."
+    ),
+)
+def filelog_deletion_vectors(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from metar_pipeline_spark.sources.filelog import FileCommitLog
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="filelog_dv_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        log = FileCommitLog(spark, os.path.join(tmp, "fact"))
+        log.append(base)
+        assert log.delete_where(F.col("user_id") % 7 == 0) == 1
+
+        def phase(name, ver):
+            return (
+                log.read(as_of=ver)
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.sum("cents").cast("long").alias("sum_cents"),
+                )
+                .select(
+                    F.lit(name).alias("phase"), "n_rows", "sum_cents"
+                )
+            )
+
+        result = (
+            phase("v0_all_rows", 0)
+            .unionByName(phase("v1_after_delete", 1))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result

@@ -64,7 +64,21 @@ from metar_pipeline_spark.sources.txn import (
 
 _COMMITS = "_commits"
 _DATA = "_data"
+_DV = "_dv"
 _PAD = 20
+
+
+def _rel_file_col():
+    """Root-relative data-file path from ``_metadata.file_path``
+    (split on the '/_data/' marker — scheme-agnostic)."""
+    from pyspark.sql import functions as F
+
+    return F.concat(
+        F.lit(f"{_DATA}/"),
+        F.element_at(
+            F.split(F.col("_metadata.file_path"), f"/{_DATA}/"), 2
+        ),
+    )
 
 
 def _json_stat(v):
@@ -186,31 +200,87 @@ class FileCommitLog:
             live.update(c.get("add", []))
         return sorted(live)
 
-    def read(self, as_of: "int | None" = None) -> DataFrame:
-        """One scan per live TOKEN dir (each is a well-formed hive
+    def _scan_files(self, files: "list[str]", with_meta: bool):
+        """Union of one scan per TOKEN dir (each is a well-formed hive
         mini-table, so partition columns survive basePath inference;
         a single root-based read would see the token level as a
-        conflicting directory structure), unioned by name. The union
-        width is the number of retained commits — bounded by
-        checkpoint+expire retention, the same reason Delta
-        checkpoints its log."""
+        conflicting directory structure). With ``with_meta``, carries
+        (``__file``, ``__ri``) row-identity columns."""
         from functools import reduce
 
+        from pyspark.sql import functions as F
+
+        by_token: "dict[str, list[str]]" = {}
+        for f in files:
+            by_token.setdefault(f.split("/")[1], []).append(f)
+        parts = []
+        for tok, fl in sorted(by_token.items()):
+            df = self.spark.read.option(
+                "basePath", f"{self.root}/{_DATA}/{tok}"
+            ).parquet(*[f"{self.root}/{f}" for f in fl])
+            if with_meta:
+                df = df.select(
+                    "*",
+                    _rel_file_col().alias("__file"),
+                    F.col("_metadata.row_index").alias("__ri"),
+                )
+            parts.append(df)
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
+    def _active_dvs(self, as_of: "int | None" = None) -> "list[str]":
+        """Deletion-vector files in force at ``as_of``: the cumulative
+        ``dv_add`` lists of the replayed commits (plus the covering
+        checkpoint's carry-forward). A ``compact`` commit RESETS the
+        set — compaction materializes every pending delete into the
+        files it writes, so prior vectors are spent."""
+        v = self.latest_version() if as_of is None else int(as_of)
+        if v < 0:
+            return []
+        dvs: "set[str]" = set()
+        start = 0
+        cps = [c for c in self._checkpoint_versions() if c <= v]
+        if cps:
+            meta = json.loads(
+                _read_small_file(
+                    self._fs,
+                    self._path(f"{_COMMITS}/_checkpoint.{cps[-1]}.json"),
+                    self._jvm,
+                )
+            )
+            dvs.update(meta.get("dvs", []))
+            start = cps[-1] + 1
+        for n in range(start, v + 1):
+            c = self.get_commit(n)
+            if c.get("op") == "compact":
+                dvs.clear()
+            dvs.update(c.get("dv_add", []))
+        return sorted(dvs)
+
+    def _apply_dvs(self, df: DataFrame, dvs: "list[str]") -> DataFrame:
+        """Anti-join the (file, row-position) deletion vectors — rows
+        survive unless a vector names them. No broadcast hint: a DV is
+        usually tiny (AQE broadcasts it) but a mass delete may not be."""
+        dv = self.spark.read.parquet(
+            *[f"{self.root}/{f}" for f in dvs]
+        ).withColumnsRenamed({"file": "__file", "row_index": "__ri"})
+        return df.join(dv, ["__file", "__ri"], "left_anti")
+
+    def read(self, as_of: "int | None" = None) -> DataFrame:
+        """The table at ``as_of``: live-file union minus deletion
+        vectors. Union width = retained commits — bounded by
+        checkpoint+expire retention, the same reason Delta
+        checkpoints its log."""
         files = self.live_files(as_of)
         if not files:
             raise ValueError(
                 f"version resolves to zero live files in {self.root}"
             )
-        by_token: "dict[str, list[str]]" = {}
-        for f in files:
-            by_token.setdefault(f.split("/")[1], []).append(f)
-        parts = [
-            self.spark.read.option(
-                "basePath", f"{self.root}/{_DATA}/{tok}"
-            ).parquet(*[f"{self.root}/{f}" for f in fl])
-            for tok, fl in sorted(by_token.items())
-        ]
-        return reduce(lambda a, b: a.unionByName(b), parts)
+        dvs = self._active_dvs(as_of)
+        if not dvs:
+            return self._scan_files(files, with_meta=False)
+        return self._apply_dvs(
+            self._scan_files(files, with_meta=True), dvs
+        ).drop("__file", "__ri")
 
     def _live_with_stats(
         self, as_of: "int | None" = None
@@ -246,9 +316,9 @@ class FileCommitLog:
         file). Manifest-invariant semantics: the row predicate applies
         regardless, so stats only ever save I/O — and because the
         stats committed WITH the files, they can never be stale
-        (``tests/test_filelog.py`` pins the pruned-file count)."""
-        from functools import reduce
-
+        (``tests/test_filelog.py`` pins the pruned-file count).
+        Deletion vectors still apply — a deleted row never resurfaces
+        through a pruned scan."""
         from pyspark.sql import functions as F
 
         live, stats = self._live_with_stats(as_of)
@@ -263,16 +333,14 @@ class FileCommitLog:
         pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
         if not kept:
             return self.read(as_of).filter(F.lit(False)).filter(pred)
-        by_token: "dict[str, list[str]]" = {}
-        for f in kept:
-            by_token.setdefault(f.split("/")[1], []).append(f)
-        parts = [
-            self.spark.read.option(
-                "basePath", f"{self.root}/{_DATA}/{tok}"
-            ).parquet(*[f"{self.root}/{f}" for f in fl])
-            for tok, fl in sorted(by_token.items())
-        ]
-        return reduce(lambda a, b: a.unionByName(b), parts).filter(pred)
+        dvs = self._active_dvs(as_of)
+        if not dvs:
+            return self._scan_files(kept, with_meta=False).filter(pred)
+        return (
+            self._apply_dvs(self._scan_files(kept, with_meta=True), dvs)
+            .drop("__file", "__ri")
+            .filter(pred)
+        )
 
     # -- writes -----------------------------------------------------------
     def _write_token_files(
@@ -398,6 +466,65 @@ class FileCommitLog:
                 continue
         raise CommitConflict(self.latest_version() + 1)
 
+    def delete_where(self, condition, max_retries: int = 5) -> "int | None":
+        """Row-level DELETE without rewriting a single data file —
+        DELETION VECTORS (the Delta/Iceberg v2 position-delete design;
+        the GDPR/right-to-be-forgotten shape at 100 TB): matching rows
+        are identified by (file, row position) via the scan's
+        ``_metadata.row_index``, written as a position-delete parquet
+        under ``_dv/<token>``, and committed as a ``dv_add`` action.
+        Readers anti-join active vectors; ``compact`` later
+        materializes them and resets the set. Cost: one pruned scan +
+        O(matched rows) written — independent of table size.
+
+        Returns the new version, or None when nothing matched (no
+        commit claimed, vector dir cleaned up). Conflicts recompute
+        against the new latest like every optimistic writer here."""
+        from pyspark.sql import functions as F
+
+        for _ in range(int(max_retries) + 1):
+            v = self.latest_version()
+            if v < 0:
+                return None
+            df = self._scan_files(self.live_files(v), with_meta=True)
+            dvs = self._active_dvs(v)
+            if dvs:  # already-deleted rows must not re-enter the vector
+                df = self._apply_dvs(df, dvs)
+            matches = df.filter(condition).select(
+                F.col("__file").alias("file"),
+                F.col("__ri").alias("row_index"),
+            )
+            token = uuid.uuid4().hex
+            rel = f"{_DV}/{token}"
+            matches.write.mode("overwrite").parquet(f"{self.root}/{rel}")
+            from metar_pipeline_spark.sources.layout import (
+                _list_data_files,
+            )
+
+            dv_files = []
+            marker = f"/{rel}/"
+            for f in _list_data_files(self.spark, f"{self.root}/{rel}"):
+                i = f.find(marker)
+                dv_files.append(f"{rel}/{f[i + len(marker):]}")
+            if not dv_files or self.spark.read.parquet(
+                f"{self.root}/{rel}"
+            ).head(1) == []:
+                self._fs.delete(self._path(rel), True)
+                return None
+            try:
+                self._claim(
+                    v + 1,
+                    {"version": v + 1, "op": "delete", "add": [],
+                     "remove": [], "writer": token,
+                     "dv_add": sorted(dv_files)},
+                    token,
+                )
+                return v + 1
+            except CommitConflict:
+                self._fs.delete(self._path(rel), True)
+                continue
+        raise CommitConflict(self.latest_version() + 1)
+
     # -- lifecycle --------------------------------------------------------
     def compact(
         self,
@@ -452,7 +579,14 @@ class FileCommitLog:
         _write_small_file(
             self._fs,
             tmp,
-            json.dumps({"version": v, "live": live, "stats": stats}),
+            json.dumps(
+                {
+                    "version": v,
+                    "live": live,
+                    "stats": stats,
+                    "dvs": self._active_dvs(v),
+                }
+            ),
         )
         final = self._path(f"{_COMMITS}/_checkpoint.{v}.json")
         self._fs.delete(final, False)
@@ -483,19 +617,20 @@ class FileCommitLog:
         return dropped
 
     def referenced_tokens(self) -> "set[str]":
-        """_data/<token> dirs referenced by any remaining commit or
-        checkpoint — vacuum's 'live' set for this layout."""
+        """_data/ and _dv/ token dirs referenced by any remaining
+        commit or checkpoint — vacuum's 'live' set for this layout."""
         toks: "set[str]" = set()
 
         def take(files):
             for f in files:
                 parts = f.split("/")
-                if len(parts) >= 2 and parts[0] == _DATA:
+                if len(parts) >= 2 and parts[0] in (_DATA, _DV):
                     toks.add(parts[1])
 
         for n in self._commit_versions():
             c = self.get_commit(n)
             take(c.get("add", []))
+            take(c.get("dv_add", []))
         for cp in self._checkpoint_versions():
             meta = json.loads(
                 _read_small_file(
@@ -505,4 +640,5 @@ class FileCommitLog:
                 )
             )
             take(meta.get("live", []))
+            take(meta.get("dvs", []))
         return toks

@@ -113,9 +113,17 @@ def vacuum_store(
                     meta = _read_commit(fs, st.getPath(), jvm)
                     if "data" in meta:  # txn snapshot commit
                         referenced.add(meta["data"].rsplit("/", 1)[-1])
-                    for f in meta.get("add", []) + meta.get("live", []):
+                    for f in (
+                        meta.get("add", [])
+                        + meta.get("live", [])
+                        + meta.get("dv_add", [])
+                        + meta.get("dvs", [])
+                    ):
                         parts = f.split("/")
-                        if len(parts) >= 2 and parts[0] == "_data":
+                        if len(parts) >= 2 and parts[0] in (
+                            "_data",
+                            "_dv",
+                        ):
                             referenced.add(parts[1])
                 elif n.startswith(".tmp-"):
                     if is_old(st):
@@ -146,7 +154,7 @@ def vacuum_store(
                     act("staging", st, "deleted")
                 else:
                     act("staging", st, "kept_young")
-            elif name == "_data" and referenced is not None:
+            elif name in ("_data", "_dv") and referenced is not None:
                 for snap in fs.listStatus(st.getPath()):
                     token = snap.getPath().getName()
                     if token in referenced:

@@ -232,3 +232,58 @@ def test_stats_in_log_pruned_scan(spark, tmp_path):
     assert len(stats2) == 3
     # empty pruning result: schema-stable zero rows
     assert log.read_pruned("v", 10_000, 10_001).count() == 0
+
+
+def test_deletion_vectors_row_delete_without_rewrite(spark, tmp_path):
+    """delete_where writes position vectors, never touches data files;
+    reads (plain and pruned) hide the rows, time travel restores them,
+    compaction materializes and resets the vectors."""
+    from pyspark.sql import functions as F
+
+    log = FileCommitLog(spark, str(tmp_path / "t"), stats_cols=["v"])
+    log.append(_batch(spark, 0, 10, "d1").coalesce(1))
+    log.append(_batch(spark, 10, 20, "d1").coalesce(1))
+    files_before = log.live_files()
+
+    v = log.delete_where(F.col("id") % 3 == 0)  # ids 0,3,...,18
+    assert v == 2
+    assert log.live_files() == files_before  # no data file rewritten
+    assert {r.id for r in log.read().collect()} == {
+        i for i in range(20) if i % 3 != 0
+    }
+    # pruned scans respect the vectors too
+    assert {r.id for r in log.read_pruned("v", 0, 60).collect()} == {
+        1, 2, 4, 5
+    }
+    # time travel: the pre-delete version still serves every row
+    assert log.read(as_of=1).count() == 20
+    # deleting nothing is a no-op, not an empty commit
+    assert log.delete_where(F.col("id") > 1000) is None
+    assert log.latest_version() == 2
+    # a second delete composes with the first
+    assert log.delete_where(F.col("id") == 1) == 3
+    assert log.read().count() == 12
+    # checkpoint carries vectors; vacuum keeps the referenced dv token
+    from metar_pipeline_spark.sources.vacuum import vacuum_store
+
+    log.write_checkpoint()
+    log.expire_commits()
+    assert log.read().count() == 12
+    vacuum_store(spark, str(tmp_path / "t"), older_than_seconds=0)
+    assert log.read().count() == 12
+    # compaction materializes the deletes and spends the vectors
+    assert log.compact() == 4
+    assert log._active_dvs() == []
+    assert {r.id for r in log.read().collect()} == {
+        i for i in range(20) if i % 3 != 0 and i != 1
+    }
+    # spent vectors become unreferenced after the next fold → reclaimed
+    log.write_checkpoint()
+    log.expire_commits()
+    rep = vacuum_store(spark, str(tmp_path / "t"), older_than_seconds=0)
+    dv_deleted = [
+        r for r in rep
+        if r["action"] == "deleted" and "/_dv/" in r["path"]
+    ]
+    assert dv_deleted
+    assert log.read().count() == 12
