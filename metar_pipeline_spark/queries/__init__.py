@@ -58,15 +58,16 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # the auto-boost catches direct query/oracle edits and one-hop operator
 # module edits, but not deeper transitive changes).
 VERIFY_FIRST: list[str] = [
-    # Round 13: the four NEW queries (optimistic-commit versioned
-    # store with as-of time travel; read-derived change feed between
-    # versions; write-audit-publish gate; the real WAV/PCM audio
-    # codec), then the queries whose implementing source changed this
-    # round: incremental LPA / triangle counts (corpus-grain
-    # symmetrization removed per r12 ADVICE — frontier-pruned raw-edge
-    # probes), the skipping scans (hidden-ancestor listing + hardened
-    # manifest swap + writer auto-refresh), and medallion_end_to_end
-    # (quarantine dedupe; upsert_parquet manifest kwargs).
+    # Round 13: the ten NEW queries (optimistic-commit versioned store
+    # with as-of time travel; read-derived change feed; write-audit-
+    # publish gate; streaming ingest through the commit log; the
+    # file-ACTION commit log — partition backfill, stats-in-log pruned
+    # scan, deletion vectors; the real WAV/PCM audio codec + resample),
+    # then the queries whose implementing source changed this round:
+    # incremental LPA / triangle counts (corpus-grain symmetrization
+    # removed per r12 ADVICE — frontier-pruned raw-edge probes) and
+    # the skipping scans (hidden-ancestor listing + hardened manifest
+    # swap + writer auto-refresh).
     # All re-verified locally on sf0.001 + sf0.01 before rotation.
     # The r12 driver window went 50/50 green.
     "versioned_store_time_travel",
