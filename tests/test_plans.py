@@ -210,7 +210,15 @@ def test_package_has_no_driver_side_materialization():
     # planning reads their manifests driver-side). Both conditions are
     # required, so an untagged collect anywhere — or a tagged one in
     # any other file — still fails the lint.
-    bounded_collect_files = {"pca.py", "layout.py"}
+    # Round-13 additions: filelog.py collects the per-file footer
+    # stats of the files a commit just WROTE (commit grain — one row
+    # per new file — they go into the commit json, the Delta
+    # stats-in-log shape); scale_q.py's filelog backfill collects the
+    # AFFECTED DAY list (partition-value grain) because
+    # overwrite_partitions takes partition values as a driver-side
+    # argument — the replaceWhere shape.
+    bounded_collect_files = {"pca.py", "layout.py", "filelog.py",
+                             "scale_q.py"}
     offenders = []
     for f in sorted(pkg.rglob("*.py")):
         text = f.read_text()
