@@ -77,6 +77,7 @@ VERIFY_FIRST: list[str] = [
     "filelog_partition_backfill",
     "filelog_stats_pruned_scan",
     "filelog_deletion_vectors",
+    "filelog_merge_upsert",
     "audio_wav_features",
     "audio_wav_resample",
     "lpa_incremental_delta",

@@ -3324,3 +3324,87 @@ def filelog_deletion_vectors(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+@register(
+    "filelog_merge_upsert",
+    """
+    WITH upd AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) + 1000000 AS cents
+      FROM orders WHERE o_orderkey % 5 = 0
+    ), merged AS (
+      SELECT o.o_orderkey,
+             coalesce(u.cents,
+                      CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders o LEFT JOIN upd u USING (o_orderkey)
+    )
+    SELECT 'v0_initial' AS phase,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM orders
+    UNION ALL
+    SELECT 'v1_after_merge',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(cents) AS BIGINT)
+    FROM merged
+    """,
+    doc=(
+        "Keyed MERGE on the file-action log as ONE atomic commit with "
+        "ZERO data-file rewrites (filelog.merge_by_key): stored rows "
+        "matching the batch's keys are deletion-vectored and the "
+        "batch's files appended IN THE SAME claimed commit — readers "
+        "see pre- or post-merge, never a mix, and the merge costs "
+        "O(scan + |batch| + |matches|) instead of txn's O(table) "
+        "snapshot rewrite. Every fifth order gets a re-priced row; "
+        "the oracle recomputes last-writer-wins with a LEFT JOIN "
+        "coalesce. The pre-merge version still reads exactly (time "
+        "travel); the no-file-rewrite pin and the empty-store / "
+        "no-match edge cases live in tests/test_filelog.py."
+    ),
+)
+def filelog_merge_upsert(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from metar_pipeline_spark.sources.filelog import FileCommitLog
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    upd = base.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+        "cents", F.col("cents") + F.lit(1000000)
+    )
+    tmp = tempfile.mkdtemp(prefix="filelog_merge_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        log = FileCommitLog(spark, os.path.join(tmp, "fact"))
+        log.append(base)
+        assert log.merge_by_key(upd, ["o_orderkey"]) == 1
+
+        def phase(name, ver):
+            return (
+                log.read(as_of=ver)
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.sum("cents").cast("long").alias("sum_cents"),
+                )
+                .select(
+                    F.lit(name).alias("phase"), "n_rows", "sum_cents"
+                )
+            )
+
+        result = (
+            phase("v0_initial", 0)
+            .unionByName(phase("v1_after_merge", 1))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result

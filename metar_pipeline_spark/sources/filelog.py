@@ -525,6 +525,98 @@ class FileCommitLog:
                 continue
         raise CommitConflict(self.latest_version() + 1)
 
+    def merge_by_key(
+        self,
+        batch: DataFrame,
+        keys: "list[str]",
+        partition_cols: "list[str] | None" = None,
+        max_retries: int = 5,
+        broadcast_keys: bool = True,
+    ) -> int:
+        """Keyed MERGE (upsert) as ONE atomic commit and ZERO data-file
+        rewrites: stored rows matching the batch's keys are
+        deletion-vectored and the batch's files appended — both
+        actions in the same claimed commit, so readers see either the
+        pre-merge or the post-merge table, never a mix. Cost:
+        O(scan + |batch| + |matches|), independent of table size —
+        the file-action answer to ``txn.upsert_versioned``'s
+        O(table) snapshot rewrite.
+
+        Precondition: ``batch`` is key-unique (dedupe upstream with
+        ``windows.latest_per_key_maxby``); duplicate keys inside one
+        batch have no defined winner here. The batch's files are
+        written once and reused across conflict retries (they commute
+        — only the match vector is recomputed against the new
+        latest). ``broadcast_keys`` defaults True — the checkpointed
+        key frame has no stats, so the planner would otherwise fall
+        back to a store-grain SortMergeJoin even for a micro-batch
+        (the round-12 pitfall); pass False for a batch too large to
+        broadcast."""
+        from pyspark.sql import functions as F
+
+        token, files, stats = self._write_token_files(
+            batch, partition_cols
+        )
+        keysel = (
+            batch.select(*keys).distinct().localCheckpoint(eager=True)
+        )
+        for _ in range(int(max_retries) + 1):
+            v = self.latest_version()
+            if v < 0:
+                try:
+                    self._claim(
+                        0,
+                        {"version": 0, "op": "merge", "add": files,
+                         "remove": [], "writer": token, "stats": stats,
+                         "dv_add": []},
+                        token,
+                    )
+                    return 0
+                except CommitConflict:
+                    continue
+            df = self._scan_files(self.live_files(v), with_meta=True)
+            dvs = self._active_dvs(v)
+            if dvs:
+                df = self._apply_dvs(df, dvs)
+            probe = F.broadcast(keysel) if broadcast_keys else keysel
+            matches = df.join(probe, keys, "semi").select(
+                F.col("__file").alias("file"),
+                F.col("__ri").alias("row_index"),
+            )
+            dv_token = uuid.uuid4().hex
+            dv_rel = f"{_DV}/{dv_token}"
+            matches.write.mode("overwrite").parquet(
+                f"{self.root}/{dv_rel}"
+            )
+            from metar_pipeline_spark.sources.layout import (
+                _list_data_files,
+            )
+
+            dv_files = []
+            marker = f"/{dv_rel}/"
+            for f in _list_data_files(self.spark, f"{self.root}/{dv_rel}"):
+                i = f.find(marker)
+                dv_files.append(f"{dv_rel}/{f[i + len(marker):]}")
+            if self.spark.read.parquet(
+                f"{self.root}/{dv_rel}"
+            ).head(1) == []:
+                self._fs.delete(self._path(dv_rel), True)
+                dv_files = []
+            try:
+                self._claim(
+                    v + 1,
+                    {"version": v + 1, "op": "merge", "add": files,
+                     "remove": [], "writer": token, "stats": stats,
+                     "dv_add": sorted(dv_files)},
+                    token,
+                )
+                return v + 1
+            except CommitConflict:
+                if dv_files:
+                    self._fs.delete(self._path(dv_rel), True)
+                continue
+        raise CommitConflict(self.latest_version() + 1)
+
     # -- lifecycle --------------------------------------------------------
     def compact(
         self,

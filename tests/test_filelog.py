@@ -287,3 +287,41 @@ def test_deletion_vectors_row_delete_without_rewrite(spark, tmp_path):
     ]
     assert dv_deleted
     assert log.read().count() == 12
+
+
+def test_merge_by_key_single_commit_no_rewrite(spark, tmp_path):
+    """Keyed upsert = one commit carrying both the match vector and
+    the batch files; stored files untouched; time travel intact."""
+    from pyspark.sql import functions as F
+
+    log = FileCommitLog(spark, str(tmp_path / "t"))
+    # empty-store merge behaves as an append at v0
+    assert log.merge_by_key(_batch(spark, 0, 6, "d1"), ["id"]) == 0
+    files_v0 = log.live_files()
+
+    upd = spark.createDataFrame(
+        [(2, "d1", 999), (4, "d1", 888), (100, "d1", 777)],
+        "id long, day string, v long",
+    )
+    assert log.merge_by_key(upd, ["id"]) == 1
+    assert log.live_files() == sorted(
+        files_v0 + [f for f in log.live_files() if f not in files_v0]
+    )
+    assert set(files_v0) <= set(log.live_files())  # nothing rewritten
+    rows = {r.id: r.v for r in log.read().collect()}
+    assert rows == {0: 0, 1: 10, 3: 30, 5: 50, 2: 999, 4: 888, 100: 777}
+    assert {r.id: r.v for r in log.read(as_of=0).collect()} == {
+        i: i * 10 for i in range(6)
+    }
+    # merge with zero matching keys = plain append, no vector
+    assert log.merge_by_key(
+        spark.createDataFrame([(200, "d1", 1)], "id long, day string, v long"),
+        ["id"],
+    ) == 2
+    assert log.get_commit(2)["dv_add"] == []
+    assert log.read().count() == 8
+    # compaction then materializes everything into one token
+    assert log.compact() == 3
+    assert {r.id: r.v for r in log.read().collect()} == {
+        0: 0, 1: 10, 3: 30, 5: 50, 2: 999, 4: 888, 100: 777, 200: 1
+    }
