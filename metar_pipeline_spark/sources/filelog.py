@@ -398,24 +398,72 @@ class FileCommitLog:
             self._fs.delete(tmp, False)
             raise CommitConflict(n)
 
+    def committed_app_batch(
+        self, app_id: str, app_batch: int
+    ) -> "int | None":
+        """The version that already carries (app_id, app_batch), or
+        None — the txnAppId/txnVersion idempotency check (see
+        :meth:`txn.VersionedStore.committed_app_batch`). Checkpoints
+        carry the seen identities forward so retention cannot reopen
+        the replay window."""
+        key = f"{app_id}:{int(app_batch)}"
+        for cp in reversed(self._checkpoint_versions()):
+            meta = json.loads(
+                _read_small_file(
+                    self._fs,
+                    self._path(f"{_COMMITS}/_checkpoint.{cp}.json"),
+                    self._jvm,
+                )
+            )
+            if key in meta.get("apps", {}):
+                return int(meta["apps"][key])
+        for n in reversed(self._commit_versions()):
+            c = self.get_commit(n)
+            if (
+                c.get("app_id") == app_id
+                and c.get("app_batch") == int(app_batch)
+            ):
+                return n
+        return None
+
     def append(
         self,
         df: DataFrame,
         partition_cols: "list[str] | None" = None,
         max_retries: int = 20,
+        app_id: "str | None" = None,
+        app_batch: "int | None" = None,
     ) -> int:
         """Append-only commit: write the batch's files ONCE, then claim
         — on a lost race only the claim retries (appends commute), so
         conflict cost is a rename, never a data rewrite. O(|batch|)
-        total, independent of table size."""
+        total, independent of table size. With ``app_id``/``app_batch``
+        the append is idempotent per writer identity: a foreachBatch
+        RETRY of an already-committed batch returns the claimed
+        version without writing (exactly-once streaming commits)."""
+        if app_id is not None:
+            seen = self.committed_app_batch(app_id, app_batch or 0)
+            if seen is not None:
+                return seen
         token, files, stats = self._write_token_files(df, partition_cols)
+        meta_extra = {}
+        if app_id is not None:
+            meta_extra = {
+                "app_id": app_id, "app_batch": int(app_batch or 0)
+            }
         for _ in range(int(max_retries) + 1):
             v = self.latest_version()
+            if app_id is not None:
+                seen = self.committed_app_batch(app_id, app_batch or 0)
+                if seen is not None:  # raced by our own retry twin
+                    self._fs.delete(self._path(f"{_DATA}/{token}"), True)
+                    return seen
             try:
                 self._claim(
                     v + 1,
                     {"version": v + 1, "op": "append", "add": files,
-                     "remove": [], "writer": token, "stats": stats},
+                     "remove": [], "writer": token, "stats": stats,
+                     **meta_extra},
                     token,
                 )
                 return v + 1
@@ -666,6 +714,22 @@ class FileCommitLog:
         if v < 0:
             raise ValueError("nothing to checkpoint")
         live, stats = self._live_with_stats(v)
+        # carry writer identities forward (idempotency survives expiry)
+        apps: "dict[str, int]" = {}
+        cps = self._checkpoint_versions()
+        if cps:
+            prior = json.loads(
+                _read_small_file(
+                    self._fs,
+                    self._path(f"{_COMMITS}/_checkpoint.{cps[-1]}.json"),
+                    self._jvm,
+                )
+            )
+            apps.update(prior.get("apps", {}))
+        for n in self._commit_versions():
+            c = self.get_commit(n)
+            if c.get("app_id") is not None:
+                apps[f"{c['app_id']}:{int(c.get('app_batch', 0))}"] = n
         self._fs.mkdirs(self._path(_COMMITS))
         tmp = self._path(f"{_COMMITS}/.tmp-cp-{uuid.uuid4().hex}.json")
         _write_small_file(
@@ -677,6 +741,7 @@ class FileCommitLog:
                     "live": live,
                     "stats": stats,
                     "dvs": self._active_dvs(v),
+                    "apps": apps,
                 }
             ),
         )

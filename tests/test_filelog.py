@@ -325,3 +325,25 @@ def test_merge_by_key_single_commit_no_rewrite(spark, tmp_path):
     assert {r.id: r.v for r in log.read().collect()} == {
         0: 0, 1: 10, 3: 30, 5: 50, 2: 999, 4: 888, 100: 777, 200: 1
     }
+
+
+def test_idempotent_appends_survive_expiry(spark, tmp_path):
+    """txnAppId idempotency on the file log: a retried batch is a
+    no-op returning the claimed version — and the identity survives
+    checkpoint+expire (retention cannot reopen the replay window)."""
+    log = FileCommitLog(spark, str(tmp_path / "t"))
+    v0 = log.append(_batch(spark, 0, 3, "d1"), app_id="ing", app_batch=0)
+    v_retry = log.append(
+        _batch(spark, 0, 3, "d1"), app_id="ing", app_batch=0
+    )
+    assert (v0, v_retry) == (0, 0)
+    assert log.read().count() == 3  # not doubled
+    log.append(_batch(spark, 3, 5, "d1"), app_id="ing", app_batch=1)
+    log.write_checkpoint()
+    log.expire_commits()
+    # replay of batch 0 AFTER its commit file was expired: the
+    # checkpoint's carried identities still dedupe it
+    assert log.append(
+        _batch(spark, 0, 3, "d1"), app_id="ing", app_batch=0
+    ) == 0
+    assert log.read().count() == 5
