@@ -41,11 +41,27 @@ Driver-side work is commit-log grain only (tiny json per commit; the
 file lists inside are one string per file — the same thing Delta's
 driver holds when planning a scan).
 
-Non-goals (documented, loud when hit): schema evolution across
-commits (reads union strictly by name and FAIL on a mismatch rather
-than null-filling silently); hive-special partition values needing
-escaping (overwrite_partitions validates its replacement files
-against the declared partition prefixes and refuses on mismatch).
+Schema evolution (additive): every write op records the table's
+column list in its commit ("cols"), so the schema is versioned with
+the data. ``append``/``merge_by_key`` validate the batch against the
+current columns and FAIL loudly on a surprise unless
+``merge_schema=True``, in which case new columns are appended to the
+canonical order and old files null-fill them on read (Delta's
+mergeSchema semantics). Time travel returns the schema AS OF that
+version. Type changes on an existing column are never merged —
+additive only, by design. Logs written before column tracking read
+exactly as before (strict union by name, loud on mismatch).
+
+Change feed: ``read_changes(from_v, to_v)`` replays the commits in
+``(from_v, to_v]`` into exact row-level inserts/deletes at O(files
+touched by those commits) — never table grain. ``compact`` commits
+are content-neutral and emit nothing.
+
+Non-goals (documented, loud when hit): type widening on existing
+columns (additive evolution only); hive-special partition values
+needing escaping (overwrite_partitions validates its replacement
+files against the declared partition prefixes and refuses on
+mismatch).
 """
 
 from __future__ import annotations
@@ -163,6 +179,62 @@ class FileCommitLog:
             )
         return json.loads(_read_small_file(self._fs, p, self._jvm))
 
+    # -- schema tracking --------------------------------------------------
+    def columns_at(self, as_of: "int | None" = None) -> "list[str] | None":
+        """Canonical column order AS OF a version: the newest ``cols``
+        recorded by a commit ≤ as_of, falling back to the covering
+        checkpoint's. ``None`` for logs written before column tracking
+        (those keep the legacy strict-union read)."""
+        v = self.latest_version() if as_of is None else int(as_of)
+        if v < 0:
+            return None
+        have = set(self._commit_versions())
+        cps = [c for c in self._checkpoint_versions() if c <= v]
+        floor = cps[-1] if cps else -1
+        for n in range(v, floor, -1):
+            if n not in have:
+                break  # expired below here; checkpoint covers the rest
+            c = self.get_commit(n)
+            if c.get("cols") is not None:
+                return list(c["cols"])
+        if cps:
+            meta = json.loads(
+                _read_small_file(
+                    self._fs,
+                    self._path(f"{_COMMITS}/_checkpoint.{cps[-1]}.json"),
+                    self._jvm,
+                )
+            )
+            if meta.get("cols") is not None:
+                return list(meta["cols"])
+        return None
+
+    def _merged_cols(
+        self, df: DataFrame, merge_schema: bool, op: str
+    ) -> "list[str]":
+        """Validate ``df`` against the current table columns and return
+        the canonical post-commit order. Batch must carry every
+        existing column; extra columns need ``merge_schema=True`` and
+        are appended to the canonical order (additive evolution)."""
+        cur = self.columns_at()
+        new = list(df.columns)
+        if cur is None:
+            return new
+        missing = [c for c in cur if c not in new]
+        if missing:
+            raise ValueError(
+                f"{op}: batch is missing table columns {missing} "
+                f"(table schema is {cur}; additive evolution only)"
+            )
+        extra = [c for c in new if c not in cur]
+        if extra and not merge_schema:
+            raise ValueError(
+                f"{op}: batch carries new columns {extra} not in the "
+                f"table schema {cur} — pass merge_schema=True to "
+                f"evolve the schema additively"
+            )
+        return cur + [c for c in new if c not in cur]
+
     # -- resolution -------------------------------------------------------
     def live_files(self, as_of: "int | None" = None) -> "list[str]":
         """Root-relative live data files at ``as_of`` (default latest):
@@ -200,12 +272,21 @@ class FileCommitLog:
             live.update(c.get("add", []))
         return sorted(live)
 
-    def _scan_files(self, files: "list[str]", with_meta: bool):
+    def _scan_files(
+        self,
+        files: "list[str]",
+        with_meta: bool,
+        cols: "list[str] | None" = None,
+    ):
         """Union of one scan per TOKEN dir (each is a well-formed hive
         mini-table, so partition columns survive basePath inference;
         a single root-based read would see the token level as a
         conflicting directory structure). With ``with_meta``, carries
-        (``__file``, ``__ri``) row-identity columns."""
+        (``__file``, ``__ri``) row-identity columns. With ``cols``
+        (schema-tracked tables) tokens written before an additive
+        evolution null-fill the added columns and the result is
+        projected to the canonical order; without it the union is
+        strict by name (legacy contract: loud on mismatch)."""
         from functools import reduce
 
         from pyspark.sql import functions as F
@@ -225,7 +306,22 @@ class FileCommitLog:
                     F.col("_metadata.row_index").alias("__ri"),
                 )
             parts.append(df)
-        return reduce(lambda a, b: a.unionByName(b), parts)
+        out = reduce(
+            lambda a, b: a.unionByName(
+                b, allowMissingColumns=cols is not None
+            ),
+            parts,
+        )
+        if cols is not None:
+            keep = list(cols) + (["__file", "__ri"] if with_meta else [])
+            out = out.select(
+                *[
+                    F.col(c) if c in out.columns
+                    else F.lit(None).alias(c)
+                    for c in keep
+                ]
+            )
+        return out
 
     def _active_dvs(self, as_of: "int | None" = None) -> "list[str]":
         """Deletion-vector files in force at ``as_of``: the cumulative
@@ -267,19 +363,21 @@ class FileCommitLog:
 
     def read(self, as_of: "int | None" = None) -> DataFrame:
         """The table at ``as_of``: live-file union minus deletion
-        vectors. Union width = retained commits — bounded by
-        checkpoint+expire retention, the same reason Delta
-        checkpoints its log."""
+        vectors, in the schema AS OF that version (time travel to
+        before an additive evolution shows the old columns). Union
+        width = retained commits — bounded by checkpoint+expire
+        retention, the same reason Delta checkpoints its log."""
         files = self.live_files(as_of)
         if not files:
             raise ValueError(
                 f"version resolves to zero live files in {self.root}"
             )
+        cols = self.columns_at(as_of)
         dvs = self._active_dvs(as_of)
         if not dvs:
-            return self._scan_files(files, with_meta=False)
+            return self._scan_files(files, with_meta=False, cols=cols)
         return self._apply_dvs(
-            self._scan_files(files, with_meta=True), dvs
+            self._scan_files(files, with_meta=True, cols=cols), dvs
         ).drop("__file", "__ri")
 
     def _live_with_stats(
@@ -333,13 +431,124 @@ class FileCommitLog:
         pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
         if not kept:
             return self.read(as_of).filter(F.lit(False)).filter(pred)
+        cols = self.columns_at(as_of)
         dvs = self._active_dvs(as_of)
         if not dvs:
-            return self._scan_files(kept, with_meta=False).filter(pred)
+            return self._scan_files(
+                kept, with_meta=False, cols=cols
+            ).filter(pred)
         return (
-            self._apply_dvs(self._scan_files(kept, with_meta=True), dvs)
+            self._apply_dvs(
+                self._scan_files(kept, with_meta=True, cols=cols), dvs
+            )
             .drop("__file", "__ri")
             .filter(pred)
+        )
+
+    def read_changes(
+        self, from_version: int, to_version: "int | None" = None
+    ) -> DataFrame:
+        """Exact change-data-feed: the row-level changes committed in
+        ``(from_version, to_version]``, tagged ``_change_type``
+        ('insert' | 'delete') and ``_commit_version``. Pass
+        ``from_version=-1`` for the full history. An update written by
+        ``merge_by_key`` appears as delete(pre-image) + insert(post-
+        image) in one version — folding inserts minus deletes always
+        reconstructs the table delta, which is the contract downstream
+        incremental consumers need. ``compact`` commits are
+        content-neutral and emit NOTHING (Delta's OPTIMIZE likewise
+        does not feed CDF).
+
+        Cost: O(files touched by the range's commits) — an append's
+        own files, a backfill's replaced partitions, a delete's
+        vectored files — never table grain. That asymmetry is the
+        whole point at 100 TB: a downstream consumer keeps a cursor
+        and processes each commit's delta instead of re-scanning.
+        Ranges reaching below the retention floor fail loudly (the
+        commits are gone), same as ``read(as_of)``."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        hi = self.latest_version() if to_version is None else int(
+            to_version
+        )
+        lo = int(from_version)
+        if hi < 0:
+            raise ValueError(f"empty file-commit log at {self.root}")
+        if lo > hi:
+            raise ValueError(
+                f"inverted change range ({lo}, {hi}] — from_version "
+                f"must not exceed to_version"
+            )
+        have = set(self._commit_versions())
+        cols = self.columns_at(hi)
+
+        def tag(df, ctype, n):
+            return df.select(
+                "*",
+                F.lit(ctype).alias("_change_type"),
+                F.lit(n).cast("int").alias("_commit_version"),
+            )
+
+        parts = []
+        for n in range(lo + 1, hi + 1):
+            if n not in have:
+                raise ValueError(
+                    f"commit {n} expired from {self.root} — cannot "
+                    f"compute changes over ({lo}, {hi}]; start from "
+                    f"the retention floor or a fresh full read"
+                )
+            c = self.get_commit(n)
+            if c.get("op") == "compact":
+                continue
+            adds = c.get("add", [])
+            if adds:
+                parts.append(
+                    tag(
+                        self._scan_files(adds, with_meta=False,
+                                         cols=cols),
+                        "insert", n,
+                    )
+                )
+            removes = c.get("remove", [])
+            if removes:
+                gone = self._scan_files(removes, with_meta=True,
+                                        cols=cols)
+                prior = self._active_dvs(n - 1) if n > 0 else []
+                if prior:  # already-deleted rows are not re-deleted
+                    gone = self._apply_dvs(gone, prior)
+                parts.append(
+                    tag(gone.drop("__file", "__ri"), "delete", n)
+                )
+            dv_add = c.get("dv_add", [])
+            if dv_add:
+                dv = self.spark.read.parquet(
+                    *[f"{self.root}/{f}" for f in dv_add]
+                ).withColumnsRenamed(
+                    {"file": "__file", "row_index": "__ri"}
+                )
+                victims = sorted(
+                    r["__file"]
+                    for r in dv.select("__file").distinct()
+                    .collect()  # bounded-collect: file-grain (the
+                    # vectored files of ONE commit — same grain as the
+                    # commit json itself)
+                )
+                rows = self._scan_files(
+                    victims, with_meta=True, cols=cols
+                ).join(dv, ["__file", "__ri"], "semi")
+                parts.append(
+                    tag(rows.drop("__file", "__ri"), "delete", n)
+                )
+        if not parts:  # e.g. the range holds only compact commits
+            empty = self.read(hi).filter(F.lit(False))
+            return tag(empty, "insert", hi).filter(F.lit(False))
+        return reduce(
+            lambda a, b: a.unionByName(
+                b, allowMissingColumns=cols is not None
+            ),
+            parts,
         )
 
     # -- writes -----------------------------------------------------------
@@ -433,6 +642,7 @@ class FileCommitLog:
         max_retries: int = 20,
         app_id: "str | None" = None,
         app_batch: "int | None" = None,
+        merge_schema: bool = False,
     ) -> int:
         """Append-only commit: write the batch's files ONCE, then claim
         — on a lost race only the claim retries (appends commute), so
@@ -440,19 +650,27 @@ class FileCommitLog:
         total, independent of table size. With ``app_id``/``app_batch``
         the append is idempotent per writer identity: a foreachBatch
         RETRY of an already-committed batch returns the claimed
-        version without writing (exactly-once streaming commits)."""
+        version without writing (exactly-once streaming commits).
+        With ``merge_schema`` new batch columns evolve the table
+        additively; without it a schema surprise fails loudly before
+        any file is written. The canonical column list is re-merged
+        against the latest schema on every claim retry, so two racing
+        evolutions both keep their columns."""
         if app_id is not None:
             seen = self.committed_app_batch(app_id, app_batch or 0)
             if seen is not None:
                 return seen
+        cols = self._merged_cols(df, merge_schema, "append")
         token, files, stats = self._write_token_files(df, partition_cols)
         meta_extra = {}
         if app_id is not None:
             meta_extra = {
                 "app_id": app_id, "app_batch": int(app_batch or 0)
             }
-        for _ in range(int(max_retries) + 1):
+        for attempt in range(int(max_retries) + 1):
             v = self.latest_version()
+            if attempt:  # a racer may have evolved the schema
+                cols = self._merged_cols(df, merge_schema, "append")
             if app_id is not None:
                 seen = self.committed_app_batch(app_id, app_batch or 0)
                 if seen is not None:  # raced by our own retry twin
@@ -463,7 +681,7 @@ class FileCommitLog:
                     v + 1,
                     {"version": v + 1, "op": "append", "add": files,
                      "remove": [], "writer": token, "stats": stats,
-                     **meta_extra},
+                     "cols": cols, **meta_extra},
                     token,
                 )
                 return v + 1
@@ -477,6 +695,7 @@ class FileCommitLog:
         part_col: str,
         values: "list",
         max_retries: int = 20,
+        merge_schema: bool = False,
     ) -> int:
         """Replace the listed hive partitions with ``df``'s files (the
         backfill / late-data shape): removes whatever is live in those
@@ -484,6 +703,7 @@ class FileCommitLog:
         re-resolves and retries — partition-grain last-writer-wins
         under snapshot isolation; writers on disjoint partitions both
         land untouched by each other. O(|affected partitions|)."""
+        cols = self._merged_cols(df, merge_schema, "overwrite_partitions")
         token, files, stats = self._write_token_files(df, [part_col])
         prefixes = tuple(f"{part_col}={v}/" for v in values)
         for f in files:
@@ -493,8 +713,12 @@ class FileCommitLog:
                     f"replacement file {f!r} lies outside the declared "
                     f"partitions {list(values)!r}"
                 )
-        for _ in range(int(max_retries) + 1):
+        for attempt in range(int(max_retries) + 1):
             v = self.latest_version()
+            if attempt:
+                cols = self._merged_cols(
+                    df, merge_schema, "overwrite_partitions"
+                )
             doomed = [
                 f
                 for f in (self.live_files(v) if v >= 0 else [])
@@ -505,7 +729,7 @@ class FileCommitLog:
                     v + 1,
                     {"version": v + 1, "op": "overwrite_partitions",
                      "add": files, "remove": doomed, "writer": token,
-                     "stats": stats,
+                     "stats": stats, "cols": cols,
                      "partitions": [str(x) for x in values]},
                     token,
                 )
@@ -534,7 +758,10 @@ class FileCommitLog:
             v = self.latest_version()
             if v < 0:
                 return None
-            df = self._scan_files(self.live_files(v), with_meta=True)
+            df = self._scan_files(
+                self.live_files(v), with_meta=True,
+                cols=self.columns_at(v),
+            )
             dvs = self._active_dvs(v)
             if dvs:  # already-deleted rows must not re-enter the vector
                 df = self._apply_dvs(df, dvs)
@@ -580,6 +807,7 @@ class FileCommitLog:
         partition_cols: "list[str] | None" = None,
         max_retries: int = 5,
         broadcast_keys: bool = True,
+        merge_schema: bool = False,
     ) -> int:
         """Keyed MERGE (upsert) as ONE atomic commit and ZERO data-file
         rewrites: stored rows matching the batch's keys are
@@ -602,27 +830,35 @@ class FileCommitLog:
         broadcast."""
         from pyspark.sql import functions as F
 
+        cols = self._merged_cols(batch, merge_schema, "merge_by_key")
         token, files, stats = self._write_token_files(
             batch, partition_cols
         )
         keysel = (
             batch.select(*keys).distinct().localCheckpoint(eager=True)
         )
-        for _ in range(int(max_retries) + 1):
+        for attempt in range(int(max_retries) + 1):
             v = self.latest_version()
+            if attempt:
+                cols = self._merged_cols(
+                    batch, merge_schema, "merge_by_key"
+                )
             if v < 0:
                 try:
                     self._claim(
                         0,
                         {"version": 0, "op": "merge", "add": files,
                          "remove": [], "writer": token, "stats": stats,
-                         "dv_add": []},
+                         "dv_add": [], "cols": cols},
                         token,
                     )
                     return 0
                 except CommitConflict:
                     continue
-            df = self._scan_files(self.live_files(v), with_meta=True)
+            df = self._scan_files(
+                self.live_files(v), with_meta=True,
+                cols=self.columns_at(v),
+            )
             dvs = self._active_dvs(v)
             if dvs:
                 df = self._apply_dvs(df, dvs)
@@ -655,7 +891,7 @@ class FileCommitLog:
                     v + 1,
                     {"version": v + 1, "op": "merge", "add": files,
                      "remove": [], "writer": token, "stats": stats,
-                     "dv_add": sorted(dv_files)},
+                     "dv_add": sorted(dv_files), "cols": cols},
                     token,
                 )
                 return v + 1
@@ -666,11 +902,60 @@ class FileCommitLog:
         raise CommitConflict(self.latest_version() + 1)
 
     # -- lifecycle --------------------------------------------------------
+    def _clustered(
+        self, df: DataFrame, cluster_by: "list[str]", target_files: int
+    ) -> DataFrame:
+        """Cluster ``df`` so each output file covers a narrow range of
+        the keys (disjoint footer min/max → stats-in-log pruning
+        bites). One key: range partition + in-file sort. Two keys:
+        Z-order (min-max quantize onto the 16-bit grid, Morton
+        interleave — ``layout.morton_interleave``, pure JVM bitwise
+        math), then range partition the curve. No global sort, no
+        single-task window — both shapes survive 100 TB."""
+        from pyspark.sql import functions as F
+
+        from metar_pipeline_spark.sources.layout import morton_interleave
+
+        n = max(1, int(target_files))
+        if len(cluster_by) == 1:
+            return df.repartitionByRange(
+                n, F.col(cluster_by[0])
+            ).sortWithinPartitions(cluster_by[0])
+        if len(cluster_by) == 2:
+            a, b = cluster_by
+            scale = (1 << 16) - 1
+            lo_a, hi_a, lo_b, hi_b = df.select(
+                F.min(a), F.max(a), F.min(b), F.max(b)
+            ).first()  # 1-row bounds aggregate, never data-grain
+
+            def quant(col, lo, hi):
+                span = float(hi - lo) or 1.0
+                return (
+                    (F.col(col) - F.lit(lo)) / F.lit(span) * scale
+                ).cast("bigint")
+
+            return (
+                df.withColumn(
+                    "__z",
+                    morton_interleave(
+                        quant(a, lo_a, hi_a), quant(b, lo_b, hi_b), 16
+                    ),
+                )
+                .repartitionByRange(n, F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        raise ValueError(
+            "cluster_by supports 1 (range) or 2 (Z-order) keys"
+        )
+
     def compact(
         self,
         partition_cols: "list[str] | None" = None,
         min_tokens: int = 2,
         max_retries: int = 5,
+        cluster_by: "list[str] | None" = None,
+        target_files: int = 8,
     ) -> "int | None":
         """Rewrite the CURRENT live set into one fresh token dir and
         commit remove(all-old)/add(new) — content unchanged, file and
@@ -680,7 +965,19 @@ class FileCommitLog:
         and the small-file count appends accrete). A lost race (e.g.
         an append landing mid-compaction) re-resolves and recompacts
         the new latest — never clobbers it. No-op (returns None) when
-        fewer than ``min_tokens`` token dirs are live."""
+        fewer than ``min_tokens`` token dirs are live.
+
+        With ``cluster_by`` the rewrite is a CLUSTERED rewrite —
+        Delta's OPTIMIZE ZORDER BY: rows are range- (1 key) or
+        Z-order- (2 keys) laid out into ``target_files`` files with
+        near-disjoint key ranges, and because ``stats_cols`` footer
+        min/max commit atomically with the rewrite, ``read_pruned``
+        prunes the clustered files immediately — no separate
+        ANALYZE/refresh step exists to forget."""
+        if cluster_by and len(cluster_by) not in (1, 2):
+            raise ValueError(
+                "cluster_by supports 1 (range) or 2 (Z-order) keys"
+            )
         for _ in range(int(max_retries) + 1):
             v = self.latest_version()
             if v < 0:
@@ -689,14 +986,18 @@ class FileCommitLog:
             tokens = {f.split("/")[1] for f in live}
             if len(tokens) < int(min_tokens):
                 return None
+            body = self.read(v)
+            if cluster_by:
+                body = self._clustered(body, cluster_by, target_files)
             token, files, stats = self._write_token_files(
-                self.read(v), partition_cols
+                body, partition_cols
             )
             try:
                 self._claim(
                     v + 1,
                     {"version": v + 1, "op": "compact", "add": files,
-                     "remove": live, "writer": token, "stats": stats},
+                     "remove": live, "writer": token, "stats": stats,
+                     "cols": self.columns_at(v)},
                     token,
                 )
                 return v + 1
@@ -742,6 +1043,7 @@ class FileCommitLog:
                     "stats": stats,
                     "dvs": self._active_dvs(v),
                     "apps": apps,
+                    "cols": self.columns_at(v),
                 }
             ),
         )

@@ -347,3 +347,211 @@ def test_idempotent_appends_survive_expiry(spark, tmp_path):
         _batch(spark, 0, 3, "d1"), app_id="ing", app_batch=0
     ) == 0
     assert log.read().count() == 5
+
+
+def test_schema_evolution_additive(spark, tmp_path):
+    """Additive schema evolution: merge_schema appends new columns to
+    the canonical order, old files null-fill them on read, time travel
+    shows the schema AS OF the version, and schema surprises without
+    merge_schema fail loudly before any file is written."""
+    from pyspark.sql import functions as F
+
+    log = FileCommitLog(spark, str(tmp_path / "t"))
+    log.append(_batch(spark, 0, 4, "d1"))
+    assert log.columns_at() == ["id", "day", "v"]
+
+    wide = spark.createDataFrame(
+        [(10, "d2", 100, 0.5), (11, "d2", 110, 0.7)],
+        "id long, day string, v long, score double",
+    )
+    # surprise column without merge_schema: loud, nothing committed
+    with pytest.raises(ValueError, match="merge_schema"):
+        log.append(wide)
+    assert log.latest_version() == 0
+
+    assert log.append(wide, merge_schema=True) == 1
+    assert log.columns_at() == ["id", "day", "v", "score"]
+    cur = log.read()
+    assert cur.columns == ["id", "day", "v", "score"]
+    got = {r.id: r.score for r in cur.collect()}
+    assert got[10] == 0.5 and got[0] is None
+    # time travel: the pre-evolution version has the old schema
+    assert log.read(as_of=0).columns == ["id", "day", "v"]
+
+    # a batch missing an EXISTING column is refused outright
+    narrow = spark.createDataFrame([(99, "d3")], "id long, day string")
+    with pytest.raises(ValueError, match="missing table columns"):
+        log.append(narrow, merge_schema=True)
+
+    # post-evolution writers may keep using the old shape? No —
+    # every existing column is required; the evolved col is existing now
+    with pytest.raises(ValueError, match="missing table columns"):
+        log.append(_batch(spark, 20, 22, "d3"))
+
+    # delete/merge operate across the evolved schema (null-filled rows)
+    assert log.delete_where(F.col("score") > 0.6) == 2
+    assert {r.id for r in log.read().collect()} == {0, 1, 2, 3, 10}
+
+
+def test_schema_evolution_survives_checkpoint_expiry(spark, tmp_path):
+    log = FileCommitLog(spark, str(tmp_path / "t"))
+    log.append(_batch(spark, 0, 3, "d1"))
+    wide = spark.createDataFrame(
+        [(5, "d2", 50, 1)], "id long, day string, v long, extra long"
+    )
+    log.append(wide, merge_schema=True)
+    log.write_checkpoint()
+    log.expire_commits()
+    # the canonical columns now come from the checkpoint
+    assert log.columns_at() == ["id", "day", "v", "extra"]
+    assert log.read().columns == ["id", "day", "v", "extra"]
+    assert log.read().count() == 4
+    # and a fresh append still validates against them
+    with pytest.raises(ValueError, match="missing table columns"):
+        log.append(_batch(spark, 9, 10, "d9"))
+
+
+def test_read_changes_exact_feed(spark, tmp_path):
+    """The change feed replays commits into exact inserts/deletes:
+    appends feed inserts, backfills feed delete(replaced)+insert(new),
+    DV deletes feed the vectored rows, merges feed pre-image deletes +
+    post-image inserts — and folding inserts minus deletes equals the
+    table delta."""
+    from pyspark.sql import functions as F
+
+    log = FileCommitLog(spark, str(tmp_path / "t"))
+    log.append(
+        _batch(spark, 0, 4, "d1").unionByName(_batch(spark, 4, 8, "d2")),
+        partition_cols=["day"],
+    )                                                   # v0 insert x8
+    log.overwrite_partitions(
+        _batch(spark, 100, 102, "d1"), "day", ["d1"]
+    )                                                   # v1 -4 +2
+    log.delete_where(F.col("id") == 5)                  # v2 -1
+    upd = spark.createDataFrame(
+        [(6, "d2", 999), (300, "d2", 1)],
+        "id long, day string, v long",
+    )
+    log.merge_by_key(upd, ["id"])                       # v3 -1 +2
+
+    ch = log.read_changes(-1)
+    counts = {
+        (r._commit_version, r._change_type): r.n
+        for r in ch.groupBy("_commit_version", "_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert counts == {
+        (0, "insert"): 8,
+        (1, "delete"): 4, (1, "insert"): 2,
+        (2, "delete"): 1,
+        (3, "delete"): 1, (3, "insert"): 2,
+    }
+    # pre-image values ride the deletes: the merged id carries v=60
+    pre = {r.id: r.v for r in ch.filter(
+        (F.col("_commit_version") == 3)
+        & (F.col("_change_type") == "delete")).collect()}
+    assert pre == {6: 60}
+    # folding the feed reconstructs the table exactly
+    folded = (
+        ch.groupBy("id", "day", "v")
+        .agg(F.sum(F.when(F.col("_change_type") == "insert", 1)
+                   .otherwise(-1)).alias("net"))
+        .filter(F.col("net") > 0)
+    )
+    assert {(r.id, r.day, r.v) for r in folded.collect()} == {
+        (r.id, r.day, r.v) for r in log.read().collect()
+    }
+    # cursor windows compose: (−1,1] ∪ (1,3] ≡ (−1,3]
+    a = log.read_changes(-1, 1).count()
+    b = log.read_changes(1, 3).count()
+    assert a + b == ch.count()
+    # cursor at the head: empty feed, stable schema, no error
+    head = log.read_changes(log.latest_version())
+    assert head.count() == 0
+    assert "_change_type" in head.columns
+
+
+def test_read_changes_compact_neutral_and_retention_floor(
+    spark, tmp_path
+):
+    from pyspark.sql import functions as F
+
+    log = FileCommitLog(spark, str(tmp_path / "t"))
+    log.append(_batch(spark, 0, 4, "d1"))
+    log.append(_batch(spark, 4, 8, "d1"))
+    assert log.compact() == 2
+    # OPTIMIZE-style rewrite is content-neutral: feeds nothing
+    assert log.read_changes(1).count() == 0
+    # deletes AFTER a compact still feed (vectors reference new files)
+    log.delete_where(F.col("id") < 2)
+    assert log.read_changes(2).filter(
+        F.col("_change_type") == "delete"
+    ).count() == 2
+    # expired history below the floor fails loudly
+    log.write_checkpoint()
+    log.expire_commits()
+    with pytest.raises(ValueError, match="expired"):
+        log.read_changes(-1)
+
+
+def test_clustered_compact_improves_pruning(spark, tmp_path):
+    """OPTIMIZE ZORDER/range-cluster through the commit log: after a
+    clustered rewrite the committed footer stats become near-disjoint
+    per file, so read_pruned opens a strict subset; content unchanged."""
+    from pyspark.sql import functions as F
+
+    log = FileCommitLog(spark, str(tmp_path / "t"), stats_cols=["v"])
+    # three appends, each spanning the FULL v-range (stats useless)
+    for i in range(3):
+        log.append(
+            spark.range(i, 300, 3)
+            .select(F.col("id").alias("k"), F.col("id").alias("v"))
+            .coalesce(1)
+        )
+    live, stats = log._live_with_stats()
+
+    def kept(lo, hi):
+        return [
+            f for f in live
+            if not (stats[f]["v"][1] < lo or stats[f]["v"][0] > hi)
+        ]
+
+    assert len(kept(40, 60)) == 3  # every file overlaps the range
+    before = {r.k for r in log.read_pruned("v", 40, 60).collect()}
+
+    assert log.compact(cluster_by=["v"], target_files=5) == 3
+    live, stats = log._live_with_stats()
+    assert len(live) == 5
+    assert len(kept(40, 60)) <= 2  # clustering made ranges disjoint
+    after = {r.k for r in log.read_pruned("v", 40, 60).collect()}
+    assert after == before == set(range(40, 61))
+
+    # two-key Z-order path: correctness + both columns' stats captured
+    log2 = FileCommitLog(
+        spark, str(tmp_path / "z"), stats_cols=["a", "b"]
+    )
+    log2.append(
+        spark.range(0, 256).select(
+            (F.col("id") % 16).alias("a"),
+            (F.col("id") / 16).cast("long").alias("b"),
+            F.col("id").alias("payload"),
+        )
+    )
+    log2.append(
+        spark.range(256, 260).select(
+            (F.col("id") % 16).alias("a"),
+            (F.col("id") / 16).cast("long").alias("b"),
+            F.col("id").alias("payload"),
+        )
+    )
+    assert log2.compact(cluster_by=["a", "b"], target_files=4) == 2
+    got = log2.read_pruned("a", 3, 5).filter(
+        F.col("b").between(3, 5)
+    ).count()
+    want = log2.read().filter(
+        F.col("a").between(3, 5) & F.col("b").between(3, 5)
+    ).count()
+    assert got == want
+    with pytest.raises(ValueError, match="cluster_by"):
+        log2.compact(cluster_by=["a", "b", "payload"])
