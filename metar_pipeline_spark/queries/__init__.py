@@ -78,6 +78,12 @@ VERIFY_FIRST: list[str] = [
     "filelog_stats_pruned_scan",
     "filelog_deletion_vectors",
     "filelog_merge_upsert",
+    # Round-13 continuation: change feed + cursor consumer, additive
+    # schema evolution, clustered OPTIMIZE — all filelog.py surfaces.
+    "filelog_change_feed",
+    "filelog_cdf_downstream_agg",
+    "filelog_schema_evolution",
+    "filelog_clustered_compact",
     "audio_wav_features",
     "audio_wav_resample",
     "lpa_incremental_delta",

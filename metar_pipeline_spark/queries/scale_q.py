@@ -3408,3 +3408,367 @@ def filelog_merge_upsert(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+@register(
+    "filelog_change_feed",
+    """
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), merged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN cents + 1000000
+                  ELSE cents END AS cents
+      FROM base
+    )
+    SELECT 0 AS _commit_version, 'insert' AS _change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM base
+    UNION ALL
+    SELECT 1, 'delete', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(cents) AS BIGINT)
+    FROM base WHERE o_orderkey % 5 = 0
+    UNION ALL
+    SELECT 1, 'insert', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(cents) AS BIGINT)
+    FROM merged WHERE o_orderkey % 5 = 0
+    UNION ALL
+    SELECT 2, 'delete', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(cents) AS BIGINT)
+    FROM merged WHERE o_orderkey % 7 = 0
+    """,
+    doc=(
+        "Exact change-data-feed off the file-action commit log "
+        "(filelog.read_changes — Delta CDF semantics, derived purely "
+        "from the committed file actions): an append feeds inserts, a "
+        "keyed MERGE feeds delete(pre-image)+insert(post-image) in one "
+        "version, a deletion-vector DELETE feeds exactly the vectored "
+        "rows — each commit's slice costs O(files that commit "
+        "touched), never a table scan, which is what lets a 100-TB "
+        "downstream consumer keep a cursor instead of re-reading. The "
+        "oracle recomputes every (version, change-type) stratum from "
+        "the raw fact: the merge's pre-images carry PRE-merge cents, "
+        "the delete's pre-images carry POST-merge cents — any "
+        "double-feed, missed vector, or stale-image bug breaks a "
+        "stratum sum. Fold-equality (inserts − deletes ≡ table) and "
+        "compact-neutrality are pinned in tests/test_filelog.py."
+    ),
+)
+def filelog_change_feed(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from metar_pipeline_spark.sources.filelog import FileCommitLog
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    upd = base.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+        "cents", F.col("cents") + F.lit(1000000)
+    )
+    tmp = tempfile.mkdtemp(prefix="filelog_cdf_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        log = FileCommitLog(spark, os.path.join(tmp, "fact"))
+        log.append(base)                                    # v0
+        assert log.merge_by_key(upd, ["o_orderkey"]) == 1   # v1
+        assert log.delete_where(F.col("o_orderkey") % 7 == 0) == 2
+        result = (
+            log.read_changes(-1)
+            .groupBy("_commit_version", "_change_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
+
+
+@register(
+    "filelog_cdf_downstream_agg",
+    """
+    SELECT user_id % 10 AS user_band,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events
+    WHERE event_id % 11 <> 0
+    GROUP BY user_id % 10
+    """,
+    doc=(
+        "Cursor-driven incremental consumer on the change feed: a "
+        "downstream aggregate is maintained PURELY from "
+        "read_changes deltas (insert adds, delete subtracts), "
+        "consumed in two cursor windows — (-1, v1] then (v1, latest] "
+        "— across an append, a partition backfill (whose replaced "
+        "files feed deletes and replacements feed inserts), and a "
+        "deletion-vector DELETE. The maintained result must equal the "
+        "direct aggregate over the final table, which is exactly what "
+        "the oracle computes — any missed delete, double-fed file, or "
+        "wrong pre-image breaks a band. This is the 100-TB downstream "
+        "pattern: each refresh costs O(changed files since the "
+        "cursor), never a re-scan of the fact."
+    ),
+)
+def filelog_cdf_downstream_agg(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from metar_pipeline_spark.sources.filelog import FileCommitLog
+
+    events = load_table(spark, sf_dir, "events")
+    day = F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    is_late = (
+        F.col("ts") >= F.lit("2024-01-28").cast("timestamp")
+    ) & (F.col("event_id") % 2 == 0)
+    base = events.select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        day,
+        is_late.alias("is_late"),
+    )
+    tmp = tempfile.mkdtemp(prefix="filelog_cdf_agg_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        log = FileCommitLog(spark, os.path.join(tmp, "fact"))
+        log.append(
+            base.filter(~F.col("is_late")).drop("is_late"),
+            partition_cols=["day"],
+        )                                                   # v0
+        affected = [
+            str(r.day)
+            for r in base.filter(F.col("is_late"))
+            .select("day")
+            .distinct()
+            .collect()  # bounded-collect: affected-day grain
+        ]
+        log.overwrite_partitions(
+            base.filter(F.col("day").isin(affected)).drop("is_late"),
+            "day",
+            sorted(affected),
+        )                                                   # v1
+        assert log.delete_where(F.col("event_id") % 11 == 0) == 2
+        sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        feed = log.read_changes(-1, 1).unionByName(
+            log.read_changes(1)  # cursor advanced to v1, then drained
+        )
+        result = (
+            feed.groupBy((F.col("user_id") % 10).alias("user_band"))
+            .agg(
+                F.sum(sign).cast("long").alias("n_rows"),
+                F.sum(sign * F.col("cents")).cast("long").alias(
+                    "sum_cents"
+                ),
+            )
+            .filter(F.col("n_rows") > 0)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
+
+
+@register(
+    "filelog_schema_evolution",
+    """
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderpriority
+      FROM orders
+    )
+    SELECT 'v0_old_schema' AS phase,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(0 AS BIGINT) AS n_with_priority
+    FROM base WHERE o_orderkey % 3 <> 0
+    UNION ALL
+    SELECT 'v1_evolved',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(cents) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM base
+    """,
+    doc=(
+        "Additive schema evolution on the file-action log (Delta's "
+        "mergeSchema): v0 lands (key, cents); v1 appends a batch "
+        "carrying a NEW o_orderpriority column under "
+        "merge_schema=True. Every commit records the canonical column "
+        "list, so the latest read serves the evolved schema with v0's "
+        "files null-filling the added column (counted here: "
+        "n_with_priority counts only v1 rows), while time travel to "
+        "v0 serves the ORIGINAL two-column schema — no retroactive "
+        "columns. A schema surprise without merge_schema fails "
+        "loudly BEFORE any file lands, and the canonical list rides "
+        "checkpoints past log expiry (tests/test_filelog.py). At "
+        "100 TB this is evolution with zero data rewritten: old files "
+        "are never touched, the schema is just versioned metadata."
+    ),
+)
+def filelog_schema_evolution(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from metar_pipeline_spark.sources.filelog import FileCommitLog
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderpriority",
+    )
+    tmp = tempfile.mkdtemp(prefix="filelog_schema_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        log = FileCommitLog(spark, os.path.join(tmp, "fact"))
+        log.append(
+            base.filter(F.col("o_orderkey") % 3 != 0).drop(
+                "o_orderpriority"
+            )
+        )                                                   # v0
+        log.append(
+            base.filter(F.col("o_orderkey") % 3 == 0).withColumnRenamed(
+                "o_orderpriority", "priority"
+            ),
+            merge_schema=True,
+        )                                                   # v1
+        old = (
+            log.read(as_of=0)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+            .select(
+                F.lit("v0_old_schema").alias("phase"),
+                "n_rows",
+                "sum_cents",
+                F.lit(0).cast("long").alias("n_with_priority"),
+            )
+        )
+        new = (
+            log.read()
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+                F.count("priority").cast("long").alias(
+                    "n_with_priority"
+                ),
+            )
+            .select(
+                F.lit("v1_evolved").alias("phase"),
+                "n_rows",
+                "sum_cents",
+                "n_with_priority",
+            )
+        )
+        result = old.unionByName(new).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
+
+
+@register(
+    "filelog_clustered_compact",
+    """
+    WITH f AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      FROM events
+      WHERE CAST(FLOOR(value * 100) AS BIGINT) BETWEEN 2500 AND 7500
+    )
+    SELECT 'pre_compact' AS phase, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM f GROUP BY event_type
+    UNION ALL
+    SELECT 'post_compact', event_type,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(cents) AS BIGINT)
+    FROM f GROUP BY event_type
+    """,
+    doc=(
+        "Clustered OPTIMIZE through the commit log (Delta's OPTIMIZE "
+        "ZORDER BY): three interleaved appends each span the full "
+        "cents range, so footer stats exclude nothing; "
+        "compact(cluster_by=[cents]) rewrites the live set "
+        "range-clustered into near-disjoint files whose stats commit "
+        "ATOMICALLY with the rewrite — read_pruned tightens "
+        "immediately, no ANALYZE/refresh step exists to forget. The "
+        "result runs the SAME pruned range scan before and after the "
+        "rewrite: both phases must equal the oracle's plain filter "
+        "(clustering is result-invisible; only I/O changes). The "
+        "pruned-file-count drop and the 2-key Z-order path are pinned "
+        "in tests/test_filelog.py."
+    ),
+)
+def filelog_clustered_compact(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from metar_pipeline_spark.sources.filelog import FileCommitLog
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="filelog_cluster_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        log = FileCommitLog(
+            spark, os.path.join(tmp, "fact"), stats_cols=["cents"]
+        )
+        staged = base.localCheckpoint(eager=True)  # 3 slices, one pass
+        for m in range(3):  # each slice spans the FULL cents range
+            log.append(
+                staged.filter(F.col("event_id") % 3 == m).coalesce(1)
+            )
+
+        def scan(phase):
+            return (
+                log.read_pruned("cents", 2500, 7500)
+                .groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_events"),
+                    F.sum("cents").cast("long").alias("sum_cents"),
+                )
+                .select(
+                    F.lit(phase).alias("phase"),
+                    "event_type",
+                    "n_events",
+                    "sum_cents",
+                )
+            )
+
+        pre = scan("pre_compact").localCheckpoint(eager=True)
+        assert log.compact(cluster_by=["cents"], target_files=6) == 3
+        result = (
+            pre.unionByName(scan("post_compact"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
