@@ -84,6 +84,7 @@ VERIFY_FIRST: list[str] = [
     "filelog_cdf_downstream_agg",
     "filelog_schema_evolution",
     "filelog_clustered_compact",
+    "filelog_cdc_replication",
     "audio_wav_features",
     "audio_wav_resample",
     "lpa_incremental_delta",

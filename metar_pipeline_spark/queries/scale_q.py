@@ -3772,3 +3772,96 @@ def filelog_clustered_compact(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+@register(
+    "filelog_cdc_replication",
+    """
+    WITH merged AS (
+      SELECT user_id % 10 AS user_band,
+             CASE WHEN event_id % 9 = 0
+                  THEN CAST(FLOOR(value * 100) AS BIGINT) + 500000
+                  ELSE CAST(FLOOR(value * 100) AS BIGINT) END AS cents,
+             user_id
+      FROM events
+    )
+    SELECT user_band,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           2 AS n_dst_commits
+    FROM merged
+    WHERE user_id % 13 <> 0
+    GROUP BY user_band
+    """,
+    doc=(
+        "EXACTLY-ONCE change-feed replication between two file-action "
+        "logs (filelog.sync_changes_from): the destination changelog's "
+        "idempotent (app_id, app_batch=source-version) commits ARE the "
+        "cursor — no separate cursor file exists to desync from the "
+        "data. The run syncs after a merge window, injects a blind "
+        "CRASH-RETRY of that same window (the idempotent append "
+        "deduplicates it — no third commit, pinned by the "
+        "n_dst_commits column: 2, not 3), syncs the delete window, "
+        "and folds the replicated changelog (inserts − deletes) into "
+        "the per-band aggregate the oracle computes directly from the "
+        "source math. Each sync costs O(files the new source commits "
+        "touched) — the 100-TB replication pattern where neither side "
+        "ever re-scans the table."
+    ),
+)
+def filelog_cdc_replication(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from metar_pipeline_spark.sources.filelog import FileCommitLog
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_id",
+        (F.col("user_id") % 10).alias("user_band"),
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    upd = base.filter(F.col("event_id") % 9 == 0).withColumn(
+        "cents", F.col("cents") + F.lit(500000)
+    )
+    tmp = tempfile.mkdtemp(prefix="filelog_cdc_rep_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        src = FileCommitLog(spark, os.path.join(tmp, "src"))
+        dst = FileCommitLog(spark, os.path.join(tmp, "dst"))
+        src.append(base)                                    # v0
+        assert src.merge_by_key(upd, ["event_id"]) == 1     # v1
+        assert dst.sync_changes_from(src, app_id="mirror") == 0
+        # blind crash-retry of the already-committed window: no-op
+        assert dst.append(
+            src.read_changes(-1, 1), app_id="mirror", app_batch=1
+        ) == 0
+        assert src.delete_where(F.col("user_id") % 13 == 0) == 2
+        assert dst.sync_changes_from(src, app_id="mirror") == 1
+        n_dst = dst.latest_version() + 1  # 2 — dedup held
+        sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        result = (
+            dst.read()
+            .groupBy("user_band")
+            .agg(
+                F.sum(sign).cast("long").alias("n_rows"),
+                F.sum(sign * F.col("cents")).cast("long").alias(
+                    "sum_cents"
+                ),
+            )
+            .filter(F.col("n_rows") > 0)
+            .select(
+                "user_band",
+                "n_rows",
+                "sum_cents",
+                F.lit(n_dst).cast("int").alias("n_dst_commits"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result

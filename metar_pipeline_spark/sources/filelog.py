@@ -635,6 +635,34 @@ class FileCommitLog:
                 return n
         return None
 
+    def last_app_batch(self, app_id: str) -> "int | None":
+        """Highest ``app_batch`` committed under ``app_id`` (commits
+        still in the log plus identities carried by checkpoints), or
+        None if the writer has never committed. This is what lets a
+        DESTINATION table double as its own replication cursor: the
+        consumer asks the target how far it already got, so there is
+        no separate cursor file to desync from the data."""
+        best: "int | None" = None
+        for cp in self._checkpoint_versions():
+            meta = json.loads(
+                _read_small_file(
+                    self._fs,
+                    self._path(f"{_COMMITS}/_checkpoint.{cp}.json"),
+                    self._jvm,
+                )
+            )
+            for key in meta.get("apps", {}):
+                aid, _, b = key.rpartition(":")
+                if aid == app_id and (best is None or int(b) > best):
+                    best = int(b)
+        for n in self._commit_versions():
+            c = self.get_commit(n)
+            if c.get("app_id") == app_id:
+                b = int(c.get("app_batch", 0))
+                if best is None or b > best:
+                    best = b
+        return best
+
     def append(
         self,
         df: DataFrame,
@@ -1074,6 +1102,45 @@ class FileCommitLog:
                 self._path(f"{_COMMITS}/_checkpoint.{c}.json"), False
             )
         return dropped
+
+    def sync_changes_from(
+        self,
+        src: "FileCommitLog",
+        app_id: str,
+        transform=None,
+        partition_cols: "list[str] | None" = None,
+    ) -> "int | None":
+        """EXACTLY-ONCE change-feed replication: append the source's
+        changes since this table's own cursor as one idempotent
+        commit. The cursor IS the destination's committed
+        (app_id, app_batch=source-version) identity — there is no
+        separate cursor file to desync, so a crash anywhere and a
+        blind re-run converge: the re-run either re-reads the same
+        source window and the idempotent append deduplicates it, or
+        sees the advanced cursor and no-ops. Returns the destination
+        version committed, or None when already caught up.
+
+        The destination is a CHANGELOG table (rows tagged
+        ``_change_type``/``_commit_version``); downstream folds
+        inserts minus deletes (see q:filelog_cdc_replication) — the
+        replication twin of Delta's CDF-to-downstream pattern. Each
+        sync costs O(files the source's new commits touched).
+        ``transform`` (optional) maps the change frame before the
+        append — project/filter only; it must keep the change tags."""
+        cursor = self.last_app_batch(app_id)
+        lo = -1 if cursor is None else int(cursor)
+        hi = src.latest_version()
+        if hi <= lo:
+            return None
+        changes = src.read_changes(lo, hi)
+        if transform is not None:
+            changes = transform(changes)
+        return self.append(
+            changes,
+            partition_cols=partition_cols,
+            app_id=app_id,
+            app_batch=hi,
+        )
 
     def referenced_tokens(self) -> "set[str]":
         """_data/ and _dv/ token dirs referenced by any remaining

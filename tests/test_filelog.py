@@ -555,3 +555,58 @@ def test_clustered_compact_improves_pruning(spark, tmp_path):
     assert got == want
     with pytest.raises(ValueError, match="cluster_by"):
         log2.compact(cluster_by=["a", "b", "payload"])
+
+
+def test_cdc_replication_exactly_once(spark, tmp_path):
+    """sync_changes_from: the destination's idempotent app-commits ARE
+    the cursor — duplicate syncs and crash-retries converge, and the
+    folded changelog always equals the source table."""
+    from pyspark.sql import functions as F
+
+    src = FileCommitLog(spark, str(tmp_path / "src"))
+    dst = FileCommitLog(spark, str(tmp_path / "dst"))
+
+    src.append(_batch(spark, 0, 6, "d1"))                   # v0
+    upd = spark.createDataFrame(
+        [(2, "d1", 999)], "id long, day string, v long"
+    )
+    src.merge_by_key(upd, ["id"])                           # v1
+
+    assert dst.sync_changes_from(src, app_id="mirror") == 0
+    assert dst.last_app_batch("mirror") == 1
+    # caught up: no-op
+    assert dst.sync_changes_from(src, app_id="mirror") is None
+    # crash-retry of the same window: idempotent commit deduplicates
+    assert dst.append(
+        src.read_changes(-1, 1), app_id="mirror", app_batch=1
+    ) == 0
+    assert dst.latest_version() == 0
+
+    src.delete_where(F.col("id") == 0)                      # v2
+    assert dst.sync_changes_from(src, app_id="mirror") == 1
+
+    def fold(df):
+        sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        return {
+            (r.id, r.day, r.v)
+            for r in df.groupBy("id", "day", "v")
+            .agg(F.sum(sign).alias("net"))
+            .filter(F.col("net") > 0)
+            .collect()
+        }
+
+    assert fold(dst.read()) == {
+        (r.id, r.day, r.v) for r in src.read().collect()
+    }
+    # the cursor survives destination checkpoint + log expiry
+    dst.write_checkpoint()
+    dst.expire_commits()
+    assert dst.last_app_batch("mirror") == 2
+    assert dst.sync_changes_from(src, app_id="mirror") is None
+    # a compact-only source window still advances the cursor
+    assert src.compact() == 3
+    v = dst.sync_changes_from(src, app_id="mirror")
+    assert v == 2 and dst.last_app_batch("mirror") == 3
+    assert fold(dst.read()) == {
+        (r.id, r.day, r.v) for r in src.read().collect()
+    }
