@@ -141,16 +141,21 @@ def _resolve_codec(codec: str) -> str:
     raise ValueError(f"unknown codec {codec!r} (use auto|pil|ppm|fake)")
 
 
-def _ppm_parse(b: bytes) -> "tuple[int, int, int, bytes]":
-    """Parse a binary netpbm image (P5 grayscale / P6 RGB, maxval 255):
-    → (width, height, n_channels, pixel bytes). Pure stdlib — the
-    format is three whitespace-separated header tokens (with
-    ``#``-comment support) followed by raw samples, which makes it the
-    one REAL image codec an engine can carry with zero dependencies."""
-    if len(b) < 2 or b[0:1] != b"P" or b[1:2] not in (b"5", b"6"):
+def _ppm_parse_at(
+    b: bytes, pos: int
+) -> "tuple[int, int, int, bytes, int]":
+    """Parse ONE binary netpbm image (P5 grayscale / P6 RGB, maxval
+    255) starting at ``pos`` → (width, height, n_channels, pixel
+    bytes, position after the frame). The offset-aware form is what a
+    FRAME STREAM needs: back-to-back concatenated P5/P6 images are a
+    real public video interchange format (ffmpeg's
+    ``-f image2pipe -vcodec ppm``)."""
+    if len(b) < pos + 2 or b[pos:pos + 1] != b"P" or b[
+        pos + 1:pos + 2
+    ] not in (b"5", b"6"):
         raise ValueError("not a binary netpbm image (want P5/P6 magic)")
-    channels = 3 if b[1:2] == b"6" else 1
-    pos, tokens = 2, []
+    channels = 3 if b[pos + 1:pos + 2] == b"6" else 1
+    pos, tokens = pos + 2, []
     while len(tokens) < 3:
         while pos < len(b) and b[pos:pos + 1].isspace():
             pos += 1
@@ -174,7 +179,34 @@ def _ppm_parse(b: bytes) -> "tuple[int, int, int, bytes]":
         raise ValueError(
             f"truncated netpbm payload: want {need} bytes, have {len(pix)}"
         )
+    return w, h, channels, pix, pos + need
+
+
+def _ppm_parse(b: bytes) -> "tuple[int, int, int, bytes]":
+    """Parse a binary netpbm image (P5 grayscale / P6 RGB, maxval 255):
+    → (width, height, n_channels, pixel bytes). Pure stdlib — the
+    format is three whitespace-separated header tokens (with
+    ``#``-comment support) followed by raw samples, which makes it the
+    one REAL image codec an engine can carry with zero dependencies.
+    Trailing bytes after the first frame are ignored (single-image
+    contract; use :func:`_ppm_stream_frames` for frame streams)."""
+    w, h, channels, pix, _ = _ppm_parse_at(b, 0)
     return w, h, channels, pix
+
+
+def _ppm_stream_frames(
+    b: bytes,
+) -> "list[tuple[int, int, int, bytes]]":
+    """Decode a concatenated-netpbm FRAME STREAM (ffmpeg image2pipe):
+    frames are parsed back-to-back until the buffer is exhausted.
+    Frames may differ in size/depth mid-stream (the format allows
+    it); a malformed tail raises rather than silently truncating.
+    Empty input → zero frames (a zero-length video is valid)."""
+    frames, pos = [], 0
+    while pos < len(b):
+        w, h, ch, pix, pos = _ppm_parse_at(b, pos)
+        frames.append((w, h, ch, pix))
+    return frames
 
 
 def _ppm_encode(w: int, h: int, channels: int, pix: bytes) -> bytes:
@@ -327,6 +359,153 @@ def sample_frames(
             )
 
     return df.select(id_col, bin_col).mapInPandas(kernel, FRAME_SCHEMA)
+
+
+PPM_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sum_luma", T.LongType()),
+        T.StructField("peak_pixel", T.IntegerType()),
+    ]
+)
+
+VIDEO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("total_luma", T.LongType()),
+        T.StructField("peak_pixel", T.IntegerType()),
+    ]
+)
+
+
+def synthesize_ppm_video(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+    height: int = 4,
+) -> DataFrame:
+    """Deterministic video fixtures: each document's UTF-8 bytes
+    become consecutive ``width×height`` grayscale P5 frames (pixel =
+    raw text byte), concatenated into one binary column — a REAL
+    frame-stream a netpbm-capable player accepts (ffmpeg image2pipe).
+    Leftover bytes short of a full frame are dropped (floor frame
+    count — replayed exactly by the oracle); documents shorter than
+    one frame yield a zero-frame (empty) video, which is valid."""
+    wh = width * height
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vids = []
+            for t in pdf[text_col]:
+                raw = str(t).encode("utf-8")
+                n = len(raw) // wh
+                vids.append(
+                    b"".join(
+                        _ppm_encode(
+                            width, height, 1,
+                            raw[k * wh:(k + 1) * wh],
+                        )
+                        for k in range(n)
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "video": vids}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, "doc_id long, video binary"
+    )
+
+
+def sample_video_frames_ppm(
+    df: DataFrame,
+    stride: int = 2,
+    id_col: str = "doc_id",
+    bin_col: str = "video",
+) -> DataFrame:
+    """REAL frame sampling through the real codec (the honest twin of
+    :func:`sample_frames`' chunking stand-in): the concatenated-netpbm
+    stream is decoded frame by frame (``_ppm_stream_frames``), every
+    ``stride``-th frame is kept, and per-frame exact-integer pixel
+    statistics are emitted (Σ luma in int64, peak sample — never a
+    cross-engine float). One input row → many frame rows, streamed
+    per Arrow batch; a 100-TB video corpus shards by byte size first
+    (``repartition_by_bytes``)."""
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i, b in zip(pdf[id_col], pdf[bin_col]):
+                for k, (w, h, ch, pix) in enumerate(
+                    _ppm_stream_frames(bytes(b))
+                ):
+                    if k % stride:
+                        continue
+                    out.append(
+                        (i, k, w, h, ch, sum(pix), max(pix) if pix
+                         else 0)
+                    )
+            yield pd.DataFrame(
+                out, columns=[c.name for c in PPM_FRAME_SCHEMA]
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(
+        kernel, PPM_FRAME_SCHEMA
+    )
+
+
+def extract_video_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "video",
+) -> DataFrame:
+    """Per-video (GOP-level) exact-integer features off the real
+    frame stream: frame count, first-frame geometry, total Σ luma
+    across every frame (int64), global peak pixel. A zero-frame video
+    reports zero geometry rather than erroring — presence in the
+    corpus is the signal at curation time."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i, b in zip(pdf[id_col], pdf[bin_col]):
+                frames = _ppm_stream_frames(bytes(b))
+                if not frames:
+                    out.append((i, 0, 0, 0, 0, 0, 0))
+                    continue
+                w0, h0, ch0, _ = frames[0]
+                out.append(
+                    (
+                        i,
+                        len(frames),
+                        w0,
+                        h0,
+                        ch0,
+                        sum(sum(pix) for _, _, _, pix in frames),
+                        max(
+                            max(pix) if pix else 0
+                            for _, _, _, pix in frames
+                        ),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=[c.name for c in VIDEO_FEATURE_SCHEMA]
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(
+        kernel, VIDEO_FEATURE_SCHEMA
+    )
 
 
 AUDIO_FEATURE_SCHEMA = T.StructType(

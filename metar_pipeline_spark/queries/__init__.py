@@ -85,6 +85,8 @@ VERIFY_FIRST: list[str] = [
     "filelog_schema_evolution",
     "filelog_clustered_compact",
     "filelog_cdc_replication",
+    "video_ppm_frame_sample",
+    "video_ppm_gop_features",
     "audio_wav_features",
     "audio_wav_resample",
     "lpa_incremental_delta",

@@ -430,3 +430,101 @@ def audio_wav_resample(spark, sf_dir):
     wavs = mm.synthesize_wav(docs, "doc_id", "text", rate=8000)
     small = mm.resample_wav(wavs, 3, "doc_id", "wav")
     return mm.extract_wav_features(small, "doc_id", "resampled")
+
+
+@register(
+    "video_ppm_frame_sample",
+    """
+    WITH c AS (
+      SELECT doc_id, upper(hex(encode(text))) AS h FROM documents
+    ), f AS (
+      SELECT doc_id, h,
+             unnest(generate_series(0, length(h) // 64 - 1)) AS fi
+      FROM c WHERE length(h) >= 64
+    ), s AS (
+      SELECT doc_id, fi,
+             ('0x' || substr(h, (fi * 32 + k) * 2 + 1, 2))::INT AS px
+      FROM f, LATERAL (
+        SELECT unnest(generate_series(0, 31)) AS k
+      ) ks
+      WHERE fi % 2 = 0
+    )
+    SELECT doc_id,
+           CAST(fi AS INTEGER) AS frame_idx,
+           CAST(8 AS INTEGER) AS width,
+           CAST(4 AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(SUM(px) AS BIGINT) AS sum_luma,
+           CAST(MAX(px) AS INTEGER) AS peak_pixel
+    FROM s GROUP BY doc_id, fi
+    """,
+    doc=(
+        "REAL video frame sampling through a real public codec: each "
+        "document's UTF-8 bytes become consecutive 8×4 grayscale P5 "
+        "frames concatenated into ONE binary stream — the netpbm "
+        "frame-stream format ffmpeg's image2pipe emits — then "
+        "multimodal._ppm_stream_frames decodes the stream frame by "
+        "frame and every 2nd frame is kept with exact-integer pixel "
+        "stats (Σ luma int64, peak sample). The oracle replays the "
+        "identical byte math from the raw text (frame f = bytes "
+        "[32f, 32f+32), sampled fi%2=0): a hash match proves real "
+        "pixel bytes flowed through a real stream parser, not a "
+        "chunking digest (q:video_frame_sample remains the "
+        "opaque-codec stand-in shape). Stream-parse guards and the "
+        "mid-stream geometry-change case are pinned in "
+        "tests/test_formats.py::TestPpmVideoStream."
+    ),
+)
+def video_ppm_frame_sample(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    vids = mm.synthesize_ppm_video(docs, width=8, height=4)
+    return mm.sample_video_frames_ppm(vids, stride=2)
+
+
+@register(
+    "video_ppm_gop_features",
+    """
+    WITH c AS (
+      SELECT doc_id, upper(hex(encode(text))) AS h FROM documents
+    ), n AS (
+      SELECT doc_id, h, length(h) // 64 AS nf FROM c
+    ), b AS (
+      SELECT doc_id,
+             ('0x' || substr(h, k * 2 + 1, 2))::INT AS px
+      FROM n, LATERAL (
+        SELECT unnest(generate_series(0, nf * 32 - 1)) AS k
+      ) ks
+      WHERE nf > 0
+    ), s AS (
+      SELECT doc_id, SUM(px) AS tl, MAX(px) AS pk FROM b GROUP BY 1
+    )
+    SELECT n.doc_id,
+           CAST(n.nf AS INTEGER) AS n_frames,
+           CAST(CASE WHEN n.nf > 0 THEN 8 ELSE 0 END AS INTEGER)
+             AS width,
+           CAST(CASE WHEN n.nf > 0 THEN 4 ELSE 0 END AS INTEGER)
+             AS height,
+           CAST(CASE WHEN n.nf > 0 THEN 1 ELSE 0 END AS INTEGER)
+             AS n_channels,
+           CAST(coalesce(s.tl, 0) AS BIGINT) AS total_luma,
+           CAST(coalesce(s.pk, 0) AS INTEGER) AS peak_pixel
+    FROM n LEFT JOIN s USING (doc_id)
+    """,
+    doc=(
+        "Per-video (GOP-level) features off the real frame stream: "
+        "frame count (floor of bytes over frame size — leftover bytes "
+        "drop, replayed by the oracle), first-frame geometry, total "
+        "Σ luma across all frames in int64, global peak pixel. "
+        "Zero-frame videos (documents shorter than one frame) report "
+        "zero geometry rather than erroring — at curation time "
+        "presence IS the signal. Together with "
+        "q:video_ppm_frame_sample this closes the last stubbed "
+        "modality: image (netpbm, r12), audio (RIFF/PCM, r13), and "
+        "video (netpbm frame stream) all run REAL bytes through REAL "
+        "parsers in any environment, zero dependencies."
+    ),
+)
+def video_ppm_gop_features(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    vids = mm.synthesize_ppm_video(docs, width=8, height=4)
+    return mm.extract_video_features(vids)

@@ -428,3 +428,60 @@ class TestWavCodec:
         rate, nch, width, nf, kept = _wav_parse(bytes(out["resampled"]))
         assert (rate, nch, nf) == (4000, 2, 2)
         assert kept == [10000, -10000, 30000, -30000]
+
+
+class TestPpmVideoStream:
+    """Concatenated-netpbm frame streams (ffmpeg image2pipe): the real
+    video codec seam — stream parse, synthesis, sampling, features."""
+
+    def test_stream_parse_roundtrip_and_guards(self):
+        import pytest as _pt
+
+        from metar_pipeline_spark.operators.multimodal import (
+            _ppm_encode,
+            _ppm_stream_frames,
+        )
+
+        f1 = _ppm_encode(2, 2, 1, bytes([1, 2, 3, 4]))
+        f2 = _ppm_encode(1, 2, 3, bytes([9] * 6))  # size/depth change
+        f3 = _ppm_encode(2, 1, 1, bytes([7, 8]))
+        frames = _ppm_stream_frames(f1 + f2 + f3)
+        assert [(w, h, c) for w, h, c, _ in frames] == [
+            (2, 2, 1), (1, 2, 3), (2, 1, 1)
+        ]
+        assert frames[2][3] == bytes([7, 8])
+        assert _ppm_stream_frames(b"") == []
+        with _pt.raises(ValueError, match="netpbm"):
+            _ppm_stream_frames(f1 + b"JUNK")
+        with _pt.raises(ValueError, match="truncated"):
+            _ppm_stream_frames(f1 + f2[:-2])
+
+    def test_synthesize_sample_features(self, spark):
+        from metar_pipeline_spark.operators import multimodal as mm
+
+        docs = spark.createDataFrame(
+            [(1, "abcdefgh" * 3 + "xy"),  # 26 bytes → 3 frames of 8
+             (2, "short")],               # 5 bytes → 0 frames
+            "doc_id bigint, text string",
+        )
+        vids = mm.synthesize_ppm_video(
+            docs, width=4, height=2
+        ).localCheckpoint(eager=True)
+
+        feats = {
+            r.doc_id: r for r in mm.extract_video_features(vids).collect()
+        }
+        assert feats[1].n_frames == 3
+        assert (feats[1].width, feats[1].height, feats[1].n_channels) \
+            == (4, 2, 1)
+        raw = ("abcdefgh" * 3 + "xy").encode()[:24]
+        assert feats[1].total_luma == sum(raw)
+        assert feats[1].peak_pixel == max(raw)
+        assert feats[2].n_frames == 0 and feats[2].total_luma == 0
+
+        sampled = mm.sample_video_frames_ppm(vids, stride=2).collect()
+        by_frame = {(r.doc_id, r.frame_idx): r for r in sampled}
+        assert set(by_frame) == {(1, 0), (1, 2)}  # every 2nd frame
+        assert by_frame[(1, 0)].sum_luma == sum(b"abcdefgh")
+        assert by_frame[(1, 2)].sum_luma == sum(b"abcdefgh")
+        assert by_frame[(1, 0)].peak_pixel == max(b"abcdefgh")
