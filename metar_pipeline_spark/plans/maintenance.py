@@ -27,9 +27,12 @@ an operator actually schedules:
                        maintenance through the SAME protocol the ingest
                        writers use, so a racing merge conflicts cleanly
                        instead of corrupting)
-- ``compact_filelog`` / ``checkpoint_filelog``
-                     → :mod:`sources.filelog` (token compaction and
-                       log checkpoint+expire for file-action tables)
+- ``compact_filelog`` / ``checkpoint_filelog`` / ``sync_filelog``
+                     → :mod:`sources.filelog` (token compaction —
+                       optionally CLUSTERED with stats re-capture, the
+                       OPTIMIZE ZORDER shape — log checkpoint+expire,
+                       and scheduled exactly-once change-feed
+                       replication into a downstream changelog table)
 
 Each task is independent and isolated: a failing task records its error
 and the runner continues (the ops-runner contract — one bad table must
@@ -167,9 +170,29 @@ def _run_one(spark: SparkSession, t: "dict[str, Any]") -> "tuple[str, str]":
     if kind == "compact_filelog":
         from metar_pipeline_spark.sources.filelog import FileCommitLog
 
-        v = FileCommitLog(spark, t["path"]).compact(
+        # stats_cols must ride the rewrite or a maintenance compaction
+        # silently degrades the log's data skipping (files without
+        # stats are never prunable); cluster_by turns the task into
+        # Delta's OPTIMIZE ZORDER.
+        v = FileCommitLog(
+            spark, t["path"], stats_cols=t.get("stats_cols")
+        ).compact(
             partition_cols=t.get("partition_cols"),
             min_tokens=t.get("min_tokens", 2),
+            cluster_by=t.get("cluster_by"),
+            target_files=t.get("target_files", 8),
+        )
+        return t["path"], f"version={v}" if v is not None else "noop"
+    if kind == "sync_filelog":
+        from metar_pipeline_spark.sources.filelog import FileCommitLog
+
+        dst = FileCommitLog(
+            spark, t["path"], stats_cols=t.get("stats_cols")
+        )
+        v = dst.sync_changes_from(
+            FileCommitLog(spark, t["source"]),
+            app_id=t.get("app_id", "maintenance-sync"),
+            partition_cols=t.get("partition_cols"),
         )
         return t["path"], f"version={v}" if v is not None else "noop"
     if kind == "checkpoint_filelog":

@@ -179,6 +179,58 @@ class FileCommitLog:
             )
         return json.loads(_read_small_file(self._fs, p, self._jvm))
 
+    def read_pruned_multi(
+        self, bounds: "dict", as_of: "int | None" = None
+    ) -> DataFrame:
+        """Box-predicate pruned scan: ``bounds`` maps column →
+        (lo, hi); a file is skipped when ANY bounded column's
+        committed min/max provably excludes it (conjunctive box —
+        the multi-column twin of :meth:`read_pruned`, composing with
+        Z-order clustering where both keys' per-file ranges are
+        narrow). Missing stats keep the file; the row predicate
+        always applies, so stats only ever save I/O; deletion vectors
+        still apply."""
+        from functools import reduce as _reduce
+
+        from pyspark.sql import functions as F
+
+        live, stats = self._live_with_stats(as_of)
+        kept = []
+        for f in live:
+            fs = stats.get(f, {})
+            skip = False
+            for col, (lo, hi) in bounds.items():
+                s = fs.get(col)
+                if s is not None and s[0] is not None and (
+                    s[1] < lo or s[0] > hi
+                ):
+                    skip = True
+                    break
+            if not skip:
+                kept.append(f)
+        pred = _reduce(
+            lambda a, b: a & b,
+            [
+                (F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi))
+                for c, (lo, hi) in bounds.items()
+            ],
+        )
+        if not kept:
+            return self.read(as_of).filter(F.lit(False)).filter(pred)
+        cols = self.columns_at(as_of)
+        dvs = self._active_dvs(as_of)
+        if not dvs:
+            return self._scan_files(
+                kept, with_meta=False, cols=cols
+            ).filter(pred)
+        return (
+            self._apply_dvs(
+                self._scan_files(kept, with_meta=True, cols=cols), dvs
+            )
+            .drop("__file", "__ri")
+            .filter(pred)
+        )
+
     # -- schema tracking --------------------------------------------------
     def columns_at(self, as_of: "int | None" = None) -> "list[str] | None":
         """Canonical column order AS OF a version: the newest ``cols``

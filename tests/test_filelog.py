@@ -610,3 +610,123 @@ def test_cdc_replication_exactly_once(spark, tmp_path):
     assert fold(dst.read()) == {
         (r.id, r.day, r.v) for r in src.read().collect()
     }
+
+
+def test_read_pruned_multi_box_after_zorder(spark, tmp_path):
+    """Conjunctive box pruning off committed stats, composed with a
+    Z-order clustered compact: both keys' per-file ranges narrow, so
+    the box opens a strict subset of files; semantics stay
+    stats-invariant."""
+    from pyspark.sql import functions as F
+
+    log = FileCommitLog(
+        spark, str(tmp_path / "t"), stats_cols=["a", "b"]
+    )
+    grid = spark.range(0, 1024).select(
+        (F.col("id") % 32).alias("a"),
+        (F.col("id") / 32).cast("long").alias("b"),
+        F.col("id").alias("payload"),
+    )
+    log.append(grid)  # row-major: a cycles fast → a-stats useless
+    log.append(
+        spark.range(1024, 1040).select(
+            (F.col("id") % 32).alias("a"),
+            (F.col("id") / 32).cast("long").alias("b"),
+            F.col("id").alias("payload"),
+        )
+    )
+    want = {
+        r.payload
+        for r in log.read()
+        .filter(F.col("a").between(4, 7) & F.col("b").between(4, 7))
+        .collect()
+    }
+    got = {
+        r.payload
+        for r in log.read_pruned_multi(
+            {"a": (4, 7), "b": (4, 7)}
+        ).collect()
+    }
+    assert got == want
+
+    assert log.compact(cluster_by=["a", "b"], target_files=8) == 2
+    live, stats = log._live_with_stats()
+
+    def box_kept():
+        n = 0
+        for f in live:
+            fs = stats.get(f, {})
+            skip = False
+            for c, (lo, hi) in {"a": (4, 7), "b": (4, 7)}.items():
+                s = fs.get(c)
+                if s and s[0] is not None and (s[1] < lo or s[0] > hi):
+                    skip = True
+            n += 0 if skip else 1
+        return n
+
+    assert len(live) == 8
+    assert box_kept() < 8  # the Z-layout makes the box prune
+    got2 = {
+        r.payload
+        for r in log.read_pruned_multi(
+            {"a": (4, 7), "b": (4, 7)}
+        ).collect()
+    }
+    assert got2 == want
+    # empty box: schema-stable zero rows
+    assert log.read_pruned_multi(
+        {"a": (500, 600), "b": (4, 7)}
+    ).count() == 0
+
+
+def test_maintenance_clustered_compact_and_sync(spark, tmp_path):
+    """compact_filelog keeps skipping stats through a maintenance
+    rewrite (and clusters on request); sync_filelog replicates the
+    change feed exactly-once on a schedule."""
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.plans.maintenance import run_maintenance
+
+    root = str(tmp_path / "src")
+    log = FileCommitLog(spark, root, stats_cols=["v"])
+    for i in range(3):
+        log.append(
+            spark.range(i, 300, 3)
+            .select(F.col("id").alias("k"), F.col("id").alias("v"))
+            .coalesce(1)
+        )
+    dst_root = str(tmp_path / "dst")
+    rep = run_maintenance(
+        spark,
+        [
+            {"task": "compact_filelog", "path": root,
+             "stats_cols": ["v"], "cluster_by": ["v"],
+             "target_files": 5},
+            {"task": "sync_filelog", "path": dst_root, "source": root},
+        ],
+    ).collect()
+    assert all(r.ok for r in rep)
+    assert rep[0].detail == "version=3"
+    assert rep[1].detail == "version=0"
+    # stats survived the maintenance rewrite: the range scan prunes
+    live, stats = log._live_with_stats()
+    assert len(live) == 5 and len(stats) == 5
+    kept = [
+        f for f in live
+        if not (stats[f]["v"][1] < 40 or stats[f]["v"][0] > 60)
+    ]
+    assert len(kept) <= 2
+    # the replicated changelog folds to the source table (compact fed
+    # nothing; the three appends fed pure inserts)
+    dst = FileCommitLog(spark, dst_root)
+    sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+    assert (
+        dst.read().agg(F.sum(sign * F.col("v"))).first()[0]
+        == log.read().agg(F.sum("v")).first()[0]
+    )
+    # a second scheduled sync: caught up (compact-only tail advanced)
+    rep2 = run_maintenance(
+        spark,
+        [{"task": "sync_filelog", "path": dst_root, "source": root}],
+    ).collect()
+    assert rep2[0].ok and rep2[0].detail in ("noop", "version=1")
