@@ -87,6 +87,7 @@ VERIFY_FIRST: list[str] = [
     "filelog_cdc_replication",
     "video_ppm_frame_sample",
     "video_ppm_gop_features",
+    "stream_filelog_cdf_tail",
     "audio_wav_features",
     "audio_wav_resample",
     "lpa_incremental_delta",

@@ -3865,3 +3865,104 @@ def filelog_cdc_replication(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+@register(
+    "stream_filelog_cdf_tail",
+    """
+    WITH merged AS (
+      SELECT o_orderkey % 8 AS band, o_custkey,
+             CASE WHEN o_orderkey % 6 = 0
+                  THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                       + 2000000
+                  ELSE CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+             END AS cents
+      FROM orders
+    )
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM merged
+    WHERE o_custkey % 5 <> 0
+    GROUP BY band
+    """,
+    doc=(
+        "NATIVE Structured-Streaming source over the commit log "
+        "(sources/filelog_stream.py — the Delta-as-a-stream parity "
+        "piece): spark.readStream.format('filelog_changes') tails the "
+        "change feed with engine-checkpointed VERSION offsets; each "
+        "micro-batch plans one input partition per file a commit "
+        "touched, and executors read those files as vectorized "
+        "pyarrow RecordBatches — merge pre-images and DV deletes "
+        "loaded positionally, schema handled like read_changes. The "
+        "run streams an append + keyed-merge + DV-delete history "
+        "(availableNow) through foreachBatch into a changelog store, "
+        "then folds inserts minus deletes per band — which must equal "
+        "the oracle's direct last-writer-wins recompute. Offset "
+        "continuity across restarts, compact silence, and the "
+        "hive-partitioned refusal are pinned in tests/test_filelog.py."
+    ),
+)
+def stream_filelog_cdf_tail(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from metar_pipeline_spark.sources.filelog import FileCommitLog
+    from metar_pipeline_spark.sources.filelog_stream import (
+        FileLogChangeDataSource,
+    )
+
+    spark.dataSource.register(FileLogChangeDataSource)
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        (F.col("o_orderkey") % 8).alias("band"),
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    upd = base.filter(F.col("o_orderkey") % 6 == 0).withColumn(
+        "cents", F.col("cents") + F.lit(2000000)
+    )
+    tmp = tempfile.mkdtemp(prefix="filelog_stream_tail_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        log = FileCommitLog(spark, os.path.join(tmp, "fact"))
+        log.append(base)                                     # v0
+        assert log.merge_by_key(upd, ["o_orderkey"]) == 1    # v1
+        assert log.delete_where(F.col("o_custkey") % 5 == 0) == 2
+
+        store = os.path.join(tmp, "changelog")
+
+        def ingest(bdf, _bid):
+            bdf.write.mode("append").parquet(store)
+
+        q = (
+            spark.readStream.format("filelog_changes")
+            .option("path", os.path.join(tmp, "fact"))
+            .load()
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        result = (
+            spark.read.parquet(store)
+            .groupBy("band")
+            .agg(
+                F.sum(sign).cast("long").alias("n_rows"),
+                F.sum(sign * F.col("cents")).cast("long").alias(
+                    "sum_cents"
+                ),
+            )
+            .filter(F.col("n_rows") > 0)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result

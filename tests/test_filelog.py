@@ -730,3 +730,119 @@ def test_maintenance_clustered_compact_and_sync(spark, tmp_path):
         [{"task": "sync_filelog", "path": dst_root, "source": root}],
     ).collect()
     assert rep2[0].ok and rep2[0].detail in ("noop", "version=1")
+
+
+def test_streaming_source_tails_change_feed(spark, tmp_path):
+    """spark.readStream.format('filelog_changes'): the native
+    streaming form of the change feed — version offsets checkpointed
+    by the engine, per-file partitions read executor-side as arrow
+    batches, DV pre-images loaded positionally; a restart resumes
+    exactly after the committed version."""
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.sources.filelog_stream import (
+        FileLogChangeDataSource,
+    )
+
+    spark.dataSource.register(FileLogChangeDataSource)
+    root = str(tmp_path / "t")
+    log = FileCommitLog(spark, root)
+    log.append(
+        spark.range(0, 8).select(
+            F.col("id"), (F.col("id") * 10).alias("v")
+        )
+    )                                                        # v0
+    upd = spark.createDataFrame([(2, 999), (100, 777)], "id long, v long")
+    log.merge_by_key(upd, ["id"])                            # v1
+
+    ckpt = str(tmp_path / "ckpt")
+    sink: "list" = []
+
+    def run_once():
+        q = (
+            spark.readStream.format("filelog_changes")
+            .option("path", root)
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, bid: sink.extend(df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    got = {(r.id, r.v, r._change_type, r._commit_version) for r in sink}
+    want = {
+        (r.id, r.v, r._change_type, r._commit_version)
+        for r in log.read_changes(-1).collect()
+    }
+    assert got == want
+    assert (2, 20, "delete", 1) in got      # merge pre-image
+    assert (2, 999, "insert", 1) in got     # merge post-image
+
+    # restart: only the NEW window feeds (offset continuity)
+    sink.clear()
+    log.delete_where(F.col("id") == 5)                       # v2
+    assert log.compact() == 3                                # silent
+    run_once()
+    assert {(r.id, r.v, r._change_type, r._commit_version)
+            for r in sink} == {(5, 50, "delete", 2)}
+
+    # caught up: an availableNow run with nothing new feeds nothing
+    sink.clear()
+    run_once()
+    assert sink == []
+
+
+def test_streaming_source_schema_evolution_and_guards(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.sources.filelog_stream import (
+        FileLogChangeDataSource,
+    )
+
+    spark.dataSource.register(FileLogChangeDataSource)
+    root = str(tmp_path / "t")
+    log = FileCommitLog(spark, root)
+    log.append(spark.range(0, 3).select("id"))
+    log.append(
+        spark.range(3, 5).select(
+            "id", (F.col("id") * 1.5).alias("score")
+        ),
+        merge_schema=True,
+    )
+    df = (
+        spark.readStream.format("filelog_changes").option("path", root)
+        .load()
+    )
+    assert df.columns == ["id", "score", "_change_type",
+                          "_commit_version"]
+    sink: "list" = []
+    q = (
+        df.writeStream.foreachBatch(
+            lambda d, b: sink.extend(d.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    by_id = {r.id: r for r in sink}
+    assert by_id[0].score is None          # pre-evolution null-fill
+    assert by_id[4].score == 6.0
+    # hive-partitioned tables are refused loudly at plan time
+    plog = FileCommitLog(spark, str(tmp_path / "p"))
+    plog.append(
+        spark.range(0, 4).select(
+            "id", (F.col("id") % 2).cast("string").alias("day")
+        ),
+        partition_cols=["day"],
+    )
+    with pytest.raises(Exception, match="hive-partitioned"):
+        (
+            spark.readStream.format("filelog_changes")
+            .option("path", str(tmp_path / "p"))
+            .load()
+        )
