@@ -88,6 +88,8 @@ VERIFY_FIRST: list[str] = [
     "video_ppm_frame_sample",
     "video_ppm_gop_features",
     "stream_filelog_cdf_tail",
+    "filelog_tagged_snapshot",
+    "filelog_check_constraints",
     "audio_wav_features",
     "audio_wav_resample",
     "lpa_incremental_delta",

@@ -3966,3 +3966,178 @@ def stream_filelog_cdf_tail(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+@register(
+    "filelog_tagged_snapshot",
+    """
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), mutated AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 4 = 0 THEN cents + 3000000
+                  ELSE cents END AS cents
+      FROM base
+      WHERE o_orderkey % 9 <> 0
+    )
+    SELECT 'tag_train_v1' AS phase,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM base
+    UNION ALL
+    SELECT 'latest', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(cents) AS BIGINT)
+    FROM mutated
+    """,
+    doc=(
+        "TAGS — pinned reproducible snapshots (Iceberg tags; the "
+        "'which exact bytes trained run X' primitive): create_tag "
+        "materializes the resolved live-file set, deletion vectors, "
+        "and schema into a self-contained json, so the pinned dataset "
+        "reads EXACTLY even after the table is merged, row-deleted, "
+        "compacted, checkpointed, and its history EXPIRED below the "
+        "retention floor — where as_of time travel correctly fails, "
+        "the tag still serves (and vacuum counts tag references, so "
+        "the pinned tokens survive the sweep; pinned in "
+        "tests/test_filelog.py along with pin immutability and "
+        "release-then-reclaim). The oracle recomputes the pinned "
+        "v0 state and the mutated latest directly from the fact."
+    ),
+)
+def filelog_tagged_snapshot(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from metar_pipeline_spark.sources.filelog import FileCommitLog
+    from metar_pipeline_spark.sources.vacuum import vacuum_store
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    upd = base.filter(F.col("o_orderkey") % 4 == 0).withColumn(
+        "cents", F.col("cents") + F.lit(3000000)
+    )
+    tmp = tempfile.mkdtemp(prefix="filelog_tag_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        root = os.path.join(tmp, "fact")
+        log = FileCommitLog(spark, root)
+        log.append(base)                                    # v0
+        assert log.create_tag("train_v1") == 0
+        assert log.merge_by_key(upd, ["o_orderkey"]) == 1
+        assert log.delete_where(F.col("o_orderkey") % 9 == 0) == 2
+        assert log.compact() == 3
+        log.write_checkpoint()
+        log.expire_commits()
+        vacuum_store(spark, root, older_than_seconds=0)
+
+        def phase(name, df):
+            return df.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            ).select(F.lit(name).alias("phase"), "n_rows", "sum_cents")
+
+        result = (
+            phase("tag_train_v1", log.read_tag("train_v1"))
+            .unionByName(phase("latest", log.read()))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
+
+
+@register(
+    "filelog_check_constraints",
+    """
+    WITH base AS (
+      SELECT event_id, user_id,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT 'after_rejected_batch' AS phase,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM base WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT 'after_compliant_batch',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(cents) AS BIGINT)
+    FROM base
+    """,
+    doc=(
+        "CHECK constraints on the commit log (Delta's ALTER TABLE ADD "
+        "CONSTRAINT): set_check_constraint records the active "
+        "predicate set in a metadata-only commit (validated against "
+        "EXISTING data first, silent in the change feed, carried by "
+        "checkpoints past expiry), and every writer validates its "
+        "batch BEFORE any file lands — FALSE violates, NULL passes. "
+        "The run lands the even half, adds cents >= 0, proves a "
+        "poisoned batch (negated cents) is refused with the table "
+        "byte-unchanged, then lands the compliant odd half. The "
+        "oracle recomputes both phases; the NULL-passes rule, "
+        "merge-path refusal, and drop-lifts-gate are pinned in "
+        "tests/test_filelog.py."
+    ),
+)
+def filelog_check_constraints(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from metar_pipeline_spark.sources.filelog import FileCommitLog
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    ).localCheckpoint(eager=True)  # three slices, one upstream pass
+    tmp = tempfile.mkdtemp(prefix="filelog_check_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        log = FileCommitLog(spark, os.path.join(tmp, "fact"))
+        log.append(base.filter(F.col("event_id") % 2 == 0))  # v0
+        assert log.set_check_constraint("cents_nonneg", "cents >= 0") == 1
+
+        poisoned = base.filter(F.col("event_id") % 2 == 1).withColumn(
+            "cents", -F.col("cents") - 1
+        )
+        try:
+            log.append(poisoned)
+            raise AssertionError("constraint did not fire")
+        except ValueError:
+            pass
+
+        def phase(name):
+            return (
+                log.read()
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.sum("cents").cast("long").alias("sum_cents"),
+                )
+                .select(
+                    F.lit(name).alias("phase"), "n_rows", "sum_cents"
+                )
+            )
+
+        rejected = phase("after_rejected_batch").localCheckpoint(
+            eager=True
+        )
+        log.append(base.filter(F.col("event_id") % 2 == 1))  # v2
+        result = (
+            rejected.unionByName(phase("after_compliant_batch"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result

@@ -81,6 +81,7 @@ from metar_pipeline_spark.sources.txn import (
 _COMMITS = "_commits"
 _DATA = "_data"
 _DV = "_dv"
+_TAGS = "_tags"
 _PAD = 20
 
 
@@ -741,6 +742,7 @@ class FileCommitLog:
             if seen is not None:
                 return seen
         cols = self._merged_cols(df, merge_schema, "append")
+        self._enforce_constraints(df, "append")
         token, files, stats = self._write_token_files(df, partition_cols)
         meta_extra = {}
         if app_id is not None:
@@ -784,6 +786,7 @@ class FileCommitLog:
         under snapshot isolation; writers on disjoint partitions both
         land untouched by each other. O(|affected partitions|)."""
         cols = self._merged_cols(df, merge_schema, "overwrite_partitions")
+        self._enforce_constraints(df, "overwrite_partitions")
         token, files, stats = self._write_token_files(df, [part_col])
         prefixes = tuple(f"{part_col}={v}/" for v in values)
         for f in files:
@@ -911,6 +914,7 @@ class FileCommitLog:
         from pyspark.sql import functions as F
 
         cols = self._merged_cols(batch, merge_schema, "merge_by_key")
+        self._enforce_constraints(batch, "merge_by_key")
         token, files, stats = self._write_token_files(
             batch, partition_cols
         )
@@ -1124,6 +1128,7 @@ class FileCommitLog:
                     "dvs": self._active_dvs(v),
                     "apps": apps,
                     "cols": self.columns_at(v),
+                    "constraints": self.constraints_at(v),
                 }
             ),
         )
@@ -1154,6 +1159,201 @@ class FileCommitLog:
                 self._path(f"{_COMMITS}/_checkpoint.{c}.json"), False
             )
         return dropped
+
+    # -- tags (pinned snapshots) -------------------------------------------
+    def create_tag(self, name: str, as_of: "int | None" = None) -> int:
+        """Pin the table AS OF a version under an immutable name — the
+        reproducible-training-snapshot primitive (Iceberg tags): the
+        tag json MATERIALIZES the resolved live-file set, deletion
+        vectors, and schema, so it is self-contained — readable
+        FOREVER, even after checkpoint+expire drop the commits it was
+        resolved from, and vacuum counts its references (a tagged
+        token is never reclaimed). 'Which exact bytes trained run X'
+        stays answerable at 100 TB without retaining the whole log.
+        Tags are immutable: re-creating an existing name fails
+        (delete_tag first). Returns the pinned version."""
+        import re
+
+        if not re.fullmatch(r"[A-Za-z][A-Za-z0-9._-]*", name or ""):
+            raise ValueError(
+                f"invalid tag name {name!r} (want "
+                f"[A-Za-z][A-Za-z0-9._-]*)"
+            )
+        v = self.latest_version() if as_of is None else int(as_of)
+        meta = {
+            "name": name,
+            "version": v,
+            "live": self.live_files(v),
+            "dvs": self._active_dvs(v),
+            "cols": self.columns_at(v),
+        }
+        self._fs.mkdirs(self._path(_TAGS))
+        tmp = self._path(f"{_TAGS}/.tmp-{uuid.uuid4().hex}.json")
+        _write_small_file(self._fs, tmp, json.dumps(meta))
+        final = self._path(f"{_TAGS}/{name}.json")
+        if self._fs.exists(final) or not self._fs.rename(tmp, final):
+            self._fs.delete(tmp, False)
+            raise ValueError(
+                f"tag {name!r} already exists in {self.root} "
+                f"(tags are immutable pins — delete_tag first)"
+            )
+        return v
+
+    def _get_tag(self, name: str) -> dict:
+        p = self._path(f"{_TAGS}/{name}.json")
+        if not self._fs.exists(p):
+            raise ValueError(f"no tag {name!r} in {self.root}")
+        return json.loads(_read_small_file(self._fs, p, self._jvm))
+
+    def list_tags(self) -> "dict[str, int]":
+        tdir = self._path(_TAGS)
+        if not self._fs.exists(tdir):
+            return {}
+        out = {}
+        for st in self._fs.listStatus(tdir):
+            n = st.getPath().getName()
+            if n.endswith(".json") and not n.startswith("."):
+                out[n[: -len(".json")]] = self._get_tag(
+                    n[: -len(".json")]
+                )["version"]
+        return out
+
+    def delete_tag(self, name: str) -> bool:
+        """Release a pin (its tokens become vacuum-reclaimable once
+        nothing else references them). Returns False if absent."""
+        return bool(
+            self._fs.delete(self._path(f"{_TAGS}/{name}.json"), False)
+        )
+
+    def read_tag(self, name: str) -> DataFrame:
+        """The exact dataset the tag pinned — independent of the
+        retention floor (the tag carries its own file list, vectors,
+        and schema)."""
+        t = self._get_tag(name)
+        files = t["live"]
+        if not files:
+            raise ValueError(f"tag {name!r} pins zero live files")
+        cols = t.get("cols")
+        dvs = t.get("dvs", [])
+        if not dvs:
+            return self._scan_files(files, with_meta=False, cols=cols)
+        return self._apply_dvs(
+            self._scan_files(files, with_meta=True, cols=cols), dvs
+        ).drop("__file", "__ri")
+
+    # -- CHECK constraints --------------------------------------------------
+    def constraints_at(
+        self, as_of: "int | None" = None
+    ) -> "dict[str, str]":
+        """Active CHECK constraints AS OF a version: the newest
+        ``constraints`` dict recorded by a commit ≤ as_of (full-set
+        semantics — set/drop record the whole active set), falling
+        back to the covering checkpoint's."""
+        v = self.latest_version() if as_of is None else int(as_of)
+        if v < 0:
+            return {}
+        have = set(self._commit_versions())
+        cps = [c for c in self._checkpoint_versions() if c <= v]
+        floor = cps[-1] if cps else -1
+        for n in range(v, floor, -1):
+            if n not in have:
+                break
+            c = self.get_commit(n)
+            if c.get("constraints") is not None:
+                return dict(c["constraints"])
+        if cps:
+            meta = json.loads(
+                _read_small_file(
+                    self._fs,
+                    self._path(f"{_COMMITS}/_checkpoint.{cps[-1]}.json"),
+                    self._jvm,
+                )
+            )
+            if meta.get("constraints") is not None:
+                return dict(meta["constraints"])
+        return {}
+
+    def set_check_constraint(
+        self, name: str, sql_predicate: str, max_retries: int = 5
+    ) -> int:
+        """ALTER TABLE ADD CONSTRAINT … CHECK (…) — a metadata-only
+        commit recording the new ACTIVE set; every subsequent write
+        validates its batch and refuses to land a violating row
+        (Delta's CHECK-constraint discipline: a NULL predicate result
+        passes, only FALSE violates). The EXISTING table is validated
+        first — a constraint the current data already breaks is
+        refused, like Delta."""
+        from pyspark.sql import functions as F
+
+        if self.latest_version() >= 0:
+            bad = (
+                self.read()
+                .filter(
+                    ~F.coalesce(F.expr(sql_predicate), F.lit(True))
+                )
+                .head(1)
+            )
+            if bad:
+                raise ValueError(
+                    f"cannot add CHECK constraint {name!r}: existing "
+                    f"rows violate ({sql_predicate}) — first: {bad[0]}"
+                )
+        for _ in range(int(max_retries) + 1):
+            v = self.latest_version()
+            cons = dict(self.constraints_at(v)) if v >= 0 else {}
+            cons[name] = sql_predicate
+            token = uuid.uuid4().hex
+            try:
+                self._claim(
+                    v + 1,
+                    {"version": v + 1, "op": "meta", "add": [],
+                     "remove": [], "writer": token,
+                     "constraints": cons,
+                     "cols": self.columns_at(v) if v >= 0 else None},
+                    token,
+                )
+                return v + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(self.latest_version() + 1)
+
+    def drop_check_constraint(
+        self, name: str, max_retries: int = 5
+    ) -> int:
+        for _ in range(int(max_retries) + 1):
+            v = self.latest_version()
+            cons = dict(self.constraints_at(v)) if v >= 0 else {}
+            cons.pop(name, None)
+            token = uuid.uuid4().hex
+            try:
+                self._claim(
+                    v + 1,
+                    {"version": v + 1, "op": "meta", "add": [],
+                     "remove": [], "writer": token,
+                     "constraints": cons,
+                     "cols": self.columns_at(v) if v >= 0 else None},
+                    token,
+                )
+                return v + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(self.latest_version() + 1)
+
+    def _enforce_constraints(self, df: DataFrame, op: str) -> None:
+        """Refuse the write BEFORE any file lands if the batch breaks
+        an active constraint (one extra batch-grain pass per
+        constraint; NULL passes, FALSE violates)."""
+        from pyspark.sql import functions as F
+
+        for name, sql in sorted(self.constraints_at().items()):
+            bad = df.filter(
+                ~F.coalesce(F.expr(sql), F.lit(True))
+            ).head(1)
+            if bad:
+                raise ValueError(
+                    f"{op}: batch violates CHECK constraint {name!r} "
+                    f"({sql}) — first violating row: {bad[0]}"
+                )
 
     def sync_changes_from(
         self,
@@ -1196,7 +1396,9 @@ class FileCommitLog:
 
     def referenced_tokens(self) -> "set[str]":
         """_data/ and _dv/ token dirs referenced by any remaining
-        commit or checkpoint — vacuum's 'live' set for this layout."""
+        commit, checkpoint, or TAG — vacuum's 'live' set for this
+        layout (a tagged snapshot's tokens are never reclaimable
+        while the tag exists)."""
         toks: "set[str]" = set()
 
         def take(files):
@@ -1219,4 +1421,8 @@ class FileCommitLog:
             )
             take(meta.get("live", []))
             take(meta.get("dvs", []))
+        for name in self.list_tags():
+            t = self._get_tag(name)
+            take(t.get("live", []))
+            take(t.get("dvs", []))
         return toks

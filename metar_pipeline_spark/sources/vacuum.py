@@ -131,6 +131,22 @@ def vacuum_store(
                         act("claim_tmp", st, "deleted")
                     else:
                         act("claim_tmp", st, "kept_young")
+            # tagged snapshots pin their tokens past log retention —
+            # a tag's file list counts as referenced until delete_tag
+            _, t_h, _ = _hadoop_fs(spark, f"{dir_path}/_tags")
+            if fs.exists(t_h):
+                for st in fs.listStatus(t_h):
+                    n = st.getPath().getName()
+                    if not n.endswith(".json") or n.startswith("."):
+                        continue
+                    meta = _read_commit(fs, st.getPath(), jvm)
+                    for f in meta.get("live", []) + meta.get("dvs", []):
+                        parts = f.split("/")
+                        if len(parts) >= 2 and parts[0] in (
+                            "_data",
+                            "_dv",
+                        ):
+                            referenced.add(parts[1])
         for st in entries:
             name = st.getPath().getName()
             if not st.isDirectory():

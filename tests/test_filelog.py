@@ -846,3 +846,113 @@ def test_streaming_source_schema_evolution_and_guards(spark, tmp_path):
             .option("path", str(tmp_path / "p"))
             .load()
         )
+
+
+def test_tags_pin_snapshots_past_retention(spark, tmp_path):
+    """create_tag materializes the live set + vectors + schema: the
+    pinned dataset reads EXACTLY even after checkpoint+expire drop
+    the commits below the floor and vacuum sweeps — reproducible
+    training snapshots at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.sources.vacuum import vacuum_store
+
+    root = str(tmp_path / "t")
+    log = FileCommitLog(spark, root)
+    log.append(_batch(spark, 0, 6, "d1"))                   # v0
+    assert log.create_tag("train-v1") == 0
+    want = {(r.id, r.v) for r in log.read().collect()}
+
+    # history moves on: merge, delete, compact, retention
+    upd = spark.createDataFrame(
+        [(2, "d1", 999)], "id long, day string, v long"
+    )
+    log.merge_by_key(upd, ["id"])                           # v1
+    log.delete_where(F.col("id") == 0)                      # v2
+    assert log.compact() == 3
+    log.write_checkpoint()
+    log.expire_commits()
+    # as_of below the floor is GONE from the log…
+    with pytest.raises(ValueError, match="expired"):
+        log.read(as_of=0)
+    # …but the tag still serves the exact pinned bytes
+    vacuum_store(spark, root, older_than_seconds=0)
+    assert {(r.id, r.v) for r in log.read_tag("train-v1").collect()} \
+        == want
+    assert log.list_tags() == {"train-v1": 0}
+
+    # tags are immutable pins
+    with pytest.raises(ValueError, match="immutable"):
+        log.create_tag("train-v1")
+    with pytest.raises(ValueError, match="invalid tag name"):
+        log.create_tag("_bad/name")
+    # releasing the pin frees its tokens for the next vacuum
+    assert log.delete_tag("train-v1")
+    rep = vacuum_store(spark, root, older_than_seconds=0)
+    freed = [r for r in rep if r["action"] == "deleted"
+             and "/_data/" in r["path"]]
+    assert freed  # the pre-compact token was only tag-referenced
+    with pytest.raises(ValueError, match="no tag"):
+        log.read_tag("train-v1")
+    # the live table is untouched throughout
+    assert {r.id for r in log.read().collect()} == {1, 2, 3, 4, 5}
+
+
+def test_tag_pins_deletion_vectors_and_schema(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    log = FileCommitLog(spark, str(tmp_path / "t"))
+    log.append(_batch(spark, 0, 6, "d1"))
+    log.delete_where(F.col("id") % 2 == 0)                  # v1: DVs
+    log.create_tag("post-gdpr")                             # pins DVs
+    wide = spark.createDataFrame(
+        [(9, "d2", 90, 1.5)], "id long, day string, v long, s double"
+    )
+    log.append(wide, merge_schema=True)                     # v2 evolves
+    # the tag serves the v1 state: vectors applied, OLD schema
+    got = log.read_tag("post-gdpr")
+    assert got.columns == ["id", "day", "v"]
+    assert {r.id for r in got.collect()} == {1, 3, 5}
+
+
+def test_check_constraints_gate_writes(spark, tmp_path):
+    """Delta CHECK-constraint semantics: FALSE violates, NULL passes;
+    writers refuse BEFORE any file lands; existing-data validation on
+    ADD; the active set rides checkpoints."""
+    from pyspark.sql import functions as F
+
+    log = FileCommitLog(spark, str(tmp_path / "t"))
+    log.append(_batch(spark, 0, 4, "d1"))                   # v0
+    assert log.set_check_constraint("v_nonneg", "v >= 0") == 1
+    assert log.constraints_at() == {"v_nonneg": "v >= 0"}
+
+    bad = spark.createDataFrame(
+        [(50, "d1", -1)], "id long, day string, v long"
+    )
+    with pytest.raises(ValueError, match="v_nonneg"):
+        log.append(bad)
+    with pytest.raises(ValueError, match="v_nonneg"):
+        log.merge_by_key(bad, ["id"])
+    assert log.latest_version() == 1  # nothing landed
+
+    # NULL passes (Delta semantics)
+    nullish = spark.createDataFrame(
+        [(60, "d1", None)], "id long, day string, v long"
+    )
+    assert log.append(nullish) == 2
+
+    # a constraint the EXISTING data violates is refused
+    with pytest.raises(ValueError, match="existing rows violate"):
+        log.set_check_constraint("v_small", "v < 10")
+
+    # survives checkpoint + expiry; drop lifts the gate
+    log.write_checkpoint()
+    log.expire_commits()
+    assert log.constraints_at() == {"v_nonneg": "v >= 0"}
+    with pytest.raises(ValueError, match="v_nonneg"):
+        log.append(bad)
+    log.drop_check_constraint("v_nonneg")
+    assert log.constraints_at() == {}
+    assert log.append(bad) == 4
+    # meta commits are silent in the change feed
+    assert log.read_changes(2, 3).count() == 0
