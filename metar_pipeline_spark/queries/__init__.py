@@ -90,6 +90,7 @@ VERIFY_FIRST: list[str] = [
     "stream_filelog_cdf_tail",
     "filelog_tagged_snapshot",
     "filelog_check_constraints",
+    "filelog_restore_rollback",
     "audio_wav_features",
     "audio_wav_resample",
     "lpa_incremental_delta",

@@ -4141,3 +4141,83 @@ def filelog_check_constraints(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+@register(
+    "filelog_restore_rollback",
+    """
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), damaged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN cents + 9999999
+                  ELSE cents END AS cents
+      FROM base
+      WHERE o_orderkey % 8 <> 0
+    )
+    SELECT 'damaged_head' AS phase,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM damaged
+    UNION ALL
+    SELECT 'restored', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(cents) AS BIGINT)
+    FROM base
+    """,
+    doc=(
+        "RESTORE TABLE TO VERSION (Delta RESTORE — mistake recovery "
+        "with history preserved): after a bad re-pricing merge and a "
+        "bad row delete, restore(0) claims ONE new commit whose "
+        "content is the v0 table materialized into a fresh token — "
+        "the damaged states stay time-travelable for audit (the "
+        "result reads the damaged head AS OF its version), deletion "
+        "vectors are spent like compaction, the change feed carries "
+        "the gross delta (fold-exact — pinned in tests/test_filelog "
+        "alongside schema restore and restore-to-head no-op), and the "
+        "oracle recomputes both the damaged and restored states from "
+        "the raw fact. Cost O(|table at target|) — the compact shape, "
+        "which is what keeps every downstream contract exact."
+    ),
+)
+def filelog_restore_rollback(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from metar_pipeline_spark.sources.filelog import FileCommitLog
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    upd = base.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "cents", F.col("cents") + F.lit(9999999)
+    )
+    tmp = tempfile.mkdtemp(prefix="filelog_restore_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        log = FileCommitLog(spark, os.path.join(tmp, "fact"))
+        log.append(base)                                    # v0
+        assert log.merge_by_key(upd, ["o_orderkey"]) == 1   # bad
+        assert log.delete_where(F.col("o_orderkey") % 8 == 0) == 2
+        assert log.restore(0) == 3
+
+        def phase(name, df):
+            return df.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            ).select(F.lit(name).alias("phase"), "n_rows", "sum_cents")
+
+        result = (
+            phase("damaged_head", log.read(as_of=2))
+            .unionByName(phase("restored", log.read()))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result

@@ -127,11 +127,22 @@ class FileCommitLog:
         spark: SparkSession,
         root: str,
         stats_cols: "list[str] | None" = None,
+        clock=None,
     ):
         self.spark = spark
         self.root = root.rstrip("/")
         self.stats_cols = list(stats_cols or [])
+        # commit wall-clock source; injectable for deterministic tests
+        # of timestamp time travel
+        self._clock = clock
         self._fs, self._root_h, self._jvm = _hadoop_fs(spark, self.root)
+
+    def _now(self) -> float:
+        if self._clock is not None:
+            return float(self._clock())
+        import time
+
+        return time.time()
 
     # -- log primitives ---------------------------------------------------
     def _path(self, rel: str):
@@ -400,7 +411,9 @@ class FileCommitLog:
             start = cps[-1] + 1
         for n in range(start, v + 1):
             c = self.get_commit(n)
-            if c.get("op") == "compact":
+            if c.get("op") in ("compact", "restore"):
+                # both materialize pending deletes into the files they
+                # write — prior vectors are spent
                 dvs.clear()
             dvs.update(c.get("dv_add", []))
         return sorted(dvs)
@@ -650,6 +663,7 @@ class FileCommitLog:
         return token, sorted(out), stats
 
     def _claim(self, n: int, meta: dict, token: str) -> None:
+        meta.setdefault("ts", self._now())  # commit wall-clock stamp
         final = self._path(f"{_COMMITS}/{n:0{_PAD}d}.json")
         self._fs.mkdirs(self._path(_COMMITS))
         if self._fs.exists(final):
@@ -1159,6 +1173,69 @@ class FileCommitLog:
                 self._path(f"{_COMMITS}/_checkpoint.{c}.json"), False
             )
         return dropped
+
+    def version_at_timestamp(self, ts: float) -> int:
+        """Newest retained commit claimed at or before ``ts`` (epoch
+        seconds) — Delta's TIMESTAMP AS OF resolution. Loud when ts
+        predates the retained history (the older commits are expired
+        or the table didn't exist yet)."""
+        best = None
+        for n in self._commit_versions():
+            c = self.get_commit(n)
+            cts = c.get("ts")
+            if cts is not None and float(cts) <= float(ts):
+                best = n
+        if best is None:
+            raise ValueError(
+                f"no retained commit at or before timestamp {ts} in "
+                f"{self.root} (expired history or pre-creation time)"
+            )
+        return best
+
+    def read_at_timestamp(self, ts: float) -> DataFrame:
+        """``read`` resolved by commit wall-clock instead of version
+        number (TIMESTAMP AS OF)."""
+        return self.read(as_of=self.version_at_timestamp(ts))
+
+    def restore(self, version: int, max_retries: int = 5) -> int:
+        """RESTORE TABLE TO VERSION — mistake recovery with full
+        history preserved (Delta RESTORE): a NEW commit whose content
+        is exactly version ``version``'s table, materialized into a
+        fresh token (cost O(|table at version|), the compact shape —
+        materialization is what keeps every downstream contract exact:
+        the change feed emits the full gross delta, deletion-vector
+        state resets like compact, and the bad commits stay in
+        history for audit/time travel until retention). Requires the
+        target version to still be resolvable (above the retention
+        floor, or pin it with a tag first and restore from the tag's
+        data via a plain append)."""
+        from pyspark.sql import functions as _F  # noqa: F401
+
+        target = int(version)
+        for _ in range(int(max_retries) + 1):
+            v = self.latest_version()
+            if v < 0:
+                raise ValueError(f"empty file-commit log at {self.root}")
+            if target == v:
+                return v  # already there; no commit claimed
+            live = self.live_files(v)
+            token, files, stats = self._write_token_files(
+                self.read(as_of=target), None
+            )
+            try:
+                self._claim(
+                    v + 1,
+                    {"version": v + 1, "op": "restore",
+                     "restored_from": target, "add": files,
+                     "remove": live, "writer": token, "stats": stats,
+                     "cols": self.columns_at(target)},
+                    token,
+                )
+                return v + 1
+            except CommitConflict:
+                self._fs.delete(self._path(f"{_DATA}/{token}"), True)
+                continue
+        raise CommitConflict(self.latest_version() + 1)
 
     # -- tags (pinned snapshots) -------------------------------------------
     def create_tag(self, name: str, as_of: "int | None" = None) -> int:

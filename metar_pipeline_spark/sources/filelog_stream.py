@@ -125,7 +125,7 @@ def _active_dvs_at(root: str, v: int) -> "list[str]":
     dvs: "set[str]" = set()
     for n in range(0, v + 1):
         c = _get_commit(root, n)
-        if c.get("op") == "compact":
+        if c.get("op") in ("compact", "restore"):
             dvs.clear()
         dvs.update(c.get("dv_add", []))
     return sorted(dvs)

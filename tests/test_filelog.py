@@ -956,3 +956,63 @@ def test_check_constraints_gate_writes(spark, tmp_path):
     assert log.append(bad) == 4
     # meta commits are silent in the change feed
     assert log.read_changes(2, 3).count() == 0
+
+
+def test_restore_rolls_back_with_history(spark, tmp_path):
+    """RESTORE TABLE TO VERSION: a new materialized commit whose
+    content is exactly the target version — bad commits stay in
+    history for audit, vectors reset, the change feed carries the
+    gross delta, fold stays exact."""
+    from pyspark.sql import functions as F
+
+    log = FileCommitLog(spark, str(tmp_path / "t"))
+    log.append(_batch(spark, 0, 6, "d1"))                   # v0 good
+    want = {(r.id, r.v) for r in log.read().collect()}
+    upd = spark.createDataFrame(
+        [(2, "d1", 666)], "id long, day string, v long"
+    )
+    log.merge_by_key(upd, ["id"])                           # v1 bad
+    log.delete_where(F.col("id") < 2)                       # v2 bad
+    assert log.restore(0) == 3
+    assert {(r.id, r.v) for r in log.read().collect()} == want
+    # history preserved: the bad states still time-travel
+    assert {r.v for r in log.read(as_of=2).filter(
+        F.col("id") == 2).collect()} == {666}
+    # vectors are spent by the materialized restore
+    assert log._active_dvs() == []
+    # change-feed fold across the restore reconstructs the table
+    ch = log.read_changes(-1)
+    sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+    folded = {
+        (r.id, r.v)
+        for r in ch.groupBy("id", "day", "v")
+        .agg(F.sum(sign).alias("net")).filter(F.col("net") > 0)
+        .collect()
+    }
+    assert folded == want
+    # restoring to the current head claims nothing
+    assert log.restore(3) == 3
+    assert log.latest_version() == 3
+    # schema is restored too
+    wide = spark.createDataFrame(
+        [(9, "d9", 9, 1.0)], "id long, day string, v long, s double"
+    )
+    log.append(wide, merge_schema=True)                     # v4
+    assert log.restore(3) == 5
+    assert log.read().columns == ["id", "day", "v"]
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    ticks = iter([100.0, 200.0, 300.0])
+    log = FileCommitLog(
+        spark, str(tmp_path / "t"), clock=lambda: next(ticks)
+    )
+    log.append(_batch(spark, 0, 2, "d1"))    # v0 @ t=100
+    log.append(_batch(spark, 2, 5, "d1"))    # v1 @ t=200
+    log.append(_batch(spark, 5, 6, "d1"))    # v2 @ t=300
+    assert log.version_at_timestamp(100.0) == 0
+    assert log.version_at_timestamp(250.0) == 1
+    assert log.read_at_timestamp(250.0).count() == 5
+    assert log.read_at_timestamp(999.0).count() == 6
+    with pytest.raises(ValueError, match="no retained commit"):
+        log.version_at_timestamp(99.9)
