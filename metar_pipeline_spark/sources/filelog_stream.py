@@ -107,23 +107,55 @@ def _latest_version(root: str) -> int:
     return best
 
 
+def _checkpoints(root: str) -> "list[int]":
+    cdir = os.path.join(root, _COMMITS)
+    out = []
+    if os.path.isdir(cdir):
+        for name in os.listdir(cdir):
+            if name.startswith("_checkpoint.") and name.endswith(
+                ".json"
+            ):
+                stem = name[len("_checkpoint."): -len(".json")]
+                if stem.isdigit():
+                    out.append(int(stem))
+    return sorted(out)
+
+
+def _checkpoint_meta(root: str, cp: int) -> dict:
+    return _read_json(
+        os.path.join(root, _COMMITS, f"_checkpoint.{cp}.json")
+    )
+
+
 def _columns_at(root: str, v: int) -> "list[str] | None":
     have = set(_commit_versions(root))
-    for n in range(v, -1, -1):
+    cps = [c for c in _checkpoints(root) if c <= v]
+    floor = cps[-1] if cps else -1
+    for n in range(v, floor, -1):
         if n not in have:
             break
         c = _get_commit(root, n)
         if c.get("cols") is not None:
             return list(c["cols"])
+    if cps:
+        meta = _checkpoint_meta(root, cps[-1])
+        if meta.get("cols") is not None:
+            return list(meta["cols"])
     return None
 
 
 def _active_dvs_at(root: str, v: int) -> "list[str]":
-    """Cumulative dv files in force at v (replay from 0 — streaming
-    windows live above the retention floor by contract; an expired
-    commit raises in _get_commit)."""
+    """Cumulative dv files in force at v: newest covering checkpoint's
+    carry-forward plus the later commits' replay — history below the
+    retention floor is reachable through the checkpoint, so a stream
+    window above the floor plans even after early commits expired."""
     dvs: "set[str]" = set()
-    for n in range(0, v + 1):
+    start = 0
+    cps = [c for c in _checkpoints(root) if c <= v]
+    if cps:
+        dvs.update(_checkpoint_meta(root, cps[-1]).get("dvs", []))
+        start = cps[-1] + 1
+    for n in range(start, v + 1):
         c = _get_commit(root, n)
         if c.get("op") in ("compact", "restore"):
             dvs.clear()
@@ -207,12 +239,17 @@ class FileLogChangeDataSource(DataSource):
             raise ValueError(f"empty file-commit log at {root}")
         cols = _columns_at(root, v)
         newest = None
-        for n in range(v, -1, -1):
-            c = _get_commit(root, n)
-            adds = c.get("add", [])
+        for n in sorted(_commit_versions(root), reverse=True):
+            adds = _get_commit(root, n).get("add", [])
             if adds:
                 newest = adds[-1]
                 break
+        if newest is None:  # expired history: the checkpoint's live set
+            cps = _checkpoints(root)
+            if cps:
+                live = _checkpoint_meta(root, cps[-1]).get("live", [])
+                if live:
+                    newest = live[-1]
         if newest is None:
             raise ValueError(
                 f"no data files discoverable from the retained log at "

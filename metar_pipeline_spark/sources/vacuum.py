@@ -137,6 +137,13 @@ def vacuum_store(
             if fs.exists(t_h):
                 for st in fs.listStatus(t_h):
                     n = st.getPath().getName()
+                    if n.startswith(".tmp-"):  # crashed create_tag
+                        if is_old(st):
+                            fs.delete(st.getPath(), False)
+                            act("tag_tmp", st, "deleted")
+                        else:
+                            act("tag_tmp", st, "kept_young")
+                        continue
                     if not n.endswith(".json") or n.startswith("."):
                         continue
                     meta = _read_commit(fs, st.getPath(), jvm)

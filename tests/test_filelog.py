@@ -1016,3 +1016,40 @@ def test_timestamp_time_travel(spark, tmp_path):
     assert log.read_at_timestamp(999.0).count() == 6
     with pytest.raises(ValueError, match="no retained commit"):
         log.version_at_timestamp(99.9)
+
+
+def test_streaming_source_survives_log_expiry(spark, tmp_path):
+    """A stream starting ABOVE the retention floor plans fine after
+    checkpoint+expire: schema/DV resolution falls back to the
+    checkpoint instead of replaying expired commits."""
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.sources.filelog_stream import (
+        FileLogChangeDataSource,
+    )
+
+    spark.dataSource.register(FileLogChangeDataSource)
+    root = str(tmp_path / "t")
+    log = FileCommitLog(spark, root)
+    log.append(spark.range(0, 6).select("id"))              # v0
+    log.delete_where(F.col("id") % 2 == 0)                  # v1 (DVs)
+    log.write_checkpoint()
+    log.expire_commits()                                    # floor=1
+    upd = spark.createDataFrame([(1, ), (9, )], "id long")
+    log.merge_by_key(upd, ["id"])                           # v2
+    sink: "list" = []
+    q = (
+        spark.readStream.format("filelog_changes")
+        .option("path", root)
+        .option("starting_version", "2")
+        .load()
+        .writeStream.foreachBatch(lambda d, b: sink.extend(d.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.id, r._change_type) for r in sink}
+    # the merge window feeds pre-image delete for the stored id=1 and
+    # post-image inserts; the v1-deleted evens never resurface
+    assert got == {(1, "delete"), (1, "insert"), (9, "insert")}
