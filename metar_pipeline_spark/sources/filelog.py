@@ -299,6 +299,49 @@ class FileCommitLog:
             )
         return cur + [c for c in new if c not in cur]
 
+    @staticmethod
+    def _schema_json(df: DataFrame, cols: "list[str] | None") -> str:
+        """Full-fidelity Spark schema json of the canonical table
+        shape (batch fields reordered to ``cols``; validation already
+        guarantees the batch carries every canonical column). Recorded
+        in commits so schema-dependent consumers — notably the
+        streaming source, which runs outside the JVM and cannot ask
+        Spark to infer partition-value types — read types from the
+        log, not from inference."""
+        from pyspark.sql import types as T
+
+        if not cols:
+            return df.schema.json()
+        fields = {f.name: f for f in df.schema.fields}
+        return T.StructType([fields[c] for c in cols]).json()
+
+    def schema_json_at(self, as_of: "int | None" = None) -> "str | None":
+        """Newest recorded schema json ≤ as_of (checkpoint fallback),
+        or None for logs written before schema recording."""
+        v = self.latest_version() if as_of is None else int(as_of)
+        if v < 0:
+            return None
+        have = set(self._commit_versions())
+        cps = [c for c in self._checkpoint_versions() if c <= v]
+        floor = cps[-1] if cps else -1
+        for n in range(v, floor, -1):
+            if n not in have:
+                break
+            c = self.get_commit(n)
+            if c.get("schema_json") is not None:
+                return c["schema_json"]
+        if cps:
+            meta = json.loads(
+                _read_small_file(
+                    self._fs,
+                    self._path(f"{_COMMITS}/_checkpoint.{cps[-1]}.json"),
+                    self._jvm,
+                )
+            )
+            if meta.get("schema_json") is not None:
+                return meta["schema_json"]
+        return None
+
     # -- resolution -------------------------------------------------------
     def live_files(self, as_of: "int | None" = None) -> "list[str]":
         """Root-relative live data files at ``as_of`` (default latest):
@@ -777,7 +820,9 @@ class FileCommitLog:
                     v + 1,
                     {"version": v + 1, "op": "append", "add": files,
                      "remove": [], "writer": token, "stats": stats,
-                     "cols": cols, **meta_extra},
+                     "cols": cols,
+                     "schema_json": self._schema_json(df, cols),
+                     **meta_extra},
                     token,
                 )
                 return v + 1
@@ -827,6 +872,7 @@ class FileCommitLog:
                     {"version": v + 1, "op": "overwrite_partitions",
                      "add": files, "remove": doomed, "writer": token,
                      "stats": stats, "cols": cols,
+                     "schema_json": self._schema_json(df, cols),
                      "partitions": [str(x) for x in values]},
                     token,
                 )
@@ -947,7 +993,8 @@ class FileCommitLog:
                         0,
                         {"version": 0, "op": "merge", "add": files,
                          "remove": [], "writer": token, "stats": stats,
-                         "dv_add": [], "cols": cols},
+                         "dv_add": [], "cols": cols,
+                         "schema_json": self._schema_json(batch, cols)},
                         token,
                     )
                     return 0
@@ -989,7 +1036,8 @@ class FileCommitLog:
                     v + 1,
                     {"version": v + 1, "op": "merge", "add": files,
                      "remove": [], "writer": token, "stats": stats,
-                     "dv_add": sorted(dv_files), "cols": cols},
+                     "dv_add": sorted(dv_files), "cols": cols,
+                     "schema_json": self._schema_json(batch, cols)},
                     token,
                 )
                 return v + 1
@@ -1095,7 +1143,8 @@ class FileCommitLog:
                     v + 1,
                     {"version": v + 1, "op": "compact", "add": files,
                      "remove": live, "writer": token, "stats": stats,
-                     "cols": self.columns_at(v)},
+                     "cols": self.columns_at(v),
+                     "schema_json": self.schema_json_at(v)},
                     token,
                 )
                 return v + 1
@@ -1142,6 +1191,7 @@ class FileCommitLog:
                     "dvs": self._active_dvs(v),
                     "apps": apps,
                     "cols": self.columns_at(v),
+                    "schema_json": self.schema_json_at(v),
                     "constraints": self.constraints_at(v),
                 }
             ),
@@ -1228,7 +1278,8 @@ class FileCommitLog:
                     {"version": v + 1, "op": "restore",
                      "restored_from": target, "add": files,
                      "remove": live, "writer": token, "stats": stats,
-                     "cols": self.columns_at(target)},
+                     "cols": self.columns_at(target),
+                     "schema_json": self.schema_json_at(target)},
                     token,
                 )
                 return v + 1

@@ -27,12 +27,13 @@ DERIVED consumers: downstream processes each commit's delta, never
 re-scans the table — the property that makes a 100-TB changelog
 tailable.
 
-Scope (loud, documented): hive-PARTITIONED filelog tables are refused
-at plan time — partition-value typing belongs to Spark's scan, which
-this source bypasses; partitioned tables stream through the
-``sync_changes_from`` / foreachBatch path instead. Schema evolution is
-handled (old files null-fill added columns, exactly like
-``read_changes``).
+Partitioned tables stream too: writers record the full Spark schema
+json in every commit, so the source types hive path values from the
+WRITER's schema — no inference, no footer dependency. Loud refusals
+remain for: legacy partitioned logs with no recorded schema, escaped
+hive values (%XX), timestamp-typed partition columns, and nested
+column types. Schema evolution is handled (old files null-fill added
+columns with declared types, exactly like ``read_changes``).
 """
 
 from __future__ import annotations
@@ -163,6 +164,91 @@ def _active_dvs_at(root: str, v: int) -> "list[str]":
     return sorted(dvs)
 
 
+def _schema_json_at(root: str, v: int) -> "str | None":
+    have = set(_commit_versions(root))
+    cps = [c for c in _checkpoints(root) if c <= v]
+    floor = cps[-1] if cps else -1
+    for n in range(v, floor, -1):
+        if n not in have:
+            break
+        c = _get_commit(root, n)
+        if c.get("schema_json") is not None:
+            return c["schema_json"]
+    if cps:
+        meta = _checkpoint_meta(root, cps[-1])
+        if meta.get("schema_json") is not None:
+            return meta["schema_json"]
+    return None
+
+
+_SPARK_TO_DDL = {
+    "long": "bigint", "integer": "int", "short": "smallint",
+    "byte": "tinyint", "double": "double", "float": "float",
+    "string": "string", "boolean": "boolean", "date": "date",
+    "binary": "binary", "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
+}
+
+
+def _spark_json_to_columns(schema_json: str) -> "list[tuple[str, str]]":
+    """(name, ddl) pairs from a Spark StructType json recorded in the
+    log — no inference, no footer read; the writer's types are the
+    table's types."""
+    fields = json.loads(schema_json)["fields"]
+    out = []
+    for f in fields:
+        t = f["type"]
+        if isinstance(t, str) and t in _SPARK_TO_DDL:
+            out.append((f["name"], _SPARK_TO_DDL[t]))
+        elif isinstance(t, str) and t.startswith("decimal("):
+            out.append((f["name"], t))
+        else:
+            raise ValueError(
+                f"filelog_changes: unsupported column type {t!r} for "
+                f"{f['name']!r} (nested types do not stream)"
+            )
+    return out
+
+
+def _partition_values(rel_path: str) -> "dict[str, str]":
+    """k=v hive segments between the token dir and the file name.
+    Escaped specials (%XX) are refused loudly — this source does not
+    reimplement hive escaping."""
+    parts = rel_path.split("/")[2:-1]  # strip _data/<token>/ and file
+    out = {}
+    for seg in parts:
+        if "=" not in seg:
+            continue
+        k, _, v = seg.partition("=")
+        if "%" in v:
+            raise ValueError(
+                f"filelog_changes: escaped hive partition value in "
+                f"{rel_path!r} — unsupported"
+            )
+        out[k] = v
+    return out
+
+
+def _cast_partition_value(v: str, ddl: str, pa):
+    if v == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    if ddl in ("bigint", "int", "smallint", "tinyint"):
+        return int(v)
+    if ddl in ("double", "float"):
+        return float(v)
+    if ddl == "string":
+        return v
+    if ddl == "boolean":
+        return v.lower() == "true"
+    if ddl == "date":
+        import datetime
+
+        return datetime.date.fromisoformat(v)
+    raise ValueError(
+        f"filelog_changes: unsupported partition-column type {ddl!r}"
+    )
+
+
 def _arrow_to_ddl(field) -> str:
     import pyarrow as pa
 
@@ -228,15 +314,21 @@ class FileLogChangeDataSource(DataSource):
         return _strip_scheme(root).rstrip("/")
 
     def _table_columns(self) -> "list[tuple[str, str]]":
-        """(name, ddl) for the CURRENT table schema: canonical column
-        order from the log, types from the newest added file's parquet
-        footer (files added later carry every evolved column)."""
+        """(name, ddl) for the CURRENT table schema. Preferred source:
+        the schema json the writers record in every commit (exact
+        writer types, partition columns included — no inference, no
+        footer read). Legacy logs without recorded schema fall back to
+        the newest added file's parquet footer, where hive-partitioned
+        tables must be refused (the footer cannot type path values)."""
         import pyarrow.parquet as pq
 
         root = self._root()
         v = _latest_version(root)
         if v < 0:
             raise ValueError(f"empty file-commit log at {root}")
+        sj = _schema_json_at(root, v)
+        if sj is not None:
+            return _spark_json_to_columns(sj)
         cols = _columns_at(root, v)
         newest = None
         for n in sorted(_commit_versions(root), reverse=True):
@@ -257,10 +349,11 @@ class FileLogChangeDataSource(DataSource):
             )
         if "=" in newest:
             raise ValueError(
-                "filelog_changes does not support hive-partitioned "
-                "tables (partition-value typing belongs to Spark's "
-                "scan) — consume via FileCommitLog.sync_changes_from "
-                "/ read_changes instead"
+                "filelog_changes cannot stream a hive-partitioned "
+                "LEGACY table (no schema recorded in the log, and a "
+                "parquet footer cannot type path values) — rewrite "
+                "once with a current writer, or consume via "
+                "FileCommitLog.sync_changes_from / read_changes"
             )
         schema = pq.read_schema(os.path.join(root, newest))
         by_name = {f.name: _arrow_to_ddl(f) for f in schema}
@@ -376,17 +469,30 @@ class FileLogChangeStreamReader(DataSourceStreamReader):
 
     def _load_projected(self, abspath: str, partition, pa):
         """Read one data file and project/null-fill to the table
-        columns (schema evolution: pre-evolution files lack the added
-        columns — the fill must carry the DECLARED type, not arrow's
-        null type, or the engine rejects the batch)."""
+        columns. A column absent from the parquet comes from, in
+        order: the file's hive path segments (typed by the RECORDED
+        writer schema, not inference), else a declared-type null fill
+        (schema evolution — arrow's bare null type would be rejected
+        by the engine)."""
         import pyarrow.parquet as pq
 
+        rel = abspath[len(partition.root) + 1:]
+        pvals = _partition_values(rel)
         raw = pq.read_table(abspath)
         arrays, names = [], []
         for name, ddl in partition.columns:
             names.append(name)
             if name in raw.column_names:
                 arrays.append(raw.column(name))
+            elif name in pvals:
+                val = _cast_partition_value(pvals[name], ddl, pa)
+                typ = self._ddl_to_arrow(ddl, pa)
+                if val is None:
+                    arrays.append(pa.nulls(raw.num_rows, type=typ))
+                else:
+                    arrays.append(
+                        pa.array([val] * raw.num_rows, type=typ)
+                    )
             else:
                 arrays.append(
                     pa.nulls(raw.num_rows,

@@ -832,20 +832,84 @@ def test_streaming_source_schema_evolution_and_guards(spark, tmp_path):
     by_id = {r.id: r for r in sink}
     assert by_id[0].score is None          # pre-evolution null-fill
     assert by_id[4].score == 6.0
-    # hive-partitioned tables are refused loudly at plan time
-    plog = FileCommitLog(spark, str(tmp_path / "p"))
+    # a LEGACY partitioned log (schema stripped from its commits) is
+    # refused loudly — the footer cannot type hive path values
+    import json as _json
+    import os as _os
+
+    proot = str(tmp_path / "p")
+    plog = FileCommitLog(spark, proot)
     plog.append(
         spark.range(0, 4).select(
             "id", (F.col("id") % 2).cast("string").alias("day")
         ),
         partition_cols=["day"],
     )
-    with pytest.raises(Exception, match="hive-partitioned"):
+    cpath = _os.path.join(proot, "_commits", f"{0:020d}.json")
+    meta = _json.loads(open(cpath).read())
+    meta.pop("schema_json"), meta.pop("cols")
+    open(cpath, "w").write(_json.dumps(meta))
+    with pytest.raises(Exception, match="LEGACY"):
         (
             spark.readStream.format("filelog_changes")
-            .option("path", str(tmp_path / "p"))
+            .option("path", proot)
             .load()
         )
+
+
+def test_streaming_source_partitioned_table(spark, tmp_path):
+    """Partitioned tables stream: hive path values are typed from the
+    WRITER's recorded schema (date partition column round-trips as a
+    real date), and a partition backfill feeds replaced-partition
+    deletes + replacement inserts."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.sources.filelog_stream import (
+        FileLogChangeDataSource,
+    )
+
+    spark.dataSource.register(FileLogChangeDataSource)
+    root = str(tmp_path / "t")
+    log = FileCommitLog(spark, root)
+    base = spark.createDataFrame(
+        [(1, datetime.date(2024, 1, 1), 10),
+         (2, datetime.date(2024, 1, 1), 20),
+         (3, datetime.date(2024, 1, 2), 30)],
+        "id long, day date, v long",
+    )
+    log.append(base, partition_cols=["day"])                # v0
+    log.overwrite_partitions(
+        spark.createDataFrame(
+            [(9, datetime.date(2024, 1, 1), 90)],
+            "id long, day date, v long",
+        ),
+        "day",
+        ["2024-01-01"],
+    )                                                       # v1
+    sink: "list" = []
+    q = (
+        spark.readStream.format("filelog_changes")
+        .option("path", root)
+        .load()
+        .writeStream.foreachBatch(lambda d, b: sink.extend(d.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.id, r.day, r.v, r._change_type, r._commit_version)
+           for r in sink}
+    want = {
+        (r.id, r.day, r.v, r._change_type, r._commit_version)
+        for r in log.read_changes(-1).collect()
+    }
+    assert got == want
+    d1 = datetime.date(2024, 1, 1)
+    assert (1, d1, 10, "delete", 1) in got   # replaced partition
+    assert (9, d1, 90, "insert", 1) in got
+    assert (3, datetime.date(2024, 1, 2), 30, "insert", 0) in got
 
 
 def test_tags_pin_snapshots_past_retention(spark, tmp_path):
