@@ -1053,46 +1053,48 @@ class FileCommitLog:
     ) -> DataFrame:
         """Cluster ``df`` so each output file covers a narrow range of
         the keys (disjoint footer min/max → stats-in-log pruning
-        bites). One key: range partition + in-file sort. Two keys:
-        Z-order (min-max quantize onto the 16-bit grid, Morton
-        interleave — ``layout.morton_interleave``, pure JVM bitwise
-        math), then range partition the curve. No global sort, no
-        single-task window — both shapes survive 100 TB."""
+        bites). One key: range partition + in-file sort. K ≥ 2 keys:
+        Z-order (min-max quantize each key onto a ``63 // k``-bit grid
+        capped at 16, round-robin Morton interleave —
+        ``layout.morton_interleave_k``, pure JVM bitwise math), then
+        range partition the curve. No global sort, no single-task
+        window — both shapes survive 100 TB."""
         from pyspark.sql import functions as F
 
-        from metar_pipeline_spark.sources.layout import morton_interleave
+        from metar_pipeline_spark.sources.layout import (
+            morton_interleave_k,
+        )
 
         n = max(1, int(target_files))
         if len(cluster_by) == 1:
             return df.repartitionByRange(
                 n, F.col(cluster_by[0])
             ).sortWithinPartitions(cluster_by[0])
-        if len(cluster_by) == 2:
-            a, b = cluster_by
-            scale = (1 << 16) - 1
-            lo_a, hi_a, lo_b, hi_b = df.select(
-                F.min(a), F.max(a), F.min(b), F.max(b)
-            ).first()  # 1-row bounds aggregate, never data-grain
+        k = len(cluster_by)
+        bits = min(16, 63 // k)
+        bounds = df.select(
+            *[f(c) for c in cluster_by for f in (F.min, F.max)]
+        ).first()  # 1-row bounds aggregate, never data-grain
 
-            def quant(col, lo, hi):
-                span = float(hi - lo) or 1.0
-                return (
-                    (F.col(col) - F.lit(lo)) / F.lit(span) * scale
-                ).cast("bigint")
-
+        def quant(i, col):
+            lo, hi = bounds[2 * i], bounds[2 * i + 1]
+            span = float(hi - lo) or 1.0
             return (
-                df.withColumn(
-                    "__z",
-                    morton_interleave(
-                        quant(a, lo_a, hi_a), quant(b, lo_b, hi_b), 16
-                    ),
-                )
-                .repartitionByRange(n, F.col("__z"))
-                .sortWithinPartitions("__z")
-                .drop("__z")
+                (F.col(col) - F.lit(lo)) / F.lit(span)
+                * ((1 << bits) - 1)
+            ).cast("bigint")
+
+        return (
+            df.withColumn(
+                "__z",
+                morton_interleave_k(
+                    [quant(i, c) for i, c in enumerate(cluster_by)],
+                    bits,
+                ),
             )
-        raise ValueError(
-            "cluster_by supports 1 (range) or 2 (Z-order) keys"
+            .repartitionByRange(n, F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
         )
 
     def compact(
@@ -1120,10 +1122,8 @@ class FileCommitLog:
         min/max commit atomically with the rewrite, ``read_pruned``
         prunes the clustered files immediately — no separate
         ANALYZE/refresh step exists to forget."""
-        if cluster_by and len(cluster_by) not in (1, 2):
-            raise ValueError(
-                "cluster_by supports 1 (range) or 2 (Z-order) keys"
-            )
+        if cluster_by is not None and not cluster_by:
+            raise ValueError("cluster_by must name at least one key")
         for _ in range(int(max_retries) + 1):
             v = self.latest_version()
             if v < 0:

@@ -64,6 +64,28 @@ def morton_interleave(a: Column, b: Column, bits: int = 16) -> Column:
     return z
 
 
+def morton_interleave_k(cols: "list[Column]", bits: int) -> Column:
+    """K-way Morton code: bit j of key i lands at position j·k + i
+    (round-robin interleave — the 2-key :func:`morton_interleave`
+    generalized). Pure JVM bitwise math; inputs clamped to ``bits``
+    bits each. Callers keep k·bits ≤ 63 (see the bits clamp in
+    ``filelog.FileCommitLog._clustered``)."""
+    k = len(cols)
+    if k < 1:
+        raise ValueError("morton_interleave_k needs at least one key")
+    mask = (1 << bits) - 1
+    z = F.lit(0).cast("bigint")
+    for i, c in enumerate(cols):
+        cc = F.least(F.greatest(c.cast("bigint"), F.lit(0)), F.lit(mask))
+        for j in range(bits):
+            # shift bit j (at position j) to position j*k + i
+            z = z.bitwiseOR(
+                F.shiftleft(cc.bitwiseAND(F.lit(1 << j)),
+                            j * (k - 1) + i)
+            )
+    return z
+
+
 def write_zorder_layout(
     df: DataFrame,
     path: str,

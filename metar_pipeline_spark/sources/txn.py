@@ -450,19 +450,52 @@ def write_audit_publish(
     }
 
 
+def restore_version(
+    store: VersionedStore, version: int, max_retries: int = 5
+) -> int:
+    """ZERO-COPY RESTORE for the full-snapshot store (the payoff of
+    the snapshot layout — rollback is pure metadata): a new commit
+    that REFERENCES version ``version``'s existing immutable snapshot
+    dir. No byte of data moves; the damaged commits stay
+    time-travelable for audit; reference-aware retention
+    (:func:`expire_versions`) keeps a snapshot alive while any
+    retained commit — including a restore — still points at it.
+    Contrast :meth:`filelog.FileCommitLog.restore`, which must
+    MATERIALIZE O(|table|) because its layout is file-action deltas."""
+    target = store.get_commit(int(version))  # loud if expired
+    for _ in range(int(max_retries) + 1):
+        v = store.latest_version()
+        if v == int(version):
+            return v  # already at the target; nothing to claim
+        try:
+            return store.claim(
+                target.data, f"restore:{int(version)}", v
+            )
+        except CommitConflict:
+            continue
+    raise CommitConflict(store.latest_version() + 1)
+
+
 def expire_versions(store: VersionedStore, keep_last: int) -> "list[int]":
     """Retention for the commit log: drop all but the newest
     ``keep_last`` versions — commit file AND snapshot dir (oldest
     first, so a crash mid-expiry leaves a contiguous suffix of the
-    log). ``as_of`` reads of expired versions then fail loudly.
-    Metadata surgery only; keep_last must be ≥ 1."""
+    log) — EXCEPT a snapshot dir some retained commit still
+    references (zero-copy restores alias old snapshots; deleting the
+    dir under a live reference would corrupt the head). ``as_of``
+    reads of expired versions then fail loudly. Metadata surgery
+    only; keep_last must be ≥ 1."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     vs = store._commit_versions()
     doomed = vs[:-keep_last] if len(vs) > keep_last else []
+    kept_refs = {
+        store.get_commit(v).data for v in vs[len(doomed):]
+    }
     for v in doomed:
         c = store.get_commit(v)
-        store._fs.delete(store._path(c.data), True)
+        if c.data not in kept_refs:
+            store._fs.delete(store._path(c.data), True)
         store._fs.delete(
             store._path(f"{_COMMITS}/{v:0{_PAD}d}.json"), False
         )

@@ -553,8 +553,22 @@ def test_clustered_compact_improves_pruning(spark, tmp_path):
         F.col("a").between(3, 5) & F.col("b").between(3, 5)
     ).count()
     assert got == want
-    with pytest.raises(ValueError, match="cluster_by"):
-        log2.compact(cluster_by=["a", "b", "payload"])
+    # k-key Z-order (k=3): correctness unchanged, box still prunes
+    log2.append(
+        spark.range(260, 264).select(
+            (F.col("id") % 16).alias("a"),
+            (F.col("id") / 16).cast("long").alias("b"),
+            F.col("id").alias("payload"),
+        )
+    )
+    assert log2.compact(cluster_by=["a", "b", "payload"],
+                        target_files=4) == 4
+    got3 = log2.read_pruned("a", 3, 5).filter(
+        F.col("b").between(3, 5)
+    ).count()
+    assert got3 == want
+    with pytest.raises(ValueError, match="at least one key"):
+        log2.compact(cluster_by=[])
 
 
 def test_cdc_replication_exactly_once(spark, tmp_path):

@@ -272,3 +272,32 @@ def test_concurrent_threaded_writers_all_land(spark, tmp_path):
     assert store.latest_version() == 8
     final = {r.id for r in store.read().collect()}
     assert final == {999, 0, 1, 2, 3, 4, 5, 6, 7}  # nothing lost
+
+
+def test_zero_copy_restore_and_reference_aware_expiry(spark, tmp_path):
+    """restore_version claims a commit that ALIASES the target's
+    immutable snapshot — no byte moves; retention keeps an aliased
+    snapshot alive while any retained commit references it."""
+    from metar_pipeline_spark.sources.txn import restore_version
+
+    store = VersionedStore(spark, str(tmp_path / "t"))
+    store.commit(_batch(spark, [1, 2, 3], 0), "merge", read_version=-1)
+    want = {(r.id, r.gen) for r in store.read().collect()}
+    store.commit(_batch(spark, [1, 2], 7), "merge", read_version=0)  # bad
+
+    assert restore_version(store, 0) == 2
+    assert {(r.id, r.gen) for r in store.read().collect()} == want
+    # zero-copy: the restore commit references v0's snapshot dir
+    assert store.get_commit(2).data == store.get_commit(0).data
+    # the bad state stays auditable
+    assert store.read(as_of=1).count() == 2
+    # restore to the current head claims nothing
+    assert restore_version(store, 2) == 2
+
+    # retention: dropping v0 and v1 must NOT delete the snapshot the
+    # restore commit still references
+    assert expire_versions(store, keep_last=1) == [0, 1]
+    assert {(r.id, r.gen) for r in store.read().collect()} == want
+    # restoring an expired version is loud
+    with pytest.raises(ValueError):
+        restore_version(store, 1)
