@@ -91,6 +91,7 @@ VERIFY_FIRST: list[str] = [
     "filelog_tagged_snapshot",
     "filelog_check_constraints",
     "filelog_restore_rollback",
+    "maintenance_filelog_lifecycle",
     "audio_wav_features",
     "audio_wav_resample",
     "lpa_incremental_delta",

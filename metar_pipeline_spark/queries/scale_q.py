@@ -4221,3 +4221,120 @@ def filelog_restore_rollback(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+@register(
+    "maintenance_filelog_lifecycle",
+    """
+    WITH f AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT 'clustered_pruned_scan' AS phase, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           4 AS n_tasks_ok
+    FROM f WHERE cents BETWEEN 3000 AND 9000
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'synced_changelog_fold', event_type,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(cents) AS BIGINT),
+           4
+    FROM f GROUP BY event_type
+    """,
+    doc=(
+        "The scheduled OPS LIFECYCLE driven end-to-end through "
+        "run_maintenance at the gate (plans/maintenance.py — one "
+        "metadata-driven entrypoint, per-task isolation): over a "
+        "stats-tracked filelog store seeded with three full-range "
+        "appends, the runner executes a CLUSTERED compact (stats_cols "
+        "forwarded — skipping survives the rewrite), a log checkpoint "
+        "+ expiry, a vacuum sweep (reclaims the three pre-compact "
+        "tokens), and an exactly-once sync_filelog replication into a "
+        "downstream changelog. The result proves all four landed "
+        "(n_tasks_ok pinned in every row), the post-maintenance "
+        "pruned scan still equals the oracle's plain filter, and the "
+        "replicated changelog folds to the full table. At 100 TB this "
+        "is the nightly job: every task metadata-grain or "
+        "delta-grain, none table-grain."
+    ),
+)
+def maintenance_filelog_lifecycle(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from metar_pipeline_spark.plans.maintenance import run_maintenance
+    from metar_pipeline_spark.sources.filelog import FileCommitLog
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    ).localCheckpoint(eager=True)
+    tmp = tempfile.mkdtemp(prefix="maint_filelog_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        root = os.path.join(tmp, "fact")
+        dst_root = os.path.join(tmp, "changelog")
+        log = FileCommitLog(spark, root, stats_cols=["cents"])
+        for m in range(3):  # each slice spans the full cents range
+            log.append(
+                base.filter(F.col("event_id") % 3 == m).coalesce(1)
+            )
+        # order matters and mirrors the real nightly: replicate the
+        # feed BEFORE checkpoint+expire truncate the history it reads
+        rep = run_maintenance(
+            spark,
+            [
+                {"task": "compact_filelog", "path": root,
+                 "stats_cols": ["cents"], "cluster_by": ["cents"],
+                 "target_files": 5},
+                {"task": "sync_filelog", "path": dst_root,
+                 "source": root},
+                {"task": "checkpoint_filelog", "path": root},
+                {"task": "vacuum", "path": root,
+                 "older_than_seconds": 0},
+            ],
+        )
+        n_ok = rep.filter("ok").count()  # 4 when every task landed
+
+        pruned = (
+            log.read_pruned("cents", 3000, 9000)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+            .select(
+                F.lit("clustered_pruned_scan").alias("phase"),
+                "event_type", "n_rows", "sum_cents",
+                F.lit(n_ok).cast("int").alias("n_tasks_ok"),
+            )
+        )
+        sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        folded = (
+            FileCommitLog(spark, dst_root)
+            .read()
+            .groupBy("event_type")
+            .agg(
+                F.sum(sign).cast("long").alias("n_rows"),
+                F.sum(sign * F.col("cents")).cast("long").alias(
+                    "sum_cents"
+                ),
+            )
+            .select(
+                F.lit("synced_changelog_fold").alias("phase"),
+                "event_type", "n_rows", "sum_cents",
+                F.lit(n_ok).cast("int").alias("n_tasks_ok"),
+            )
+        )
+        result = pruned.unionByName(folded).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
