@@ -297,6 +297,31 @@ class FileCommitLog:
                 f"table schema {cur} — pass merge_schema=True to "
                 f"evolve the schema additively"
             )
+        # TYPE drift on an existing column never merges (the additive-
+        # only contract): a long column fed ints would otherwise
+        # silently rewrite the recorded schema while old files keep
+        # the old physical type — detected here at write time, not as
+        # a reader's arrow type clash later.
+        sj = self.schema_json_at()
+        if sj is not None:
+            declared = {
+                f["name"]: f["type"]
+                for f in json.loads(sj)["fields"]
+            }
+            batch_types = {
+                f.name: f.dataType.jsonValue() for f in df.schema.fields
+            }
+            drift = {
+                c: (declared[c], batch_types[c])
+                for c in cur
+                if c in declared and batch_types.get(c) != declared[c]
+            }
+            if drift:
+                raise ValueError(
+                    f"{op}: batch column types differ from the table "
+                    f"schema (additive evolution only, no type "
+                    f"changes): {drift}"
+                )
         return cur + [c for c in new if c not in cur]
 
     @staticmethod

@@ -1131,3 +1131,27 @@ def test_streaming_source_survives_log_expiry(spark, tmp_path):
     # the merge window feeds pre-image delete for the stored id=1 and
     # post-image inserts; the v1-deleted evens never resurface
     assert got == {(1, "delete"), (1, "insert"), (9, "insert")}
+
+
+def test_type_drift_on_existing_column_refused(spark, tmp_path):
+    """Additive-only means NO type changes: a batch feeding ints into
+    a long column (or strings into a long) is refused at write time,
+    before any file lands — not discovered later as a reader's arrow
+    type clash."""
+    log = FileCommitLog(spark, str(tmp_path / "t"))
+    log.append(_batch(spark, 0, 3, "d1"))  # v long
+    drifted = spark.createDataFrame(
+        [(9, "d1", 7)], "id long, day string, v int"
+    )
+    with pytest.raises(ValueError, match="type"):
+        log.append(drifted)
+    with pytest.raises(ValueError, match="type"):
+        log.append(drifted, merge_schema=True)  # not an evolution
+    assert log.latest_version() == 0
+    # same types in a different column ORDER are fine (projection)
+    reordered = spark.createDataFrame(
+        [("d2", 40, 4)], "day string, v long, id long"
+    )
+    assert log.append(reordered.select("id", "day", "v")) == 1
+    assert log.append(reordered) == 2  # order normalized by cols
+    assert log.read().count() == 5
