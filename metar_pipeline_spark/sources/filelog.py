@@ -42,26 +42,39 @@ file lists inside are one string per file — the same thing Delta's
 driver holds when planning a scan).
 
 Schema evolution (additive): every write op records the table's
-column list in its commit ("cols"), so the schema is versioned with
-the data. ``append``/``merge_by_key`` validate the batch against the
-current columns and FAIL loudly on a surprise unless
+column list ("cols") and full schema json in its commit, so the
+schema is versioned with the data. Writers validate the batch against
+the current columns AND types and FAIL loudly on a surprise unless
 ``merge_schema=True``, in which case new columns are appended to the
 canonical order and old files null-fill them on read (Delta's
 mergeSchema semantics). Time travel returns the schema AS OF that
 version. Type changes on an existing column are never merged —
-additive only, by design. Logs written before column tracking read
-exactly as before (strict union by name, loud on mismatch).
+additive only, by design; drift is refused at write time. Logs
+written before column tracking read exactly as before (strict union
+by name, loud on mismatch).
 
 Change feed: ``read_changes(from_v, to_v)`` replays the commits in
 ``(from_v, to_v]`` into exact row-level inserts/deletes at O(files
 touched by those commits) — never table grain. ``compact`` commits
-are content-neutral and emit nothing.
+are content-neutral and emit nothing; ``restore`` commits feed the
+gross delta. ``sync_changes_from`` replicates the feed into another
+log EXACTLY-ONCE (the destination's idempotent app-commits are the
+cursor), and :mod:`sources.filelog_stream` is the native Structured
+Streaming form (``format("filelog_changes")``, version offsets).
+
+Governance on the same log: ``create_tag`` pins a self-contained
+snapshot manifest that outlives retention (reproducible training
+datasets; vacuum counts tag references), ``set_check_constraint``
+records CHECK predicates every writer enforces before a file lands,
+``restore`` rolls the head back to a version with history preserved,
+and commits carry wall-clock stamps for ``read_at_timestamp``
+(TIMESTAMP AS OF).
 
 Non-goals (documented, loud when hit): type widening on existing
 columns (additive evolution only); hive-special partition values
 needing escaping (overwrite_partitions validates its replacement
 files against the declared partition prefixes and refuses on
-mismatch).
+mismatch; the streaming source refuses %XX-escaped values).
 """
 
 from __future__ import annotations
