@@ -92,6 +92,7 @@ VERIFY_FIRST: list[str] = [
     "filelog_check_constraints",
     "filelog_restore_rollback",
     "maintenance_filelog_lifecycle",
+    "filelog_cdf_ivm_view",
     "audio_wav_features",
     "audio_wav_resample",
     "lpa_incremental_delta",

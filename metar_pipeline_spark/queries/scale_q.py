@@ -4338,3 +4338,94 @@ def maintenance_filelog_lifecycle(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+@register(
+    "filelog_cdf_ivm_view",
+    """
+    WITH merged AS (
+      SELECT user_id % 10 AS user_band, user_id,
+             CASE WHEN event_id % 7 = 0
+                  THEN CAST(FLOOR(value * 100) AS BIGINT) + 250000
+                  ELSE CAST(FLOOR(value * 100) AS BIGINT) END AS cents
+      FROM events
+    )
+    SELECT user_band,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM merged
+    WHERE user_id % 11 <> 0
+    GROUP BY user_band
+    """,
+    doc=(
+        "The CDC → IVM bridge: the commit log's change feed IS a "
+        "Z-set (insert = +1, delete = −1), so a materialized "
+        "aggregate view is maintained by the engine's own "
+        "retraction-aware IVM operators — zset_weighted_agg turns "
+        "each change window into a group-grain delta (Δcount = Σw, "
+        "Δsum = Σ cents·w, exact integer types), apply_agg_delta "
+        "merges it into the view (full-outer at GROUP grain, "
+        "net-zero groups dropped). Three windows — initial load, a "
+        "keyed merge (whose pre-image deletes are the retractions), "
+        "a DV delete — maintain the view incrementally; the result "
+        "must equal the oracle's direct aggregate over the final "
+        "table, which any missed retraction or double-fed window "
+        "breaks. At 100 TB each refresh touches O(Δ files) + "
+        "O(view groups), never the fact."
+    ),
+)
+def filelog_cdf_ivm_view(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from metar_pipeline_spark.operators.ivm import (
+        apply_agg_delta,
+        zset_weighted_agg,
+    )
+    from metar_pipeline_spark.sources.filelog import FileCommitLog
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    upd = base.filter(F.col("event_id") % 7 == 0).withColumn(
+        "cents", F.col("cents") + F.lit(250000)
+    )
+    tmp = tempfile.mkdtemp(prefix="filelog_ivm_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        log = FileCommitLog(spark, os.path.join(tmp, "fact"))
+        log.append(base)                                    # v0
+        assert log.merge_by_key(upd, ["event_id"]) == 1     # v1
+        assert log.delete_where(F.col("user_id") % 11 == 0) == 2
+
+        def window_delta(lo, hi):
+            z = log.read_changes(lo, hi).select(
+                (F.col("user_id") % 10).alias("user_band"),
+                "cents",
+                F.when(F.col("_change_type") == "insert", 1)
+                .otherwise(-1).alias("_w"),
+            )
+            return zset_weighted_agg(
+                z, ["user_band"], sums={"sum_cents": F.col("cents")}
+            )
+
+        view = window_delta(-1, 0).localCheckpoint(eager=True)
+        for lo, hi in [(0, 1), (1, 2)]:
+            view = apply_agg_delta(
+                view, window_delta(lo, hi), ["user_band"],
+                ["sum_cents"],
+            ).localCheckpoint(eager=True)
+        result = view.select(
+            "user_band",
+            F.col("_n").cast("long").alias("n_rows"),
+            F.col("sum_cents").cast("long").alias("sum_cents"),
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
