@@ -1110,9 +1110,10 @@ class FileCommitLog:
             ).sortWithinPartitions(cluster_by[0])
         k = len(cluster_by)
         bits = min(16, 63 // k)
-        bounds = df.select(
-            *[f(c) for c in cluster_by for f in (F.min, F.max)]
-        ).first()  # 1-row bounds aggregate, never data-grain
+        aggs = []
+        for c in cluster_by:
+            aggs += [F.min(c), F.max(c)]
+        bounds = df.select(*aggs).first()  # 1-row bounds aggregate
 
         def quant(i, col):
             lo, hi = bounds[2 * i], bounds[2 * i + 1]
