@@ -93,6 +93,7 @@ VERIFY_FIRST: list[str] = [
     "filelog_restore_rollback",
     "maintenance_filelog_lifecycle",
     "filelog_cdf_ivm_view",
+    "filelog_branch_publish",
     "audio_wav_features",
     "audio_wav_resample",
     "lpa_incremental_delta",

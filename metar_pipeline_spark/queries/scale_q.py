@@ -4429,3 +4429,91 @@ def filelog_cdf_ivm_view(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+@register(
+    "filelog_branch_publish",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), dev AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 6 = 0 THEN cents + 1500000
+                  ELSE cents END AS cents
+      FROM base
+      WHERE o_custkey % 10 <> 0
+    )
+    SELECT 'main_during_branch' AS phase,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM base
+    UNION ALL
+    SELECT 'main_after_publish', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(cents) AS BIGINT)
+    FROM dev
+    """,
+    doc=(
+        "BRANCHES — dev-test on production data with zero copy (the "
+        "Nessie/LakeFS/Iceberg-branch shape): create_branch forks a "
+        "writable sibling commit chain over the SAME immutable token "
+        "namespace (v0 = self-contained base snapshot: files + "
+        "vectors + schema + skipping stats); the dev branch re-prices "
+        "and row-deletes while MAIN remains byte-identical (first "
+        "phase), then publish_branch FAST-FORWARDS main in one "
+        "metadata-only commit — add(branch-only files) + "
+        "remove(main-only) + dv_add(branch-new vectors), zero data "
+        "moved (second phase ≡ the oracle's recompute of the dev "
+        "work). A diverged main refuses loudly; vacuum counts branch "
+        "references; the published delta feeds the change feed "
+        "fold-exactly — all pinned in tests/test_filelog.py."
+    ),
+)
+def filelog_branch_publish(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from metar_pipeline_spark.sources.filelog import FileCommitLog
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    upd = base.filter(F.col("o_orderkey") % 6 == 0).withColumn(
+        "cents", F.col("cents") + F.lit(1500000)
+    )
+    tmp = tempfile.mkdtemp(prefix="filelog_branch_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        log = FileCommitLog(spark, os.path.join(tmp, "fact"))
+        log.append(base)                                    # main v0
+        br = log.create_branch("reprice")
+        assert br.merge_by_key(upd, ["o_orderkey"]) == 1
+        assert br.delete_where(F.col("o_custkey") % 10 == 0) == 2
+
+        def phase(name, df):
+            return df.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            ).select(F.lit(name).alias("phase"), "n_rows", "sum_cents")
+
+        during = phase(
+            "main_during_branch", log.read().drop("o_custkey")
+        ).localCheckpoint(eager=True)
+        assert log.publish_branch("reprice") == 1
+        result = (
+            during.unionByName(
+                phase("main_after_publish",
+                      log.read().drop("o_custkey"))
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result

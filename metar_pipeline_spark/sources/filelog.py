@@ -95,6 +95,7 @@ _COMMITS = "_commits"
 _DATA = "_data"
 _DV = "_dv"
 _TAGS = "_tags"
+_BRANCHES = "_branches"
 _PAD = 20
 
 
@@ -141,6 +142,7 @@ class FileCommitLog:
         root: str,
         stats_cols: "list[str] | None" = None,
         clock=None,
+        branch: "str | None" = None,
     ):
         self.spark = spark
         self.root = root.rstrip("/")
@@ -148,6 +150,14 @@ class FileCommitLog:
         # commit wall-clock source; injectable for deterministic tests
         # of timestamp time travel
         self._clock = clock
+        self.branch = branch
+        # a BRANCH is a sibling commit chain over the SAME _data/_dv
+        # namespace: its log lives under _branches/<name>/_commits and
+        # its v0 is a self-contained base snapshot of the main table
+        self._cdir = (
+            _COMMITS if branch is None
+            else f"{_BRANCHES}/{branch}/{_COMMITS}"
+        )
         self._fs, self._root_h, self._jvm = _hadoop_fs(spark, self.root)
 
     def _now(self) -> float:
@@ -162,7 +172,7 @@ class FileCommitLog:
         return self._jvm.org.apache.hadoop.fs.Path(f"{self.root}/{rel}")
 
     def _commit_versions(self) -> "list[int]":
-        cdir = self._path(_COMMITS)
+        cdir = self._path(self._cdir)
         if not self._fs.exists(cdir):
             return []
         out = []
@@ -177,7 +187,7 @@ class FileCommitLog:
         return sorted(out)
 
     def _checkpoint_versions(self) -> "list[int]":
-        cdir = self._path(_COMMITS)
+        cdir = self._path(self._cdir)
         if not self._fs.exists(cdir):
             return []
         out = []
@@ -197,7 +207,7 @@ class FileCommitLog:
         return max(cand)
 
     def get_commit(self, version: int) -> dict:
-        p = self._path(f"{_COMMITS}/{version:0{_PAD}d}.json")
+        p = self._path(f"{self._cdir}/{version:0{_PAD}d}.json")
         if not self._fs.exists(p):
             raise ValueError(
                 f"commit {version} does not exist in {self.root}"
@@ -278,7 +288,7 @@ class FileCommitLog:
             meta = json.loads(
                 _read_small_file(
                     self._fs,
-                    self._path(f"{_COMMITS}/_checkpoint.{cps[-1]}.json"),
+                    self._path(f"{self._cdir}/_checkpoint.{cps[-1]}.json"),
                     self._jvm,
                 )
             )
@@ -372,7 +382,7 @@ class FileCommitLog:
             meta = json.loads(
                 _read_small_file(
                     self._fs,
-                    self._path(f"{_COMMITS}/_checkpoint.{cps[-1]}.json"),
+                    self._path(f"{self._cdir}/_checkpoint.{cps[-1]}.json"),
                     self._jvm,
                 )
             )
@@ -397,7 +407,7 @@ class FileCommitLog:
             meta = json.loads(
                 _read_small_file(
                     self._fs,
-                    self._path(f"{_COMMITS}/_checkpoint.{cp}.json"),
+                    self._path(f"{self._cdir}/_checkpoint.{cp}.json"),
                     self._jvm,
                 )
             )
@@ -484,7 +494,7 @@ class FileCommitLog:
             meta = json.loads(
                 _read_small_file(
                     self._fs,
-                    self._path(f"{_COMMITS}/_checkpoint.{cps[-1]}.json"),
+                    self._path(f"{self._cdir}/_checkpoint.{cps[-1]}.json"),
                     self._jvm,
                 )
             )
@@ -542,7 +552,7 @@ class FileCommitLog:
             meta = json.loads(
                 _read_small_file(
                     self._fs,
-                    self._path(f"{_COMMITS}/_checkpoint.{cps[-1]}.json"),
+                    self._path(f"{self._cdir}/_checkpoint.{cps[-1]}.json"),
                     self._jvm,
                 )
             )
@@ -745,11 +755,11 @@ class FileCommitLog:
 
     def _claim(self, n: int, meta: dict, token: str) -> None:
         meta.setdefault("ts", self._now())  # commit wall-clock stamp
-        final = self._path(f"{_COMMITS}/{n:0{_PAD}d}.json")
-        self._fs.mkdirs(self._path(_COMMITS))
+        final = self._path(f"{self._cdir}/{n:0{_PAD}d}.json")
+        self._fs.mkdirs(self._path(self._cdir))
         if self._fs.exists(final):
             raise CommitConflict(n)
-        tmp = self._path(f"{_COMMITS}/.tmp-{token}.json")
+        tmp = self._path(f"{self._cdir}/.tmp-{token}.json")
         _write_small_file(self._fs, tmp, json.dumps(meta))
         if not self._fs.rename(tmp, final):
             self._fs.delete(tmp, False)
@@ -768,7 +778,7 @@ class FileCommitLog:
             meta = json.loads(
                 _read_small_file(
                     self._fs,
-                    self._path(f"{_COMMITS}/_checkpoint.{cp}.json"),
+                    self._path(f"{self._cdir}/_checkpoint.{cp}.json"),
                     self._jvm,
                 )
             )
@@ -795,7 +805,7 @@ class FileCommitLog:
             meta = json.loads(
                 _read_small_file(
                     self._fs,
-                    self._path(f"{_COMMITS}/_checkpoint.{cp}.json"),
+                    self._path(f"{self._cdir}/_checkpoint.{cp}.json"),
                     self._jvm,
                 )
             )
@@ -1208,7 +1218,7 @@ class FileCommitLog:
             prior = json.loads(
                 _read_small_file(
                     self._fs,
-                    self._path(f"{_COMMITS}/_checkpoint.{cps[-1]}.json"),
+                    self._path(f"{self._cdir}/_checkpoint.{cps[-1]}.json"),
                     self._jvm,
                 )
             )
@@ -1217,8 +1227,8 @@ class FileCommitLog:
             c = self.get_commit(n)
             if c.get("app_id") is not None:
                 apps[f"{c['app_id']}:{int(c.get('app_batch', 0))}"] = n
-        self._fs.mkdirs(self._path(_COMMITS))
-        tmp = self._path(f"{_COMMITS}/.tmp-cp-{uuid.uuid4().hex}.json")
+        self._fs.mkdirs(self._path(self._cdir))
+        tmp = self._path(f"{self._cdir}/.tmp-cp-{uuid.uuid4().hex}.json")
         _write_small_file(
             self._fs,
             tmp,
@@ -1235,7 +1245,7 @@ class FileCommitLog:
                 }
             ),
         )
-        final = self._path(f"{_COMMITS}/_checkpoint.{v}.json")
+        final = self._path(f"{self._cdir}/_checkpoint.{v}.json")
         self._fs.delete(final, False)
         self._fs.rename(tmp, final)
         return v
@@ -1254,12 +1264,12 @@ class FileCommitLog:
         for n in self._commit_versions():
             if n <= floor:
                 self._fs.delete(
-                    self._path(f"{_COMMITS}/{n:0{_PAD}d}.json"), False
+                    self._path(f"{self._cdir}/{n:0{_PAD}d}.json"), False
                 )
                 dropped.append(n)
         for c in cps[:-1]:
             self._fs.delete(
-                self._path(f"{_COMMITS}/_checkpoint.{c}.json"), False
+                self._path(f"{self._cdir}/_checkpoint.{c}.json"), False
             )
         return dropped
 
@@ -1408,6 +1418,158 @@ class FileCommitLog:
             self._scan_files(files, with_meta=True, cols=cols), dvs
         ).drop("__file", "__ri")
 
+    # -- branches (dev-on-prod, fast-forward publish) ----------------------
+    def create_branch(
+        self, name: str, as_of: "int | None" = None
+    ) -> "FileCommitLog":
+        """Fork a WRITABLE branch off the table (the Nessie/LakeFS /
+        Iceberg-branch shape — dev-test on production data with zero
+        copy): the branch is a sibling commit chain under
+        ``_branches/<name>/_commits`` over the SAME immutable
+        ``_data``/``_dv`` namespace, whose v0 is a self-contained base
+        snapshot (live files + vectors + schema + skipping stats) of
+        main AS OF the fork point. Branch writers append/merge/delete/
+        compact exactly like main — not one main byte is copied or
+        touched — and main stays oblivious until
+        :meth:`publish_branch` fast-forwards it. Vacuum counts branch
+        references. Returns the branch's log handle."""
+        import re
+
+        if self.branch is not None:
+            raise ValueError(
+                "branch-of-branch is not supported — fork from main"
+            )
+        if not re.fullmatch(r"[A-Za-z][A-Za-z0-9._-]*", name or ""):
+            raise ValueError(
+                f"invalid branch name {name!r} (want "
+                f"[A-Za-z][A-Za-z0-9._-]*)"
+            )
+        v = self.latest_version() if as_of is None else int(as_of)
+        live, stats = self._live_with_stats(v)
+        bdir = f"{_BRANCHES}/{name}"
+        if self._fs.exists(self._path(bdir)):
+            raise ValueError(
+                f"branch {name!r} already exists in {self.root}"
+            )
+        br = FileCommitLog(
+            self.spark, self.root, self.stats_cols, self._clock,
+            branch=name,
+        )
+        # the fork point rides an immutable side file (publish needs
+        # it even after branch-log retention drops commit 0)
+        self._fs.mkdirs(self._path(bdir))
+        tmp = self._path(f"{bdir}/.tmp-meta-{uuid.uuid4().hex}.json")
+        _write_small_file(
+            self._fs, tmp, json.dumps({"from_version": v})
+        )
+        if not self._fs.rename(tmp, self._path(f"{bdir}/meta.json")):
+            self._fs.delete(tmp, False)
+            raise ValueError(f"branch {name!r} creation raced")
+        br._claim(
+            0,
+            {"version": 0, "op": "branch_base", "add": live,
+             "remove": [], "dv_add": self._active_dvs(v),
+             "writer": f"branch-{name}", "stats": stats,
+             "cols": self.columns_at(v),
+             "schema_json": self.schema_json_at(v),
+             "constraints": self.constraints_at(v),
+             "from_version": v},
+            uuid.uuid4().hex,
+        )
+        return br
+
+    def branch_ref(self, name: str) -> "FileCommitLog":
+        """Handle on an existing branch's log."""
+        if not self._fs.exists(
+            self._path(f"{_BRANCHES}/{name}/meta.json")
+        ):
+            raise ValueError(f"no branch {name!r} in {self.root}")
+        return FileCommitLog(
+            self.spark, self.root, self.stats_cols, self._clock,
+            branch=name,
+        )
+
+    def list_branches(self) -> "dict[str, int]":
+        """branch name → fork-point main version."""
+        bdir = self._path(_BRANCHES)
+        if not self._fs.exists(bdir):
+            return {}
+        out = {}
+        for st in self._fs.listStatus(bdir):
+            n = st.getPath().getName()
+            meta_p = self._path(f"{_BRANCHES}/{n}/meta.json")
+            if self._fs.exists(meta_p):
+                out[n] = json.loads(
+                    _read_small_file(self._fs, meta_p, self._jvm)
+                )["from_version"]
+        return out
+
+    def delete_branch(self, name: str) -> bool:
+        """Drop a branch chain (post-publish or abandoned); its
+        branch-only tokens become vacuum-reclaimable."""
+        return bool(
+            self._fs.delete(self._path(f"{_BRANCHES}/{name}"), True)
+        )
+
+    def publish_branch(self, name: str, max_retries: int = 5) -> int:
+        """FAST-FORWARD main to the branch head in ONE atomic commit:
+        add(branch-only files) + remove(main-only files) +
+        dv_add(branch-new vectors) — pure metadata, zero data moved
+        (the branch already wrote its tokens into the shared
+        namespace). Requires main unchanged since the fork point;
+        a diverged main refuses loudly (create a fresh branch from
+        the new head — first-class rebase is out of scope). The
+        change feed carries the published delta exactly; the branch
+        chain survives for audit until :meth:`delete_branch`."""
+        if self.branch is not None:
+            raise ValueError("publish from the MAIN log handle")
+        br = self.branch_ref(name)
+        meta = json.loads(
+            _read_small_file(
+                self._fs,
+                self._path(f"{_BRANCHES}/{name}/meta.json"),
+                self._jvm,
+            )
+        )
+        from_version = int(meta["from_version"])
+        bv = br.latest_version()
+        if bv < 0:
+            raise ValueError(f"branch {name!r} has no commits")
+        br_live, br_stats = br._live_with_stats(bv)
+        br_dvs = set(br._active_dvs(bv))
+        for _ in range(int(max_retries) + 1):
+            v = self.latest_version()
+            if v != from_version:
+                raise ValueError(
+                    f"cannot publish branch {name!r}: main advanced "
+                    f"to v{v} past the fork point v{from_version} — "
+                    f"fork a fresh branch from the new head and "
+                    f"re-apply"
+                )
+            main_live = set(self.live_files(v))
+            main_dvs = set(self._active_dvs(v))
+            add = sorted(set(br_live) - main_live)
+            remove = sorted(main_live - set(br_live))
+            try:
+                self._claim(
+                    v + 1,
+                    {"version": v + 1, "op": "publish",
+                     "branch": name, "add": add, "remove": remove,
+                     "dv_add": sorted(br_dvs - main_dvs),
+                     "writer": f"publish-{name}",
+                     "stats": {
+                         f: s for f, s in br_stats.items() if f in add
+                     },
+                     "cols": br.columns_at(bv),
+                     "schema_json": br.schema_json_at(bv),
+                     "constraints": br.constraints_at(bv)},
+                    f"publish-{name}",
+                )
+                return v + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(self.latest_version() + 1)
+
     # -- CHECK constraints --------------------------------------------------
     def constraints_at(
         self, as_of: "int | None" = None
@@ -1432,7 +1594,7 @@ class FileCommitLog:
             meta = json.loads(
                 _read_small_file(
                     self._fs,
-                    self._path(f"{_COMMITS}/_checkpoint.{cps[-1]}.json"),
+                    self._path(f"{self._cdir}/_checkpoint.{cps[-1]}.json"),
                     self._jvm,
                 )
             )
@@ -1582,7 +1744,7 @@ class FileCommitLog:
             meta = json.loads(
                 _read_small_file(
                     self._fs,
-                    self._path(f"{_COMMITS}/_checkpoint.{cp}.json"),
+                    self._path(f"{self._cdir}/_checkpoint.{cp}.json"),
                     self._jvm,
                 )
             )

@@ -131,6 +131,40 @@ def vacuum_store(
                         act("claim_tmp", st, "deleted")
                     else:
                         act("claim_tmp", st, "kept_young")
+            # branch commit chains reference the SAME _data/_dv
+            # namespace — every branch's commits and checkpoints count,
+            # or vacuum would eat a live dev branch's tokens
+            _, b_h, _ = _hadoop_fs(spark, f"{dir_path}/_branches")
+            if fs.exists(b_h):
+                for bst in fs.listStatus(b_h):
+                    bc = f"{dir_path}/_branches/{bst.getPath().getName()}/_commits"
+                    _, bc_h, _ = _hadoop_fs(spark, bc)
+                    if not fs.exists(bc_h):
+                        continue
+                    for st in fs.listStatus(bc_h):
+                        n = st.getPath().getName()
+                        ok = (
+                            n.endswith(".json")
+                            and (
+                                n[: -len(".json")].isdigit()
+                                or n.startswith("_checkpoint.")
+                            )
+                        )
+                        if not ok:
+                            continue
+                        meta = _read_commit(fs, st.getPath(), jvm)
+                        for f in (
+                            meta.get("add", [])
+                            + meta.get("live", [])
+                            + meta.get("dv_add", [])
+                            + meta.get("dvs", [])
+                        ):
+                            parts = f.split("/")
+                            if len(parts) >= 2 and parts[0] in (
+                                "_data",
+                                "_dv",
+                            ):
+                                referenced.add(parts[1])
             # tagged snapshots pin their tokens past log retention —
             # a tag's file list counts as referenced until delete_tag
             _, t_h, _ = _hadoop_fs(spark, f"{dir_path}/_tags")

@@ -1155,3 +1155,74 @@ def test_type_drift_on_existing_column_refused(spark, tmp_path):
     assert log.append(reordered.select("id", "day", "v")) == 1
     assert log.append(reordered) == 2  # order normalized by cols
     assert log.read().count() == 5
+
+
+def test_branch_isolated_writes_and_publish(spark, tmp_path):
+    """Branches: a writable fork over the shared data namespace —
+    branch writes never touch main, publish fast-forwards main in one
+    metadata commit, a diverged main refuses, vacuum keeps
+    branch-referenced tokens."""
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.sources.vacuum import vacuum_store
+
+    root = str(tmp_path / "t")
+    log = FileCommitLog(spark, root)
+    log.append(_batch(spark, 0, 6, "d1"))                   # main v0
+    main_before = {(r.id, r.v) for r in log.read().collect()}
+
+    br = log.create_branch("dev")
+    assert log.list_branches() == {"dev": 0}
+    # branch starts as an exact fork
+    assert {(r.id, r.v) for r in br.read().collect()} == main_before
+
+    # dev work: merge + delete + an evolution — main stays untouched
+    upd = spark.createDataFrame(
+        [(2, "d1", 999), (50, "d1", 500)],
+        "id long, day string, v long",
+    )
+    br.merge_by_key(upd, ["id"])
+    br.delete_where(F.col("id") == 0)
+    assert {(r.id, r.v) for r in log.read().collect()} == main_before
+    assert log.latest_version() == 0
+    dev_state = {(r.id, r.v) for r in br.read().collect()}
+    assert (2, 999) in dev_state and (0, 0) not in dev_state
+
+    # vacuum during dev: branch tokens are referenced, nothing eaten
+    rep = vacuum_store(spark, root, older_than_seconds=0)
+    assert not [r for r in rep if r["action"] == "deleted"]
+    assert {(r.id, r.v) for r in br.read().collect()} == dev_state
+
+    # publish: one metadata commit fast-forwards main
+    assert log.publish_branch("dev") == 1
+    assert {(r.id, r.v) for r in log.read().collect()} == dev_state
+    # time travel to pre-publish main still serves the old table
+    assert {(r.id, r.v) for r in log.read(as_of=0).collect()} \
+        == main_before
+    # the change feed carries the published delta fold-exactly
+    sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+    folded = {
+        (r.id, r.v)
+        for r in log.read_changes(-1)
+        .groupBy("id", "day", "v")
+        .agg(F.sum(sign).alias("net")).filter(F.col("net") > 0)
+        .collect()
+    }
+    assert folded == dev_state
+
+    # divergence: a branch forked at v0 cannot publish onto v1 main
+    br2 = log.create_branch("stale", as_of=0)
+    br2.append(_batch(spark, 90, 91, "d1"))
+    with pytest.raises(ValueError, match="advanced"):
+        log.publish_branch("stale")
+
+    # drop the branches; their exclusive tokens become reclaimable
+    assert log.delete_branch("dev") and log.delete_branch("stale")
+    rep2 = vacuum_store(spark, root, older_than_seconds=0)
+    freed = [r for r in rep2 if r["action"] == "deleted"]
+    assert freed  # stale's append token at minimum
+    assert {(r.id, r.v) for r in log.read().collect()} == dev_state
+    with pytest.raises(ValueError, match="no branch"):
+        log.branch_ref("dev")
+    with pytest.raises(ValueError, match="branch-of-branch"):
+        br.create_branch("x")
