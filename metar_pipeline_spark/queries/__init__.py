@@ -94,6 +94,7 @@ VERIFY_FIRST: list[str] = [
     "maintenance_filelog_lifecycle",
     "filelog_cdf_ivm_view",
     "filelog_branch_publish",
+    "filelog_branch_wap",
     "audio_wav_features",
     "audio_wav_resample",
     "lpa_incremental_delta",

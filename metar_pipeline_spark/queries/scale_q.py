@@ -4517,3 +4517,102 @@ def filelog_branch_publish(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+@register(
+    "filelog_branch_wap",
+    """
+    WITH base AS (
+      SELECT event_id,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT 'main_during_dev' AS phase,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM base WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT 'main_after_publish', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(cents) AS BIGINT)
+    FROM base
+    """,
+    doc=(
+        "The modern release flow composed end-to-end: "
+        "WRITE-AUDIT-PUBLISH at BRANCH granularity. Main carries a "
+        "CHECK constraint (cents >= 0) that the branch base snapshot "
+        "INHERITS, so a poisoned batch is refused on the dev branch "
+        "by the same gate production has — before any file lands; "
+        "the compliant batch lands on the branch; a final audit on "
+        "the branch head (zero rows violating the release predicate) "
+        "gates publish_branch, which fast-forwards main in one "
+        "metadata commit. Main is byte-identical all through dev "
+        "(first phase) and exactly the audited dev state after "
+        "(second phase ≡ oracle). Constraint inheritance and the "
+        "divergence refusal are pinned in tests/test_filelog.py."
+    ),
+)
+def filelog_branch_wap(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from metar_pipeline_spark.sources.filelog import FileCommitLog
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    ).localCheckpoint(eager=True)
+    tmp = tempfile.mkdtemp(prefix="filelog_bwap_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        log = FileCommitLog(spark, os.path.join(tmp, "fact"))
+        log.append(base.filter(F.col("event_id") % 2 == 0))  # main v0
+        assert log.set_check_constraint("cents_nonneg", "cents >= 0") == 1
+        br = log.create_branch("release")
+
+        poisoned = base.filter(F.col("event_id") % 2 == 1).withColumn(
+            "cents", -F.col("cents") - 1
+        )
+        try:  # production's gate fires ON THE BRANCH
+            br.append(poisoned)
+            raise AssertionError("inherited constraint did not fire")
+        except ValueError:
+            pass
+        br.append(base.filter(F.col("event_id") % 2 == 1))
+
+        during = (
+            log.read()
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+            .select(
+                F.lit("main_during_dev").alias("phase"),
+                "n_rows", "sum_cents",
+            )
+            .localCheckpoint(eager=True)
+        )
+        # release audit on the branch head gates the publish
+        n_bad = br.read().filter(F.col("cents") < 0).count()
+        assert n_bad == 0, "audit failed — publish withheld"
+        assert log.publish_branch("release") == 2
+        result = (
+            during.unionByName(
+                log.read()
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.sum("cents").cast("long").alias("sum_cents"),
+                )
+                .select(
+                    F.lit("main_after_publish").alias("phase"),
+                    "n_rows", "sum_cents",
+                )
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result

@@ -68,8 +68,7 @@ def _strip_scheme(root: str) -> str:
     return root
 
 
-def _commit_versions(root: str) -> "list[int]":
-    cdir = os.path.join(root, _COMMITS)
+def _commit_versions(cdir: str) -> "list[int]":
     if not os.path.isdir(cdir):
         return []
     out = []
@@ -81,23 +80,22 @@ def _commit_versions(root: str) -> "list[int]":
     return sorted(out)
 
 
-def _get_commit(root: str, n: int) -> dict:
-    p = os.path.join(root, _COMMITS, f"{n:0{_PAD}d}.json")
+def _get_commit(cdir: str, n: int) -> dict:
+    p = os.path.join(cdir, f"{n:0{_PAD}d}.json")
     if not os.path.exists(p):
         raise ValueError(
-            f"commit {n} expired from {root} (no commit file) — the "
+            f"commit {n} expired from {cdir} (no commit file) — the "
             f"stream cannot replay below the retention floor; restart "
             f"from a fresh full read"
         )
     return _read_json(p)
 
 
-def _latest_version(root: str) -> int:
-    vs = _commit_versions(root)
+def _latest_version(cdir: str) -> int:
+    vs = _commit_versions(cdir)
     if vs:
         return vs[-1]
     # checkpoint-only logs: the floor is still a valid latest
-    cdir = os.path.join(root, _COMMITS)
     best = -1
     if os.path.isdir(cdir):
         for name in os.listdir(cdir):
@@ -108,8 +106,7 @@ def _latest_version(root: str) -> int:
     return best
 
 
-def _checkpoints(root: str) -> "list[int]":
-    cdir = os.path.join(root, _COMMITS)
+def _checkpoints(cdir: str) -> "list[int]":
     out = []
     if os.path.isdir(cdir):
         for name in os.listdir(cdir):
@@ -122,60 +119,58 @@ def _checkpoints(root: str) -> "list[int]":
     return sorted(out)
 
 
-def _checkpoint_meta(root: str, cp: int) -> dict:
-    return _read_json(
-        os.path.join(root, _COMMITS, f"_checkpoint.{cp}.json")
-    )
+def _checkpoint_meta(cdir: str, cp: int) -> dict:
+    return _read_json(os.path.join(cdir, f"_checkpoint.{cp}.json"))
 
 
-def _columns_at(root: str, v: int) -> "list[str] | None":
-    have = set(_commit_versions(root))
-    cps = [c for c in _checkpoints(root) if c <= v]
+def _columns_at(cdir: str, v: int) -> "list[str] | None":
+    have = set(_commit_versions(cdir))
+    cps = [c for c in _checkpoints(cdir) if c <= v]
     floor = cps[-1] if cps else -1
     for n in range(v, floor, -1):
         if n not in have:
             break
-        c = _get_commit(root, n)
+        c = _get_commit(cdir, n)
         if c.get("cols") is not None:
             return list(c["cols"])
     if cps:
-        meta = _checkpoint_meta(root, cps[-1])
+        meta = _checkpoint_meta(cdir, cps[-1])
         if meta.get("cols") is not None:
             return list(meta["cols"])
     return None
 
 
-def _active_dvs_at(root: str, v: int) -> "list[str]":
+def _active_dvs_at(cdir: str, v: int) -> "list[str]":
     """Cumulative dv files in force at v: newest covering checkpoint's
     carry-forward plus the later commits' replay — history below the
     retention floor is reachable through the checkpoint, so a stream
     window above the floor plans even after early commits expired."""
     dvs: "set[str]" = set()
     start = 0
-    cps = [c for c in _checkpoints(root) if c <= v]
+    cps = [c for c in _checkpoints(cdir) if c <= v]
     if cps:
-        dvs.update(_checkpoint_meta(root, cps[-1]).get("dvs", []))
+        dvs.update(_checkpoint_meta(cdir, cps[-1]).get("dvs", []))
         start = cps[-1] + 1
     for n in range(start, v + 1):
-        c = _get_commit(root, n)
+        c = _get_commit(cdir, n)
         if c.get("op") in ("compact", "restore"):
             dvs.clear()
         dvs.update(c.get("dv_add", []))
     return sorted(dvs)
 
 
-def _schema_json_at(root: str, v: int) -> "str | None":
-    have = set(_commit_versions(root))
-    cps = [c for c in _checkpoints(root) if c <= v]
+def _schema_json_at(cdir: str, v: int) -> "str | None":
+    have = set(_commit_versions(cdir))
+    cps = [c for c in _checkpoints(cdir) if c <= v]
     floor = cps[-1] if cps else -1
     for n in range(v, floor, -1):
         if n not in have:
             break
-        c = _get_commit(root, n)
+        c = _get_commit(cdir, n)
         if c.get("schema_json") is not None:
             return c["schema_json"]
     if cps:
-        meta = _checkpoint_meta(root, cps[-1])
+        meta = _checkpoint_meta(cdir, cps[-1])
         if meta.get("schema_json") is not None:
             return meta["schema_json"]
     return None
@@ -313,6 +308,17 @@ class FileLogChangeDataSource(DataSource):
             raise ValueError("filelog_changes requires .option('path', …)")
         return _strip_scheme(root).rstrip("/")
 
+    def _cdir(self) -> str:
+        """Commit-chain dir: main's _commits, or a BRANCH's chain via
+        .option("branch", name) — the branch streams exactly like main
+        (same shared data namespace, its own version offsets)."""
+        branch = self.options.get("branch")
+        if branch:
+            return os.path.join(
+                self._root(), "_branches", branch, _COMMITS
+            )
+        return os.path.join(self._root(), _COMMITS)
+
     def _table_columns(self) -> "list[tuple[str, str]]":
         """(name, ddl) for the CURRENT table schema. Preferred source:
         the schema json the writers record in every commit (exact
@@ -322,24 +328,24 @@ class FileLogChangeDataSource(DataSource):
         tables must be refused (the footer cannot type path values)."""
         import pyarrow.parquet as pq
 
-        root = self._root()
-        v = _latest_version(root)
+        root, cdir = self._root(), self._cdir()
+        v = _latest_version(cdir)
         if v < 0:
-            raise ValueError(f"empty file-commit log at {root}")
-        sj = _schema_json_at(root, v)
+            raise ValueError(f"empty file-commit log at {cdir}")
+        sj = _schema_json_at(cdir, v)
         if sj is not None:
             return _spark_json_to_columns(sj)
-        cols = _columns_at(root, v)
+        cols = _columns_at(cdir, v)
         newest = None
-        for n in sorted(_commit_versions(root), reverse=True):
-            adds = _get_commit(root, n).get("add", [])
+        for n in sorted(_commit_versions(cdir), reverse=True):
+            adds = _get_commit(cdir, n).get("add", [])
             if adds:
                 newest = adds[-1]
                 break
         if newest is None:  # expired history: the checkpoint's live set
-            cps = _checkpoints(root)
+            cps = _checkpoints(cdir)
             if cps:
-                live = _checkpoint_meta(root, cps[-1]).get("live", [])
+                live = _checkpoint_meta(cdir, cps[-1]).get("live", [])
                 if live:
                     newest = live[-1]
         if newest is None:
@@ -376,6 +382,7 @@ class FileLogChangeDataSource(DataSource):
             self._root(),
             self._table_columns(),
             int(self.options.get("starting_version", "0")),
+            self._cdir(),
         )
 
 
@@ -391,27 +398,29 @@ class FileLogChangeStreamReader(DataSourceStreamReader):
         root: str,
         columns: "list[tuple[str, str]]",
         starting_version: int,
+        cdir: "str | None" = None,
     ):
         self.root = root
         self.columns = columns
         self.start_v = int(starting_version)
+        self.cdir = cdir or os.path.join(root, _COMMITS)
 
     def initialOffset(self) -> dict:
         return {"version": self.start_v - 1}
 
     def latestOffset(self) -> dict:
-        return {"version": max(_latest_version(self.root),
+        return {"version": max(_latest_version(self.cdir),
                                self.start_v - 1)}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["version"]), int(end["version"])
         parts: "list[_ChangePartition]" = []
         for n in range(lo + 1, hi + 1):
-            c = _get_commit(self.root, n)
+            c = _get_commit(self.cdir, n)
             if c.get("op") == "compact":
                 continue
             removes = c.get("remove", [])
-            prior = _active_dvs_at(self.root, n - 1) if removes else []
+            prior = _active_dvs_at(self.cdir, n - 1) if removes else []
             for f in c.get("add", []):
                 parts.append(_ChangePartition(
                     "add", n, f, [], self.root, self.columns))

@@ -1226,3 +1226,46 @@ def test_branch_isolated_writes_and_publish(spark, tmp_path):
         log.branch_ref("dev")
     with pytest.raises(ValueError, match="branch-of-branch"):
         br.create_branch("x")
+
+
+def test_streaming_source_on_a_branch(spark, tmp_path):
+    """option('branch', name): the stream tails the BRANCH's commit
+    chain — base snapshot feeds as the initial load, dev commits feed
+    their deltas, main's chain is untouched."""
+    from pyspark.sql import functions as F
+
+    from metar_pipeline_spark.sources.filelog_stream import (
+        FileLogChangeDataSource,
+    )
+
+    spark.dataSource.register(FileLogChangeDataSource)
+    root = str(tmp_path / "t")
+    log = FileCommitLog(spark, root)
+    log.append(spark.range(0, 4).select("id", (F.col("id") * 10)
+                                        .alias("v")))
+    br = log.create_branch("dev")
+    br.delete_where(F.col("id") == 1)
+    br.append(spark.createDataFrame([(9, 90)], "id long, v long"))
+    sink: "list" = []
+    q = (
+        spark.readStream.format("filelog_changes")
+        .option("path", root)
+        .option("branch", "dev")
+        .load()
+        .writeStream.foreachBatch(lambda d, b: sink.extend(d.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sign_fold = {}
+    for r in sink:
+        k = (r.id, r.v)
+        sign_fold[k] = sign_fold.get(k, 0) + (
+            1 if r._change_type == "insert" else -1
+        )
+    assert {k for k, n in sign_fold.items() if n > 0} == {
+        (r.id, r.v) for r in br.read().collect()
+    }
+    # version stamps are BRANCH versions (base=0, delete=1, append=2)
+    assert {r._commit_version for r in sink} == {0, 1, 2}
