@@ -1269,3 +1269,38 @@ def test_streaming_source_on_a_branch(spark, tmp_path):
     }
     # version stamps are BRANCH versions (base=0, delete=1, append=2)
     assert {r._commit_version for r in sink} == {0, 1, 2}
+
+
+def test_tag_and_branch_creation_races(spark, tmp_path):
+    """The rename-CAS holds for governance objects too: concurrent
+    same-name tag/branch creations — exactly one winner, losers get a
+    clean error, no torn metadata."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    root = str(tmp_path / "t")
+    log = FileCommitLog(spark, root)
+    log.append(_batch(spark, 0, 3, "d1"))
+
+    def mk_tag(_):
+        try:
+            FileCommitLog(spark, root).create_tag("pin")
+            return "ok"
+        except ValueError:
+            return "lost"
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        outcomes = list(ex.map(mk_tag, range(4)))
+    assert outcomes.count("ok") == 1
+    assert log.read_tag("pin").count() == 3
+
+    def mk_branch(_):
+        try:
+            FileCommitLog(spark, root).create_branch("dev")
+            return "ok"
+        except ValueError:
+            return "lost"
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        outcomes = list(ex.map(mk_branch, range(4)))
+    assert outcomes.count("ok") == 1
+    assert log.branch_ref("dev").read().count() == 3
