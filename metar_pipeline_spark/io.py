@@ -30,6 +30,15 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Schema catalog: every spark.read.parquet(path) WITHOUT an explicit
+# schema launches a 1-task schema-inference job (~0.1-0.3 s of job +
+# scheduler latency per call — measured round 13, guide §1/§6). The
+# testdata tables are immutable inputs, so infer each table's schema
+# once per process and pass it explicitly afterwards — exactly what a
+# catalog/metastore provides a production deployment. Only the SCHEMA
+# (metadata) is cached; every query still scans the parquet data.
+_SCHEMA_CACHE: dict[str, "object"] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
@@ -50,11 +59,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # microsecond TimestampType. Integer `div` truncates exactly like
         # DuckDB's ns→us cast, so oracle parity holds.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        df = _read_cached_schema(spark, path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return _tz_normalize(df)
-    return _tz_normalize(spark.read.parquet(path))
+    return _tz_normalize(_read_cached_schema(spark, path))
+
+
+def _read_cached_schema(spark: SparkSession, path: str) -> DataFrame:
+    st = _SCHEMA_CACHE.get(path)
+    if st is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
+        return df
+    return spark.read.schema(st).parquet(path)
 
 
 def _tz_normalize(df: DataFrame) -> DataFrame:

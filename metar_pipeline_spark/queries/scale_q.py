@@ -93,10 +93,14 @@ def _event_file_stream(spark, sf_dir):
     twin is io.load_table."""
     import os
 
+    from metar_pipeline_spark.io import _read_cached_schema
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # schema via the process-wide catalog cache (io.py) — no
+    # per-query schema-inference job
+    raw = _read_cached_schema(spark, os.path.join(sf_dir, "events.parquet"))
     if dict(raw.dtypes).get("ts") == "bigint":
         ts = F.timestamp_micros(F.expr("ts div 1000"))
     else:
@@ -3233,10 +3237,14 @@ def filelog_stats_pruned_scan(spark, sf_dir):
             spark, os.path.join(tmp, "fact"), stats_cols=["cents"]
         )
         banded = base.localCheckpoint(eager=True)  # 4 slices, one pass
-        for b in range(0, 4):
-            log.append(
+        # independent commits overlap on a driver thread pool (append
+        # order is result-invisible — appends commute; guide §2.6)
+        log.append_all(
+            [
                 banded.filter(F.col("band") == b).drop("band").coalesce(1)
-            )
+                for b in range(0, 4)
+            ]
+        )
         result = (
             log.read_pruned("cents", 10000, 15000)
             .groupBy("event_type")
@@ -3741,10 +3749,14 @@ def filelog_clustered_compact(spark, sf_dir):
             spark, os.path.join(tmp, "fact"), stats_cols=["cents"]
         )
         staged = base.localCheckpoint(eager=True)  # 3 slices, one pass
-        for m in range(3):  # each slice spans the FULL cents range
-            log.append(
+        # each slice spans the FULL cents range; commits overlap on a
+        # driver thread pool (append order is result-invisible)
+        log.append_all(
+            [
                 staged.filter(F.col("event_id") % 3 == m).coalesce(1)
-            )
+                for m in range(3)
+            ]
+        )
 
         def scan(phase):
             return (
@@ -4282,10 +4294,14 @@ def maintenance_filelog_lifecycle(spark, sf_dir):
         root = os.path.join(tmp, "fact")
         dst_root = os.path.join(tmp, "changelog")
         log = FileCommitLog(spark, root, stats_cols=["cents"])
-        for m in range(3):  # each slice spans the full cents range
-            log.append(
+        # each slice spans the full cents range; commits overlap on a
+        # driver thread pool (append order is result-invisible)
+        log.append_all(
+            [
                 base.filter(F.col("event_id") % 3 == m).coalesce(1)
-            )
+                for m in range(3)
+            ]
+        )
         # order matters and mirrors the real nightly: replicate the
         # feed BEFORE checkpoint+expire truncate the history it reads
         rep = run_maintenance(

@@ -80,6 +80,7 @@ mismatch; the streaming source refuses %XX-escaped values).
 from __future__ import annotations
 
 import json
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -253,14 +254,18 @@ class FileCommitLog:
         if not kept:
             return self.read(as_of).filter(F.lit(False)).filter(pred)
         cols = self.columns_at(as_of)
+        sj = self.schema_json_at(as_of)
         dvs = self._active_dvs(as_of)
         if not dvs:
             return self._scan_files(
-                kept, with_meta=False, cols=cols
+                kept, with_meta=False, cols=cols, schema_json=sj
             ).filter(pred)
         return (
             self._apply_dvs(
-                self._scan_files(kept, with_meta=True, cols=cols), dvs
+                self._scan_files(
+                    kept, with_meta=True, cols=cols, schema_json=sj
+                ),
+                dvs,
             )
             .drop("__file", "__ri")
             .filter(pred)
@@ -432,6 +437,7 @@ class FileCommitLog:
         files: "list[str]",
         with_meta: bool,
         cols: "list[str] | None" = None,
+        schema_json: "str | None" = None,
     ):
         """Union of one scan per TOKEN dir (each is a well-formed hive
         mini-table, so partition columns survive basePath inference;
@@ -441,19 +447,37 @@ class FileCommitLog:
         (schema-tracked tables) tokens written before an additive
         evolution null-fill the added columns and the result is
         projected to the canonical order; without it the union is
-        strict by name (legacy contract: loud on mismatch)."""
+        strict by name (legacy contract: loud on mismatch).
+
+        ``schema_json`` (the log-recorded canonical schema, available
+        whenever ``cols`` is) lets the reader skip the per-token
+        schema-INFERENCE job Spark otherwise launches for every
+        ``read.parquet`` call (round-13 optimization, guide §1/§6: the
+        schema is versioned metadata the log already owns — exactly
+        what Delta readers get from their txn log). Pre-evolution
+        tokens null-fill columns the provided schema adds; hive
+        partition values are cast to the recorded type; write-time
+        type-drift refusal guarantees no file conflicts with it."""
         from functools import reduce
 
         from pyspark.sql import functions as F
 
+        st = None
+        if schema_json is not None and cols is not None:
+            from pyspark.sql import types as T
+
+            st = T.StructType.fromJson(json.loads(schema_json))
         by_token: "dict[str, list[str]]" = {}
         for f in files:
             by_token.setdefault(f.split("/")[1], []).append(f)
         parts = []
         for tok, fl in sorted(by_token.items()):
-            df = self.spark.read.option(
+            rd = self.spark.read.option(
                 "basePath", f"{self.root}/{_DATA}/{tok}"
-            ).parquet(*[f"{self.root}/{f}" for f in fl])
+            )
+            if st is not None:
+                rd = rd.schema(st)
+            df = rd.parquet(*[f"{self.root}/{f}" for f in fl])
             if with_meta:
                 df = df.select(
                     "*",
@@ -530,11 +554,17 @@ class FileCommitLog:
                 f"version resolves to zero live files in {self.root}"
             )
         cols = self.columns_at(as_of)
+        sj = self.schema_json_at(as_of)
         dvs = self._active_dvs(as_of)
         if not dvs:
-            return self._scan_files(files, with_meta=False, cols=cols)
+            return self._scan_files(
+                files, with_meta=False, cols=cols, schema_json=sj
+            )
         return self._apply_dvs(
-            self._scan_files(files, with_meta=True, cols=cols), dvs
+            self._scan_files(
+                files, with_meta=True, cols=cols, schema_json=sj
+            ),
+            dvs,
         ).drop("__file", "__ri")
 
     def _live_with_stats(
@@ -589,14 +619,18 @@ class FileCommitLog:
         if not kept:
             return self.read(as_of).filter(F.lit(False)).filter(pred)
         cols = self.columns_at(as_of)
+        sj = self.schema_json_at(as_of)
         dvs = self._active_dvs(as_of)
         if not dvs:
             return self._scan_files(
-                kept, with_meta=False, cols=cols
+                kept, with_meta=False, cols=cols, schema_json=sj
             ).filter(pred)
         return (
             self._apply_dvs(
-                self._scan_files(kept, with_meta=True, cols=cols), dvs
+                self._scan_files(
+                    kept, with_meta=True, cols=cols, schema_json=sj
+                ),
+                dvs,
             )
             .drop("__file", "__ri")
             .filter(pred)
@@ -640,6 +674,7 @@ class FileCommitLog:
             )
         have = set(self._commit_versions())
         cols = self.columns_at(hi)
+        sj = self.schema_json_at(hi)
 
         def tag(df, ctype, n):
             return df.select(
@@ -664,14 +699,14 @@ class FileCommitLog:
                 parts.append(
                     tag(
                         self._scan_files(adds, with_meta=False,
-                                         cols=cols),
+                                         cols=cols, schema_json=sj),
                         "insert", n,
                     )
                 )
             removes = c.get("remove", [])
             if removes:
                 gone = self._scan_files(removes, with_meta=True,
-                                        cols=cols)
+                                        cols=cols, schema_json=sj)
                 prior = self._active_dvs(n - 1) if n > 0 else []
                 if prior:  # already-deleted rows are not re-deleted
                     gone = self._apply_dvs(gone, prior)
@@ -685,15 +720,20 @@ class FileCommitLog:
                 ).withColumnsRenamed(
                     {"file": "__file", "row_index": "__ri"}
                 )
-                victims = sorted(
-                    r["__file"]
-                    for r in dv.select("__file").distinct()
-                    .collect()  # bounded-collect: file-grain (the
-                    # vectored files of ONE commit — same grain as the
-                    # commit json itself)
-                )
+                # newer commits record the victim file set with the
+                # vector (observed on the DV write — commit grain);
+                # older logs fall back to deriving it from the vector
+                victims = c.get("dv_victims")
+                if victims is None:
+                    victims = sorted(
+                        r["__file"]
+                        for r in dv.select("__file").distinct()
+                        .collect()  # bounded-collect: file-grain (the
+                        # vectored files of ONE commit — same grain as
+                        # the commit json itself)
+                    )
                 rows = self._scan_files(
-                    victims, with_meta=True, cols=cols
+                    victims, with_meta=True, cols=cols, schema_json=sj
                 ).join(dv, ["__file", "__ri"], "semi")
                 parts.append(
                     tag(rows.drop("__file", "__ri"), "delete", n)
@@ -733,25 +773,67 @@ class FileCommitLog:
             from metar_pipeline_spark.sources.layout import (
                 _manifest_for_files,
                 _manifest_schema,
-                _table_schema,
             )
 
-            ddl = _manifest_schema(
-                _table_schema(self.spark, f"{self.root}/{rel}"),
-                self.stats_cols,
-            )
-            rows = _manifest_for_files(
-                self.spark, files, self.stats_cols, ddl
-            ).collect()  # bounded-collect: commit-grain (one row/file)
-            for r in rows:
-                d = {"n": r["n_rows"]}
-                for c in self.stats_cols:
-                    d[c] = [
-                        _json_stat(r[f"{c}__min"]),
-                        _json_stat(r[f"{c}__max"]),
-                    ]
-                stats[by_abs[r["file"]]] = d
+            # Same type validation as the distributed path (raises on
+            # unsupported stats-col types), but against the batch's own
+            # schema — no schema-inference job over the just-written
+            # files.
+            ddl = _manifest_schema(df.schema, self.stats_cols)
+            # Scale-adaptive footer reads (round-13 optimization,
+            # guide §1.2/§4): a commit's stats are per-file footer
+            # metadata. Below the threshold the driver reads the
+            # footers directly with pyarrow (~ms each — what Delta's
+            # driver does when planning); a large commit (thousands of
+            # files at 100 TB) fans out over mapInPandas as before.
+            # The threshold is commit-grain, not table-grain.
+            if len(files) < int(
+                os.environ.get(
+                    "SPARK_GRAFT_STATS_DISTRIBUTED_MIN_FILES", "64"
+                )
+            ):
+                for f in files:
+                    stats[by_abs[f]] = self._footer_stats_one(f)
+            else:
+                rows = _manifest_for_files(
+                    self.spark, files, self.stats_cols, ddl
+                ).collect()  # bounded-collect: commit-grain (1 row/file)
+                for r in rows:
+                    d = {"n": r["n_rows"]}
+                    for c in self.stats_cols:
+                        d[c] = [
+                            _json_stat(r[f"{c}__min"]),
+                            _json_stat(r[f"{c}__max"]),
+                        ]
+                    stats[by_abs[r["file"]]] = d
         return token, sorted(out), stats
+
+    def _footer_stats_one(self, path: str) -> dict:
+        """Driver-side twin of layout._manifest_for_files' kernel for
+        ONE file: identical min/max-merge semantics over row groups
+        (any group without stats nulls the column — skipping then keeps
+        the file, never drops it)."""
+        import pyarrow.parquet as pq
+
+        local = path[len("file:"):] if path.startswith("file:") else path
+        md = pq.ParquetFile(local).metadata
+        idx = {
+            md.schema.column(i).name: i for i in range(md.num_columns)
+        }
+        d = {"n": md.num_rows}
+        for c in self.stats_cols:
+            mn = mx = None
+            i = idx.get(c)
+            if i is not None:
+                for g in range(md.num_row_groups):
+                    s = md.row_group(g).column(i).statistics
+                    if s is None or not s.has_min_max:
+                        mn = mx = None
+                        break
+                    mn = s.min if mn is None else min(mn, s.min)
+                    mx = s.max if mx is None else max(mx, s.max)
+            d[c] = [_json_stat(mn), _json_stat(mx)]
+        return d
 
     def _claim(self, n: int, meta: dict, token: str) -> None:
         meta.setdefault("ts", self._now())  # commit wall-clock stamp
@@ -820,6 +902,36 @@ class FileCommitLog:
                 if best is None or b > best:
                     best = b
         return best
+
+    def append_all(
+        self,
+        batches: "list[DataFrame]",
+        partition_cols: "list[str] | None" = None,
+        max_workers: int = 4,
+    ) -> "list[int]":
+        """Commit INDEPENDENT append batches concurrently from a small
+        driver thread pool (guide §2.6 — overlap independent jobs so
+        one batch's write fills the scheduler idle time of another's
+        claim/footer bookkeeping). Appends COMMUTE by design (the
+        module contract above): whichever claim order the race
+        resolves to, the resulting table state — live file set,
+        per-file stats, rows — is identical, so readers cannot
+        observe the nondeterminism. Returns versions in BATCH order
+        (not claim order). Multi-writer ingest does exactly this
+        across processes; here it is the in-process form."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        if not batches:
+            return []
+        fn = inheritable_thread_target(
+            lambda df: self.append(df, partition_cols=partition_cols)
+        )
+        with ThreadPoolExecutor(
+            max_workers=min(int(max_workers), len(batches))
+        ) as pool:
+            return list(pool.map(fn, batches))
 
     def append(
         self,
@@ -952,17 +1064,34 @@ class FileCommitLog:
             df = self._scan_files(
                 self.live_files(v), with_meta=True,
                 cols=self.columns_at(v),
+                schema_json=self.schema_json_at(v),
             )
             dvs = self._active_dvs(v)
             if dvs:  # already-deleted rows must not re-enter the vector
                 df = self._apply_dvs(df, dvs)
+            from pyspark.sql import Observation
+
+            # Match count + victim-file set ride the DV write as
+            # observed metrics (one job, not three: no post-write
+            # emptiness re-read, and read_changes never needs a
+            # distinct().collect() over the vector — both are
+            # commit-grain aggregates).
+            obs = Observation()
             matches = df.filter(condition).select(
                 F.col("__file").alias("file"),
                 F.col("__ri").alias("row_index"),
+            ).observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.collect_set("file").alias("victims"),
             )
             token = uuid.uuid4().hex
             rel = f"{_DV}/{token}"
             matches.write.mode("overwrite").parquet(f"{self.root}/{rel}")
+            seen = obs.get
+            if not seen["n"]:
+                self._fs.delete(self._path(rel), True)
+                return None
             from metar_pipeline_spark.sources.layout import (
                 _list_data_files,
             )
@@ -972,17 +1101,13 @@ class FileCommitLog:
             for f in _list_data_files(self.spark, f"{self.root}/{rel}"):
                 i = f.find(marker)
                 dv_files.append(f"{rel}/{f[i + len(marker):]}")
-            if not dv_files or self.spark.read.parquet(
-                f"{self.root}/{rel}"
-            ).head(1) == []:
-                self._fs.delete(self._path(rel), True)
-                return None
             try:
                 self._claim(
                     v + 1,
                     {"version": v + 1, "op": "delete", "add": [],
                      "remove": [], "writer": token,
-                     "dv_add": sorted(dv_files)},
+                     "dv_add": sorted(dv_files),
+                     "dv_victims": sorted(seen["victims"])},
                     token,
                 )
                 return v + 1
@@ -1051,40 +1176,52 @@ class FileCommitLog:
             df = self._scan_files(
                 self.live_files(v), with_meta=True,
                 cols=self.columns_at(v),
+                schema_json=self.schema_json_at(v),
             )
             dvs = self._active_dvs(v)
             if dvs:
                 df = self._apply_dvs(df, dvs)
+            from pyspark.sql import Observation
+
             probe = F.broadcast(keysel) if broadcast_keys else keysel
+            # count + victim files observed on the DV write itself —
+            # same one-job shape as delete_where
+            obs = Observation()
             matches = df.join(probe, keys, "semi").select(
                 F.col("__file").alias("file"),
                 F.col("__ri").alias("row_index"),
+            ).observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.collect_set("file").alias("victims"),
             )
             dv_token = uuid.uuid4().hex
             dv_rel = f"{_DV}/{dv_token}"
             matches.write.mode("overwrite").parquet(
                 f"{self.root}/{dv_rel}"
             )
-            from metar_pipeline_spark.sources.layout import (
-                _list_data_files,
-            )
-
+            seen = obs.get
             dv_files = []
-            marker = f"/{dv_rel}/"
-            for f in _list_data_files(self.spark, f"{self.root}/{dv_rel}"):
-                i = f.find(marker)
-                dv_files.append(f"{dv_rel}/{f[i + len(marker):]}")
-            if self.spark.read.parquet(
-                f"{self.root}/{dv_rel}"
-            ).head(1) == []:
+            if not seen["n"]:
                 self._fs.delete(self._path(dv_rel), True)
-                dv_files = []
+            else:
+                from metar_pipeline_spark.sources.layout import (
+                    _list_data_files,
+                )
+
+                marker = f"/{dv_rel}/"
+                for f in _list_data_files(
+                    self.spark, f"{self.root}/{dv_rel}"
+                ):
+                    i = f.find(marker)
+                    dv_files.append(f"{dv_rel}/{f[i + len(marker):]}")
             try:
                 self._claim(
                     v + 1,
                     {"version": v + 1, "op": "merge", "add": files,
                      "remove": [], "writer": token, "stats": stats,
-                     "dv_add": sorted(dv_files), "cols": cols,
+                     "dv_add": sorted(dv_files),
+                     "dv_victims": sorted(seen["victims"]), "cols": cols,
                      "schema_json": self._schema_json(batch, cols)},
                     token,
                 )
@@ -1363,6 +1500,10 @@ class FileCommitLog:
             "live": self.live_files(v),
             "dvs": self._active_dvs(v),
             "cols": self.columns_at(v),
+            # full schema pinned with the snapshot: read_tag then never
+            # needs a schema-inference pass (and the tag stays readable
+            # exactly as written even after later schema evolution)
+            "schema_json": self.schema_json_at(v),
         }
         self._fs.mkdirs(self._path(_TAGS))
         tmp = self._path(f"{_TAGS}/.tmp-{uuid.uuid4().hex}.json")
@@ -1411,11 +1552,17 @@ class FileCommitLog:
         if not files:
             raise ValueError(f"tag {name!r} pins zero live files")
         cols = t.get("cols")
+        sj = t.get("schema_json")
         dvs = t.get("dvs", [])
         if not dvs:
-            return self._scan_files(files, with_meta=False, cols=cols)
+            return self._scan_files(
+                files, with_meta=False, cols=cols, schema_json=sj
+            )
         return self._apply_dvs(
-            self._scan_files(files, with_meta=True, cols=cols), dvs
+            self._scan_files(
+                files, with_meta=True, cols=cols, schema_json=sj
+            ),
+            dvs,
         ).drop("__file", "__ri")
 
     # -- branches (dev-on-prod, fast-forward publish) ----------------------
