@@ -37,6 +37,7 @@ def pagerank(
     damping: float = 0.85,
     ckpt_every: int = 4,
     init_ranks: "DataFrame | None" = None,
+    pre_deduped: bool = False,
 ) -> DataFrame:
     """Rank nodes of a directed graph: ``iterations`` synchronous
     PageRank steps with uniform dangling-mass redistribution.
@@ -66,12 +67,24 @@ def pagerank(
     # Materialize the deduped edge list ONCE: every iteration joins it
     # and derives outdeg/dangling from it, so without the checkpoint
     # the upstream scan+distinct shuffle would replay ~2x per
-    # iteration (measured 3x wall-time at sf0.1).
-    edges = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # iteration (measured 3x wall-time at sf0.1). fan_out AFTER the
+    # checkpoint (probing a materialized RDD's partition count is free;
+    # probing a pre-execution AQE plan would run its stages): AQE
+    # coalesces the small-byte distinct shuffle to ONE partition, which
+    # would serialize every iteration's join + DECIMAL matvec map side
+    # on a single core (measured ~1.9 s/iteration in one task at
+    # sf0.1); at scale the edge set exceeds the floor and fan_out is a
+    # no-op.
+    # ``pre_deduped=True``: the caller guarantees (src, dst) rows are
+    # already distinct (e.g. a shared flagged-edge aggregate feeding
+    # several pagerank calls) — skip the distinct shuffle, keep the
+    # materialization.
+    from metar_pipeline_spark.operators.fanout import fan_out
+
+    dedup = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not pre_deduped:
+        dedup = dedup.distinct()
+    edges = fan_out(dedup.localCheckpoint(eager=True))
     # Node dim carries (deg, dangling) from day one: the per-iteration
     # dangling mass is then a FILTER + one-row aggregate over ranks —
     # no anti-join shuffle inside the loop (one less exchange per
@@ -123,11 +136,22 @@ def pagerank(
             .drop("__r0")
         )
     for i in range(iterations):
+        # SHUFFLE_HASH on the rank side (guide §3.1, chosen
+        # deliberately): the rank frame is NODE-grain — always the
+        # small side of the edges⋈ranks join, but its lazy
+        # join+crossJoin lineage makes Catalyst OVERestimate it and
+        # broadcast the EDGE side instead (measured: a 591k-row
+        # broadcast build serializing ~1.8 s per iteration at sf0.1;
+        # 8.6 → 4.4 s after the hint). A shuffled hash join moves only
+        # the node-grain rows, builds per-partition hash tables of the
+        # provably smaller side, and never sorts the edge corpus — the
+        # right strategy at every scale. (No broadcast hint: node dim
+        # is NOT broadcastable at graph scale.)
         contribs = (
             edges.join(
-                ranks.filter(~F.col("dangling")).select(
-                    F.col("node").alias("src"), "r", "deg"
-                ),
+                ranks.filter(~F.col("dangling"))
+                .select(F.col("node").alias("src"), "r", "deg")
+                .hint("shuffle_hash"),
                 "src",
             )
             .groupBy(F.col("dst").alias("node"))

@@ -74,9 +74,15 @@ def gram_cells(
     # (breaks the determinism contract) and a fixed-point long
     # overflows at 100-TB per-cell term counts; DECIMAL(38,12) is the
     # only choice that is exact, reproducible, AND unbounded. The cost
-    # is constant-factor CPU on the one corpus pass and parallelizes;
-    # map-side combine still bounds the shuffle at d² × tasks.
-    staged = df.select(vec.alias("__v")).select(
+    # is constant-factor CPU on the one corpus pass and parallelizes —
+    # PROVIDED the scan is wider than one partition: fan_out spreads a
+    # narrow scan across every core before the d² expansion (measured
+    # 7.6 s in ONE task at sf0.1 otherwise; no-op at scale), and the
+    # projection to just the vector column keeps its exchange minimal.
+    # Map-side combine still bounds the shuffle at d² × tasks.
+    from metar_pipeline_spark.operators.fanout import fan_out
+
+    staged = fan_out(df.select(vec.alias("__v"))).select(
         F.posexplode("__v").alias("i", "__vi"), F.col("__v")
     )
     pairs = staged.select(
@@ -186,9 +192,21 @@ def power_iteration_top(
     decimals per step — the pagerank iteration recipe; the norm uses
     IEEE ``sqrt`` (correctly rounded on both engines, unlike ln/exp).
     Scale: every frame in the loop is d- or d²-grain (never corpus);
-    the symmetrized Gram is localCheckpoint-ed once and reused, v is
-    checkpointed per step to keep lineage O(1).
+    the symmetrized Gram is localCheckpoint-ed once and reused. The
+    step chain itself is LAZY with strictly linear lineage — the norm
+    is a global window over the d-grain matvec result (identical
+    DECIMAL(38,18) accumulation, so bit-equal to the old one-row
+    aggregate+crossJoin form), which means each step references its
+    predecessor exactly once and one downstream action evaluates the
+    whole chain once. The old shape (per-step eager localCheckpoint +
+    broadcast norm) paid ~8 driver-synchronized jobs per call —
+    measured round 13: pca_top2_projection ran 70 jobs, ~0.05 s fixed
+    cost each; the markov absorb_power chain documented the same
+    lesson. The RETURNED frame is checkpointed once (d-grain), since
+    callers (deflation, Rayleigh, output joins) consume it repeatedly.
     """
+    from pyspark.sql import Window
+
     full = cells.select("i", "j", "g").union(
         cells.filter(F.col("i") != F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), F.col("g")
@@ -197,6 +215,7 @@ def power_iteration_top(
     v = full.select("i").distinct().select(
         "i", F.lit(0.125).cast("double").alias("v")
     )
+    wall = Window.partitionBy()  # d-grain frame: a global window is fine
     for _ in range(iters):
         w = (
             full.join(
@@ -212,19 +231,13 @@ def power_iteration_top(
                 ).alias("w")
             )
         )
-        nrm = w.agg(
-            F.sqrt(
-                F.sum(
-                    (F.col("w") * F.col("w")).cast("decimal(38,18)")
-                ).cast("double")
-            ).alias("nrm")
+        nrm = F.sqrt(
+            F.sum(
+                (F.col("w") * F.col("w")).cast("decimal(38,18)")
+            ).over(wall).cast("double")
         )
-        v = (
-            w.crossJoin(F.broadcast(nrm))
-            .select("i", F.round(F.col("w") / F.col("nrm"), 12).alias("v"))
-            .localCheckpoint(eager=True)
-        )
-    return v
+        v = w.select("i", F.round(F.col("w") / nrm, 12).alias("v"))
+    return v.localCheckpoint(eager=True)
 
 
 def rayleigh_quotient(cells: DataFrame, v: DataFrame) -> DataFrame:

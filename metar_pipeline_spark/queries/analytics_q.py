@@ -554,12 +554,28 @@ def pagerank_warm_start_delta(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     src = (F.col("l_suppkey") * 2).alias("src")
     dst = (F.col("l_partkey") * 2 + 1).alias("dst")
-    old_edges = li.filter(F.col("l_orderkey") % 5 != 0).select(src, dst)
-    all_edges = li.select(src, dst)
+    # ONE corpus pass + ONE dedup shuffle feed BOTH chains (guide §2.4):
+    # the flagged-edge aggregate carries whether any pre-delta row
+    # produced the pair, so old_edges = filter(in_old) and all_edges =
+    # the frame itself — identical to the two independent
+    # scan+distincts it replaces (max-of-flag over the dup group ≡
+    # distinct of the filtered rows), ~2 s less fixed cost at sf0.1.
+    flagged = (
+        li.select(src, dst, (F.col("l_orderkey") % 5 != 0).alias("__old"))
+        .groupBy("src", "dst")
+        .agg(F.max("__old").alias("__old"))
+        .localCheckpoint(eager=True)
+    )
+    old_edges = flagged.filter(F.col("__old")).select("src", "dst")
+    all_edges = flagged.select("src", "dst")
     # the previous cycle's converged state (in production: the rank
     # store); consumed by the warm seed AND the output join
-    r_old = pagerank(old_edges, iterations=2).localCheckpoint(eager=True)
-    r_warm = pagerank(all_edges, iterations=2, init_ranks=r_old)
+    r_old = pagerank(
+        old_edges, iterations=2, pre_deduped=True
+    ).localCheckpoint(eager=True)
+    r_warm = pagerank(
+        all_edges, iterations=2, init_ranks=r_old, pre_deduped=True
+    )
     label = F.when(
         F.col("node") % 2 == 0,
         F.concat(F.lit("s"), (F.col("node") / 2).cast("long").cast("string")),

@@ -1074,8 +1074,8 @@ class FileCommitLog:
             # Match count + victim-file set ride the DV write as
             # observed metrics (one job, not three: no post-write
             # emptiness re-read, and read_changes never needs a
-            # distinct().collect() over the vector — both are
-            # commit-grain aggregates).
+            # distinct-then-driver-read job over the vector — both
+            # are commit-grain aggregates).
             obs = Observation()
             matches = df.filter(condition).select(
                 F.col("__file").alias("file"),

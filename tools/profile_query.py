@@ -103,6 +103,56 @@ def main() -> None:
             f"  -> Σjob {tot:.2f}s over wall {t:.2f}s "
             f"(wall − Σjob ≈ driver/planning/py4j)"
         )
+        if "--sql" in sys.argv:
+            # Operator-level attribution: the SQL executions of the
+            # LAST run, every plan node with its key metrics.
+            for ex in api(base, "/sql?length=200"):
+                if ex.get("status") != "COMPLETED":
+                    continue
+                ids = {x["jobId"] for x in jobs}
+                if not (set(ex.get("successJobIds", [])) & ids):
+                    continue
+                print(f"  sql exec {ex['id']} dur {ex.get('duration', 0)/1000:.2f}s")
+                for nd in api(base, f"/sql/{ex['id']}?details=true&planDescription=false").get("nodes", []):
+                    mets = {
+                        m["name"]: m["value"]
+                        for m in nd.get("metrics", [])
+                    }
+                    interesting = {
+                        k: v
+                        for k, v in mets.items()
+                        if any(
+                            s in k
+                            for s in (
+                                "time total",
+                                "stage duration",
+                                "task total",
+                                "rows",
+                                "build time",
+                                "collect time",
+                            )
+                        )
+                    }
+                    if interesting:
+                        print(f"    node {nd['nodeId']:3d} {nd['nodeName'][:50]:50s} {interesting}")
+        if "--stages" in sys.argv:
+            stages = {s["stageId"]: s for s in api(base, "/stages")}
+            for j in jobs:
+                if ts(j["completionTime"]) - ts(j["submissionTime"]) < 0.8:
+                    continue
+                print(f"  slow job {j['jobId']} stages:")
+                for sid in sorted(j.get("stageIds", [])):
+                    s = stages.get(sid)
+                    if not s or s.get("status") == "SKIPPED":
+                        continue
+                    print(
+                        f"    stage {sid:4d} tasks {s['numCompleteTasks']:4d} "
+                        f"exRunMs {s.get('executorRunTime', 0):6d} "
+                        f"cpuMs {s.get('executorCpuTime', 0) // 1000000:6d} "
+                        f"in {s.get('inputBytes', 0):>10d}B "
+                        f"sh-r {s.get('shuffleReadBytes', 0):>9d}B  "
+                        f"{(s.get('name') or '')[:60]}"
+                    )
 
 
 if __name__ == "__main__":
