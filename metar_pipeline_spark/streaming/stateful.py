@@ -210,61 +210,102 @@ def streaming_sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFram
         pdfs: Iterable[pd.DataFrame],
         state: GroupState,
     ) -> Iterable[pd.DataFrame]:
+        import numpy as np
+
         (user_id,) = key
 
-        def emit(s) -> pd.DataFrame:
+        def emit_many(sessions) -> pd.DataFrame:
+            # ONE frame per group call. The first implementation
+            # yielded a 1-row frame per closed session; at sf0.1 that
+            # was ~95k tiny DataFrame constructions per micro-batch
+            # and dominated the whole query (10.9 s of a 13 s run).
             return pd.DataFrame(
                 {
-                    "user_id": [user_id],
-                    "session_start": [pd.Timestamp(s[0], unit="ms")],
-                    "session_end": [pd.Timestamp(s[1], unit="ms")],
-                    "n_events": [int(s[2])],
-                    "sum_value": [float(s[3])],
+                    "user_id": np.full(len(sessions), user_id, "int64"),
+                    "session_start": pd.to_datetime(
+                        [s[0] for s in sessions], unit="ms"
+                    ),
+                    "session_end": pd.to_datetime(
+                        [s[1] for s in sessions], unit="ms"
+                    ),
+                    "n_events": np.array(
+                        [s[2] for s in sessions], "int64"
+                    ),
+                    "sum_value": np.array(
+                        [s[3] for s in sessions], "float64"
+                    ),
                 }
             )
 
         if state.hasTimedOut:
             closed = state.get
             state.remove()
-            yield emit(closed)
+            yield emit_many([tuple(closed)])
             return
 
         cur = list(state.get) if state.exists else None
-        batches = []
+        ts_parts, v_parts = [], []
         for pdf in pdfs:
             if pdf.empty:
                 continue
-            batches.append(
-                pd.DataFrame(
-                    {
-                        "t": pdf["ts"].astype("int64") // 1_000_000,
-                        "v": pdf["value"].astype("float64"),
-                    }
-                )
+            ts_parts.append(
+                (pdf["ts"].astype("int64") // 1_000_000).to_numpy()
             )
-        closed_out = []
-        if batches:
-            allr = pd.concat(batches).sort_values("t")
-            for t, v in zip(allr["t"], allr["v"]):
-                t, v = int(t), float(v)
-                if cur is None:
-                    cur = [t, t, 1, v]
-                elif t - cur[1] <= gap_ms:
-                    cur[1] = max(cur[1], t)
-                    cur[2] += 1
-                    cur[3] += v
-                else:
-                    closed_out.append(emit(tuple(cur)))
-                    cur = [t, t, 1, v]
-        if cur is not None:
+            v_parts.append(pdf["value"].astype("float64").to_numpy())
+        sessions: list = [] if cur is None else [cur]
+        if ts_parts:
+            t = np.concatenate(ts_parts)
+            v = np.concatenate(v_parts)
+            o = np.argsort(t, kind="stable")
+            t, v = t[o], v[o]
+            # Segment boundaries over the sorted batch. Because rows
+            # behind the watermark are dropped, every batch t is >= the
+            # stored session end, so the running session end the old
+            # per-event loop tracked is just the previous sorted t —
+            # consecutive diffs (with the state end prepended as
+            # sentinel) segment identically to that loop.
+            prev = np.concatenate(([cur[1]], t[:-1])) if cur else t[:-1]
+            if cur:
+                starts = np.flatnonzero((t - prev) > gap_ms)
+            else:
+                starts = np.concatenate(
+                    ([0], np.flatnonzero((t[1:] - prev) > gap_ms) + 1)
+                )
+            if cur and (len(starts) == 0 or starts[0] > 0):
+                # head rows extend the stored open session; the fold
+                # order (state sum, then each v in time order) matches
+                # the old loop's += exactly — reduceat is a sequential
+                # left fold, unlike add.reduce's pairwise summation.
+                e0 = int(starts[0]) if len(starts) else len(t)
+                cur[1] = max(cur[1], int(t[e0 - 1]))
+                cur[2] = int(cur[2]) + e0
+                cur[3] = float(
+                    np.add.reduceat(
+                        np.concatenate(([cur[3]], v[:e0])), [0]
+                    )[0]
+                )
+            if len(starts):
+                ends = np.append(starts[1:], len(t))
+                seg_sums = np.add.reduceat(v, starts)
+                for i in range(len(starts)):
+                    sessions.append(
+                        [
+                            int(t[starts[i]]),
+                            int(t[ends[i] - 1]),
+                            int(ends[i] - starts[i]),
+                            float(seg_sums[i]),
+                        ]
+                    )
+        if sessions:
+            cur = sessions[-1]
             state.update(tuple(cur))
             # Timeout must sit strictly beyond the current watermark or
             # Spark rejects it; the max() keeps an already-expired open
             # session alive one more cycle, closing on the next batch.
             wm = state.getCurrentWatermarkMs()
             state.setTimeoutTimestamp(max(cur[1] + gap_ms, wm + 1))
-        for o in closed_out:
-            yield o
+        if len(sessions) > 1:
+            yield emit_many(sessions[:-1])
 
     return (
         events.withWatermark("ts", "0 seconds")
