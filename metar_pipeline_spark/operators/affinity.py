@@ -33,7 +33,12 @@ def slice_centroids(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(slice, dim, c): the per-slice mean vector in long form."""
-    dims = vectors.select(
+    from metar_pipeline_spark.operators.fanout import fan_out
+
+    # fan_out before the d-fold posexplode: a single-file vector scan
+    # is ONE partition, so the explode + decimal partial aggregation
+    # otherwise run on one core (guide §2.5; same seam as pca.gram_cells).
+    dims = fan_out(vectors.select(slice_col, vec_col)).select(
         F.col(slice_col).alias("slice"),
         F.posexplode(F.col(vec_col)).alias("dim", "__e"),
     )

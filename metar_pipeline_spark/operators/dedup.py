@@ -56,7 +56,13 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     contribute 0 to every counter → simhash 0, matching the
     aggregate-over-empty-array semantics of the column form.
     """
-    ex = df.select(
+    from metar_pipeline_spark.operators.fanout import fan_out
+
+    # fan_out: a single-file scan is ONE partition, so the tokenize →
+    # md5-per-token → 32-sum map side ran on one core (guide §2.5).
+    # Conditional floor; no-op on multi-split scans. The 32 bit-sums
+    # are exact integers, so partitioning is result-invariant.
+    ex = fan_out(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("_t")
     )
     # Two-step select so md5 runs once per row; the 32 bit tests read the
@@ -161,7 +167,13 @@ def minhash_signature(
     # Materialize the token array in its own projection first: the
     # shingle lambda then reads a bound attribute instead of re-deriving
     # split/filter per element (HOFs run interpreted, without CSE).
-    tokd = df.select(
+    from metar_pipeline_spark.operators.fanout import fan_out
+
+    # fan_out: parallelize the tokenize+shingle+md5 map side when the
+    # scan is narrower than the cluster (single-file test tables scan
+    # as ONE partition — guide §2.5). min/count aggregates are exact,
+    # so partitioning is result-invariant; no-op at scale.
+    tokd = fan_out(df.select(id_col, text_col)).select(
         F.col(id_col), tokens(F.col(text_col)).alias("_toks")
     )
     sh = F.array_distinct(word_shingles(F.col("_toks"), shingle_n))
@@ -773,7 +785,12 @@ def winnow_fingerprints(
     # shingle_k times below — inline it and the digests replay per
     # reference; CollapseProject keeps non-cheap multi-referenced
     # aliases staged, so this stays a separate projection).
-    tok_staged = df.select(
+    from metar_pipeline_spark.operators.fanout import fan_out
+
+    # fan_out: the per-token digest + polynomial zip_with chain is the
+    # expensive map side; over a single-file scan it ran on one core
+    # (guide §2.5). Conditional floor; no-op on multi-split scans.
+    tok_staged = fan_out(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         F.transform(
             tokens(F.col(text_col)), lambda t: hash32(t) % M

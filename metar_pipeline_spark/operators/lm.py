@@ -66,8 +66,15 @@ def doc_bigram_counts(
     captures lower(text) as an EXPRESSION and interpreted HOF eval
     re-lowers the whole document per element — O(len²) character work
     per doc (4.2 s vs 2.0 s for this stage alone)."""
-    staged = docs.select(
-        F.col(id_col), F.lower(F.col(text_col)).alias("_lt")
+    from metar_pipeline_spark.operators.fanout import fan_out
+
+    # fan_out: the testdata tables scan as ONE partition (single file,
+    # single row group), so this generator pass — the expensive
+    # per-character explode feeding every LM operator — ran on one core
+    # (measured round 13: 1.9-2.3 s single-task stages in perplexity/
+    # platt/DSIR). Conditional floor; no-op on multi-split scans.
+    staged = fan_out(
+        docs.select(F.col(id_col), F.lower(F.col(text_col)).alias("_lt"))
     )
     return (
         staged.filter(F.length("_lt") >= 2)

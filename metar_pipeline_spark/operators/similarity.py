@@ -459,7 +459,14 @@ def cosine_neardup_pairs(
     """All pairs with cosine ≥ threshold, candidate-limited to equal
     ``partition_col`` (coarse IVF-style blocking — at scale this is the
     inverted-list pruning; a full cross join is never materialized)."""
-    a = df.select(
+    from metar_pipeline_spark.operators.fanout import fan_out
+
+    # fan_out on the probe side: with a broadcast build side the pair
+    # dot-product work runs in THIS side's map stage, which over a
+    # single-file scan is ONE partition/one core (measured round 13:
+    # 2.5 s single-task stage in neardup_triangle_census). Conditional
+    # floor; no-op on multi-split scans.
+    a = fan_out(df.select(partition_col, id_col, vec_col)).select(
         F.col(partition_col).alias("part"),
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),

@@ -306,19 +306,30 @@ def _fm_grouped_oracle(
     ),
 )
 def fm_distinct_users_by_type(spark, sf_dir):
+    # Round 13 (guide §1.2 fixed costs): the one-pass wide aggregate is
+    # the right EXECUTION shape (0.8 s of jobs — all 64 MINs map-side
+    # combinable in one scan), but building it Column-by-Column cost
+    # 2.4 s of py4j round-trips per call. The same expression tree is
+    # now built as SQL strings (sketches.fm_min_exprs /
+    # fm_estimate_expr — verified bit-identical), one parser call per
+    # aggregate. A long/exploded form was tried and REJECTED: 64×N
+    # exploded rows made execution 6.1 s of jobs on the full events
+    # table (see OPTIMIZATION_r13.md).
     from metar_pipeline_spark.operators.sketches import (
-        fm_estimate,
-        fm_min_columns,
+        fm_estimate_expr,
+        fm_min_exprs,
     )
 
     events = load_table(spark, sf_dir, "events")
     m = 64
     s = events.groupBy("event_type").agg(
         F.count_distinct("user_id").cast("bigint").alias("n_exact"),
-        *fm_min_columns(F.col("user_id"), m),
+        *fm_min_exprs("user_id", m),
     )
     return s.select(
-        "event_type", "n_exact", F.round(fm_estimate(m), 2).alias("n_est")
+        "event_type",
+        "n_exact",
+        F.round(fm_estimate_expr(m), 2).alias("n_est"),
     )
 
 
@@ -338,9 +349,13 @@ def fm_distinct_users_by_type(spark, sf_dir):
     ),
 )
 def fm_mergeable_daily_users(spark, sf_dir):
+    # Round 13 (guide §1.2): same py4j-construction fix as
+    # fm_distinct_users_by_type — identical wide shard-merge shape
+    # (partial per-(day, shard) sketches merged by element-wise MIN),
+    # expressions built as SQL strings (bit-identical, verified).
     from metar_pipeline_spark.operators.sketches import (
-        fm_estimate,
-        fm_min_columns,
+        fm_estimate_expr,
+        fm_min_exprs,
     )
 
     events = load_table(spark, sf_dir, "events")
@@ -351,16 +366,16 @@ def fm_mergeable_daily_users(spark, sf_dir):
         F.pmod(F.col("event_id"), F.lit(4)).alias("__shard"),
     )
     partial = keyed.groupBy("day", "__shard").agg(
-        *fm_min_columns(F.col("user_id"), m)
+        *fm_min_exprs("user_id", m)
     )
     merged = partial.groupBy("day").agg(
-        *[F.min(f"__fm{i}").alias(f"__fm{i}") for i in range(m)]
+        *[F.expr(f"min(__fm{i}) AS __fm{i}") for i in range(m)]
     )
     exact = keyed.groupBy("day").agg(
         F.count_distinct("user_id").cast("bigint").alias("n_exact")
     )
     return exact.join(merged, "day").select(
-        "day", "n_exact", F.round(fm_estimate(m), 2).alias("n_est")
+        "day", "n_exact", F.round(fm_estimate_expr(m), 2).alias("n_est")
     )
 
 
@@ -1729,7 +1744,15 @@ def _fm_setops_oracle(m: int = 64) -> str:
     ),
 )
 def fm_sketch_set_ops(spark, sf_dir):
-    from metar_pipeline_spark.operators.sketches import fm_hash01
+    # Round 13 (guide §1.2 fixed costs): the one-pass wide aggregate
+    # (64 staged hash columns + 3 conditional COUNT DISTINCTs + 128
+    # conditional MINs) is the right execution shape (1.2 s of jobs);
+    # what cost 3.1 s per call was CONSTRUCTING it Column-by-Column
+    # over py4j. The identical tree is now built as SQL strings
+    # (sketches.fm_hash01_sql — verified bit-identical), one parser
+    # call per column/aggregate. A long/exploded form was tried and
+    # REJECTED (more job time than it saved — OPTIMIZATION_r13.md).
+    from metar_pipeline_spark.operators.sketches import fm_hash01_sql
 
     m = 64
     day = F.to_date(F.date_trunc("day", "ts"))
@@ -1739,48 +1762,43 @@ def fm_sketch_set_ops(spark, sf_dir):
         .withColumn("day", day)
     )
     is_a = F.col("day") == F.lit("2024-01-05").cast("date")
-    # Stage the 64 hash columns ONCE (the oracle's hx CTE shape): the
-    # two per-side conditional MINs then reference bound columns
-    # instead of re-evaluating the two-round hash per aggregate.
     hx = events.select(
         "user_id",
         is_a.alias("__is_a"),
         *[
-            fm_hash01(F.col("user_id"), i).alias(f"__h{i}")
+            F.expr(f"{fm_hash01_sql('user_id', i)} AS __h{i}")
             for i in range(m)
         ],
     )
     aggs = [
-        F.count_distinct(
-            F.when(F.col("__is_a"), F.col("user_id"))
-        ).alias("na"),
-        F.count_distinct(
-            F.when(~F.col("__is_a"), F.col("user_id"))
-        ).alias("nb"),
-        F.count_distinct(F.col("user_id")).alias("nu"),
+        F.expr(
+            "count(DISTINCT CASE WHEN __is_a THEN user_id END) AS na"
+        ),
+        F.expr(
+            "count(DISTINCT CASE WHEN NOT __is_a THEN user_id END) AS nb"
+        ),
+        F.expr("count(DISTINCT user_id) AS nu"),
     ]
     for i in range(m):
         aggs.append(
-            F.min(
-                F.when(F.col("__is_a"), F.col(f"__h{i}"))
-            ).alias(f"__a{i}")
+            F.expr(f"min(CASE WHEN __is_a THEN __h{i} END) AS __a{i}")
         )
         aggs.append(
-            F.min(
-                F.when(~F.col("__is_a"), F.col(f"__h{i}"))
-            ).alias(f"__b{i}")
+            F.expr(
+                f"min(CASE WHEN NOT __is_a THEN __h{i} END) AS __b{i}"
+            )
         )
     s = hx.agg(*aggs)
 
-    def est(col_fn):
-        acc = col_fn(0)
+    def est_sql(fmt):
+        chain = fmt.format(i=0)
         for i in range(1, m):
-            acc = acc + col_fn(i)
-        return F.lit(float(m)) / acc - F.lit(1.0)
+            chain = f"({chain} + {fmt.format(i=i)})"
+        return f"(CAST({m} AS DOUBLE) / {chain} - CAST(1 AS DOUBLE))"
 
-    ea = est(lambda i: F.col(f"__a{i}"))
-    eb = est(lambda i: F.col(f"__b{i}"))
-    eu = est(lambda i: F.least(F.col(f"__a{i}"), F.col(f"__b{i}")))
+    ea = est_sql("__a{i}")
+    eb = est_sql("__b{i}")
+    eu = est_sql("least(__a{i}, __b{i})")
     return s.select(
         F.lit(m).cast("bigint").alias("m"),
         F.col("na").cast("bigint").alias("na_exact"),
@@ -1789,10 +1807,10 @@ def fm_sketch_set_ops(spark, sf_dir):
         (F.col("na") + F.col("nb") - F.col("nu"))
         .cast("bigint")
         .alias("ni_exact"),
-        F.round(ea, 2).alias("na_est"),
-        F.round(eb, 2).alias("nb_est"),
-        F.round(eu, 2).alias("nu_est"),
-        F.round(ea + eb - eu, 2).alias("ni_est"),
+        F.expr(f"round({ea}, 2) AS na_est"),
+        F.expr(f"round({eb}, 2) AS nb_est"),
+        F.expr(f"round({eu}, 2) AS nu_est"),
+        F.expr(f"round({ea} + {eb} - {eu}, 2) AS ni_est"),
     )
 
 
@@ -1962,7 +1980,11 @@ def _brr_oracle(r_count: int = _BRR_R) -> str:
     ),
 )
 def brr_mean_ci_value(spark, sf_dir):
-    from metar_pipeline_spark.operators.sketches import fm_hash01
+    # Round 13 (guide §1.2 fixed costs): identical expression tree,
+    # built as SQL strings — the Column-by-Column construction of the
+    # 32 hash predicates + 66 aggregates + 32-term deviation chain
+    # cost 2.8 s of py4j round-trips per call (vs 1.9 s of jobs).
+    from metar_pipeline_spark.operators.sketches import fm_hash01_sql
 
     r_count = _BRR_R
     events = load_table(spark, sf_dir, "events").filter(
@@ -1971,50 +1993,42 @@ def brr_mean_ci_value(spark, sf_dir):
     hx = events.select(
         "value",
         *[
-            (fm_hash01(F.col("event_id"), i) < 0.5).alias(f"__p{i}")
+            F.expr(f"{fm_hash01_sql('event_id', i)} < 0.5 AS __p{i}")
             for i in range(r_count)
         ],
     )
     aggs = [
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(30,10)"))
-        .cast("double")
-        .alias("st"),
+        F.expr("count(1) AS n"),
+        F.expr(
+            "CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS st"
+        ),
     ]
     for i in range(r_count):
         aggs.append(
-            F.sum(
-                F.when(
-                    F.col(f"__p{i}"),
-                    F.col("value").cast("decimal(30,10)"),
-                )
+            F.expr(
+                f"CAST(SUM(CASE WHEN __p{i} THEN"
+                f" CAST(value AS DECIMAL(30,10)) END) AS DOUBLE)"
+                f" AS s{i}"
             )
-            .cast("double")
-            .alias(f"s{i}")
         )
         aggs.append(
-            F.sum(F.when(F.col(f"__p{i}"), 1).otherwise(0)).alias(
-                f"c{i}"
-            )
+            F.expr(f"SUM(CASE WHEN __p{i} THEN 1 ELSE 0 END) AS c{i}")
         )
     s = hx.agg(*aggs)
-    mean = F.col("st") / F.col("n")
-    m = s.withColumn("mean", mean)
+    m = s.withColumn("mean", F.expr("st / n"))
 
-    def d(i):
+    def _rm(i: int) -> str:
         # empty half-sample → grand-mean fallback (0 deviation): guards
         # ANSI DIVIDE_BY_ZERO at degenerate n, mirrored in the oracle
-        rep = F.when(
-            F.col(f"c{i}") > 0, F.col(f"s{i}") / F.col(f"c{i}")
-        ).otherwise(F.col("mean"))
-        t = rep - F.col("mean")
-        return t * t
+        return f"CASE WHEN c{i} > 0 THEN s{i} / c{i} ELSE mean END"
 
-    dev = d(0)
+    dev = f"({_rm(0)} - mean) * ({_rm(0)} - mean)"
     for i in range(1, r_count):
-        dev = dev + d(i)
+        dev = f"({dev} + ({_rm(i)} - mean) * ({_rm(i)} - mean))"
     z = 1.959963984540054
-    v = m.withColumn("se", F.sqrt(dev / float(r_count)))
+    v = m.withColumn(
+        "se", F.expr(f"sqrt(({dev}) / CAST({r_count} AS DOUBLE))")
+    )
     return v.select(
         F.col("n").cast("bigint").alias("n"),
         F.lit(r_count).cast("bigint").alias("n_replicates"),

@@ -225,8 +225,13 @@ def dedup_prefix_groups(spark, sf_dir):
     doc="n-gram (unigram) Jaccard near-dup pairs, blocked by (lang, source)",
 )
 def dedup_unigram_jaccard_pairs(spark, sf_dir):
+    from metar_pipeline_spark.operators.fanout import fan_out
+
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select(
+    # fan_out: tokenize+array_distinct is the expensive map side of both
+    # join inputs; over the single-file scan it ran on one core
+    # (guide §2.5). One round-robin exchange, reused by the a/b branches.
+    t = fan_out(docs.select("lang", "source", "doc_id", "text")).select(
         "lang",
         "source",
         F.col("doc_id"),
@@ -3823,9 +3828,17 @@ def vocab_coverage_curve(spark, sf_dir):
 )
 def embedding_mislabel_candidates(spark, sf_dir):
     from metar_pipeline_spark.operators.affinity import slice_centroids
+    from metar_pipeline_spark.operators.fanout import fan_out
 
     emb = load_table(spark, sf_dir, "embeddings")
-    dims = emb.select(
+    # fan_out before the d-fold explode: the single-file embedding scan
+    # is ONE partition, so the dim-grain dot/norm pass (x broadcast
+    # centroid join + DECIMAL sums) ran on one core — measured 4.1 s in
+    # one task at sf0.1. All downstream sums are exact DECIMAL, so the
+    # repartition is result-invariant. No-op on multi-split scans.
+    dims = fan_out(
+        emb.select("vec_id", "label", "embedding")
+    ).select(
         "vec_id",
         F.col("label").alias("own_label"),
         F.posexplode("embedding").alias("dim", "__x"),
