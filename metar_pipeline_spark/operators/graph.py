@@ -84,6 +84,13 @@ def pagerank(
     dedup = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not pre_deduped:
         dedup = dedup.distinct()
+    # (Round 13: pre-hash-partitioning the checkpointed frame by src to
+    # share the per-iteration join exchange was tried and REJECTED — a
+    # PySpark localCheckpoint's LogicalRDD does not preserve output
+    # partitioning, so EnsureRequirements re-shuffled the edges every
+    # iteration anyway and the extra up-front repartition+materialize
+    # cost ~+3 s on pagerank_warm_start_delta. Plan inspected:
+    # hashpartitioning(src) exchange present per iteration either way.)
     edges = fan_out(dedup.localCheckpoint(eager=True))
     # Node dim carries (deg, dangling) from day one: the per-iteration
     # dangling mass is then a FILTER + one-row aggregate over ranks —

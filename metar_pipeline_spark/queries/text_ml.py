@@ -2723,16 +2723,34 @@ def stream_ingest_dedup(spark, sf_dir):
         corpus = docs.filter(F.col("doc_id") % 5 >= 2)
         # seed through the same batch-keyed sink the stream uses (a
         # bare write at the root would break partition discovery once
-        # _batch=N dirs appear beside it)
-        idempotent_batch_append(buckets_of(corpus), store, -1)
-        idempotent_batch_append(corpus, corpus_txt, -1)
-        # two ordered file drops = two micro-batches
-        docs.filter(F.col("doc_id") % 5 == 0).coalesce(1).write.parquet(
-            os.path.join(src, "b1")
-        )
-        docs.filter(F.col("doc_id") % 5 == 1).coalesce(1).write.parquet(
-            os.path.join(src, "b2")
-        )
+        # _batch=N dirs appear beside it). The two seed appends and the
+        # two source file drops write four DISJOINT paths — overlap
+        # them from a small driver pool (guide §2.6; each write's
+        # ~0.3-0.5 s plan/commit fixed cost otherwise serializes while
+        # the cluster idles). Results are write-order independent.
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        seed_writes = [
+            lambda: idempotent_batch_append(
+                buckets_of(corpus), store, -1
+            ),
+            lambda: idempotent_batch_append(corpus, corpus_txt, -1),
+            lambda: docs.filter(F.col("doc_id") % 5 == 0)
+            .coalesce(1)
+            .write.parquet(os.path.join(src, "b1")),
+            lambda: docs.filter(F.col("doc_id") % 5 == 1)
+            .coalesce(1)
+            .write.parquet(os.path.join(src, "b2")),
+        ]
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            list(
+                pool.map(
+                    lambda fn: inheritable_thread_target(fn)(),
+                    seed_writes,
+                )
+            )
         # FileStreamSource orders files by mtime, with listing-order
         # (readdir hash order) tiebreak — both writes can land in one
         # mtime tick, so pin distinct mtimes to make b1-before-b2
@@ -2777,9 +2795,30 @@ def stream_ingest_dedup(spark, sf_dir):
             # must rewrite its own _batch=N partitions, never append a
             # second copy of the signatures/text/verdicts
             idempotent_batch_append(verdicts, outp, batch_id)
-            # grow the store AFTER the verdicts: next batch sees us
-            idempotent_batch_append(batch_b, store, batch_id)
-            idempotent_batch_append(batch_df, corpus_txt, batch_id)
+            # grow the store AFTER the verdicts: next batch sees us.
+            # The signature and text appends write disjoint stores and
+            # nothing reads either until the next micro-batch — overlap
+            # them (guide §2.6) to hide one write's fixed cost behind
+            # the other's.
+            from concurrent.futures import ThreadPoolExecutor
+
+            from pyspark import inheritable_thread_target
+
+            grow = [
+                lambda: idempotent_batch_append(
+                    batch_b, store, batch_id
+                ),
+                lambda: idempotent_batch_append(
+                    batch_df, corpus_txt, batch_id
+                ),
+            ]
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                list(
+                    pool.map(
+                        lambda fn: inheritable_thread_target(fn)(),
+                        grow,
+                    )
+                )
 
         stream = (
             spark.readStream.schema(docs.schema)
