@@ -80,21 +80,26 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # codegen time matters when thousands of plans compile per day);
     # NULL hash rows (empty docs) drop out of both sums, giving
     # simhash 0, same as the aggregate-over-empty-array column form.
+    # Round 13 (guide §1.2 fixed costs): the 32 bit-sum aggregates and
+    # the 32-term reassembly chain are built as SQL strings — the
+    # Column-by-Column construction cost ~2 s of py4j round-trips per
+    # call. Identical expression trees (shiftright/& and the same
+    # CASE/cast shapes), so results are bit-identical.
     sums = hashed.groupBy(id_col).agg(
         *[
-            F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1))).alias(
-                f"_s{b}"
-            )
+            F.expr(f"sum(shiftright(_h, {b}) & 1) AS _s{b}")
             for b in range(32)
         ],
-        F.count(F.col("_h")).alias("_n"),
+        F.expr("count(_h) AS _n"),
     )
-    simhash = F.lit(0).cast("bigint")
+    chain = "CAST(0 AS BIGINT)"
     for b in range(32):
-        simhash = simhash + F.when(
-            F.col(f"_s{b}") * 2 > F.col("_n"), F.lit(1 << b).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-    return sums.select(F.col(id_col), simhash.alias("simhash"))
+        chain = (
+            f"({chain} + CASE WHEN _s{b} * 2 > _n"
+            f" THEN CAST({1 << b} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END)"
+        )
+    return sums.select(F.col(id_col), F.expr(f"{chain} AS simhash"))
 
 
 def simhash_neardup_pairs(

@@ -146,7 +146,12 @@ def brute_force_topk(
         F.col(vec_col).alias("qvec"),
         norm2(F.col(vec_col)).alias("qnorm"),
     )
-    c = corpus.select(
+    # fan_out (round 13, guide §2.5): the n×q scoring loop runs in the
+    # corpus side's map stage (queries broadcast); a single-file scan
+    # is ONE partition/one core. Per-row work ⇒ partitioning-invariant.
+    from metar_pipeline_spark.operators.fanout import fan_out
+
+    c = fan_out(corpus.select(id_col, vec_col)).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("cvec"),
         norm2(F.col(vec_col)).alias("cnorm"),
@@ -249,7 +254,14 @@ def ivf_assignments(
         F.col(vec_col).alias("centvec"),
         norm2(F.col(vec_col)).alias("centnorm"),
     )
-    c = corpus.select(
+    # fan_out (round 13, guide §2.5): the per-vector × n_centroids
+    # argmax scoring is the heavy map side; over a single-file scan it
+    # ran on ONE core (measured 2.2 s single-task stage in
+    # semantic_dedup_cells at sf0.1). Per-row projection ⇒
+    # partitioning-invariant; no-op on multi-split scans.
+    from metar_pipeline_spark.operators.fanout import fan_out
+
+    c = fan_out(corpus.select(id_col, vec_col)).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("cvec"),
         norm2(F.col(vec_col)).alias("cnorm"),

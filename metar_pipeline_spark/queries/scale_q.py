@@ -1643,21 +1643,24 @@ def _fm_oracle(m: int = 64) -> str:
     ),
 )
 def fm_distinct_users_estimate(spark, sf_dir):
+    # Round 13: string-built expressions (sketches.fm_min_exprs —
+    # bit-identical, see fm_distinct_users_by_type) remove ~2 s of
+    # py4j construction per call; same one-pass wide aggregate.
     from metar_pipeline_spark.operators.sketches import (
-        fm_estimate,
-        fm_min_columns,
+        fm_estimate_expr,
+        fm_min_exprs,
     )
 
     events = load_table(spark, sf_dir, "events")
     m = 64
     s = events.agg(
         F.count_distinct(F.col("user_id")).cast("bigint").alias("n_exact"),
-        *fm_min_columns(F.col("user_id"), m),
+        *fm_min_exprs("user_id", m),
     )
     return s.select(
         F.lit(m).cast("bigint").alias("m"),
         "n_exact",
-        F.round(fm_estimate(m), 2).alias("n_est"),
+        F.round(fm_estimate_expr(m), 2).alias("n_est"),
     )
 
 

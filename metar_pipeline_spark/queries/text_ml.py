@@ -156,10 +156,18 @@ def text_lang_id(spark, sf_dir):
 def doc_fingerprints(spark, sf_dir):
     # Single pass: all three fingerprints are per-row-independent column
     # math, so one projection rides one scan — no second lineage, no
-    # join, no shuffle (r1 computed simhash as a separate explode/agg
-    # lineage and equi-joined it back: two scans + an exchange for
-    # nothing). minhash_fp serialized to CSV for the driver comparator.
-    docs = load_table(spark, sf_dir, "documents")
+    # join (r1 computed simhash as a separate explode/agg lineage and
+    # equi-joined it back: two scans + an exchange for nothing).
+    # minhash_fp serialized to CSV for the driver comparator.
+    # Round 13: fan_out before the heavy per-row HOF math — the
+    # single-file scan is ONE partition, so the fused simhash/minhash
+    # column forms ran on one core (3.0 s single-task stage measured);
+    # per-row outputs are partitioning-invariant. No-op at scale.
+    from metar_pipeline_spark.operators.fanout import fan_out
+
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     toks = tx.tokens(F.col("text"))
     sh = tx.word_shingles(toks, 3)
     return docs.select(
