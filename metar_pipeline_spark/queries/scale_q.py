@@ -1291,10 +1291,24 @@ def stream_ivm_delta_view(spark, sf_dir):
     try:
         import time as _t
 
+        from metar_pipeline_spark.streaming.pipeline import (
+            parallel_batch_drops,
+        )
+
         now = _t.time()
-        for i, b in enumerate((b0, b1, b2)):
+        bs = (b0, b1, b2)
+        parallel_batch_drops(
+            [
+                (
+                    lambda d=os.path.join(src, f"b{i}"), b=b: b.coalesce(
+                        1
+                    ).write.parquet(d)
+                )
+                for i, b in enumerate(bs)
+            ]
+        )
+        for i in range(len(bs)):
             d = os.path.join(src, f"b{i}")
-            b.coalesce(1).write.parquet(d)
             # pin mtimes: FileStreamSource orders by mtime, so the
             # changelog replays b0→b1→b2 (the result is order-free —
             # Z-set merge is commutative — but batch ids stay stable)
@@ -1404,10 +1418,23 @@ def stream_cms_sketch_store(spark, sf_dir):
     try:
         import time as _t
 
+        from metar_pipeline_spark.streaming.pipeline import (
+            parallel_batch_drops,
+        )
+
         now = _t.time()
-        for i, b in enumerate(batches):
+        parallel_batch_drops(
+            [
+                (
+                    lambda d=os.path.join(src, f"b{i}"), b=b: b.coalesce(
+                        1
+                    ).write.parquet(d)
+                )
+                for i, b in enumerate(batches)
+            ]
+        )
+        for i in range(len(batches)):
             d = os.path.join(src, f"b{i}")
-            b.coalesce(1).write.parquet(d)
             # FileStreamSource orders by mtime — pin the replay order
             for fn in glob.glob(os.path.join(d, "*")):
                 t_i = now - 30 + i * 10
@@ -2637,9 +2664,31 @@ def stream_profile_anomaly_store(spark, sf_dir):
         import time as _t
 
         now = _t.time()
-        for i, b in enumerate(batches):
+
+        # The five batch drops write DISJOINT directories — overlap
+        # them from a driver pool (guide §2.6; round 13: the serial
+        # loop paid five ~0.3 s plan/commit fixed costs back to back).
+        # mtimes are pinned AFTER all writes land, so replay order is
+        # exactly as before.
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        def _drop(args):
+            i, b = args
+            b.coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+
+        with ThreadPoolExecutor(max_workers=5) as pool:
+            list(
+                pool.map(
+                    lambda a: inheritable_thread_target(
+                        lambda: _drop(a)
+                    )(),
+                    list(enumerate(batches)),
+                )
+            )
+        for i in range(len(batches)):
             d = os.path.join(src, f"b{i}")
-            b.coalesce(1).write.parquet(d)
             # FileStreamSource orders by mtime — pin the replay order
             for fn in glob.glob(os.path.join(d, "*")):
                 t_i = now - 60 + i * 10

@@ -3317,11 +3317,19 @@ def stream_trailing_drift_metrics(spark, sf_dir):
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        docs.filter(F.col("doc_id") % 3 == 0).coalesce(1).write.parquet(
-            os.path.join(src, "b0")
+        from metar_pipeline_spark.streaming.pipeline import (
+            parallel_batch_drops,
         )
-        docs.filter(F.col("doc_id") % 3 == 1).coalesce(1).write.parquet(
-            os.path.join(src, "b1")
+
+        parallel_batch_drops(
+            [
+                lambda: docs.filter(F.col("doc_id") % 3 == 0)
+                .coalesce(1)
+                .write.parquet(os.path.join(src, "b0")),
+                lambda: docs.filter(F.col("doc_id") % 3 == 1)
+                .coalesce(1)
+                .write.parquet(os.path.join(src, "b1")),
+            ]
         )
         # pin distinct mtimes: FileStreamSource orders by mtime with
         # readdir-hash tiebreak — the oracle replays exactly b0-then-b1

@@ -76,6 +76,24 @@ def idempotent_batch_append(
     )
 
 
+def parallel_batch_drops(writes) -> None:
+    """Run DISJOINT-path seed/drop writes concurrently from a small
+    driver pool (guide §2.6 — overlap independent jobs).
+
+    Round 13: the streaming exhibits seed 2-5 single-file batch drops
+    back to back; each write pays a ~0.3-0.5 s plan/commit fixed cost
+    while the cluster idles. The callers' mtime pinning (replay order)
+    happens AFTER the pool joins, so batch ordering is unchanged.
+    ``writes`` is a sequence of zero-arg callables writing disjoint
+    paths."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=min(len(writes), 8)) as pool:
+        list(pool.map(lambda fn: inheritable_thread_target(fn)(), writes))
+
+
 def read_event_stream(
     spark: SparkSession, source_dir: str, schema: T.StructType | None = None
 ) -> DataFrame:
