@@ -58,53 +58,56 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # the auto-boost catches direct query/oracle edits and one-hop operator
 # module edits, but not deeper transitive changes).
 VERIFY_FIRST: list[str] = [
-    # Round 13: the ten NEW queries (optimistic-commit versioned store
-    # with as-of time travel; read-derived change feed; write-audit-
-    # publish gate; streaming ingest through the commit log; the
-    # file-ACTION commit log — partition backfill, stats-in-log pruned
-    # scan, deletion vectors; the real WAV/PCM audio codec + resample),
-    # then the queries whose implementing source changed this round:
-    # incremental LPA / triangle counts (corpus-grain symmetrization
-    # removed per r12 ADVICE — frontier-pruned raw-edge probes) and
-    # the skipping scans (hidden-ancestor listing + hardened manifest
-    # swap + writer auto-refresh).
-    # All re-verified locally on sf0.001 + sf0.01 before rotation.
-    # The r12 driver window went 50/50 green.
-    "versioned_store_time_travel",
-    "versioned_store_changes",
-    "wap_publish_gate",
-    "stream_versioned_ingest",
-    "filelog_partition_backfill",
-    "filelog_stats_pruned_scan",
-    "filelog_deletion_vectors",
-    "filelog_merge_upsert",
-    # Round-13 continuation: change feed + cursor consumer, additive
-    # schema evolution, clustered OPTIMIZE — all filelog.py surfaces.
-    "filelog_change_feed",
-    "filelog_cdf_downstream_agg",
-    "filelog_schema_evolution",
-    "filelog_clustered_compact",
-    "filelog_cdc_replication",
-    "video_ppm_frame_sample",
-    "video_ppm_gop_features",
-    "stream_filelog_cdf_tail",
-    "filelog_tagged_snapshot",
-    "filelog_check_constraints",
-    "filelog_restore_rollback",
-    "maintenance_filelog_lifecycle",
-    "filelog_cdf_ivm_view",
-    "filelog_branch_publish",
-    "filelog_branch_wap",
-    "audio_wav_features",
-    "audio_wav_resample",
-    "lpa_incremental_delta",
-    "triangle_incremental_delta",
-    "skipping_scan_value_range",
-    "skipping_scan_box_zorder",
-    # medallion_end_to_end: quarantine-path change re-verified at both
-    # SFs this round, but the query exercises the non-guard path and
-    # its verified-surface hash is unchanged — the stale-boost lint
-    # (test_rotation) correctly keeps it out of the window.
+    # Round 13 OPTIMIZATION round: no new queries; this is the set
+    # whose SPARK-SIDE IMPLEMENTATION was restructured for performance
+    # this round (results proven identical against the oracle at
+    # sf0.001 + sf0.01 after every change — see OPTIMIZATION_r13.md).
+    # Most-restructured first: string-built expression trees (fm/BRR/
+    # simhash), the vectorized streaming sessionizer, parallelized
+    # store writes, then the fan_out reshapes (one added round-robin
+    # exchange at the generator seam). The previous window's filelog/
+    # txn queries went 50/50 green in the r12 gate and their hashes
+    # are unchanged; the auto-boost (priority 2) fills the rest of the
+    # window from the remaining hash-drifted names.
+    "fm_sketch_set_ops",
+    "fm_distinct_users_by_type",
+    "fm_mergeable_daily_users",
+    "fm_distinct_users_estimate",
+    "brr_mean_ci_value",
+    "stream_sessionize_stateful",
+    "stream_ingest_dedup",
+    "doc_fingerprints",
+    "dedup_simhash_pairs",
+    "stream_profile_anomaly_store",
+    "stream_ivm_delta_view",
+    "stream_cms_sketch_store",
+    "stream_trailing_drift_metrics",
+    "dedup_unigram_jaccard_pairs",
+    "record_linkage_parts",
+    "semantic_dedup_cells",
+    "embedding_mislabel_candidates",
+    "lm_perplexity_scores",
+    "quality_classifier_platt",
+    "dsir_importance_resample",
+    "corpus_removable_span_report",
+    "substring_dup_spans",
+    "dedup_connected_components",
+    "dedup_incremental_components",
+    "pagerank_warm_start_delta",
+    # Exactly 25 names: the gate window is 50 and the r12-continuation
+    # tier (25 filelog/txn/codec queries) is still PENDING its first
+    # driver verdict — those take the other 25 slots via the automatic
+    # priority-1 boost, so the window invariant
+    # (test_rotation::test_window_is_saturated_with_pending_queries)
+    # holds with zero pending overflow. The remaining fan_out-reshaped
+    # queries (neardup_*, split_leakage, ann/kmeans twins,
+    # pagerank_supply_graph, corpus_span_removal_audit,
+    # source_centroid_affinity, dedup_minhash/incremental_batch/
+    # canonical_keep) were all re-verified locally at sf0.001 + sf0.01
+    # this round and stay hash-drifted, so the priority-2 auto-boost
+    # rotates them into later windows. (ann_maxsim_recall_at_10 was
+    # also re-verified both SFs, but its verified-surface hash is
+    # unchanged — the stale-boost lint correctly excludes it.)
 ]
 
 
