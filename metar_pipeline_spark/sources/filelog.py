@@ -839,13 +839,39 @@ class FileCommitLog:
         meta.setdefault("ts", self._now())  # commit wall-clock stamp
         final = self._path(f"{self._cdir}/{n:0{_PAD}d}.json")
         self._fs.mkdirs(self._path(self._cdir))
+        payload = json.dumps(meta)
         if self._fs.exists(final):
+            if self._won_claim(final, payload):
+                return
             raise CommitConflict(n)
         tmp = self._path(f"{self._cdir}/.tmp-{token}.json")
-        _write_small_file(self._fs, tmp, json.dumps(meta))
+        _write_small_file(self._fs, tmp, payload)
         if not self._fs.rename(tmp, final):
             self._fs.delete(tmp, False)
+            # Non-idempotent-RPC guard (round 13, observed once in a
+            # 318-query bench as a phantom 4th commit): a transport
+            # hiccup can report false for a rename that LANDED. If the
+            # committed file carries EXACTLY our payload, the claim
+            # succeeded — treating it as a conflict would re-commit the
+            # same files at the next version (duplicate rows). Content
+            # equality is caller-agnostic and exact: every claim payload
+            # embeds this writer's unique token.
+            if self._won_claim(final, payload):
+                return
             raise CommitConflict(n)
+
+    def _won_claim(self, final, payload: str) -> bool:
+        """True iff the commit file at ``final`` holds exactly this
+        claim's payload — i.e. an earlier attempt of OURS landed even
+        though its rename/exists report said otherwise."""
+        try:
+            return (
+                self._fs.exists(final)
+                and _read_small_file(self._fs, final, self._jvm)
+                == payload
+            )
+        except Exception:  # noqa: BLE001 — unreadable ⇒ not ours
+            return False
 
     def committed_app_batch(
         self, app_id: str, app_batch: int

@@ -94,6 +94,41 @@ def test_concurrent_threaded_appends(spark, tmp_path):
     assert log.read().count() == 1 + 16  # nothing lost
 
 
+def test_claim_phantom_rename_false_is_not_a_double_commit(
+    spark, tmp_path
+):
+    """Round-13 hardening: a transport hiccup can report false for a
+    rename that LANDED (non-idempotent RPC — observed once as a
+    phantom 4th commit in a bench run). If the committed file carries
+    exactly this claim's payload, _claim must treat the claim as WON
+    (a retry would re-commit the same files at the next version =
+    duplicate rows); a different payload stays a real conflict."""
+    import json as _json
+
+    from metar_pipeline_spark.sources.filelog import (
+        CommitConflict,
+        _write_small_file,
+    )
+
+    log = FileCommitLog(spark, str(tmp_path / "t"))
+    log.append(_batch(spark, 0, 2, "d0"))  # v0 — creates the log dirs
+    meta = {
+        "version": 1, "op": "append", "add": ["f1"], "remove": [],
+        "writer": "tok-abc", "stats": {}, "cols": ["k"],
+        "schema_json": "{}", "ts": 123,
+    }
+    final = log._path(f"{log._cdir}/{1:020d}.json")
+    # simulate OUR earlier rename having landed despite a false report
+    _write_small_file(log._fs, final, _json.dumps(meta))
+    log._claim(1, dict(meta), "tok-abc")  # must NOT raise
+    # a DIFFERENT writer's commit at the same version is a real conflict
+    other = dict(meta, writer="tok-other")
+    with pytest.raises(CommitConflict):
+        log._claim(1, other, "tok-other")
+    # the landed commit is intact and readable
+    assert log.get_commit(1)["writer"] == "tok-abc"
+
+
 def test_checkpoint_expire_and_loud_history_floor(spark, tmp_path):
     log = FileCommitLog(spark, str(tmp_path / "t"))
     for i in range(4):
