@@ -258,33 +258,6 @@ def fm_hash01(key: Column, row_i: int) -> Column:
     return h.cast("double") / F.lit(float(_CMS_P))
 
 
-def fm_hash01_cols(key: Column, i: Column) -> Column:
-    """Column-indexed twin of :func:`fm_hash01` — identical arithmetic
-    with the hash-row index as a COLUMN, for the long/exploded sketch
-    form (row index from an ``explode(sequence(...))``). Bit-equal to
-    ``fm_hash01(key, i)`` for every literal ``i``: the constants are
-    the exact integer formulas of :func:`fm_constants` (all
-    intermediates < 2⁶³ for i < 10⁶ and key < 2³²), and pmod ≡ Python
-    ``%`` on the non-negative operands used here.
-
-    Why it exists (round 13, guide §7.3): the wide form (m staged hash
-    COLUMNS + 2m conditional MIN aggregates) builds an expression tree
-    Catalyst spends seconds optimizing per query — measured 3.1 s of
-    driver planning on a 4.3 s wall for fm_sketch_set_ops. The long
-    form is a ~20-node tree; the m-fold row expansion is reduced
-    map-side by the same partial MIN aggregation, so the shuffle still
-    carries m rows per task, never the events."""
-    P = F.lit(_CMS_P)
-    span = F.lit(_CMS_P - (1 << 28))
-    r = (i + F.lit(1)).cast("bigint")
-    a1 = F.pmod(F.lit(2654435761) * r, span) + F.lit(1 << 28)
-    b1 = F.pmod(F.lit(2246822519) * r, P)
-    a2 = F.pmod(F.lit(40503) * r + F.lit(69061), span) + F.lit(1 << 28)
-    h1 = F.pmod(key.cast("bigint") * a1 + b1, P)
-    h = F.pmod(h1 * h1 + h1 * a2, P)
-    return h.cast("double") / F.lit(float(_CMS_P))
-
-
 def fm_hash01_sql(key_sql: str, row_i: int) -> str:
     """SQL-text twin of :func:`fm_hash01` — the identical expression
     tree built as ONE parser call instead of ~16 py4j round-trips.

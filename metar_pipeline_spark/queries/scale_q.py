@@ -2670,23 +2670,18 @@ def stream_profile_anomaly_store(spark, sf_dir):
         # loop paid five ~0.3 s plan/commit fixed costs back to back).
         # mtimes are pinned AFTER all writes land, so replay order is
         # exactly as before.
-        from concurrent.futures import ThreadPoolExecutor
+        from metar_pipeline_spark.streaming.pipeline import (
+            parallel_batch_drops,
+        )
 
-        from pyspark import inheritable_thread_target
-
-        def _drop(args):
-            i, b = args
-            b.coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
-
-        with ThreadPoolExecutor(max_workers=5) as pool:
-            list(
-                pool.map(
-                    lambda a: inheritable_thread_target(
-                        lambda: _drop(a)
-                    )(),
-                    list(enumerate(batches)),
-                )
+        def _drop(i, b):
+            return lambda: b.coalesce(1).write.parquet(
+                os.path.join(src, f"b{i}")
             )
+
+        parallel_batch_drops(
+            [_drop(i, b) for i, b in enumerate(batches)]
+        )
         for i in range(len(batches)):
             d = os.path.join(src, f"b{i}")
             # FileStreamSource orders by mtime — pin the replay order

@@ -2736,9 +2736,9 @@ def stream_ingest_dedup(spark, sf_dir):
         # them from a small driver pool (guide §2.6; each write's
         # ~0.3-0.5 s plan/commit fixed cost otherwise serializes while
         # the cluster idles). Results are write-order independent.
-        from concurrent.futures import ThreadPoolExecutor
-
-        from pyspark import inheritable_thread_target
+        from metar_pipeline_spark.streaming.pipeline import (
+            parallel_batch_drops,
+        )
 
         seed_writes = [
             lambda: idempotent_batch_append(
@@ -2752,13 +2752,7 @@ def stream_ingest_dedup(spark, sf_dir):
             .coalesce(1)
             .write.parquet(os.path.join(src, "b2")),
         ]
-        with ThreadPoolExecutor(max_workers=4) as pool:
-            list(
-                pool.map(
-                    lambda fn: inheritable_thread_target(fn)(),
-                    seed_writes,
-                )
-            )
+        parallel_batch_drops(seed_writes)
         # FileStreamSource orders files by mtime, with listing-order
         # (readdir hash order) tiebreak — both writes can land in one
         # mtime tick, so pin distinct mtimes to make b1-before-b2
@@ -2808,25 +2802,16 @@ def stream_ingest_dedup(spark, sf_dir):
             # nothing reads either until the next micro-batch — overlap
             # them (guide §2.6) to hide one write's fixed cost behind
             # the other's.
-            from concurrent.futures import ThreadPoolExecutor
-
-            from pyspark import inheritable_thread_target
-
-            grow = [
-                lambda: idempotent_batch_append(
-                    batch_b, store, batch_id
-                ),
-                lambda: idempotent_batch_append(
-                    batch_df, corpus_txt, batch_id
-                ),
-            ]
-            with ThreadPoolExecutor(max_workers=2) as pool:
-                list(
-                    pool.map(
-                        lambda fn: inheritable_thread_target(fn)(),
-                        grow,
-                    )
-                )
+            parallel_batch_drops(
+                [
+                    lambda: idempotent_batch_append(
+                        batch_b, store, batch_id
+                    ),
+                    lambda: idempotent_batch_append(
+                        batch_df, corpus_txt, batch_id
+                    ),
+                ]
+            )
 
         stream = (
             spark.readStream.schema(docs.schema)

@@ -90,8 +90,14 @@ def parallel_batch_drops(writes) -> None:
 
     from pyspark import inheritable_thread_target
 
-    with ThreadPoolExecutor(max_workers=min(len(writes), 8)) as pool:
-        list(pool.map(lambda fn: inheritable_thread_target(fn)(), writes))
+    # Wrap in the CALLING thread (round-13 ADVICE): the wrapper clones
+    # the wrapping thread's JVM-local properties (job group/description/
+    # scheduler pool), so wrapping inside the pool worker would clone
+    # the worker's EMPTY locals — a functional no-op in pinned-thread
+    # mode. filelog.append_all has always used this correct pattern.
+    wrapped = [inheritable_thread_target(fn) for fn in writes]
+    with ThreadPoolExecutor(max_workers=min(len(wrapped), 8)) as pool:
+        list(pool.map(lambda f: f(), wrapped))
 
 
 def read_event_stream(

@@ -264,6 +264,18 @@ def streaming_sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFram
             # per-event loop tracked is just the previous sorted t —
             # consecutive diffs (with the state end prepended as
             # sentinel) segment identically to that loop.
+            if cur is not None and len(t) and int(t[0]) < int(cur[1]):
+                # The prev-diff sentinel below assumes every batch
+                # timestamp >= the stored session end — true ONLY
+                # because withWatermark is pinned to '0 seconds' (late
+                # rows are dropped before reaching this function). A
+                # future non-zero allowed-lateness must fail loudly
+                # here instead of silently mis-segmenting (r13 ADVICE).
+                raise AssertionError(
+                    "streaming_sessionize: batch row behind stored "
+                    "session end — non-zero watermark lateness breaks "
+                    "the sorted-batch segmentation invariant"
+                )
             prev = np.concatenate(([cur[1]], t[:-1])) if cur else t[:-1]
             if cur:
                 starts = np.flatnonzero((t - prev) > gap_ms)

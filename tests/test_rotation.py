@@ -100,6 +100,30 @@ def test_drifted_green_query_autoboosts(monkeypatch):
     assert names.index(victim) < min(names.index(n) for n in unchanged_green)
 
 
+def test_query_hash_excludes_universal_io_dep():
+    """io.py (load_table) is referenced by essentially every query, so
+    hashing it one-hop floods the drift set on any shared-path edit and
+    priority-2 degenerates to registration order (round-13 verdict #8).
+    An io.py edit must NOT drift a query hash — shared-path regressions
+    are caught by the full-registry oracle suite instead. An operator-
+    module edit must still drift (covered by the tamper tests below)."""
+    from pathlib import Path
+
+    specs = q.all_queries()
+    # a plain tpch-style query whose only engine dep is load_table
+    spec = specs["dwh_daily_metrics"]
+    h0 = q._query_hash(spec)
+    io_path = Path(q.__file__).resolve().parents[1] / "io.py"
+    original = io_path.read_bytes()
+    try:
+        io_path.write_bytes(original + b"\n# tamper\n")
+        assert q._query_hash(spec) == h0, (
+            "io.py edit drifted a query hash — _UNIVERSAL_DEPS exclusion broken"
+        )
+    finally:
+        io_path.write_bytes(original)
+
+
 def test_query_hash_covers_function_local_imports():
     """udtf_token_chunks imports its UDTF class inside the function
     body; a change to functions/udtf_fns.py must still drift the hash
