@@ -29,6 +29,64 @@ from pyspark.sql import functions as F
 DEC18 = "decimal(38,18)"
 
 
+def pagerank_prep(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    pre_deduped: bool = False,
+) -> "tuple[DataFrame, DataFrame, int]":
+    """Materialize the (edges, nodes, n) trio the pagerank iteration
+    consumes — the operator's eager prefix, exposed so a caller running
+    SEVERAL pagerank calls can overlap independent preps/chains from a
+    driver pool (guide §2.6: pagerank_warm_start_delta's warm-graph
+    prep is data-independent of the old-graph chain evaluation —
+    measured ~2.2 s each at sf0.1, serialized before this seam existed).
+    Results are unchanged by construction: these are the exact frames
+    (same expressions, same checkpoints) the inline path builds."""
+    from pyspark.sql import Observation
+
+    from metar_pipeline_spark.operators.fanout import fan_out
+
+    dedup = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not pre_deduped:
+        dedup = dedup.distinct()
+    # (Round 13: pre-hash-partitioning the checkpointed frame by src to
+    # share the per-iteration join exchange was tried and REJECTED — a
+    # PySpark localCheckpoint's LogicalRDD does not preserve output
+    # partitioning, so EnsureRequirements re-shuffled the edges every
+    # iteration anyway and the extra up-front repartition+materialize
+    # cost ~+3 s on pagerank_warm_start_delta. Round 14 re-tested with
+    # .repartition(P, "src").persist() — InMemoryRelation DOES preserve
+    # the partitioning, but warm A/B read 5.7-5.8 s vs 5.2-6.0 s for
+    # the checkpoint+fan_out form: the saved per-iteration edge
+    # exchange is offset by the persist materialization, a wash. Plan
+    # inspected both ways; keeping the simpler checkpoint form.)
+    edges = fan_out(dedup.localCheckpoint(eager=True))
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # Scalar node count rides the checkpoint materialization as an
+    # observed metric (same fusion as dedup.connected_components) — no
+    # separate count job, and still an aggregated single number, not a
+    # data collect.
+    obs = Observation()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        # no broadcast hint: outdeg is O(nodes) — at graph scale it is
+        # NOT broadcastable, and this one-time shuffle join amortizes
+        # over all iterations (AQE still broadcasts it when small)
+        .join(
+            outdeg.select(F.col("src").alias("node"), "deg"),
+            "node",
+            "left",
+        )
+        .withColumn("dangling", F.col("deg").isNull())
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    return edges, nodes, obs.get["n"]
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -38,6 +96,7 @@ def pagerank(
     ckpt_every: int = 4,
     init_ranks: "DataFrame | None" = None,
     pre_deduped: bool = False,
+    prep: "tuple[DataFrame, DataFrame, int] | None" = None,
 ) -> DataFrame:
     """Rank nodes of a directed graph: ``iterations`` synchronous
     PageRank steps with uniform dangling-mass redistribution.
@@ -79,48 +138,17 @@ def pagerank(
     # already distinct (e.g. a shared flagged-edge aggregate feeding
     # several pagerank calls) — skip the distinct shuffle, keep the
     # materialization.
-    from metar_pipeline_spark.operators.fanout import fan_out
-
-    dedup = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    if not pre_deduped:
-        dedup = dedup.distinct()
-    # (Round 13: pre-hash-partitioning the checkpointed frame by src to
-    # share the per-iteration join exchange was tried and REJECTED — a
-    # PySpark localCheckpoint's LogicalRDD does not preserve output
-    # partitioning, so EnsureRequirements re-shuffled the edges every
-    # iteration anyway and the extra up-front repartition+materialize
-    # cost ~+3 s on pagerank_warm_start_delta. Plan inspected:
-    # hashpartitioning(src) exchange present per iteration either way.)
-    edges = fan_out(dedup.localCheckpoint(eager=True))
     # Node dim carries (deg, dangling) from day one: the per-iteration
     # dangling mass is then a FILTER + one-row aggregate over ranks —
     # no anti-join shuffle inside the loop (one less exchange per
     # iteration; bit-identical ranks, verified against the join form).
-    from pyspark.sql import Observation
-
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # Scalar node count rides the checkpoint materialization as an
-    # observed metric (same fusion as dedup.connected_components) — no
-    # separate count job, and still an aggregated single number, not a
-    # data collect.
-    obs = Observation()
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        # no broadcast hint: outdeg is O(nodes) — at graph scale it is
-        # NOT broadcastable, and this one-time shuffle join amortizes
-        # over all iterations (AQE still broadcasts it when small)
-        .join(
-            outdeg.select(F.col("src").alias("node"), "deg"),
-            "node",
-            "left",
+    # ``prep``: a precomputed pagerank_prep(...) trio — pass it when
+    # overlapping several pagerank calls from a driver pool (§2.6).
+    if prep is None:
+        prep = pagerank_prep(
+            edges, src=src, dst=dst, pre_deduped=pre_deduped
         )
-        .withColumn("dangling", F.col("deg").isNull())
-        .observe(obs, F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
-    )
-    n = obs.get["n"]
+    edges, nodes, n = prep
     if n == 0:
         return nodes.select(
             F.col("node"), F.lit(None).cast("double").alias("rank")
@@ -350,27 +378,39 @@ def bfs_min_hops(
     # re-joins it, and an expensive caller frame (scan + union +
     # distinct) would otherwise be re-evaluated per round — measured
     # 6.8 s → ~4 s at sf0.1 on the supplier↔part graph.
+    from functools import reduce
+
     edges = edges.select("src", "dst").localCheckpoint(eager=True)
-    visited = (
+    # Visited is APPEND-ONLY (levels are disjoint by the anti-join), so
+    # keep one checkpointed PIECE per level and union lazily (round 14,
+    # guide §1.2/§5): the old per-level `visited.union(nxt)` checkpoint
+    # rewrote the WHOLE visited set every level — O(V·hops) materialized
+    # bytes at scale and one extra driver-synced job per level — while
+    # the anti-join/return read identical rows from the lazy union of
+    # already-materialized pieces.
+    level0 = (
         seeds.select(F.col("node"), F.lit(0).cast("int").alias("hop"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    frontier = visited.select("node")
+    pieces = [level0]
+    visited_nodes = level0.select("node")
+    frontier = level0.select("node")
     for level in range(1, max_hops + 1):
         nxt = (
             frontier.join(edges, frontier["node"] == edges["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(visited_nodes, "node", "left_anti")
             .select("node", F.lit(level).cast("int").alias("hop"))
             .localCheckpoint(eager=True)
         )
         if not nxt.head(1):
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        pieces.append(nxt)
+        visited_nodes = visited_nodes.unionByName(nxt.select("node"))
         frontier = nxt.select("node")
-    return visited
+    return reduce(lambda a, b: a.unionByName(b), pieces)
 
 
 def incremental_lpa(
@@ -434,11 +474,18 @@ def incremental_lpa(
     # frontier probes src and dst separately (two broadcast equi-joins
     # against the scan — the checkpointed frontier has no stats, so
     # the broadcast hint is explicit per the round-12 pitfall).
-    visited = (
+    # Same append-only piece-union as bfs_min_hops (round 14): the ball
+    # grows level by level, so checkpoint each level once and union
+    # lazily instead of rewriting the whole visited set per level.
+    from functools import reduce
+
+    level0 = (
         seeds.select("node", F.lit(0).cast("int").alias("hop"))
         .localCheckpoint(eager=True)
     )
-    frontier = visited.select("node")
+    pieces = [level0]
+    visited_nodes = level0.select("node")
+    frontier = level0.select("node")
     for level in range(1, 2 * k + 1):
         fb = F.broadcast(frontier)
         nxt = (
@@ -450,16 +497,17 @@ def incremental_lpa(
             )
             .distinct()  # frontier-neighborhood grain
             .join(
-                F.broadcast(visited.select("node")), "node", "left_anti"
+                F.broadcast(visited_nodes), "node", "left_anti"
             )
             .select("node", F.lit(level).cast("int").alias("hop"))
             .localCheckpoint(eager=True)
         )
         if not nxt.head(1):
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        pieces.append(nxt)
+        visited_nodes = visited_nodes.unionByName(nxt.select("node"))
         frontier = nxt.select("node")
-    ball = visited
+    ball = reduce(lambda a, b: a.unionByName(b), pieces)
     bn = ball.select("node")
     # Induced subgraph: two broadcast semi-joins of the raw edges
     # against the ball, THEN symmetrize — the unionAll+distinct is

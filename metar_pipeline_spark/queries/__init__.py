@@ -102,6 +102,23 @@ VERIFY_FIRST: list[str] = [
     # segmentation assumption — no behavior change under the pinned
     # '0 seconds' watermark.
     "stream_sessionize_stateful",
+    # r14: warm-graph prep overlapped with the old-chain evaluation
+    # via pagerank_prep + a 2-thread pool (guide §2.6) — same frames,
+    # same math, re-verified both SFs.
+    "pagerank_warm_start_delta",
+    # r14: FileCommitLog write-once commit-json cache + per-read
+    # listing snapshot (guide §1.2 — py4j FS fixed costs; commit 3-step
+    # exhibit warm 4.7 → 2.2 s). The deepest consumers of the changed
+    # read paths rotate in; the rest of the filelog family re-verified
+    # both SFs + full filelog/txn/vacuum/lifecycle suites.
+    "stream_filelog_cdf_tail",
+    "filelog_cdc_replication",
+    "maintenance_filelog_lifecycle",
+    "filelog_change_feed",
+    "filelog_cdf_downstream_agg",
+    "filelog_cdf_ivm_view",
+    "filelog_branch_publish",
+    "filelog_restore_rollback",
     # (ann_maxsim_recall_at_10 was named by the r13 verdict but its
     # verified-surface hash is UNCHANGED since its green verdict — the
     # stale-boost lint correctly excludes it from manual boosting.)

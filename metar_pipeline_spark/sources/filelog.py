@@ -123,6 +123,22 @@ def _json_stat(v):
     return v
 
 
+def _snapshot_read(fn):
+    """Decorator: run one READ-path method under a single listing
+    snapshot (see FileCommitLog._listing_snapshot). Reentrant — a
+    wrapped method calling another wrapped method shares the outer
+    snapshot. Never applied to writer paths (claim retry loops must
+    re-list per attempt)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(self, *args, **kwargs):
+        with self._listing_snapshot():
+            return fn(self, *args, **kwargs)
+
+    return wrapped
+
+
 class FileCommitLog:
     """A file-action versioned table under ``root`` (layout above).
 
@@ -160,6 +176,21 @@ class FileCommitLog:
             else f"{_BRANCHES}/{branch}/{_COMMITS}"
         )
         self._fs, self._root_h, self._jvm = _hadoop_fs(spark, self.root)
+        # Commit-json payload cache (round 14, guide §1.2 fixed costs):
+        # commit files are WRITE-ONCE by the claim CAS (a rename can
+        # only land content once; the phantom-rename guard proves even
+        # retries are bit-equal), so the payload of version n never
+        # changes while it exists. Reads walk commits repeatedly —
+        # read()/read_changes/columns_at/schema_json_at/_active_dvs each
+        # re-walk the chain (measured: 13 get_commit + 17 listings per
+        # 3-commit exhibit, 10-40 ms of py4j Hadoop-FS calls each).
+        # Cache the payload STRING per instance and parse per call
+        # (fresh objects — callers may mutate the dicts);
+        # expire_commits() evicts dropped versions so retention keeps
+        # failing loudly.
+        self._commit_cache: "dict[int, str]" = {}
+        # per-READ-operation listing snapshot (see _listing_snapshot)
+        self._listing_snap: "dict | None" = None
 
     def _now(self) -> float:
         if self._clock is not None:
@@ -172,34 +203,90 @@ class FileCommitLog:
     def _path(self, rel: str):
         return self._jvm.org.apache.hadoop.fs.Path(f"{self.root}/{rel}")
 
+    def _listing_snapshot(self):
+        """Context manager: ONE consistent commit-dir listing (and
+        checkpoint-meta read) for the duration of a single READ
+        operation. A read otherwise re-lists the log dir per helper —
+        ``read()`` paid ~6 listStatus + up to 4 reads of the SAME
+        checkpoint json (10-50 ms of py4j Hadoop-FS calls each,
+        measured round 14). Snapshot isolation is also the CORRECT
+        read semantics: re-listing mid-read could see a concurrent
+        writer's commit land and mix versions. Reentrant (nested reads
+        share the outer snapshot). Writer paths (append/claim retry
+        loops) never wrap themselves — they must re-list per attempt."""
+        from contextlib import contextmanager
+
+        @contextmanager
+        def guard():
+            if self._listing_snap is not None:
+                yield  # nested: share the outer snapshot
+                return
+            self._listing_snap = {}
+            try:
+                yield
+            finally:
+                self._listing_snap = None
+
+        return guard()
+
     def _commit_versions(self) -> "list[int]":
+        snap = self._listing_snap
+        if snap is not None and "commits" in snap:
+            return snap["commits"]
         cdir = self._path(self._cdir)
-        if not self._fs.exists(cdir):
-            return []
-        out = []
-        for st in self._fs.listStatus(cdir):
-            name = st.getPath().getName()
-            if name.endswith(".json") and not name.startswith(
-                (".", "_")
-            ):
-                stem = name[: -len(".json")]
-                if stem.isdigit():
-                    out.append(int(stem))
-        return sorted(out)
+        out: "list[int]" = []
+        if self._fs.exists(cdir):
+            for st in self._fs.listStatus(cdir):
+                name = st.getPath().getName()
+                if name.endswith(".json") and not name.startswith(
+                    (".", "_")
+                ):
+                    stem = name[: -len(".json")]
+                    if stem.isdigit():
+                        out.append(int(stem))
+            out.sort()
+        if snap is not None:
+            snap["commits"] = out
+        return out
 
     def _checkpoint_versions(self) -> "list[int]":
+        snap = self._listing_snap
+        if snap is not None and "checkpoints" in snap:
+            return snap["checkpoints"]
         cdir = self._path(self._cdir)
-        if not self._fs.exists(cdir):
-            return []
-        out = []
-        prefix, suffix = "_checkpoint.", ".json"
-        for st in self._fs.listStatus(cdir):
-            name = st.getPath().getName()
-            if name.startswith(prefix) and name.endswith(suffix):
-                stem = name[len(prefix): -len(suffix)]
-                if stem.isdigit():
-                    out.append(int(stem))
-        return sorted(out)
+        out: "list[int]" = []
+        if self._fs.exists(cdir):
+            prefix, suffix = "_checkpoint.", ".json"
+            for st in self._fs.listStatus(cdir):
+                name = st.getPath().getName()
+                if name.startswith(prefix) and name.endswith(suffix):
+                    stem = name[len(prefix): -len(suffix)]
+                    if stem.isdigit():
+                        out.append(int(stem))
+            out.sort()
+        if snap is not None:
+            snap["checkpoints"] = out
+        return out
+
+    def _checkpoint_meta(self, cp: int) -> dict:
+        """Parsed ``_checkpoint.<cp>.json``. Unlike commit files a
+        checkpoint CAN be rewritten (write_checkpoint overwrites), so
+        this is only memoized inside a listing snapshot (one read
+        operation sees one consistent meta), never across calls."""
+        snap = self._listing_snap
+        key = ("cpmeta", cp)
+        if snap is not None and key in snap:
+            return snap[key]
+        meta = json.loads(
+            _read_small_file(
+                self._fs,
+                self._path(f"{self._cdir}/_checkpoint.{cp}.json"),
+                self._jvm,
+            )
+        )
+        if snap is not None:
+            snap[key] = meta
+        return meta
 
     def latest_version(self) -> int:
         vs = self._commit_versions()
@@ -208,13 +295,19 @@ class FileCommitLog:
         return max(cand)
 
     def get_commit(self, version: int) -> dict:
+        cached = self._commit_cache.get(version)
+        if cached is not None:
+            return json.loads(cached)
         p = self._path(f"{self._cdir}/{version:0{_PAD}d}.json")
         if not self._fs.exists(p):
             raise ValueError(
                 f"commit {version} does not exist in {self.root}"
             )
-        return json.loads(_read_small_file(self._fs, p, self._jvm))
+        payload = _read_small_file(self._fs, p, self._jvm)
+        self._commit_cache[version] = payload
+        return json.loads(payload)
 
+    @_snapshot_read
     def read_pruned_multi(
         self, bounds: "dict", as_of: "int | None" = None
     ) -> DataFrame:
@@ -272,6 +365,7 @@ class FileCommitLog:
         )
 
     # -- schema tracking --------------------------------------------------
+    @_snapshot_read
     def columns_at(self, as_of: "int | None" = None) -> "list[str] | None":
         """Canonical column order AS OF a version: the newest ``cols``
         recorded by a commit ≤ as_of, falling back to the covering
@@ -290,13 +384,7 @@ class FileCommitLog:
             if c.get("cols") is not None:
                 return list(c["cols"])
         if cps:
-            meta = json.loads(
-                _read_small_file(
-                    self._fs,
-                    self._path(f"{self._cdir}/_checkpoint.{cps[-1]}.json"),
-                    self._jvm,
-                )
-            )
+            meta = self._checkpoint_meta(cps[-1])
             if meta.get("cols") is not None:
                 return list(meta["cols"])
         return None
@@ -368,6 +456,7 @@ class FileCommitLog:
         fields = {f.name: f for f in df.schema.fields}
         return T.StructType([fields[c] for c in cols]).json()
 
+    @_snapshot_read
     def schema_json_at(self, as_of: "int | None" = None) -> "str | None":
         """Newest recorded schema json ≤ as_of (checkpoint fallback),
         or None for logs written before schema recording."""
@@ -384,18 +473,13 @@ class FileCommitLog:
             if c.get("schema_json") is not None:
                 return c["schema_json"]
         if cps:
-            meta = json.loads(
-                _read_small_file(
-                    self._fs,
-                    self._path(f"{self._cdir}/_checkpoint.{cps[-1]}.json"),
-                    self._jvm,
-                )
-            )
+            meta = self._checkpoint_meta(cps[-1])
             if meta.get("schema_json") is not None:
                 return meta["schema_json"]
         return None
 
     # -- resolution -------------------------------------------------------
+    @_snapshot_read
     def live_files(self, as_of: "int | None" = None) -> "list[str]":
         """Root-relative live data files at ``as_of`` (default latest):
         newest checkpoint ≤ as_of, then replay of later commits.
@@ -409,14 +493,7 @@ class FileCommitLog:
         cps = [c for c in self._checkpoint_versions() if c <= v]
         if cps:
             cp = cps[-1]
-            meta = json.loads(
-                _read_small_file(
-                    self._fs,
-                    self._path(f"{self._cdir}/_checkpoint.{cp}.json"),
-                    self._jvm,
-                )
-            )
-            base = list(meta["live"])
+            base = list(self._checkpoint_meta(cp)["live"])
             start = cp + 1
         have = set(self._commit_versions())
         live = set(base)
@@ -515,14 +592,7 @@ class FileCommitLog:
         start = 0
         cps = [c for c in self._checkpoint_versions() if c <= v]
         if cps:
-            meta = json.loads(
-                _read_small_file(
-                    self._fs,
-                    self._path(f"{self._cdir}/_checkpoint.{cps[-1]}.json"),
-                    self._jvm,
-                )
-            )
-            dvs.update(meta.get("dvs", []))
+            dvs.update(self._checkpoint_meta(cps[-1]).get("dvs", []))
             start = cps[-1] + 1
         for n in range(start, v + 1):
             c = self.get_commit(n)
@@ -542,6 +612,7 @@ class FileCommitLog:
         ).withColumnsRenamed({"file": "__file", "row_index": "__ri"})
         return df.join(dv, ["__file", "__ri"], "left_anti")
 
+    @_snapshot_read
     def read(self, as_of: "int | None" = None) -> DataFrame:
         """The table at ``as_of``: live-file union minus deletion
         vectors, in the schema AS OF that version (time travel to
@@ -567,6 +638,7 @@ class FileCommitLog:
             dvs,
         ).drop("__file", "__ri")
 
+    @_snapshot_read
     def _live_with_stats(
         self, as_of: "int | None" = None
     ) -> "tuple[list[str], dict]":
@@ -579,20 +651,16 @@ class FileCommitLog:
         cps = [c for c in self._checkpoint_versions() if c <= v]
         start = 0
         if cps:
-            meta = json.loads(
-                _read_small_file(
-                    self._fs,
-                    self._path(f"{self._cdir}/_checkpoint.{cps[-1]}.json"),
-                    self._jvm,
-                )
+            stats.update(
+                self._checkpoint_meta(cps[-1]).get("stats", {})
             )
-            stats.update(meta.get("stats", {}))
             start = cps[-1] + 1
         for n in range(start, v + 1):
             stats.update(self.get_commit(n).get("stats", {}))
         keep = set(live)
         return live, {f: s for f, s in stats.items() if f in keep}
 
+    @_snapshot_read
     def read_pruned(
         self, col: str, lo, hi, as_of: "int | None" = None
     ) -> DataFrame:
@@ -636,6 +704,7 @@ class FileCommitLog:
             .filter(pred)
         )
 
+    @_snapshot_read
     def read_changes(
         self, from_version: int, to_version: "int | None" = None
     ) -> DataFrame:
@@ -842,23 +911,28 @@ class FileCommitLog:
         payload = json.dumps(meta)
         if self._fs.exists(final):
             if self._won_claim(final, payload):
+                self._commit_cache[n] = payload
                 return
             raise CommitConflict(n)
         tmp = self._path(f"{self._cdir}/.tmp-{token}.json")
         _write_small_file(self._fs, tmp, payload)
-        if not self._fs.rename(tmp, final):
-            self._fs.delete(tmp, False)
-            # Non-idempotent-RPC guard (round 13, observed once in a
-            # 318-query bench as a phantom 4th commit): a transport
-            # hiccup can report false for a rename that LANDED. If the
-            # committed file carries EXACTLY our payload, the claim
-            # succeeded — treating it as a conflict would re-commit the
-            # same files at the next version (duplicate rows). Content
-            # equality is caller-agnostic and exact: every claim payload
-            # embeds this writer's unique token.
-            if self._won_claim(final, payload):
-                return
-            raise CommitConflict(n)
+        if self._fs.rename(tmp, final):
+            # seed the write-once cache with exactly what landed
+            self._commit_cache[n] = payload
+            return
+        self._fs.delete(tmp, False)
+        # Non-idempotent-RPC guard (round 13, observed once in a
+        # 318-query bench as a phantom 4th commit): a transport
+        # hiccup can report false for a rename that LANDED. If the
+        # committed file carries EXACTLY our payload, the claim
+        # succeeded — treating it as a conflict would re-commit the
+        # same files at the next version (duplicate rows). Content
+        # equality is caller-agnostic and exact: every claim payload
+        # embeds this writer's unique token.
+        if self._won_claim(final, payload):
+            self._commit_cache[n] = payload
+            return
+        raise CommitConflict(n)
 
     def _won_claim(self, final, payload: str) -> bool:
         """True iff the commit file at ``final`` holds exactly this
@@ -883,13 +957,7 @@ class FileCommitLog:
         the replay window."""
         key = f"{app_id}:{int(app_batch)}"
         for cp in reversed(self._checkpoint_versions()):
-            meta = json.loads(
-                _read_small_file(
-                    self._fs,
-                    self._path(f"{self._cdir}/_checkpoint.{cp}.json"),
-                    self._jvm,
-                )
-            )
+            meta = self._checkpoint_meta(cp)
             if key in meta.get("apps", {}):
                 return int(meta["apps"][key])
         for n in reversed(self._commit_versions()):
@@ -910,13 +978,7 @@ class FileCommitLog:
         no separate cursor file to desync from the data."""
         best: "int | None" = None
         for cp in self._checkpoint_versions():
-            meta = json.loads(
-                _read_small_file(
-                    self._fs,
-                    self._path(f"{self._cdir}/_checkpoint.{cp}.json"),
-                    self._jvm,
-                )
-            )
+            meta = self._checkpoint_meta(cp)
             for key in meta.get("apps", {}):
                 aid, _, b = key.rpartition(":")
                 if aid == app_id and (best is None or int(b) > best):
@@ -1378,13 +1440,7 @@ class FileCommitLog:
         apps: "dict[str, int]" = {}
         cps = self._checkpoint_versions()
         if cps:
-            prior = json.loads(
-                _read_small_file(
-                    self._fs,
-                    self._path(f"{self._cdir}/_checkpoint.{cps[-1]}.json"),
-                    self._jvm,
-                )
-            )
+            prior = self._checkpoint_meta(cps[-1])
             apps.update(prior.get("apps", {}))
         for n in self._commit_versions():
             c = self.get_commit(n)
@@ -1429,6 +1485,9 @@ class FileCommitLog:
                 self._fs.delete(
                     self._path(f"{self._cdir}/{n:0{_PAD}d}.json"), False
                 )
+                # evict so expired history keeps FAILING loudly on this
+                # instance too (the cache must never outlive retention)
+                self._commit_cache.pop(n, None)
                 dropped.append(n)
         for c in cps[:-1]:
             self._fs.delete(
@@ -1436,6 +1495,7 @@ class FileCommitLog:
             )
         return dropped
 
+    @_snapshot_read
     def version_at_timestamp(self, ts: float) -> int:
         """Newest retained commit claimed at or before ``ts`` (epoch
         seconds) — Delta's TIMESTAMP AS OF resolution. Loud when ts
@@ -1454,6 +1514,7 @@ class FileCommitLog:
             )
         return best
 
+    @_snapshot_read
     def read_at_timestamp(self, ts: float) -> DataFrame:
         """``read`` resolved by commit wall-clock instead of version
         number (TIMESTAMP AS OF)."""
@@ -1569,6 +1630,7 @@ class FileCommitLog:
             self._fs.delete(self._path(f"{_TAGS}/{name}.json"), False)
         )
 
+    @_snapshot_read
     def read_tag(self, name: str) -> DataFrame:
         """The exact dataset the tag pinned — independent of the
         retention floor (the tag carries its own file list, vectors,
@@ -1744,6 +1806,7 @@ class FileCommitLog:
         raise CommitConflict(self.latest_version() + 1)
 
     # -- CHECK constraints --------------------------------------------------
+    @_snapshot_read
     def constraints_at(
         self, as_of: "int | None" = None
     ) -> "dict[str, str]":
@@ -1764,13 +1827,7 @@ class FileCommitLog:
             if c.get("constraints") is not None:
                 return dict(c["constraints"])
         if cps:
-            meta = json.loads(
-                _read_small_file(
-                    self._fs,
-                    self._path(f"{self._cdir}/_checkpoint.{cps[-1]}.json"),
-                    self._jvm,
-                )
-            )
+            meta = self._checkpoint_meta(cps[-1])
             if meta.get("constraints") is not None:
                 return dict(meta["constraints"])
         return {}
@@ -1914,13 +1971,7 @@ class FileCommitLog:
             take(c.get("add", []))
             take(c.get("dv_add", []))
         for cp in self._checkpoint_versions():
-            meta = json.loads(
-                _read_small_file(
-                    self._fs,
-                    self._path(f"{self._cdir}/_checkpoint.{cp}.json"),
-                    self._jvm,
-                )
-            )
+            meta = self._checkpoint_meta(cp)
             take(meta.get("live", []))
             take(meta.get("dvs", []))
         for name in self.list_tags():
